@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py [sfDir] [outDir]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already produced
+<outDir>/<query>/ parquet dirs and <outDir>/oracle_sql.json. Runs each
+oracle SQL in DuckDB over views of the same parquet tables and compares:
+ - column name sets (sorted)
+ - row counts
+ - cell values (rows sorted by all columns, column order sorted by name)
+Reports per-query PASS/FAIL with first differing cells.
+"""
+import json, math, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def rows_of(rel):
+    cols = [c[0].lower() for c in rel[0]]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rel[1]]
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = n_noracle = 0
+    for qdir in sorted(glob.glob(f"{out}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output parquet")
+            n_fail += 1
+            continue
+        got = con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        gcols, grows = rows_of((got.description, got.fetchall()))
+        if name not in oracle:
+            print(f"--   {name}: no oracle ({len(grows)} rows)")
+            n_noracle += 1
+            continue
+        try:
+            exp = con.execute(oracle[name])
+            ecols, erows = rows_of((exp.description, exp.fetchall()))
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if gcols != ecols:
+            print(f"FAIL {name}: columns spark={gcols} oracle={ecols}")
+            ok = False
+        elif len(grows) != len(erows):
+            print(f"FAIL {name}: rowcount spark={len(grows)} oracle={len(erows)}")
+            ok = False
+        else:
+            # exact compare in declared order first; fall back to sorted
+            def cmp(a, b):
+                for i, (ra, rb) in enumerate(zip(a, b)):
+                    if ra != rb:
+                        return i, ra, rb
+                return None
+            diff = cmp(grows, erows)
+            if diff is not None:
+                key = lambda r: tuple((x is None, str(type(x)), x) for x in r)
+                diff2 = cmp(sorted(grows, key=key), sorted(erows, key=key))
+                if diff2 is None:
+                    print(f"WARN {name}: values equal but row ORDER differs")
+                else:
+                    i, ra, rb = diff2
+                    print(f"FAIL {name}: row {i} spark={ra} oracle={rb}")
+                    ok = False
+        if ok:
+            print(f"PASS {name} ({len(grows)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} without oracle")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

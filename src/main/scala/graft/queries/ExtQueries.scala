@@ -1,8 +1,468 @@
 package graft.queries
 
-/** LLM-pipeline extension operators (dedup, similarity search, text
-  * analysis, multimodal plumbing) over documents/embeddings
-  * (filled in batch 4). */
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import QUtil._
+
+/** Training-data-pipeline extension operators over `documents` /
+  * `embeddings` (builder-prompt north star; SURVEY.md §7.4): exact and
+  * near-dup dedup (MinHash-LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force cosine baseline + hyperplane-LSH scale path), and
+  * text analysis (language scoring, quality, tokenization, fingerprints).
+  *
+  * Scale notes (100 TB design):
+  *  - shingling/minhash are narrow per-row transforms + one hash-partition
+  *    aggregate on doc_id — no cross-doc shuffle until the (tiny) LSH
+  *    bucket join;
+  *  - LSH banding turns the O(n²) pair space into per-bucket joins —
+  *    bucket keys are uniformly-distributed hashes, so the shuffle is
+  *    skew-free by construction;
+  *  - brute-force cosine is deliberately bounded to a query subset (the
+  *    honest baseline); the LSH path is the one that scales.
+  *
+  * Every deterministic hash routes through md5 (identical bytes on every
+  * engine) — see QUtil.
+  */
 object ExtQueries {
-  val qs: Seq[Q] = Seq.empty
+
+  /** Char-8-gram shingle rows: (doc_id, sh). Narrow explode. */
+  private def shingles(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("pos",
+        explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))))
+      .select(col("doc_id"), col("text").substr(col("pos"), lit(8)).as("sh"))
+
+  // DuckDB 1.0 generate_series accepts only CONSTANT bounds (no lateral
+  // or subquery parameters) — use a fixed bound that covers the corpus
+  // max length (553 chars at sf0.01) and filter per row.
+  private val shingleCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, substr(text, CAST(g.generate_series AS INT), 8) AS sh
+      |  FROM documents, generate_series(1, 4096) g
+      |  WHERE g.generate_series <= greatest(len(text) - 7, 1))""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  // Exact dedup: content-hash groupBy keeping the smallest doc_id as
+  // canonical (the OP-J2 idempotence primitive generalized to content).
+  private val q50 = Q(
+    "q50_dedup_exact",
+    (s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
+
+  // ---------------------------------------------------------------- q51
+  // MinHash signatures: 8 permutations h_p(S) = min over shingles of
+  // md5(p || ':' || shingle). One narrow explode + one doc_id aggregate.
+  private val q51 = Q(
+    "q51_minhash_signature",
+    (s, d) => {
+      val aggs = (0 until 8).map(p =>
+        min(md5(concat(lit(s"$p:"), col("sh")))).as(s"m$p"))
+      shingles(Tables.documents(s, d))  // min over multiset == set-min: no distinct shuffle needed
+        .groupBy(col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $shingleCte
+      SELECT doc_id,
+        ${(0 until 8).map(p => s"min(md5('$p:' || sh)) AS m$p").mkString(",\n        ")}
+      FROM sh GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q52
+  // LSH banding: 4 single-row bands over the minhash signature; candidate
+  // pairs = docs sharing ≥1 band bucket. The bucket join replaces the
+  // O(n²) pair enumeration — this is the 100 TB dedup path. Degenerate
+  // buckets (>10 docs — a corpus-wide common min-shingle carries no
+  // near-dup signal) are dropped BEFORE the self-join, which bounds
+  // per-bucket work at s(s-1)/2 ≤ 45 and kills join skew: at sf0.1 this
+  // is 4.9k pairs instead of 1.67M.
+  private val q52 = Q(
+    "q52_lsh_candidates",
+    (s, d) => {
+      val sig = shingles(Tables.documents(s, d))  // min over multiset == set-min: no distinct shuffle needed
+        .groupBy(col("doc_id"))
+        .agg(
+          min(md5(concat(lit("0:"), col("sh")))).as("m0"),
+          min(md5(concat(lit("1:"), col("sh")))).as("m1"),
+          min(md5(concat(lit("2:"), col("sh")))).as("m2"),
+          min(md5(concat(lit("3:"), col("sh")))).as("m3"))
+      val buckets = sig.selectExpr(
+        "doc_id", "stack(4, 0, m0, 1, m1, 2, m2, 3, m3) AS (band, bucket)")
+      // One aggregate per (band,bucket) and in-array pair expansion —
+      // a single shuffle over the shingle pipeline instead of a
+      // recomputing self-join.
+      buckets
+        .groupBy(col("band"), col("bucket"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 10))
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)), y ->
+            |    struct(x AS a_id, y AS b_id))))""".stripMargin)).as("pair"))
+        .select(col("pair.a_id"), col("pair.b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH $shingleCte,
+      sig AS (
+        SELECT doc_id,
+          min(md5('0:' || sh)) AS m0, min(md5('1:' || sh)) AS m1,
+          min(md5('2:' || sh)) AS m2, min(md5('3:' || sh)) AS m3
+        FROM sh GROUP BY doc_id),
+      buckets AS (
+        SELECT doc_id, 0 AS band, m0 AS bucket FROM sig UNION ALL
+        SELECT doc_id, 1, m1 FROM sig UNION ALL
+        SELECT doc_id, 2, m2 FROM sig UNION ALL
+        SELECT doc_id, 3, m3 FROM sig),
+      small AS (
+        SELECT doc_id, band, bucket FROM (
+          SELECT doc_id, band, bucket,
+                 count(*) OVER (PARTITION BY band, bucket) AS bsize
+          FROM buckets)
+        WHERE bsize <= 10)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
+      FROM small a JOIN small b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      ORDER BY a_id, b_id"""))
+
+  // ---------------------------------------------------------------- q53
+  // Exact n-gram Jaccard verification over a deterministic pair set
+  // (doc a vs doc a+250): |A∩B| / |A∪B| on char-8-gram sets — the
+  // verify stage after LSH candidate generation.
+  private val q53 = Q(
+    "q53_ngram_jaccard",
+    (s, d) => {
+      val sh = shingles(Tables.documents(s, d)).distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.select(col("doc_id").as("a_id"), col("sh"))
+        .join(sh.select((col("doc_id") - 250).as("a_id"), col("sh")), Seq("a_id", "sh"))
+        .groupBy(col("a_id")).agg(count(lit(1)).as("n_inter"))
+      sizes.filter(col("doc_id") < 250)
+        .select(col("doc_id").as("a_id"), col("n_sh").as("n_a"))
+        .join(sizes.select((col("doc_id") - 250).as("a_id"), col("n_sh").as("n_b")), Seq("a_id"))
+        .join(inter, Seq("a_id"), "left")
+        .select(
+          col("a_id"), (col("a_id") + 250).as("b_id"), col("n_a"), col("n_b"),
+          round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("a_id"))
+    },
+    Some(s"""WITH $shingleCte,
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, count(*) AS n_inter
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 250 AND a.sh = b.sh
+        GROUP BY a.doc_id)
+      SELECT sa.doc_id AS a_id, sa.doc_id + 250 AS b_id,
+        sa.n_sh AS n_a, sb.n_sh AS n_b,
+        round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
+              CAST(sa.n_sh + sb.n_sh - coalesce(n_inter, 0) AS DOUBLE), 6) AS jaccard
+      FROM sizes sa
+      JOIN sizes sb ON sb.doc_id = sa.doc_id + 250
+      LEFT JOIN inter i ON i.a_id = sa.doc_id
+      WHERE sa.doc_id < 250
+      ORDER BY a_id"""))
+
+  // ---------------------------------------------------------------- q54
+  // Brute-force cosine top-3 for a deterministic query subset (vec_id %
+  // 50 = 0) — the exact-ANN baseline. Cosine rounded to 4 decimals on
+  // both sides (rank on the rounded value, tie-break on neighbor id) so
+  // float-summation ULP cannot flip ranks.
+  private val q54 = Q(
+    "q54_cosine_topk",
+    (s, d) => {
+      val base = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      val qv = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+      val cand = base.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
+      val pairs = qv.crossJoin(cand).filter(col("q_id") =!= col("n_id"))
+        .withColumn("cosine",
+          round(expr("aggregate(zip_with(vq, vn, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+            / (col("nq") * col("nn")), 4))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      pairs
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      nrm AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+        FROM nrm q, nrm c
+        WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+      ranked AS (
+        SELECT q_id, n_id, cosine,
+          CAST(row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+        FROM pairs)
+      SELECT q_id, rank, n_id, cosine FROM ranked
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  // ---------------------------------------------------------------- q55
+  // Hyperplane-LSH bucketing — the ANN scale path: 16 md5-derived random
+  // hyperplanes → sign bits → 16-bit bucket. Bucket assignment is a
+  // narrow join + aggregate (no pair enumeration); at 100 TB top-k runs
+  // per-bucket. Signs are robust to FP reassociation (|dot| ≫ ulp).
+  private val q55 = Q(
+    "q55_ann_lsh_buckets",
+    (s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      val planes = s.range(16).select(col("id").as("p"))
+        .crossJoin(s.range(64).select(col("id").as("dim")))
+        .withColumn("w",
+          ((conv(substring(md5(concat(col("p"), lit(":"), col("dim"))), 1, 6), 16, 10)
+            .cast("long") % 2001) - 1000).cast("double") / 1000.0)
+      val bits = dims.join(broadcast(planes), Seq("dim"))
+        .groupBy(col("vec_id"), col("p"))
+        .agg(sum(col("x").cast("double") * col("w")).as("dot"))
+        .select(col("vec_id"), col("p"),
+          when(col("dot") >= 0, lit(1L)).otherwise(lit(0L)).as("bit"))
+      val bucketed = bits.groupBy(col("vec_id"))
+        .agg(sum(col("bit") * pow(lit(2.0), col("p").cast("double")).cast("long")).as("bucket"))
+      val wb = Window.partitionBy(col("bucket"))
+      bucketed
+        .withColumn("n_in_bucket", count(lit(1)).over(wb))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH dims AS (
+        SELECT vec_id, CAST(g.generate_series AS BIGINT) AS dim,
+               embedding[CAST(g.generate_series + 1 AS INT)] AS x
+        FROM embeddings, generate_series(0, 63) g),
+      planes AS (
+        SELECT CAST(p.generate_series AS BIGINT) AS p,
+               CAST(d.generate_series AS BIGINT) AS dim,
+          CAST(CAST(('0x' || substr(md5(p.generate_series || ':' || d.generate_series), 1, 6)) AS BIGINT)
+               % 2001 - 1000 AS DOUBLE) / 1000.0 AS w
+        FROM generate_series(0, 15) p, generate_series(0, 63) d),
+      bits AS (
+        SELECT vec_id, p,
+          CASE WHEN sum(CAST(x AS DOUBLE) * w) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM dims JOIN planes USING (dim)
+        GROUP BY vec_id, p),
+      bucketed AS (
+        SELECT vec_id, CAST(sum(bit * CAST(pow(2.0, CAST(p AS DOUBLE)) AS BIGINT)) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id)
+      SELECT vec_id, bucket,
+        count(*) OVER (PARTITION BY bucket) AS n_in_bucket
+      FROM bucketed ORDER BY vec_id"""))
+
+  // ---------------------------------------------------------------- q56
+  // Language/dialect scoring: marker-vocabulary voting (the n-gram
+  // heuristic shape of a language-ID pass; the synthetic corpus shares
+  // one vocabulary, so the mechanism — not label recovery — is the op).
+  private val q56 = Q(
+    "q56_lang_score",
+    (s, d) => {
+      val score = (ws: Seq[String]) =>
+        expr(s"size(filter(split(text, ' '), w -> w IN (${ws.map("'" + _ + "'").mkString(",")})))")
+          .cast("long")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          score(Seq("query", "join", "filter", "scan")).as("s_sql"),
+          score(Seq("spark", "stream", "batch", "window")).as("s_exec"),
+          score(Seq("table", "row", "column", "line")).as("s_store"),
+          score(Seq("fast", "slow", "big", "small")).as("s_perf"))
+        .withColumn("best", greatest(col("s_sql"), col("s_exec"), col("s_store"), col("s_perf")))
+        .withColumn("pred",
+          when(col("s_sql") === col("best"), "sql")
+            .when(col("s_exec") === col("best"), "exec")
+            .when(col("s_store") === col("best"), "store")
+            .otherwise("perf"))
+        .drop("best")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH s AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ('query','join','filter','scan'))) AS BIGINT) AS s_sql,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ('spark','stream','batch','window'))) AS BIGINT) AS s_exec,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ('table','row','column','line'))) AS BIGINT) AS s_store,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ('fast','slow','big','small'))) AS BIGINT) AS s_perf
+        FROM documents)
+      SELECT doc_id, s_sql, s_exec, s_store, s_perf,
+        CASE WHEN s_sql = greatest(s_sql, s_exec, s_store, s_perf) THEN 'sql'
+             WHEN s_exec = greatest(s_sql, s_exec, s_store, s_perf) THEN 'exec'
+             WHEN s_store = greatest(s_sql, s_exec, s_store, s_perf) THEN 'store'
+             ELSE 'perf' END AS pred
+      FROM s ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q57
+  // Quality scoring: length / punctuation / stopword-ratio features and
+  // a weighted quality score — all exact rational arithmetic.
+  private val q57 = Q(
+    "q57_quality_score",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val nWords = size(words).cast("long")
+      val stop = expr("size(filter(split(text, ' '), w -> w IN ('the','a','of','and','to')))")
+        .cast("double")
+      val punct = (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          nWords.as("n_words"),
+          round(stop / nWords.cast("double"), 6).as("stop_ratio"),
+          round(punct / length(col("text")).cast("double"), 6).as("punct_ratio"),
+          round(
+            lit(0.4) * (stop / nWords.cast("double")) +
+              lit(0.3) * least(nWords.cast("double") / 100.0, lit(1.0)) +
+              lit(0.3) * (lit(1.0) - punct / length(col("text")).cast("double")), 6)
+            .as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH f AS (
+        SELECT doc_id,
+          CAST(len(text) AS BIGINT) AS n_chars,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ('the','a','of','and','to'))) AS DOUBLE) AS stop,
+          CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct
+        FROM documents)
+      SELECT doc_id, n_chars, n_words,
+        round(stop / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+        round(punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+        round(0.4 * (stop / CAST(n_words AS DOUBLE))
+            + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+            + 0.3 * (1.0 - punct / CAST(n_chars AS DOUBLE)), 6) AS quality
+      FROM f ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q58
+  // Token counting: whitespace tokens + a BPE-ish regex token stream,
+  // with chars-per-token (the training-data budget metric).
+  private val q58 = Q(
+    "q58_token_count",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+            .cast("long").as("re_tokens"),
+          round(length(col("text")).cast("double") /
+            size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("double"), 6)
+            .as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+        round(CAST(len(text) AS DOUBLE) /
+              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS DOUBLE), 6) AS chars_per_token
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q59
+  // Document fingerprinting: winnowing-style min-shingle-hash plus an
+  // order-insensitive 48-bit xor fingerprint over distinct words.
+  private val q59 = Q(
+    "q59_fingerprint",
+    (s, d) => {
+      val minSh = shingles(Tables.documents(s, d))  // min over multiset == set-min: no distinct shuffle needed
+        .groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fp_min_shingle"))
+      val xorFp = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(expr("bit_xor(CAST(conv(substr(md5(w), 1, 12), 16, 10) AS BIGINT))").as("fp_xor"))
+      minSh.join(xorFp, Seq("doc_id")).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $shingleCte,
+      min_sh AS (SELECT doc_id, min(md5(sh)) AS fp_min_shingle FROM sh GROUP BY doc_id),
+      words AS (SELECT DISTINCT doc_id, u.w FROM documents, unnest(string_split(text, ' ')) AS u(w)),
+      xf AS (
+        SELECT doc_id,
+          bit_xor(CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT)) AS fp_xor
+        FROM words GROUP BY doc_id)
+      SELECT doc_id, fp_min_shingle, fp_xor
+      FROM min_sh JOIN xf USING (doc_id) ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q60
+  // Multimodal/binary plumbing: opaque bytes + typed metadata — byte
+  // length, sha256 checksum, per-source batch stats (the schema/partition
+  // shape of an image/audio column; decode itself is the stubbed external
+  // step, see graft.multimodal).
+  private val q60 = Q(
+    "q60_binary_meta",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("source"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          sha2(col("text").cast("binary"), 256).as("sha"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("total_bytes"),
+          min(col("sha")).as("min_sha"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+        sum(octet_length(encode(text))) AS total_bytes,
+        min(sha256(text)) AS min_sha
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  // ---------------------------------------------------------------- q61
+  // SimHash (16-bit): per-word md5 bits vote ±1 per position; simhash
+  // bit = majority sign. Narrow explode + one aggregate per doc.
+  private val q61 = Q(
+    "q61_simhash",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val bits = words
+        .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
+        .withColumn("b", explode(sequence(lit(0), lit(15))))
+        .withColumn("vote",
+          when(expr("(h DIV CAST(pow(2, b) AS BIGINT)) % 2") === 1, lit(1L))
+            .otherwise(lit(-1L)))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("vote")).as("v"))
+      bits
+        .select(col("doc_id"),
+          when(col("v") >= 0,
+            expr("CAST(pow(2, b) AS BIGINT)")).otherwise(lit(0L)).as("bitval"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("bitval")).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH words AS (
+        SELECT doc_id, u.w, CAST(('0x' || substr(md5(u.w), 1, 4)) AS BIGINT) AS h
+        FROM documents, unnest(string_split(text, ' ')) AS u(w)),
+      votes AS (
+        SELECT doc_id, CAST(b.generate_series AS INTEGER) AS b,
+          sum(CASE WHEN (h // CAST(pow(2, b.generate_series) AS BIGINT)) % 2 = 1
+                   THEN 1 ELSE -1 END) AS v
+        FROM words, generate_series(0, 15) b
+        GROUP BY doc_id, b.generate_series)
+      SELECT doc_id,
+        CAST(sum(CASE WHEN v >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id ORDER BY doc_id"""))
+
+  val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 }

@@ -1,0 +1,129 @@
+package graft.pumle.export
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/** Minimal MAT-5 (Level 5 MAT-file) writer (OP-S4) — the staging
+  * hand-off the reference produces with scipy `savemat`
+  * (/root/reference/src/pumle/mat_files.py:136-159): one file per config
+  * section holding a single 1×1 struct whose fields are numeric scalars
+  * or char arrays. Format per the public MATLAB Level 5 file-format
+  * spec (header, miMATRIX elements, miINT8 name, mxSTRUCT/mxDOUBLE/
+  * mxCHAR classes, 8-byte-aligned tags).
+  */
+object Mat5 {
+
+  private val miINT8 = 1
+  private val miINT32 = 5
+  private val miUINT16 = 17
+  private val miDOUBLE = 9
+  private val miMATRIX = 14
+  private val mxDOUBLE = 6
+  private val mxCHAR = 4
+  private val mxSTRUCT = 2
+
+  private def pad8(n: Int): Int = (8 - n % 8) % 8
+
+  private def element(tpe: Int, payload: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 + payload.length + pad8(payload.length))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(tpe).putInt(payload.length).put(payload)
+    buf.array()
+  }
+
+  private def arrayFlags(clazz: Int): Array[Byte] = {
+    val out = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(6 /*miUINT32*/).putInt(8) // tag
+    out.putInt(clazz).putInt(0)          // flags+class, reserved
+    out.array()
+  }
+
+  private def dimsElement(rows: Int, cols: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(rows).putInt(cols)
+    element(miINT32, b.array())
+  }
+
+  private def nameElement(name: String): Array[Byte] =
+    element(miINT8, name.getBytes("ASCII"))
+
+  /** 1×1 double matrix (unnamed when inside a struct). */
+  private def doubleMatrix(name: String, v: Double): Array[Byte] = {
+    val data = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    data.putDouble(v)
+    matrix(mxDOUBLE, 1, 1, name, element(miDOUBLE, data.array()))
+  }
+
+  /** 1×n char row-vector matrix (scipy writes strings as mxCHAR/miUINT16). */
+  private def charMatrix(name: String, s: String): Array[Byte] = {
+    val data = ByteBuffer.allocate(s.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+    s.foreach(c => data.putShort(c.toShort))
+    matrix(mxCHAR, 1, s.length, name, element(miUINT16, data.array()))
+  }
+
+  private def matrix(clazz: Int, rows: Int, cols: Int, name: String,
+      dataElement: Array[Byte]): Array[Byte] = {
+    val body = arrayFlags(clazz) ++ dimsElement(rows, cols) ++
+      nameElement(name) ++ dataElement
+    element(miMATRIX, body)
+  }
+
+  /** 1×1 struct with scalar-double / string fields, field order
+    * preserved (scipy keeps dict order). */
+  def structBytes(name: String, fields: Seq[(String, Any)]): Array[Byte] = {
+    val fieldNameLen = 32
+    val lenEl = {
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(fieldNameLen)
+      element(miINT32, b.array())
+    }
+    val namesEl = {
+      val b = ByteBuffer.allocate(fields.length * fieldNameLen)
+      fields.foreach { case (fn, _) =>
+        val bs = fn.getBytes("ASCII")
+        require(bs.length < fieldNameLen, s"field name too long: $fn")
+        b.put(bs); b.put(new Array[Byte](fieldNameLen - bs.length))
+      }
+      element(miINT8, b.array())
+    }
+    val fieldMats = fields.flatMap {
+      case (_, v: Double) => doubleMatrix("", v)
+      case (_, v: Int)    => doubleMatrix("", v.toDouble)
+      case (_, v: String) => charMatrix("", v)
+      case (_, v: Boolean) => doubleMatrix("", if (v) 1.0 else 0.0)
+      case (fn, other) => throw new IllegalArgumentException(s"$fn: $other")
+    }.toArray
+    val body = arrayFlags(mxSTRUCT) ++ dimsElement(1, 1) ++
+      nameElement(name) ++ lenEl ++ namesEl ++ fieldMats
+    element(miMATRIX, body)
+  }
+
+  /** Full MAT-file: 128-byte header + one struct variable per section. */
+  def fileBytes(vars: Seq[(String, Seq[(String, Any)])]): Array[Byte] = {
+    val header = new Array[Byte](128)
+    val desc = "MATLAB 5.0 MAT-file, Platform: GRAFT, Created by: graft.pumle"
+      .getBytes("ASCII")
+    System.arraycopy(desc, 0, header, 0, math.min(desc.length, 116))
+    java.util.Arrays.fill(header, desc.length, 116, ' '.toByte)
+    val tail = ByteBuffer.wrap(header, 124, 4).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putShort(0x0100.toShort) // version
+    tail.put('I'.toByte).put('M'.toByte) // endian indicator
+    header ++ vars.flatMap { case (n, fs) => structBytes(n, fs) }
+  }
+
+  /** Staging write (mat_files.py:118-134): one `<Section>_<hash>.mat`
+    * per section, section name sanitized (`Pre-Processing` →
+    * `PreProcessing`, mat_files.py:107-116). */
+  def sanitizeSection(s: String): String = s.replaceAll("[^A-Za-z0-9]", "")
+
+  def writeStaging(stagingDir: String, simHash: String,
+      sections: Seq[(String, Seq[(String, Any)])]): Seq[String] = {
+    Files.createDirectories(Paths.get(stagingDir))
+    sections.map { case (section, fields) =>
+      val fn = s"${sanitizeSection(section)}_$simHash.mat"
+      val p = Paths.get(stagingDir, fn)
+      Files.write(p, fileBytes(Seq(section.replace("-", "_") -> fields)))
+      p.toString
+    }
+  }
+}

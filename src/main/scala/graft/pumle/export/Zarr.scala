@@ -1,0 +1,59 @@
+package graft.pumle.export
+
+import java.io.File
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimal Zarr v2 store writer (OP-S6) — the reference's chunked golden
+  * sink (`zarr.save`, /root/reference/src/pumle/arrays.py:171-197), but
+  * written the Spark-native way: ONE CHUNK PER TASK, in parallel, which
+  * the single-process reference cannot do.
+  *
+  * Store layout per the public zarr v2 spec: `.zarray` JSON metadata +
+  * raw little-endian chunk files named `i.j.k...` (compressor: none).
+  */
+object Zarr {
+
+  private def zarray(shape: Seq[Int], chunks: Seq[Int]): String =
+    s"""{"chunks": [${chunks.mkString(", ")}], "compressor": null,
+       | "dtype": "<f8", "fill_value": "NaN", "filters": null, "order": "F",
+       | "shape": [${shape.mkString(", ")}], "zarr_format": 2}""".stripMargin
+
+  /** Write a (cell-long-form) DataFrame `(chunk_id, offset, value)` as a
+    * zarr array chunked along the LAST axis (timestep) — chunk t writes
+    * independently from its own task. `dims` = (I,J,K), one chunk per
+    * timestep: shape (I,J,K,T), chunks (I,J,K,1).
+    *
+    * Rows: (t, cell_idx, value) with cell_idx in F-order. Missing cells
+    * become NaN (fill value). */
+  def writeByTimestep(rows: DataFrame, dims: (Int, Int, Int), nt: Int, path: String): Unit = {
+    val (ii, jj, kk) = dims
+    val ncells = ii * jj * kk
+    new File(path).mkdirs()
+    Files.write(Paths.get(path, ".zarray"),
+      zarray(Seq(ii, jj, kk, nt), Seq(ii, jj, kk, 1)).getBytes("UTF-8"))
+    // one task per timestep chunk
+    rows.select(col("t").cast("int"), col("cell_idx").cast("int"), col("value").cast("double"))
+      .repartition(math.min(nt, 64), col("t"))
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val byT = it.toSeq.groupBy(_.getInt(0))
+        byT.foreach { case (t, rs) =>
+          val arr = Array.fill(ncells)(Double.NaN)
+          rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          val buf = ByteBuffer.allocate(ncells * 8).order(ByteOrder.LITTLE_ENDIAN)
+          arr.foreach(buf.putDouble)
+          Files.write(Paths.get(path, s"0.0.0.$t"), buf.array())
+        }
+      }
+  }
+
+  /** Read one timestep chunk back (test helper). */
+  def readChunk(path: String, t: Int, ncells: Int): Array[Double] = {
+    val bytes = Files.readAllBytes(Paths.get(path, s"0.0.0.$t"))
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    Array.fill(ncells)(buf.getDouble())
+  }
+}

@@ -1,0 +1,87 @@
+package graft.pumle
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pumle.export.{Mat5, Npy, Zarr}
+
+/** OP-S4/S5/S6 sinks: npy byte-golden vs numpy, MAT-5 structural walk,
+  * zarr chunk round-trip. */
+class ExportSpec extends SparkSpec {
+
+  private lazy val oracle = JsonMethods.parse(
+    scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/numpy_oracle.json"), "UTF-8").mkString)
+
+  test("npy bytes are byte-identical to np.save for an F-order 4D array") {
+    val JString(hex) = (oracle \ "npy_hex"): @unchecked
+    val expected = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val flat = (oracle \ "npy_flat_F").asInstanceOf[JArray].arr.map {
+      case JDouble(d) => d
+      case JInt(i)    => i.toDouble
+      case JNull      => Double.NaN
+      case other      => fail(s"$other")
+    }.toArray
+    val mine = Npy.toBytes(flat, Seq(3, 2, 2, 2), fortran = true)
+    assert(mine.length == expected.length,
+      s"length ${mine.length} != ${expected.length}")
+    assert(mine.sameElements(expected))
+  }
+
+  test("npy round-trip read") {
+    val data = Array(1.0, 2.0, Double.NaN, 4.0, 5.0, 6.0)
+    val bytes = Npy.toBytes(data, Seq(3, 2))
+    val (back, shape, fortran) = Npy.read(bytes)
+    assert(shape == Seq(3, 2) && fortran)
+    assert(back(0) == 1.0 && back(2).isNaN && back(5) == 6.0)
+  }
+
+  test("MAT-5 file structure: header, endian marker, aligned miMATRIX walk") {
+    val bytes = Mat5.fileBytes(Seq(
+      "Fluid" -> Seq("pres_ref" -> 35.0, "temp_ref" -> 95.15, "name" -> "co2")))
+    assert(new String(bytes, 0, 19, "ASCII").startsWith("MATLAB 5.0 MAT-file"))
+    assert(bytes(126) == 'I'.toByte && bytes(127) == 'M'.toByte)
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(128)
+    val tpe = buf.getInt(); val len = buf.getInt()
+    assert(tpe == 14, s"first element must be miMATRIX, got $tpe") // miMATRIX
+    assert(len % 8 == 0 && 128 + 8 + len == bytes.length)
+    // walk sub-elements: arrayFlags(miUINT32), dims(miINT32), name(miINT8)
+    assert(buf.getInt() == 6); assert(buf.getInt() == 8)
+    buf.getLong() // flags: class mxSTRUCT
+    assert(buf.getInt() == 5); assert(buf.getInt() == 8)
+    assert(buf.getInt() == 1 && buf.getInt() == 1) // 1×1 struct
+    assert(buf.getInt() == 1) // miINT8 name
+    val nameLen = buf.getInt()
+    val nm = new Array[Byte](nameLen); buf.get(nm)
+    assert(new String(nm, "ASCII") == "Fluid")
+  }
+
+  test("MAT-5 staging layout: <Section>_<hash>.mat with sanitized names (OP-X6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mat").toString
+    val files = Mat5.writeStaging(dir, "abc12345",
+      Seq("Pre-Processing" -> Seq("case_name" -> "unisim"),
+        "Fluid" -> Seq("pe" -> 5.0)))
+    assert(files.map(f => new java.io.File(f).getName) ==
+      Seq("PreProcessing_abc12345.mat", "Fluid_abc12345.mat"))
+    assert(files.forall(f => new java.io.File(f).length() > 128))
+  }
+
+  test("zarr: one chunk per timestep written by parallel tasks, NaN fill") {
+    import spark.implicits._
+    val rows = Seq(
+      (0, 0, 1.5), (0, 3, 2.5), // t=0
+      (1, 1, 7.0)               // t=1
+    ).toDF("t", "cell_idx", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zarr").toString
+    Zarr.writeByTimestep(rows, (2, 2, 1), 2, dir)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, ".zarray")), "UTF-8")
+    assert(meta.contains("\"zarr_format\": 2") && meta.contains("\"order\": \"F\""))
+    val c0 = Zarr.readChunk(dir, 0, 4)
+    assert(c0(0) == 1.5 && c0(3) == 2.5 && c0(1).isNaN && c0(2).isNaN)
+    val c1 = Zarr.readChunk(dir, 1, 4)
+    assert(c1(1) == 7.0 && c1(0).isNaN)
+  }
+}

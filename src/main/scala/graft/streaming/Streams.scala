@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+
+import graft.pumle.Pipeline
+
+/** Structured Streaming surface (SURVEY §2.8): the reference's
+  * incremental machinery (completed.flag skip, INSERT OR IGNORE,
+  * status state machine) re-expressed as streams.
+  *
+  *  - `bronzeIngest`: file-source stream over the bronze landing dir —
+  *    each new `states_*.json` is parsed, gathered against the static
+  *    broadcast ACTNUM, and appended to the golden long form exactly
+  *    once (checkpointed source progress ≙ completed.flag,
+  *    /root/reference/simulation/simulation.cpp:14-20).
+  *  - `eventCounts`: watermarked sliding-window aggregation over an
+  *    event stream (the generic streaming-agg operator).
+  *  - `latestStatus`: per-key running state via mapGroupsWithState —
+  *    the CREATED→RUNNING→COMPLETED machine (db.py:43-47) as
+  *    exactly-once streaming state.
+  *
+  * At scale: file sources list incrementally (maxFilesPerTrigger), the
+  * stream-static join broadcasts the small side, and state stores
+  * partition by key — nothing here is driver-bound.
+  */
+object Streams {
+
+  /** Streaming bronze → golden append. `actnum` is a static (batch)
+    * DataFrame — the stream-static join broadcasts it per micro-batch. */
+  def bronzeIngest(
+      spark: SparkSession,
+      bronzeGlob: String,
+      actnum: DataFrame,
+      dims: (Int, Int, Int),
+      goldenPath: String,
+      checkpoint: String,
+      maxFilesPerTrigger: Int = 64): StreamingQuery = {
+    val states = spark.readStream
+      .schema(Pipeline.statesSchema)
+      .option("multiLine", true)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(bronzeGlob)
+      .withColumn("sim_hash",
+        regexp_extract(input_file_name(), "states_[^_]+_([0-9a-f]+)\\.json", 1))
+    val golden = Pipeline.golden(Pipeline.silver(states, actnum), dims)
+    golden.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", goldenPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Watermarked tumbling-window event counts (event-time semantics the
+    * reference lacks; the engine's generic streaming aggregation). */
+  def eventCounts(events: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  final case class SimEvent(sim_hash: String, status: String, seq: Long)
+  final case class SimState(sim_hash: String, status: String, transitions: Long)
+
+  /** mapGroupsWithState status tracker: applies the reference's legal
+    * transitions in sequence order, ignoring illegal ones (streaming
+    * analog of OP-V6). */
+  def latestStatus(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.as[SimEvent]
+      .groupByKey(_.sim_hash)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (hash: String, evs: Iterator[SimEvent], state: GroupState[SimState]) =>
+          val cur = state.getOption.getOrElse(SimState(hash, "CREATED", 0L))
+          val next = evs.toSeq.sortBy(_.seq).foldLeft(cur) { (st, ev) =>
+            val legal = graft.pumle.Catalog.Status.transitions
+              .getOrElse(st.status, Set.empty)
+            if (legal.contains(ev.status))
+              SimState(hash, ev.status, st.transitions + 1)
+            else st
+          }
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,60 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.pumle.SparkSpec
+
+/** Binary-column plumbing: schema, batched decode, pruning. */
+class MultimodalSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq((1L, "hello world"), (2L, "spark native"), (3L, "x"))
+      .toDF("doc_id", "text")
+  }
+
+  test("asMedia wraps binary payload with deterministic metadata") {
+    val m = Multimodal.asMedia(docs, "doc_id", "text", "image")
+    assert(m.columns.toSeq ==
+      Seq("media_id", "kind", "payload", "width", "height", "n_frames"))
+    val r = m.orderBy("media_id").collect()
+    assert(r.forall(_.getAs[Int]("width") >= 32))
+    // deterministic across runs
+    val again = Multimodal.asMedia(docs, "doc_id", "text", "image")
+      .orderBy("media_id").collect()
+    assert(r.map(_.getInt(3)).sameElements(again.map(_.getInt(3))))
+  }
+
+  test("batched feature extraction is deterministic and batch-size-invariant") {
+    val m = Multimodal.asMedia(docs, "doc_id", "text", "image")
+    val f1 = Multimodal.extractFeatures(spark, m, dim = 4, batchSize = 2)
+      .collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(spark, m, dim = 4, batchSize = 100)
+      .collect().sortBy(_.media_id)
+    assert(f1.length == 3)
+    assert(f1.zip(f2).forall { case (a, b) =>
+      a.sha256 == b.sha256 && a.features.sameElements(b.features)
+    })
+    // "hello world" = 11 bytes; fold of known bytes
+    val hw = f1.find(_.media_id == 1L).get
+    assert(hw.n_bytes == 11)
+    assert(hw.sha256.startsWith("b94d27b9")) // sha256("hello world")
+  }
+
+  test("resample strides the payload deterministically") {
+    val m = Multimodal.asMedia(docs, "doc_id", "text", "image")
+    val out = Multimodal.resample(spark, m, 2).orderBy("media_id").collect()
+    assert(new String(out(0).getAs[Array[Byte]]("payload_small")) == "hlowrd")
+  }
+
+  test("metadata-only query prunes the binary column from the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("mm").toString
+    Multimodal.asMedia(docs, "doc_id", "text", "image")
+      .write.mode("overwrite").parquet(dir)
+    val meta = Multimodal.metaOnly(spark.read.parquet(dir))
+    val plan = meta.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("payload"),
+      s"payload not pruned:\n$plan")
+    assert(meta.count() == 3)
+  }
+}

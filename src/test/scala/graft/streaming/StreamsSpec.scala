@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.pumle.{Pipeline, SparkSpec}
+
+/** Streaming semantics: exactly-once file ingest, watermarked windows,
+  * stateful status machine. */
+class StreamsSpec extends SparkSpec {
+
+  private val actnumSeq = Seq(1, 1, 1, 0)
+
+  private def writeStates(dir: String, hash: String, nt: Int): Unit = {
+    val steps = (0 until nt).map { t =>
+      val p = (0 until 4).map(c => 10.0 * t + c).mkString("[", ",", "]")
+      val s = (0 until 4).map(c => s"[1.0,${0.1 * c}]").mkString("[", ",", "]")
+      s"""{"pressure": $p, "s": $s}"""
+    }
+    Files.writeString(Paths.get(dir, s"states_unisim_$hash.json"),
+      s"""{"states": [${steps.mkString(",")}]}""")
+  }
+
+  test("bronze file-stream ingests each sim exactly once (completed.flag analog)") {
+    import spark.implicits._
+    val bronze = Files.createTempDirectory("stream-bronze").toString
+    val golden = Files.createTempDirectory("stream-golden").toString
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+    val actnum = actnumSeq.zipWithIndex
+      .map { case (f, i) => (i, f == 1) }.toDF("cell_idx", "active")
+
+    writeStates(bronze, "aaaa0001", 2)
+    val q1 = Streams.bronzeIngest(spark, s"$bronze/states_*.json", actnum,
+      (2, 2, 1), golden, ckpt)
+    q1.awaitTermination()
+    val out1 = spark.read.parquet(golden)
+    // 3 active cells × 2 timesteps × 3 fields
+    assert(out1.count() == 18)
+
+    // second sim lands; restart stream with same checkpoint → only new
+    // file processed, no duplicates of the first
+    writeStates(bronze, "bbbb0002", 3)
+    val q2 = Streams.bronzeIngest(spark, s"$bronze/states_*.json", actnum,
+      (2, 2, 1), golden, ckpt)
+    q2.awaitTermination()
+    val out2 = spark.read.parquet(golden)
+    assert(out2.count() == 18 + 27)
+    assert(out2.filter(col("sim_hash") === "aaaa0001").count() == 18) // unchanged
+  }
+
+  test("watermarked window aggregation over an event stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.eventCounts(events, "1 minute", "1 minute")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("evt_counts").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:30")
+    mem.addData((ts(0), "click", 1.0), (ts(0), "click", 2.0), (ts(1), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_type, n, sum_value FROM evt_counts ORDER BY event_type")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    q.stop()
+  }
+
+  test("mapGroupsWithState applies the status machine, ignoring illegal jumps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.SimEvent]
+    val q = Streams.latestStatus(spark, mem.toDF())
+      .writeStream.outputMode("update").format("memory").queryName("statuses").start()
+    mem.addData(
+      Streams.SimEvent("h1", "RUNNING", 1), Streams.SimEvent("h1", "COMPLETED", 2),
+      Streams.SimEvent("h2", "COMPLETED", 1)) // illegal from CREATED → ignored
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT sim_hash, status, transitions FROM statuses ORDER BY sim_hash")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("h1", "COMPLETED", 2L), ("h2", "CREATED", 0L)))
+    q.stop()
+  }
+}

@@ -58,22 +58,33 @@ object ExtQueries {
       FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
 
   // ---------------------------------------------------------------- q51
-  // MinHash signatures: 8 permutations h_p(S) = min over shingles of
-  // md5(p || ':' || shingle). One narrow explode + one doc_id aggregate.
+  // MinHash signatures: ONE md5 per shingle → 48-bit integer, then 8
+  // "permutations" h_p = h XOR salt_p (a standard xor-family); min per
+  // perm. 8× fewer digest computations than salting the md5 input, and
+  // the aggregate is a map-side partial min — no extra shuffle.
+  private val salts: Seq[Long] = Seq(
+    0L, 0x9E3779B97F4AL, 0x3243F6A8885AL, 0x13198A2E0370L,
+    0xA4093822299FL, 0x082EFA98EC4EL, 0x452821E638D0L, 0xBE5466CF34E9L)
+
+  private def sh48 = conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long")
+
   private val q51 = Q(
     "q51_minhash_signature",
     (s, d) => {
-      val aggs = (0 until 8).map(p =>
-        min(md5(concat(lit(s"$p:"), col("sh")))).as(s"m$p"))
+      val aggs = salts.zipWithIndex.map { case (salt, p) =>
+        min(col("h48").bitwiseXOR(lit(salt))).as(s"m$p")
+      }
       shingles(Tables.documents(s, d))  // min over multiset == set-min: no distinct shuffle needed
+        .withColumn("h48", sh48)
         .groupBy(col("doc_id"))
         .agg(aggs.head, aggs.tail: _*)
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH $shingleCte
+    Some(s"""WITH $shingleCte,
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT) AS h48 FROM sh)
       SELECT doc_id,
-        ${(0 until 8).map(p => s"min(md5('$p:' || sh)) AS m$p").mkString(",\n        ")}
-      FROM sh GROUP BY doc_id ORDER BY doc_id"""))
+        ${salts.zipWithIndex.map { case (salt, p) => s"min(xor(h48, $salt)) AS m$p" }.mkString(",\n        ")}
+      FROM h GROUP BY doc_id ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- q52
   // LSH banding: 4 single-row bands over the minhash signature; candidate
@@ -87,12 +98,13 @@ object ExtQueries {
     "q52_lsh_candidates",
     (s, d) => {
       val sig = shingles(Tables.documents(s, d))  // min over multiset == set-min: no distinct shuffle needed
+        .withColumn("h48", sh48)
         .groupBy(col("doc_id"))
         .agg(
-          min(md5(concat(lit("0:"), col("sh")))).as("m0"),
-          min(md5(concat(lit("1:"), col("sh")))).as("m1"),
-          min(md5(concat(lit("2:"), col("sh")))).as("m2"),
-          min(md5(concat(lit("3:"), col("sh")))).as("m3"))
+          min(col("h48").bitwiseXOR(lit(salts(0)))).as("m0"),
+          min(col("h48").bitwiseXOR(lit(salts(1)))).as("m1"),
+          min(col("h48").bitwiseXOR(lit(salts(2)))).as("m2"),
+          min(col("h48").bitwiseXOR(lit(salts(3)))).as("m3"))
       val buckets = sig.selectExpr(
         "doc_id", "stack(4, 0, m0, 1, m1, 2, m2, 3, m3) AS (band, bucket)")
       // One aggregate per (band,bucket) and in-array pair expansion —
@@ -112,11 +124,12 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
     Some(s"""WITH $shingleCte,
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT) AS h48 FROM sh),
       sig AS (
         SELECT doc_id,
-          min(md5('0:' || sh)) AS m0, min(md5('1:' || sh)) AS m1,
-          min(md5('2:' || sh)) AS m2, min(md5('3:' || sh)) AS m3
-        FROM sh GROUP BY doc_id),
+          min(xor(h48, ${salts(0)})) AS m0, min(xor(h48, ${salts(1)})) AS m1,
+          min(xor(h48, ${salts(2)})) AS m2, min(xor(h48, ${salts(3)})) AS m3
+        FROM h GROUP BY doc_id),
       buckets AS (
         SELECT doc_id, 0 AS band, m0 AS bucket FROM sig UNION ALL
         SELECT doc_id, 1, m1 FROM sig UNION ALL

@@ -58,26 +58,21 @@ object ExtQueries {
       FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
 
   // ---------------------------------------------------------------- q51
-  // MinHash signatures: ONE md5 per shingle → 48-bit integer, then 8
-  // "permutations" h_p = h XOR salt_p (a standard xor-family); min per
-  // perm. 8× fewer digest computations than salting the md5 input, and
-  // the aggregate is a map-side partial min — no extra shuffle.
-  private val salts: Seq[Long] = Seq(
-    0L, 0x9E3779B97F4AL, 0x3243F6A8885AL, 0x13198A2E0370L,
-    0xA4093822299FL, 0x082EFA98EC4EL, 0x452821E638D0L, 0xBE5466CF34E9L)
-
-  private def sh48 = conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long")
+  // MinHash signatures via the custom Catalyst expression
+  // graft.functions.MinHash48: the whole k-permutation signature is a
+  // pure per-row function of the text, so the plan is completely NARROW
+  // — no shingle explode (hundreds of rows per doc), no hash aggregate.
+  // Same xor-family as the relational form (one md5 per shingle, 48-bit
+  // prefix, min of h XOR salt_p), so the DuckDB oracle is unchanged.
+  private val salts: Seq[Long] = graft.functions.MinHash48.defaultSalts
 
   private val q51 = Q(
     "q51_minhash_signature",
     (s, d) => {
-      val aggs = salts.zipWithIndex.map { case (salt, p) =>
-        min(col("h48").bitwiseXOR(lit(salt))).as(s"m$p")
-      }
-      shingles(Tables.documents(s, d))  // min over multiset == set-min: no distinct shuffle needed
-        .withColumn("h48", sh48)
-        .groupBy(col("doc_id"))
-        .agg(aggs.head, aggs.tail: _*)
+      graft.functions.MinHash48.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id") +: salts.indices.map(p =>
+          expr(s"element_at(minhash48(text), ${p + 1})").as(s"m$p")): _*)
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH $shingleCte,
@@ -97,16 +92,13 @@ object ExtQueries {
   private val q52 = Q(
     "q52_lsh_candidates",
     (s, d) => {
-      val sig = shingles(Tables.documents(s, d))  // min over multiset == set-min: no distinct shuffle needed
-        .withColumn("h48", sh48)
-        .groupBy(col("doc_id"))
-        .agg(
-          min(col("h48").bitwiseXOR(lit(salts(0)))).as("m0"),
-          min(col("h48").bitwiseXOR(lit(salts(1)))).as("m1"),
-          min(col("h48").bitwiseXOR(lit(salts(2)))).as("m2"),
-          min(col("h48").bitwiseXOR(lit(salts(3)))).as("m3"))
+      graft.functions.MinHash48.register(s)
+      val sig = Tables.documents(s, d).select(
+        col("doc_id"),
+        expr("minhash48(text)").as("sig")) // narrow: one pass, no explode
       val buckets = sig.selectExpr(
-        "doc_id", "stack(4, 0, m0, 1, m1, 2, m2, 3, m3) AS (band, bucket)")
+        "doc_id",
+        "stack(4, 0, sig[0], 1, sig[1], 2, sig[2], 3, sig[3]) AS (band, bucket)")
       // One aggregate per (band,bucket) and in-array pair expansion —
       // a single shuffle over the shingle pipeline instead of a
       // recomputing self-join.

@@ -44,11 +44,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
-  test("q51: minhash aggregate is partial (map-side min) with no distinct shuffle") {
+  test("q51: minhash48 expression keeps the plan narrow (no aggregate, no explode)") {
     val p = planOf("q51_minhash_signature")
-    assert(p.contains("partial_min") || p.contains("partial_"), p)
-    // exactly one exchange for the doc_id aggregate + one for the sort
-    assert("Exchange".r.findAllIn(p).length <= 3, p)
+    assert(p.contains("minhash48"), p)
+    assert(!p.contains("Generate"), p)      // no shingle explode
+    assert(!p.contains("HashAggregate"), p) // no reduce-back aggregate
+    // only the final orderBy exchanges data
+    assert("Exchange".r.findAllIn(p).length <= 1, p)
   }
 
   test("q24: densify grid side is generated (Range), active side broadcast") {

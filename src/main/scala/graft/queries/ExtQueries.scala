@@ -469,5 +469,92 @@ object ExtQueries {
         CAST(sum(CASE WHEN v >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id ORDER BY doc_id"""))
 
-  val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+  // ---------------------------------------------------------------- q62
+  // IVF-style ANN: deterministic centroids (vec_id % 50 == 0), each
+  // vector assigned to its max-cosine centroid — the coarse-quantizer
+  // scale path (search then runs per cell). Assignment is a broadcast
+  // join against ≤ n/50 centroids: narrow at any corpus size.
+  private val q62 = Q(
+    "q62_ann_ivf_assign",
+    (s, d) => {
+      val base = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      val cents = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("centroid_id"))
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("cosine",
+          round(expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+            / (col("nrm") * col("cn")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("centroid_id"), col("cosine"))
+      val wc = Window.partitionBy(col("centroid_id"))
+      assigned.withColumn("cell_size", count(lit(1)).over(wc))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+                FROM nrm WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT b.vec_id, c.centroid_id,
+          round(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 4) AS cosine,
+          row_number() OVER (PARTITION BY b.vec_id
+                             ORDER BY round(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 4) DESC,
+                                      c.centroid_id) AS rk
+        FROM nrm b, cents c),
+      assigned AS (SELECT vec_id, centroid_id, cosine FROM scored WHERE rk = 1)
+      SELECT vec_id, centroid_id, cosine,
+        count(*) OVER (PARTITION BY centroid_id) AS cell_size
+      FROM assigned ORDER BY vec_id"""))
+
+  // ---------------------------------------------------------------- q63
+  // Embedding-cosine near-dup dedup: same-label candidate pairs over a
+  // deterministic query sample, cosine ≥ 0.35 (on the rounded value) →
+  // keep the smaller id. The pair space is blocked by label (the
+  // blocking key a real pipeline derives from LSH/IVF cells).
+  private val q63 = Q(
+    "q63_dedup_embedding",
+    (s, d) => {
+      val base = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      val qside = base.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("a_id"), col("label"),
+          col("v").as("va"), col("nrm").as("na"))
+      val cside = base.select(col("vec_id").as("b_id"), col("label"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      qside.join(cside, Seq("label"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cosine",
+          round(expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+            / (col("na") * col("nb")), 4))
+        .filter(col("cosine") >= 0.35)
+        .select(col("a_id"), col("b_id"), col("label"), col("cosine"),
+          least(col("a_id"), col("b_id")).as("keep_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH base AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      nrm AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+          round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+        FROM nrm a JOIN nrm b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE a.vec_id % 10 = 0)
+      SELECT a_id, b_id, label, cosine, least(a_id, b_id) AS keep_id
+      FROM pairs WHERE cosine >= 0.35
+      ORDER BY a_id, b_id"""))
+
+  val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
+    q60, q61, q62, q63)
 }

@@ -280,5 +280,97 @@ object RelationalQueries {
         count(CASE WHEN l_discount = 0 THEN 1 END) AS n_zero_disc
       FROM lineitem GROUP BY l_returnflag ORDER BY grp"""))
 
-  val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q12, q13, q16, q17, q31, q33)
+  // ---------------------------------------------------------------- q18
+  // Sessionization: gap > 30 min starts a new session (lag + running
+  // sum — the batch form of a session window). Spark reads the parquet
+  // TIMESTAMP(NANOS) as raw nanos; DuckDB truncates to µs on read — so
+  // both sides compute on MICROSECONDS (ts DIV 1000 / epoch_us).
+  private val q18 = Q(
+    "q18_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap").isNull || col("gap") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events),
+      sess AS (
+        SELECT user_id, event_id, ts_us,
+          sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g)
+      SELECT user_id, session_id, count(*) AS n_events,
+        min(ts_us) AS start_us, max(ts_us) AS end_us
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
+  // ---------------------------------------------------------------- q19
+  // Semi-structured props extraction (the engine's JSON-column path;
+  // regexp-based so both engines share the exact extraction).
+  private val q19 = Q(
+    "q19_json_props",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          regexp_extract(col("props"), "([0-9]+)", 1).cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), avg(col("k")).as("avg_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+        sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        avg(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS avg_k,
+        count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------- q30
+  // Skew-salted join: 90% of fact rows hit one dim key; salting
+  // replicates the dim ×16 and splits the hot key across 16 shuffle
+  // partitions. Results are identical to the plain join (the oracle is
+  // the UNSALTED formulation — correctness of the rewrite is the test).
+  private val q30 = Q(
+    "q30_salted_join",
+    (s, d) => {
+      import s.implicits._
+      val nSalt = 16
+      val dim = Tables.region(s, d)
+        .select(col("r_regionkey").as("key"), col("r_name").as("dim_name"))
+      val saltedDim = dim.crossJoin(
+        s.range(nSalt).select(col("id").cast("int").as("salt")))
+      val fact = Tables.lineitem(s, d)
+        .select(
+          when(col("l_orderkey") % 10 < 9, 0L)
+            .otherwise(col("l_orderkey") % 5).as("key"),
+          (col("l_orderkey") % nSalt).cast("int").as("salt"),
+          col("l_extendedprice"))
+      fact.join(saltedDim, Seq("key", "salt"))
+        .groupBy(col("key"), col("dim_name"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("key"))
+    },
+    Some("""SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_orderkey % 5 END AS key,
+        r_name AS dim_name, count(*) AS n,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      FROM lineitem
+      JOIN region ON r_regionkey =
+        CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_orderkey % 5 END
+      GROUP BY 1, 2 ORDER BY key"""))
+
+  val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q12, q13, q16, q17,
+    q18, q19, q30, q31, q33)
 }

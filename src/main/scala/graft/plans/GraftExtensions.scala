@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.MinHash48
+
+/** SparkSessionExtensions injector — the engine's permanent extension
+  * wiring. Users enable it with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` and get the
+  * engine's custom expressions in every session (SQL, DataFrame,
+  * thriftserver) without per-session registration calls.
+  *
+  * Currently injects:
+  *  - `minhash48(text)` → array<long>: per-row MinHash signature
+  *    (graft.functions.MinHash48).
+  *
+  * No custom Rule[LogicalPlan] or SparkStrategy is injected: SURVEY §4
+  * concluded Catalyst's built-in optimizations cover the reference's
+  * plan space — the extension surface stays limited to expressions the
+  * relational algebra cannot express efficiently.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash48"),
+      new ExpressionInfo(classOf[MinHash48].getName, "minhash48"),
+      (children: Seq[Expression]) =>
+        MinHash48(children.head, MinHash48.defaultSalts)))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions class must give a fresh session `minhash48` with no
+  * explicit registration call. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions injects minhash48 into new sessions") {
+    // getOrCreate returns any existing default session (which pre-dates
+    // the extensions config) — clear first, restore after, so the
+    // shared test session stays usable for other suites.
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions exercises the injector directly; the
+      // `spark.sql.extensions=graft.plans.GraftExtensions` config path
+      // uses the same class but only applies on a FRESH SparkContext
+      // (static conf), which a shared test JVM cannot provide.
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = spark.sql("SELECT minhash48('the quick brown fox') AS sig")
+        .head().getSeq[Long](0)
+      assert(r.length == 8)
+      assert(r.forall(_ != Long.MaxValue))
+      // deterministic across invocations
+      val r2 = spark.sql("SELECT minhash48('the quick brown fox') AS sig")
+        .head().getSeq[Long](0)
+      assert(r == r2)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}

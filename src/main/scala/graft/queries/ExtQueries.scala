@@ -186,17 +186,17 @@ object ExtQueries {
   private val q54 = Q(
     "q54_cosine_topk",
     (s, d) => {
+      graft.functions.Dot64.register(s)
       val base = Tables.embeddings(s, d).select(
         col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+        .withColumn("nrm", expr("sqrt(dot64(v, v))"))
       val qv = base.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
       val cand = base.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
       val pairs = qv.crossJoin(cand).filter(col("q_id") =!= col("n_id"))
         .withColumn("cosine",
-          round(expr("aggregate(zip_with(vq, vn, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
-            / (col("nq") * col("nn")), 4))
+          round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("n_id"))
       pairs
@@ -477,18 +477,18 @@ object ExtQueries {
   private val q62 = Q(
     "q62_ann_ivf_assign",
     (s, d) => {
+      graft.functions.Dot64.register(s)
       val base = Tables.embeddings(s, d).select(
         col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+        .withColumn("nrm", expr("sqrt(dot64(v, v))"))
       val cents = base.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cosine").desc, col("centroid_id"))
       val assigned = base.crossJoin(broadcast(cents))
         .withColumn("cosine",
-          round(expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
-            / (col("nrm") * col("cn")), 4))
+          round(expr("dot64(v, cv)") / (col("nrm") * col("cn")), 4))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("centroid_id"), col("cosine"))
@@ -522,10 +522,11 @@ object ExtQueries {
   private val q63 = Q(
     "q63_dedup_embedding",
     (s, d) => {
+      graft.functions.Dot64.register(s)
       val base = Tables.embeddings(s, d).select(
         col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+        .withColumn("nrm", expr("sqrt(dot64(v, v))"))
       val qside = base.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("a_id"), col("label"),
           col("v").as("va"), col("nrm").as("na"))
@@ -534,8 +535,7 @@ object ExtQueries {
       qside.join(cside, Seq("label"))
         .filter(col("a_id") < col("b_id"))
         .withColumn("cosine",
-          round(expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
-            / (col("na") * col("nb")), 4))
+          round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4))
         .filter(col("cosine") >= 0.35)
         .select(col("a_id"), col("b_id"), col("label"), col("cosine"),
           least(col("a_id"), col("b_id")).as("keep_id"))

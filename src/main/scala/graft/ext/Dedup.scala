@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MinHash48
+
+/** Deduplication operators over a document table (id + text) — the
+  * engine's user-facing dedup API (SURVEY §7.4 / builder-prompt north
+  * star). All deterministic (md5-derived hashing), all scale-shaped:
+  * narrow signature computation, uniform bucket keys, degenerate-bucket
+  * capping before any pair join.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-row k-permutation MinHash signature as array<long> (the
+    * custom minhash48 expression — one pass, no explode). */
+  def minhashSignatures(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    MinHash48.register(spark)
+    docs.select(col(idCol).as("doc_id"), expr(s"minhash48($textCol)").as("sig"))
+  }
+
+  /** LSH banding over single-row bands of the signature → candidate
+    * pairs (a_id < b_id, n_shared_bands). Buckets larger than
+    * `maxBucket` are dropped (no near-dup signal, unbounded join
+    * cost); pair expansion happens in-array after one aggregate. */
+  def lshCandidates(spark: SparkSession, docs: DataFrame, bands: Int = 4,
+      maxBucket: Int = 10, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = minhashSignatures(spark, docs, idCol, textCol)
+    val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
+    sig.selectExpr("doc_id", s"stack($bands, $stack) AS (band, bucket)")
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS a_id, y AS b_id))))""".stripMargin)).as("pair"))
+      .select(col("pair.a_id"), col("pair.b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** 16-bit SimHash per document over whitespace words. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w"))
+    words
+      .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
+      .withColumn("b", explode(sequence(lit(0), lit(15))))
+      .withColumn("vote",
+        when(expr("(h DIV CAST(pow(2, b) AS BIGINT)) % 2") === 1, lit(1L))
+          .otherwise(lit(-1L)))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("vote")).as("v"))
+      .select(col("doc_id"),
+        when(col("v") >= 0, expr("CAST(pow(2, b) AS BIGINT)"))
+          .otherwise(lit(0L)).as("bitval"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bitval")).as("simhash"))
+  }
+}

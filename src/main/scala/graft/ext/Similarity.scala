@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Dot64
+
+/** Similarity-search operators over an embedding table
+  * (vec_id + embedding: array<float>) — brute-force exact baseline and
+  * two sub-linear scale paths (hyperplane LSH, IVF coarse quantizer).
+  * Dot products run through the codegen'd dot64 expression; cosines are
+  * rounded to 4 decimals and ranked on the rounded value with id
+  * tie-breaks, so results are reproducible across engines.
+  */
+object Similarity {
+
+  /** Normalize: (vec_id, v: array<double>, nrm). */
+  def withVectors(spark: SparkSession, emb: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    Dot64.register(spark)
+    emb.withColumn("v", expr(s"transform($embCol, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr("sqrt(dot64(v, v))"))
+      .withColumnRenamed(idCol, "vec_id")
+  }
+
+  /** Exact top-k for the query subset (brute force — the baseline that
+    * bounds pair count by |queries|·n, not n²). */
+  def cosineTopK(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val base = withVectors(spark, emb)
+    val qv = base.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val cand = base.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    qv.crossJoin(cand).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+
+  /** Hyperplane-LSH bucket assignment: md5-derived planes, sign-bit
+    * bucket — the ANN path whose per-bucket search scales. */
+  def lshBuckets(spark: SparkSession, emb: DataFrame,
+      nPlanes: Int = 16, dims: Int = 64): DataFrame = {
+    val dimRows = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("dim", "x")))
+    val planes = spark.range(nPlanes).select(col("id").as("p"))
+      .crossJoin(spark.range(dims).select(col("id").as("dim")))
+      .withColumn("w",
+        ((conv(substring(md5(concat(col("p"), lit(":"), col("dim"))), 1, 6), 16, 10)
+          .cast("long") % 2001) - 1000).cast("double") / 1000.0)
+    dimRows.join(broadcast(planes), Seq("dim"))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("x").cast("double") * col("w")).as("dot"))
+      .select(col("vec_id"), col("p"),
+        when(col("dot") >= 0, lit(1L)).otherwise(lit(0L)).as("bit"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit") * pow(lit(2.0), col("p").cast("double")).cast("long")).as("bucket"))
+  }
+
+  /** IVF coarse assignment: each vector to its max-cosine centroid
+    * (centroids = rows matching `centroidPred`, broadcast). */
+  def ivfAssign(spark: SparkSession, emb: DataFrame,
+      centroidPred: org.apache.spark.sql.Column): DataFrame = {
+    val base = withVectors(spark, emb)
+    val cents = base.filter(centroidPred)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("centroid_id"))
+    base.crossJoin(broadcast(cents))
+      .withColumn("cosine", round(expr("dot64(v, cv)") / (col("nrm") * col("cn")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("cosine"))
+  }
+
+  /** Near-dup pairs above a cosine threshold, blocked by `blockCol`
+    * (label / LSH bucket / IVF cell) with a deterministic query sample
+    * to bound pair count; keep = smaller id. */
+  def nearDupPairs(spark: SparkSession, emb: DataFrame, blockCol: String,
+      samplePred: org.apache.spark.sql.Column, threshold: Double): DataFrame = {
+    val base = withVectors(spark, emb)
+    val a = base.filter(samplePred)
+      .select(col("vec_id").as("a_id"), col(blockCol), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("vec_id").as("b_id"), col(blockCol), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq(blockCol))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col(blockCol), col("cosine"),
+        least(col("a_id"), col("b_id")).as("keep_id"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document table — language scoring,
+  * quality features, token counting, fingerprints. All narrow per-row
+  * transforms (plus one doc-level aggregate for shingle fingerprints):
+  * embarrassingly parallel at any corpus size.
+  */
+object TextStats {
+
+  /** Marker-vocabulary voting scores + argmax prediction. `markers` is
+    * ordered: earlier entries win score ties. */
+  def langScore(docs: DataFrame, markers: Seq[(String, Seq[String])],
+      textCol: String = "text"): DataFrame = {
+    val scored = markers.foldLeft(docs) { case (df, (name, ws)) =>
+      df.withColumn(s"s_$name",
+        expr(s"size(filter(split($textCol, ' '), w -> w IN (${ws.map("'" + _ + "'").mkString(",")})))")
+          .cast("long"))
+    }
+    val names = markers.map(_._1)
+    val best = greatest(names.map(n => col(s"s_$n")): _*)
+    val pred = names.tail.foldLeft(
+      when(col(s"s_${names.head}") === best, names.head)) { (acc, n) =>
+      acc.when(col(s"s_$n") === best, n)
+    }
+    scored.withColumn("pred", pred)
+  }
+
+  /** Length / punctuation / stopword features + weighted quality. */
+  def quality(docs: DataFrame, stopwords: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    val nWords = size(split(col(textCol), " ")).cast("long")
+    val stop = expr(
+      s"size(filter(split($textCol, ' '), w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")})))")
+      .cast("double")
+    val punct = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[.,!?;:]", ""))).cast("double")
+    docs
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_words", nWords)
+      .withColumn("stop_ratio", round(stop / nWords.cast("double"), 6))
+      .withColumn("punct_ratio", round(punct / length(col(textCol)).cast("double"), 6))
+      .withColumn("quality", round(
+        lit(0.4) * (stop / nWords.cast("double")) +
+          lit(0.3) * least(nWords.cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - punct / length(col(textCol)).cast("double")), 6))
+  }
+
+  /** Whitespace + regex ("BPE-ish") token counts. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text",
+      tokenPattern: String = "[a-z]+|[0-9]+"): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(col(textCol), lit(tokenPattern), lit(0))).cast("long"))
+      .withColumn("chars_per_token",
+        round(length(col(textCol)).cast("double") /
+          size(regexp_extract_all(col(textCol), lit(tokenPattern), lit(0))).cast("double"), 6))
+
+  /** Winnowing-style min-shingle + order-insensitive xor fingerprints. */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .withColumn("pos",
+        explode(sequence(lit(1), greatest(length(col(textCol)) - 7, lit(1)))))
+      .select(col(idCol).as("doc_id"), col(textCol).substr(col("pos"), lit(8)).as("sh"))
+    val minSh = sh.groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fp_min_shingle"))
+    val xorFp = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(expr("bit_xor(CAST(conv(substr(md5(w), 1, 12), 16, 10) AS BIGINT))").as("fp_xor"))
+    minSh.join(xorFp, Seq("doc_id"))
+  }
+}

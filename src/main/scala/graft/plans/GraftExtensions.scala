@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.MinHash48
+import graft.functions.{Dot64, MinHash48}
 
 /** SparkSessionExtensions injector — the engine's permanent extension
   * wiring. Users enable it with
@@ -14,7 +14,9 @@ import graft.functions.MinHash48
   *
   * Currently injects:
   *  - `minhash48(text)` → array<long>: per-row MinHash signature
-  *    (graft.functions.MinHash48).
+  *    (graft.functions.MinHash48);
+  *  - `dot64(a, b)` → double: codegen'd array dot product
+  *    (graft.functions.Dot64).
   *
   * No custom Rule[LogicalPlan] or SparkStrategy is injected: SURVEY §4
   * concluded Catalyst's built-in optimizations cover the reference's
@@ -28,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHash48].getName, "minhash48"),
       (children: Seq[Expression]) =>
         MinHash48(children.head, MinHash48.defaultSalts)))
+    ext.injectFunction((
+      FunctionIdentifier("dot64"),
+      new ExpressionInfo(classOf[Dot64].getName, "dot64"),
+      (children: Seq[Expression]) => Dot64(children(0), children(1))))
   }
 }

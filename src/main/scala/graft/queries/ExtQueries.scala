@@ -48,10 +48,7 @@ object ExtQueries {
   private val q50 = Q(
     "q50_dedup_exact",
     (s, d) => {
-      Tables.documents(s, d)
-        .groupBy(md5(col("text")).as("content_hash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy(col("keep_id"))
+      graft.ext.Dedup.exact(Tables.documents(s, d)).orderBy(col("keep_id"))
     },
     Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         count(*) AS n_copies
@@ -69,10 +66,9 @@ object ExtQueries {
   private val q51 = Q(
     "q51_minhash_signature",
     (s, d) => {
-      graft.functions.MinHash48.register(s)
-      Tables.documents(s, d)
+      graft.ext.Dedup.minhashSignatures(s, Tables.documents(s, d))
         .select(col("doc_id") +: salts.indices.map(p =>
-          expr(s"element_at(minhash48(text), ${p + 1})").as(s"m$p")): _*)
+          expr(s"element_at(sig, ${p + 1})").as(s"m$p")): _*)
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH $shingleCte,
@@ -92,27 +88,7 @@ object ExtQueries {
   private val q52 = Q(
     "q52_lsh_candidates",
     (s, d) => {
-      graft.functions.MinHash48.register(s)
-      val sig = Tables.documents(s, d).select(
-        col("doc_id"),
-        expr("minhash48(text)").as("sig")) // narrow: one pass, no explode
-      val buckets = sig.selectExpr(
-        "doc_id",
-        "stack(4, 0, sig[0], 1, sig[1], 2, sig[2], 3, sig[3]) AS (band, bucket)")
-      // One aggregate per (band,bucket) and in-array pair expansion —
-      // a single shuffle over the shingle pipeline instead of a
-      // recomputing self-join.
-      buckets
-        .groupBy(col("band"), col("bucket"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, 10))
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-            |  transform(slice(ids, i + 2, size(ids)), y ->
-            |    struct(x AS a_id, y AS b_id))))""".stripMargin)).as("pair"))
-        .select(col("pair.a_id"), col("pair.b_id"))
-        .groupBy(col("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("n_shared_bands"))
+      graft.ext.Dedup.lshCandidates(s, Tables.documents(s, d))
         .orderBy(col("a_id"), col("b_id"))
     },
     Some(s"""WITH $shingleCte,
@@ -186,23 +162,8 @@ object ExtQueries {
   private val q54 = Q(
     "q54_cosine_topk",
     (s, d) => {
-      graft.functions.Dot64.register(s)
-      val base = Tables.embeddings(s, d).select(
-        col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("nrm", expr("sqrt(dot64(v, v))"))
-      val qv = base.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
-      val cand = base.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
-      val pairs = qv.crossJoin(cand).filter(col("q_id") =!= col("n_id"))
-        .withColumn("cosine",
-          round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("n_id"))
-      pairs
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      graft.ext.Similarity.cosineTopK(s, Tables.embeddings(s, d),
+          col("vec_id") % 50 === 0, k = 3)
         .orderBy(col("q_id"), col("rank"))
     },
     Some("""WITH base AS (
@@ -231,22 +192,8 @@ object ExtQueries {
   private val q55 = Q(
     "q55_ann_lsh_buckets",
     (s, d) => {
-      val dims = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      val planes = s.range(16).select(col("id").as("p"))
-        .crossJoin(s.range(64).select(col("id").as("dim")))
-        .withColumn("w",
-          ((conv(substring(md5(concat(col("p"), lit(":"), col("dim"))), 1, 6), 16, 10)
-            .cast("long") % 2001) - 1000).cast("double") / 1000.0)
-      val bits = dims.join(broadcast(planes), Seq("dim"))
-        .groupBy(col("vec_id"), col("p"))
-        .agg(sum(col("x").cast("double") * col("w")).as("dot"))
-        .select(col("vec_id"), col("p"),
-          when(col("dot") >= 0, lit(1L)).otherwise(lit(0L)).as("bit"))
-      val bucketed = bits.groupBy(col("vec_id"))
-        .agg(sum(col("bit") * pow(lit(2.0), col("p").cast("double")).cast("long")).as("bucket"))
       val wb = Window.partitionBy(col("bucket"))
-      bucketed
+      graft.ext.Similarity.lshBuckets(s, Tables.embeddings(s, d))
         .withColumn("n_in_bucket", count(lit(1)).over(wb))
         .orderBy(col("vec_id"))
     },
@@ -279,23 +226,13 @@ object ExtQueries {
   private val q56 = Q(
     "q56_lang_score",
     (s, d) => {
-      val score = (ws: Seq[String]) =>
-        expr(s"size(filter(split(text, ' '), w -> w IN (${ws.map("'" + _ + "'").mkString(",")})))")
-          .cast("long")
-      Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          score(Seq("query", "join", "filter", "scan")).as("s_sql"),
-          score(Seq("spark", "stream", "batch", "window")).as("s_exec"),
-          score(Seq("table", "row", "column", "line")).as("s_store"),
-          score(Seq("fast", "slow", "big", "small")).as("s_perf"))
-        .withColumn("best", greatest(col("s_sql"), col("s_exec"), col("s_store"), col("s_perf")))
-        .withColumn("pred",
-          when(col("s_sql") === col("best"), "sql")
-            .when(col("s_exec") === col("best"), "exec")
-            .when(col("s_store") === col("best"), "store")
-            .otherwise("perf"))
-        .drop("best")
+      graft.ext.TextStats.langScore(Tables.documents(s, d), Seq(
+          "sql" -> Seq("query", "join", "filter", "scan"),
+          "exec" -> Seq("spark", "stream", "batch", "window"),
+          "store" -> Seq("table", "row", "column", "line"),
+          "perf" -> Seq("fast", "slow", "big", "small")))
+        .select(col("doc_id"), col("s_sql"), col("s_exec"), col("s_store"),
+          col("s_perf"), col("pred"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH s AS (
@@ -322,24 +259,10 @@ object ExtQueries {
   private val q57 = Q(
     "q57_quality_score",
     (s, d) => {
-      val words = split(col("text"), " ")
-      val nWords = size(words).cast("long")
-      val stop = expr("size(filter(split(text, ' '), w -> w IN ('the','a','of','and','to')))")
-        .cast("double")
-      val punct = (length(col("text")) -
-        length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
-      Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          length(col("text")).cast("long").as("n_chars"),
-          nWords.as("n_words"),
-          round(stop / nWords.cast("double"), 6).as("stop_ratio"),
-          round(punct / length(col("text")).cast("double"), 6).as("punct_ratio"),
-          round(
-            lit(0.4) * (stop / nWords.cast("double")) +
-              lit(0.3) * least(nWords.cast("double") / 100.0, lit(1.0)) +
-              lit(0.3) * (lit(1.0) - punct / length(col("text")).cast("double")), 6)
-            .as("quality"))
+      graft.ext.TextStats.quality(Tables.documents(s, d),
+          Seq("the", "a", "of", "and", "to"))
+        .select(col("doc_id"), col("n_chars"), col("n_words"),
+          col("stop_ratio"), col("punct_ratio"), col("quality"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH f AS (
@@ -364,15 +287,9 @@ object ExtQueries {
   private val q58 = Q(
     "q58_token_count",
     (s, d) => {
-      Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
-          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
-            .cast("long").as("re_tokens"),
-          round(length(col("text")).cast("double") /
-            size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("double"), 6)
-            .as("chars_per_token"))
+      graft.ext.TextStats.tokenCounts(Tables.documents(s, d))
+        .select(col("doc_id"), col("ws_tokens"), col("re_tokens"),
+          col("chars_per_token"))
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id,
@@ -388,14 +305,8 @@ object ExtQueries {
   private val q59 = Q(
     "q59_fingerprint",
     (s, d) => {
-      val minSh = shingles(Tables.documents(s, d))  // min over multiset == set-min: no distinct shuffle needed
-        .groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fp_min_shingle"))
-      val xorFp = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .distinct()
-        .groupBy(col("doc_id"))
-        .agg(expr("bit_xor(CAST(conv(substr(md5(w), 1, 12), 16, 10) AS BIGINT))").as("fp_xor"))
-      minSh.join(xorFp, Seq("doc_id")).orderBy(col("doc_id"))
+      graft.ext.TextStats.fingerprints(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
     },
     Some(s"""WITH $shingleCte,
       min_sh AS (SELECT doc_id, min(md5(sh)) AS fp_min_shingle FROM sh GROUP BY doc_id),
@@ -438,23 +349,7 @@ object ExtQueries {
   private val q61 = Q(
     "q61_simhash",
     (s, d) => {
-      val words = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val bits = words
-        .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
-        .withColumn("b", explode(sequence(lit(0), lit(15))))
-        .withColumn("vote",
-          when(expr("(h DIV CAST(pow(2, b) AS BIGINT)) % 2") === 1, lit(1L))
-            .otherwise(lit(-1L)))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(col("vote")).as("v"))
-      bits
-        .select(col("doc_id"),
-          when(col("v") >= 0,
-            expr("CAST(pow(2, b) AS BIGINT)")).otherwise(lit(0L)).as("bitval"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("bitval")).as("simhash"))
-        .orderBy(col("doc_id"))
+      graft.ext.Dedup.simhash(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
     Some("""WITH words AS (
         SELECT doc_id, u.w, CAST(('0x' || substr(md5(u.w), 1, 4)) AS BIGINT) AS h
@@ -477,23 +372,10 @@ object ExtQueries {
   private val q62 = Q(
     "q62_ann_ivf_assign",
     (s, d) => {
-      graft.functions.Dot64.register(s)
-      val base = Tables.embeddings(s, d).select(
-        col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("nrm", expr("sqrt(dot64(v, v))"))
-      val cents = base.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosine").desc, col("centroid_id"))
-      val assigned = base.crossJoin(broadcast(cents))
-        .withColumn("cosine",
-          round(expr("dot64(v, cv)") / (col("nrm") * col("cn")), 4))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("centroid_id"), col("cosine"))
       val wc = Window.partitionBy(col("centroid_id"))
-      assigned.withColumn("cell_size", count(lit(1)).over(wc))
+      graft.ext.Similarity.ivfAssign(s, Tables.embeddings(s, d),
+          col("vec_id") % 50 === 0)
+        .withColumn("cell_size", count(lit(1)).over(wc))
         .orderBy(col("vec_id"))
     },
     Some("""WITH base AS (
@@ -522,23 +404,9 @@ object ExtQueries {
   private val q63 = Q(
     "q63_dedup_embedding",
     (s, d) => {
-      graft.functions.Dot64.register(s)
-      val base = Tables.embeddings(s, d).select(
-        col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("nrm", expr("sqrt(dot64(v, v))"))
-      val qside = base.filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id").as("a_id"), col("label"),
-          col("v").as("va"), col("nrm").as("na"))
-      val cside = base.select(col("vec_id").as("b_id"), col("label"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      qside.join(cside, Seq("label"))
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("cosine",
-          round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4))
-        .filter(col("cosine") >= 0.35)
-        .select(col("a_id"), col("b_id"), col("label"), col("cosine"),
-          least(col("a_id"), col("b_id")).as("keep_id"))
+      graft.ext.Similarity.nearDupPairs(s, Tables.embeddings(s, d),
+          blockCol = "label", samplePred = col("vec_id") % 10 === 0,
+          threshold = 0.35)
         .orderBy(col("a_id"), col("b_id"))
     },
     Some("""WITH base AS (

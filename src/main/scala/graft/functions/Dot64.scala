@@ -59,9 +59,21 @@ object Dot64 {
     acc
   }
 
+  /** Builder with numeric-array coercion: SQL literals like
+    * `array(1.0, 2.0)` are decimal arrays under ANSI — cast any
+    * array<numeric> input to array<double> (matching the implicit-cast
+    * behavior of built-in numeric functions). */
+  def builder(children: Seq[Expression]): Dot64 = {
+    def coerce(e: Expression): Expression = e.dataType match {
+      case ArrayType(DoubleType, _) => e
+      case ArrayType(_, n) =>
+        org.apache.spark.sql.catalyst.expressions.Cast(e, ArrayType(DoubleType, n))
+      case _ => e // let checkInputDataTypes report it
+    }
+    Dot64(coerce(children(0)), coerce(children(1)))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot64",
-      (children: Seq[Expression]) => Dot64(children(0), children(1)),
-      "built-in")
+      "dot64", builder, "built-in")
 }

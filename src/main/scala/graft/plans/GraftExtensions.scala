@@ -33,6 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot64"),
       new ExpressionInfo(classOf[Dot64].getName, "dot64"),
-      (children: Seq[Expression]) => Dot64(children(0), children(1))))
+      (children: Seq[Expression]) => Dot64.builder(children)))
   }
 }

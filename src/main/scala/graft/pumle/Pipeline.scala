@@ -63,6 +63,32 @@ object Pipeline {
     (arr(0), arr(1), arr(2))
   }
 
+  /** OP-V2 fail-fast: every sim must have a non-empty states array
+    * (sim_results_parser.py:33-40, :277-278). */
+  def requireNonEmptyStates(states: DataFrame): Unit = {
+    val bad = states
+      .filter(col("states").isNull || size(col("states")) === 0)
+      .select(col("sim_hash")).limit(5).collect().map(_.getString(0))
+    require(bad.isEmpty, s"empty states for sims: ${bad.mkString(",")}")
+  }
+
+  /** OP-A5 drop diagnostics: per sim, how many ACTIVE cells were NOT
+    * gathered because the state arrays were shorter than the grid (the
+    * reference's warn-and-drop path, sim_results_parser.py:295-300 /
+    * arrays.py:106-110). */
+  def gatherDropStats(states: DataFrame, actnum: DataFrame): DataFrame = {
+    val nActive = actnum.filter(col("active")).count()
+    states
+      .select(col("sim_hash"), posexplode(col("states")).as(Seq("t", "state")))
+      .select(col("sim_hash"), col("t"), size(col("state.pressure")).as("n_state"))
+      .groupBy(col("sim_hash"))
+      .agg(count(lit(1)).as("n_timesteps"), min(col("n_state")).as("min_state_len"))
+      .select(col("sim_hash"), col("n_timesteps"),
+        lit(nActive).as("n_active"),
+        greatest(lit(0L),
+          lit(nActive) - col("min_state_len").cast("long")).as("max_dropped_per_t"))
+  }
+
   /** Silver: per-(sim, t, cell) rows gathered to ACTIVE cells only
     * (OP-F1/F3/J3). Validation (OP-V2/V3): empty states fail; index
     * bounds are enforced by the `cell_idx < size(pressure)` filter with

@@ -35,13 +35,15 @@ class Dot64Spec extends SparkSpec {
     assert(r(1) == 1.0 * 4.0 + 2.0 * 5.0) // min-length fold
   }
 
-  test("dot64 rejects non-double arrays at analysis time") {
+  test("dot64 coerces numeric (int/decimal) arrays to double") {
     import spark.implicits._
     Dot64.register(spark)
-    val err = intercept[Exception] {
-      Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
-        .select(expr("dot64(a, b)")).collect()
-    }
-    assert(err.getMessage.contains("dot64") || err.getMessage.contains("DATATYPE"))
+    val r = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+      .select(expr("dot64(a, b)")).head().getDouble(0)
+    assert(r == 11.0)
+    // SQL decimal literals (the ANSI default for array(1.0, ...))
+    val r2 = spark.sql("SELECT dot64(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0))")
+      .head().getDouble(0)
+    assert(r2 == 32.0)
   }
 }

@@ -107,6 +107,24 @@ class PipelineSpec extends SparkSpec {
     assert(data.count(_.isNaN) == 6)       // 2 inactive × 3 timesteps
   }
 
+  test("empty-states fail-fast (OP-V2) and drop diagnostics (OP-A5/F2)") {
+    val st = Pipeline.readBronzeStates(spark, s"$dir/states_unisim_$hash.json")
+    val an = Pipeline.readActnum(spark, s"$dir/grdecl_unisim_$hash.json")
+    Pipeline.requireNonEmptyStates(st) // ok
+    // truncated state arrays (length 9 < max active index 10): active
+    // cells 9 and 10 positions beyond array drop out of the gather
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(emptyDir, "states_unisim_ffff0000.json"),
+      """{"states": []}""")
+    val empty = Pipeline.readBronzeStates(spark, s"$emptyDir/states_unisim_ffff0000.json")
+    intercept[IllegalArgumentException] { Pipeline.requireNonEmptyStates(empty) }
+    val stats = Pipeline.gatherDropStats(st, an).head()
+    assert(stats.getAs[Long]("n_timesteps") == 3)
+    assert(stats.getAs[Long]("n_active") == 10)
+    assert(stats.getAs[Long]("max_dropped_per_t") == 0) // full-length arrays
+  }
+
   test("golden partitioned write + partition-pruned read (SURVEY §4)") {
     val st = Pipeline.readBronzeStates(spark, s"$dir/states_unisim_$hash.json")
     val an = Pipeline.readActnum(spark, s"$dir/grdecl_unisim_$hash.json")

@@ -41,21 +41,25 @@ object Similarity {
   }
 
   /** Hyperplane-LSH bucket assignment: md5-derived planes, sign-bit
-    * bucket — the ANN path whose per-bucket search scales. */
+    * bucket — the ANN path whose per-bucket search scales. Planes are
+    * array-typed rows (one per plane) so each (vector, plane) dot is a
+    * single codegen'd dot64 call: no per-dimension row explosion (the
+    * naive form materializes |vectors|·dims·planes rows). Bucket signs
+    * are robust to FP reassociation (|dot| ≫ ulp), so this is
+    * numerically interchangeable with the per-dim-sum form. */
   def lshBuckets(spark: SparkSession, emb: DataFrame,
       nPlanes: Int = 16, dims: Int = 64): DataFrame = {
-    val dimRows = emb.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("dim", "x")))
-    val planes = spark.range(nPlanes).select(col("id").as("p"))
-      .crossJoin(spark.range(dims).select(col("id").as("dim")))
-      .withColumn("w",
-        ((conv(substring(md5(concat(col("p"), lit(":"), col("dim"))), 1, 6), 16, 10)
-          .cast("long") % 2001) - 1000).cast("double") / 1000.0)
-    dimRows.join(broadcast(planes), Seq("dim"))
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("x").cast("double") * col("w")).as("dot"))
+    Dot64.register(spark)
+    val planes = spark.range(nPlanes).select(
+      col("id").as("p"),
+      expr(s"""transform(sequence(0, ${dims - 1}, 1), d ->
+               | (CAST(conv(substr(md5(concat(id, ':', d)), 1, 6), 16, 10) AS BIGINT)
+               |  % 2001 - 1000) / 1000.0)""".stripMargin).as("pw"))
+    val vecs = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    vecs.crossJoin(broadcast(planes))
       .select(col("vec_id"), col("p"),
-        when(col("dot") >= 0, lit(1L)).otherwise(lit(0L)).as("bit"))
+        when(expr("dot64(v, pw)") >= 0, lit(1L)).otherwise(lit(0L)).as("bit"))
       .groupBy(col("vec_id"))
       .agg(sum(col("bit") * pow(lit(2.0), col("p").cast("double")).cast("long")).as("bucket"))
   }

@@ -122,19 +122,27 @@ object ExtQueries {
   private val q53 = Q(
     "q53_ngram_jaccard",
     (s, d) => {
-      val sh = shingles(Tables.documents(s, d)).distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val inter = sh.select(col("doc_id").as("a_id"), col("sh"))
-        .join(sh.select((col("doc_id") - 250).as("a_id"), col("sh")), Seq("a_id", "sh"))
-        .groupBy(col("a_id")).agg(count(lit(1)).as("n_inter"))
-      sizes.filter(col("doc_id") < 250)
-        .select(col("doc_id").as("a_id"), col("n_sh").as("n_a"))
-        .join(sizes.select((col("doc_id") - 250).as("a_id"), col("n_sh").as("n_b")), Seq("a_id"))
-        .join(inter, Seq("a_id"), "left")
+      // Single pass: tag each shingle row with its pair id and side,
+      // dedupe per (pair, shingle) with side flags, then one aggregate
+      // computes |A|, |B|, and |A∩B| together — no self-join, no
+      // recomputation of the explode (3 shuffles instead of 11).
+      val tagged = shingles(Tables.documents(s, d).filter(col("doc_id") < 500))
+        .select(
+          (col("doc_id") % 250).as("a_id"), col("sh"),
+          (col("doc_id") < 250).cast("long").as("in_a"),
+          (col("doc_id") >= 250).cast("long").as("in_b"))
+      tagged
+        .groupBy(col("a_id"), col("sh"))
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+        .groupBy(col("a_id"))
+        .agg(
+          sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+          sum(col("in_a") * col("in_b")).as("n_inter"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
         .select(
           col("a_id"), (col("a_id") + 250).as("b_id"), col("n_a"), col("n_b"),
-          round(coalesce(col("n_inter"), lit(0L)).cast("double") /
-            (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))).cast("double"), 6)
+          round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
             .as("jaccard"))
         .orderBy(col("a_id"))
     },

@@ -59,6 +59,28 @@ object TextStats {
         round(length(col(textCol)).cast("double") /
           size(regexp_extract_all(col(textCol), lit(tokenPattern), lit(0))).cast("double"), 6))
 
+  /** TF-IDF top-k terms per document: tf = in-doc term count, idf =
+    * ln(N/df) over the corpus; the df table is a small broadcastable
+    * aggregate, so scoring stays a narrow join at any corpus size. */
+  def tfidfTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("w"))
+    tf.join(broadcast(df), Seq("w"))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")), 6))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w").as("term"),
+        col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Winnowing-style min-shingle + order-insensitive xor fingerprints. */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

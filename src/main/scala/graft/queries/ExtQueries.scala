@@ -431,6 +431,35 @@ object ExtQueries {
       FROM pairs WHERE cosine >= 0.35
       ORDER BY a_id, b_id"""))
 
+  // ---------------------------------------------------------------- q64
+  // TF-IDF top-3 terms per document — the inverse-document-frequency
+  // weighting every training-data pipeline needs; df is a tiny
+  // broadcast aggregate, ranking on the 6-decimal-rounded score so libm
+  // ln() ULP differences cannot flip ranks.
+  private val q64 = Q(
+    "q64_tfidf_topk",
+    (s, d) => {
+      graft.ext.TextStats.tfidfTopK(Tables.documents(s, d), k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH words AS (
+        SELECT doc_id, u.w FROM documents, unnest(string_split(text, ' ')) AS u(w)),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+      df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      scored AS (
+        SELECT doc_id, w, tf, df,
+          round(tf * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN df USING (w), n),
+      ranked AS (
+        SELECT doc_id, w, tf, df, tfidf,
+          CAST(row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, w) AS BIGINT) AS rank
+        FROM scored)
+      SELECT doc_id, rank, w AS term, tf, df, tfidf
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63)
+    q60, q61, q62, q63, q64)
 }

@@ -17,12 +17,6 @@ object QUtil {
     * `CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 
-  /** First 12 hex chars of md5(s) as a 48-bit non-negative long — the
-    * engine's portable deterministic hash (md5 is identical everywhere).
-    * DuckDB spelling: `CAST('0x' || substr(md5(s),1,12) AS BIGINT)`. */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
-
   /** Scientific-notation float encoding used by PUMLE filenames
     * (ref /root/reference/src/pumle/utils.py:218-226): `%.2e` with
     * `.`→`p`, drop `+`, `-`→`m`;  5.0→5p00e00, 4e-05→4p00em05.

@@ -40,9 +40,9 @@ object PumleDemo {
     Catalog.registerView(spark, catalog)
     println(s"[demo] catalog rows: ${catalog.count()}")
 
-    variants.foreach { v =>
-      Mat5.writeStagingFor(root, v)
-    }
+    // staging writes run on executors, one task per variant (SURVEY
+    // §3.1 redesign: control crosses the boundary at foreachPartition)
+    Solver.writeStaging(spark, variants, s"$root/staging")
     println(s"[demo] staging dirs: " +
       new java.io.File(s"$root/staging").list().length)
 
@@ -121,14 +121,6 @@ object PumleDemo {
     spark.stop()
   }
 
-  private val Mat5 = graft.pumle.export.Mat5
   private val Npy = graft.pumle.export.Npy
   private val Zarr = graft.pumle.export.Zarr
-
-  private implicit final class Mat5Ops(private val m: graft.pumle.export.Mat5.type) {
-    /** Staging layout per variant (pumle.py:209: staging_<hash>/). */
-    def writeStagingFor(root: String, v: Sweep.Variant): Unit =
-      m.writeStaging(s"$root/staging/staging_${v.simHash}", v.simHash,
-        Seq("Fluid" -> v.params.toSeq.sortBy(_._1)))
-  }
 }

@@ -1,0 +1,91 @@
+package graft.pumle
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pumle.export.Mat5
+
+/** Entry-point-A execution surface (SURVEY §3.1): distributed staging
+  * writes and solver dispatch.
+  *
+  * The reference fans out with OpenMP `schedule(dynamic)` over staging
+  * dirs (simulation/simulation.cpp:127-145), one Octave process per
+  * sim. Here Spark's task scheduler IS the fan-out: one task per
+  * staging dir, `Process` per task for the external solver, dynamic
+  * scheduling/locality/speculation for free. The solver itself stays a
+  * pluggable boundary — any command receiving the staging dir path.
+  */
+object Solver {
+
+  /** Distributed staging write: each task writes its variants'
+    * `staging_<hash>/<Section>_<hash>.mat` files (the reference's
+    * layout, pumle.py:209 / mat_files.py:118-134). Returns the staging
+    * dir per variant. */
+  def writeStaging(spark: SparkSession, variants: Seq[Sweep.Variant],
+      stagingRoot: String, parallelism: Int = 0): Seq[String] = {
+    val par = if (parallelism > 0) parallelism
+      else math.min(variants.length, spark.sparkContext.defaultParallelism)
+    if (variants.isEmpty) return Seq.empty
+    spark.sparkContext
+      .parallelize(variants.map(v => (v.simHash, v.params)), math.max(par, 1))
+      .map { case (hash, params) =>
+        val dir = s"$stagingRoot/staging_$hash"
+        Mat5.writeStaging(dir, hash, Seq("Fluid" -> params.toSeq.sortBy(_._1)))
+        dir
+      }
+      .collect().toSeq
+  }
+
+  final case class RunResult(stagingDir: String, exitCode: Int, skipped: Boolean)
+
+  /** Dispatch the external solver over staging dirs: one Spark task per
+    * dir, `completed.flag` skip semantics (simulation.cpp:14-20), one
+    * external process per task (`cmd stagingDir`). The solver writes
+    * its own outputs (bronze JSONs); we record exit codes. */
+  def dispatch(spark: SparkSession, stagingDirs: Seq[String],
+      cmd: Seq[String]): Seq[RunResult] = {
+    if (stagingDirs.isEmpty) return Seq.empty
+    spark.sparkContext
+      .parallelize(stagingDirs, stagingDirs.length) // schedule(dynamic) analog
+      .map { dir =>
+        val flag = new java.io.File(dir, "completed.flag")
+        if (flag.exists) RunResult(dir, 0, skipped = true)
+        else {
+          val pb = new ProcessBuilder((cmd :+ dir): _*)
+          pb.redirectErrorStream(true)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+          val code = proc.waitFor()
+          if (code == 0) {
+            java.nio.file.Files.writeString(flag.toPath, "done\n")
+          } else {
+            System.err.println(s"[solver] $dir exit=$code: ${out.take(500)}")
+          }
+          RunResult(dir, code, skipped = false)
+        }
+      }
+      .collect().toSeq
+  }
+
+  /** Full entry-point-A drive: sweep → catalog upsert (CREATED) →
+    * staging → dispatch → status COMPLETED/FAILED per result. Returns
+    * the updated catalog. */
+  def runSimulations(spark: SparkSession, catalog: DataFrame,
+      variants: Seq[Sweep.Variant], stagingRoot: String,
+      cmd: Seq[String]): (DataFrame, Seq[RunResult]) = {
+    val cat1 = Catalog.upsert(catalog, Catalog.rowsFor(spark, variants))
+    val dirs = writeStaging(spark, variants, stagingRoot)
+    val results = dispatch(spark, dirs, cmd)
+    val byHash = results.map(r =>
+      r.stagingDir.split("staging_").last -> r).toMap
+    val fresh = variants.filter(v => byHash.get(v.simHash).exists(!_.skipped))
+    val (ok, failed) = fresh.partition(v => byHash(v.simHash).exitCode == 0)
+    var cat = cat1
+    if (fresh.nonEmpty)
+      cat = Catalog.setStatus(cat, fresh.map(_.simHash), Catalog.Status.Running)
+    if (ok.nonEmpty)
+      cat = Catalog.setStatus(cat, ok.map(_.simHash), Catalog.Status.Completed)
+    if (failed.nonEmpty)
+      cat = Catalog.setStatus(cat, failed.map(_.simHash), Catalog.Status.Failed)
+    (cat, results)
+  }
+}

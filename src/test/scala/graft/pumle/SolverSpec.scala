@@ -1,0 +1,67 @@
+package graft.pumle
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Entry-point-A machinery with a mock external solver (a shell script
+  * standing in for the Octave/MRST boundary — the reference's
+  * `octave --eval co2lab3DPUMLE(...)` per staging dir). */
+class SolverSpec extends SparkSpec {
+
+  private def variants = Seq(
+    Sweep.Variant(1, "aaaa0001", Map("pe" -> 5.0, "srw" -> 0.11)),
+    Sweep.Variant(2, "bbbb0002", Map("pe" -> 6.0, "srw" -> 0.11)),
+    Sweep.Variant(3, "cccc0003", Map("pe" -> 7.0, "srw" -> 0.11)))
+
+  private def mockSolver(dir: String, failHash: Option[String]): String = {
+    val script = Paths.get(dir, "mock_solver.sh")
+    val failCheck = failHash.map(h => s"""case "$$1" in *$h*) exit 3;; esac""").getOrElse("")
+    Files.writeString(script,
+      s"""#!/bin/sh
+         |$failCheck
+         |echo '{"states": [{"pressure": [1.0], "s": [[1.0, 0.0]]}]}' > "$$1/states_out.json"
+         |exit 0
+         |""".stripMargin)
+    script.toFile.setExecutable(true)
+    script.toString
+  }
+
+  test("distributed staging write produces the reference layout") {
+    val root = Files.createTempDirectory("solver-stage").toString
+    val dirs = Solver.writeStaging(spark, variants, root)
+    assert(dirs.toSet.map((d: String) => new java.io.File(d).getName) ==
+      Set("staging_aaaa0001", "staging_bbbb0002", "staging_cccc0003"))
+    dirs.foreach { d =>
+      val hash = d.split("staging_").last
+      assert(new java.io.File(d, s"Fluid_$hash.mat").length() > 128)
+    }
+  }
+
+  test("dispatch runs one process per dir, writes completed.flag, skips on rerun") {
+    val root = Files.createTempDirectory("solver-run").toString
+    val dirs = Solver.writeStaging(spark, variants, root)
+    val cmd = Seq("/bin/sh", mockSolver(root, None))
+    val r1 = Solver.dispatch(spark, dirs, cmd)
+    assert(r1.forall(r => r.exitCode == 0 && !r.skipped))
+    dirs.foreach { d =>
+      assert(new java.io.File(d, "completed.flag").exists)
+      assert(new java.io.File(d, "states_out.json").exists)
+    }
+    val r2 = Solver.dispatch(spark, dirs, cmd)
+    assert(r2.forall(_.skipped)) // completed.flag semantics
+  }
+
+  test("runSimulations drives catalog CREATED→RUNNING→COMPLETED/FAILED") {
+    val root = Files.createTempDirectory("solver-full").toString
+    val cmd = Seq("/bin/sh", mockSolver(root, failHash = Some("bbbb0002")))
+    val (cat, results) = Solver.runSimulations(
+      spark, Catalog.empty(spark), variants, root, cmd)
+    assert(results.count(_.exitCode == 0) == 2)
+    val statuses = cat.select("sim_hash", "status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(statuses("aaaa0001") == "COMPLETED")
+    assert(statuses("bbbb0002") == "FAILED")
+    assert(statuses("cccc0003") == "COMPLETED")
+  }
+}

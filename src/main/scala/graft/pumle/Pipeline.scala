@@ -130,6 +130,29 @@ object Pipeline {
   def writeGolden(goldenDF: DataFrame, path: String): Unit =
     goldenDF.write.mode("overwrite").partitionBy("sim_hash").parquet(path)
 
+  /** Golden as a managed table: partitioned by sim_hash AND bucketed by
+    * timestep (SURVEY §4 "partition by sim_hash, cluster by t") — a
+    * t-filtered scan touches only the matching buckets, and t-keyed
+    * joins/aggregations are co-located. */
+  def writeGoldenTable(goldenDF: DataFrame, table: String, nBuckets: Int = 8): Unit =
+    goldenDF.write.mode("overwrite")
+      .partitionBy("sim_hash")
+      .bucketBy(nBuckets, "t").sortBy("t")
+      .saveAsTable(table)
+
+  /** Gather with observable metrics (OP-A5 the Spark way): the silver
+    * plan carries a `df.observe` aggregation, so every action on the
+    * result also reports (rows_gathered, distinct_sims) without a
+    * second scan — read them from the returned Observation. */
+  def silverObserved(states: DataFrame, actnum: DataFrame):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("silver_metrics")
+    val df = silver(states, actnum).observe(obs,
+      count(lit(1)).as("rows_gathered"),
+      approx_count_distinct(col("sim_hash")).as("distinct_sims"))
+    (df, obs)
+  }
+
   /** OP-A1..A6 QA stats — the notebook's acceptance checks
     * (describeGolden): per (sim, field) min/max/count/null-count. */
   def describeGolden(goldenDF: DataFrame): DataFrame =

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.pumle.SparkSpec
+
+/** graft.ext API under NON-default parameterizations (the oracle gate
+  * exercises the defaults via q50-q64). */
+class ExtApiSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different text about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog")) // dup of 1
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs).orderBy("keep_id").collect()
+    assert(d.length == 3)
+    assert(d.head.getAs[Long]("keep_id") == 1L && d.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("lshCandidates with 2 bands finds the near-dup pair") {
+    val pairs = Dedup.lshCandidates(spark, docs, bands = 2, maxBucket = 4)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((1L, 4L))) // identical docs share every band
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+  }
+
+  test("simhash: identical docs equal, near-dups close, different docs far") {
+    def popcount(x: Long) = java.lang.Long.bitCount(x)
+    val h = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(h(1L) == h(4L))
+    assert(popcount(h(1L) ^ h(2L)) < popcount(h(1L) ^ h(3L)))
+  }
+
+  test("cosineTopK with k=1 returns each query's single best neighbor") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(spark, emb, col("vec_id").isin(0L, 2L), k = 1)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_id")).toMap
+    assert(top == Map(0L -> 1L, 2L -> 3L))
+  }
+
+  test("ivfAssign sends every vector to its nearest centroid") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (10L, Array(0f, 1f)), // centroids
+      (1L, Array(0.8f, 0.2f)), (11L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val assign = Similarity.ivfAssign(spark, emb, col("vec_id") % 10 === 0)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    assert(assign(1L) == 0L && assign(11L) == 10L)
+    assert(assign(0L) == 0L && assign(10L) == 10L) // centroids self-assign
+  }
+
+  test("tfidfTopK surfaces discriminative terms, not corpus-wide ones") {
+    val top = TextStats.tfidfTopK(docs, k = 2)
+      .filter(col("doc_id") === 3L).collect().map(_.getAs[String]("term")).toSet
+    // doc 3's distinctive vocabulary ranks; 'the' (df=3/4 docs) must not
+    assert(!top.contains("the"))
+    assert(top.subsetOf(Set("completely", "different", "text", "about", "spark", "engines")))
+  }
+
+  test("langScore tie-break follows marker order") {
+    import spark.implicits._
+    val d = Seq((1L, "x y z")).toDF("doc_id", "text") // all scores 0 → tie
+    val p1 = TextStats.langScore(d, Seq("a" -> Seq("q"), "b" -> Seq("w")))
+      .head().getAs[String]("pred")
+    val p2 = TextStats.langScore(d, Seq("b" -> Seq("w"), "a" -> Seq("q")))
+      .head().getAs[String]("pred")
+    assert(p1 == "a" && p2 == "b")
+  }
+}

@@ -135,4 +135,35 @@ class PipelineSpec extends SparkSpec {
     val back = spark.read.parquet(out).filter(col("sim_hash") === hash)
     assert(back.count() == 90)
   }
+
+  test("golden table bucketed by t prunes buckets on a t filter") {
+    val st = Pipeline.readBronzeStates(spark, s"$dir/states_unisim_$hash.json")
+    val an = Pipeline.readActnum(spark, s"$dir/grdecl_unisim_$hash.json")
+    val g = Pipeline.golden(Pipeline.silver(st, an), (I, J, K))
+    Pipeline.writeGoldenTable(g, "golden_b", nBuckets = 4)
+    try {
+      // AQE's DisableUnnecessaryBucketedScan turns bucketed reads off
+      // for filter-only plans (no distribution consumer) — pin it on to
+      // observe the bucket pruning itself.
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val q = spark.table("golden_b").filter(col("t") === 1)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 4"), plan)
+      assert(q.count() == 30)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS golden_b")
+    }
+  }
+
+  test("silverObserved reports gather metrics without a second scan (OP-A5)") {
+    val st = Pipeline.readBronzeStates(spark, s"$dir/states_unisim_$hash.json")
+    val an = Pipeline.readActnum(spark, s"$dir/grdecl_unisim_$hash.json")
+    val (df, obs) = Pipeline.silverObserved(st, an)
+    df.write.mode("overwrite")
+      .parquet(Files.createTempDirectory("graft-obs").toString + "/out")
+    val m = obs.get
+    assert(m("rows_gathered") == 30L)
+    assert(m("distinct_sims") == 1L)
+  }
 }

@@ -50,6 +50,28 @@ class IncPhysicsSpec extends SparkSpec {
     assert(df.filter(col("cell_idx") === 53).head().getAs[Double]("value") == 0.83)
   }
 
+  test("deck-driven active mask feeds the gather join (OP-S10 → F1 → J3)") {
+    assume(deckAvailable, "reference decks not present")
+    import spark.implicits._
+    val poro = IncReader.read(spark, s"$deckDir/PETRO_0.INC", "PORO")
+    val actnum = poro.select(col("cell_idx"), (col("value") > 0).as("active"))
+    val nActive = actnum.filter(col("active")).count()
+    assert(nActive > 0 && nActive < 93960) // UNISIM has genuinely dead cells
+    // synthetic per-cell state over the full grid; gather keeps actives
+    val states = spark.range(93960).select(
+      col("id").cast("int").as("cell_idx"), (col("id") % 97).cast("double").as("p"))
+    val gathered = states.join(
+      broadcast(actnum.filter(col("active")).select("cell_idx")), Seq("cell_idx"))
+    assert(gathered.count() == nActive)
+  }
+
+  test("S3 key layout matches the reference scheme (OP-S9, arrays.py:288)") {
+    import graft.pumle.export.S3Layout
+    assert(S3Layout.goldenKey("pressure_pe_5p00e00.npy") ==
+      "consolidated/pressure_pe_5p00e00/pressure_pe_5p00e00.npy")
+    assert(S3Layout.uri("my-bucket", "a.zarr") == "s3a://my-bucket/consolidated/a/a.zarr")
+  }
+
   test("rock-property floor clamp (OP-F7/A6): poro[poro < minpos] = 1e-3") {
     import spark.implicits._
     val poro = Seq(0.0, 0.18, 0.005, 0.0, 0.25).toDF("poro")

@@ -28,16 +28,23 @@ object Dedup {
 
   /** LSH banding over single-row bands of the signature → candidate
     * pairs (a_id < b_id, n_shared_bands). Buckets larger than
-    * `maxBucket` are dropped (no near-dup signal, unbounded join
-    * cost); pair expansion happens in-array after one aggregate. */
+    * `maxBucket` are dropped (no near-dup signal, unbounded join cost)
+    * BEFORE any doc-id list materializes: bucket sizes come from a
+    * count aggregate, degenerate buckets are filtered, and only then
+    * are the (≤ maxBucket) ids collected for in-array pair expansion —
+    * so no aggregation buffer ever holds a mega-bucket. */
   def lshCandidates(spark: SparkSession, docs: DataFrame, bands: Int = 4,
       maxBucket: Int = 10, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sig = minhashSignatures(spark, docs, idCol, textCol)
     val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
-    sig.selectExpr("doc_id", s"stack($bands, $stack) AS (band, bucket)")
+    val buckets = sig.selectExpr("doc_id", s"stack($bands, $stack) AS (band, bucket)")
+    val small = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize").between(2, maxBucket))
+      .select(col("band"), col("bucket"))
+    buckets.join(small, Seq("band", "bucket")) // drops mega-buckets pre-collect
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y ->

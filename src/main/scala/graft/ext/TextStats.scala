@@ -68,27 +68,34 @@ object TextStats {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("w"))
     val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val n = docs.select(col(idCol)).distinct().count()
+    // document frequency as a window over tf — one pass over the words
+    // explode instead of a second aggregation + broadcast join
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("w"))))
+    // doc count stays IN the plan (broadcast 1-row aggregate) — no
+    // eager Spark job at DataFrame-construction time
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("w"))
-    tf.join(broadcast(df), Seq("w"))
+    withDf
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")), 6))
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
       .withColumn("rank", row_number().over(win).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("w").as("term"),
         col("tf"), col("df"), col("tfidf"))
   }
 
-  /** Winnowing-style min-shingle + order-insensitive xor fingerprints. */
-  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val sh = docs
-      .withColumn("pos",
-        explode(sequence(lit(1), greatest(length(col(textCol)) - 7, lit(1)))))
-      .select(col(idCol).as("doc_id"), col(textCol).substr(col("pos"), lit(8)).as("sh"))
-    val minSh = sh.groupBy(col("doc_id")).agg(min(md5(col("sh"))).as("fp_min_shingle"))
+  /** Winnowing-style min-shingle + order-insensitive xor fingerprints.
+    * The min-shingle fingerprint is minhash48's salt-0 lane (min 48-bit
+    * shingle hash) — a pure per-row expression, no shingle explode. */
+  def fingerprints(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.MinHash48.register(spark)
+    val minSh = docs.select(col(idCol).as("doc_id"),
+      expr(s"element_at(minhash48($textCol), 1)").as("fp_min_shingle"))
     val xorFp = docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
       .distinct()

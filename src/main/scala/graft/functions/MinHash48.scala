@@ -65,19 +65,27 @@ object MinHash48 {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  /** Shingling caps at the first 4096 positions — the shared contract
+    * across the expression, the relational form, and the DuckDB oracle
+    * (bounds per-doc work; documents longer than this contribute their
+    * prefix, which is standard for sketch-based dedup). */
+  val MaxShinglePos: Int = 4096
+
   /** One pass over the text: for each char-8-gram shingle (positions
-    * 1..max(len-7,1), matching `substr(text,i,8)` semantics), md5 the
-    * UTF-8 bytes, take the first 12 hex chars as a 48-bit long, and
-    * fold min(h XOR salt_p) per permutation. */
+    * 1..min(max(len-7,1), MaxShinglePos), matching `substr(text,i,8)`
+    * CODE-POINT semantics — Spark/DuckDB substr count code points, not
+    * UTF-16 units), md5 the UTF-8 bytes, take the first 12 hex chars as
+    * a 48-bit long, and fold min(h XOR salt_p) per permutation. */
   def compute(s: UTF8String, salts: Array[Long]): ArrayData = {
-    val str = s.toString
-    val len = str.length
-    val nPos = math.max(len - 7, 1)
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    val nPos = math.min(math.max(len - 7, 1), MaxShinglePos)
     val mins = Array.fill(salts.length)(Long.MaxValue)
     val md = digest.get()
     var pos = 0
     while (pos < nPos) {
-      val shingle = str.substring(pos, math.min(pos + 8, len))
+      val end = math.min(pos + 8, len)
+      val shingle = new String(cps, pos, end - pos)
       md.reset()
       val d = md.digest(shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 12 hex chars = first 6 bytes, big-endian

@@ -29,36 +29,64 @@ object Pipeline {
       StructField("pressure", ArrayType(DoubleType)),
       StructField("s", ArrayType(ArrayType(DoubleType)))))))))
 
-  /** Read one-or-many bronze states JSONs written as
-    * `{"states":[...]}` or a bare top-level array (the solver emits
-    * `jsonencode(states)` — a bare array; fixtures use the wrapped
-    * form). `sim_hash` is derived from the file name
-    * `states_<case>_<hash>.json` (sim_results_parser.py:69-74). */
-  def readBronzeStates(spark: SparkSession, path: String): DataFrame = {
-    spark.read.schema(statesSchema)
-      .option("multiLine", true).json(path)
-      .withColumn("sim_hash",
-        regexp_extract(input_file_name(), "states_[^_]+_([0-9a-f]+)\\.json", 1))
-  }
+  private[pumle] val stateStruct = StructType(Seq(
+    StructField("pressure", ArrayType(DoubleType)),
+    StructField("s", ArrayType(ArrayType(DoubleType)))))
+
+  /** sim_hash from `..._<hash>.json` — anchored at the END of the name
+    * so case_names containing underscores (case_name is user config)
+    * cannot break the extraction (sim_results_parser.py:69-74). */
+  def simHashFromFile: org.apache.spark.sql.Column =
+    regexp_extract(input_file_name(), "_([0-9a-f]{8})\\.json$", 1)
+
+  /** Format-tolerant parse of a whole-file JSON text column into the
+    * states array (bare solver array or wrapped object). */
+  def statesArrayColumn(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(ltrim(raw).startsWith("["), from_json(raw, ArrayType(stateStruct)))
+      .otherwise(from_json(raw,
+        StructType(Seq(StructField("states", ArrayType(stateStruct)))))
+        .getField("states"))
+
+  /** Whole-file read + format-tolerant array parse: the solver emits
+    * BARE top-level arrays (`jsonencode(states)` etc.,
+    * co2lab3DPUMLE.m:517-559) while fixtures may wrap them in an
+    * object — accept both. */
+  private def readJsonArray(spark: SparkSession, path: String,
+      wrappedField: String, elem: DataType): DataFrame =
+    spark.read.option("wholetext", true).text(path)
+      .select(
+        input_file_name().as("file"),
+        when(ltrim(col("value")).startsWith("["),
+          from_json(col("value"), ArrayType(elem)))
+          .otherwise(from_json(col("value"),
+            StructType(Seq(StructField(wrappedField, ArrayType(elem)))))
+            .getField(wrappedField))
+          .as("arr"))
+
+  /** Read one-or-many bronze states JSONs — the solver's bare
+    * `jsonencode(states)` array or the `{"states":[...]}` wrapped form.
+    * `sim_hash` comes from the `states_<case>_<hash>.json` file name. */
+  def readBronzeStates(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", true).text(path)
+      .select(
+        statesArrayColumn(col("value")).as("states"),
+        simHashFromFile.as("sim_hash"))
 
   /** ACTNUM mask JSON (`grdecl_<case>_<hash>.json`, a 0/1 array in
-    * F-order over all I·J·K cells — sim_results_parser.py:207-214) →
-    * (cell_idx, active). */
-  def readActnum(spark: SparkSession, path: String): DataFrame = {
-    spark.read.schema(StructType(Seq(
-        StructField("actnum", ArrayType(IntegerType)))))
-      .option("multiLine", true).json(path)
-      .select(posexplode(col("actnum")).as(Seq("cell_idx", "flag")))
+    * F-order over all I·J·K cells — sim_results_parser.py:207-214;
+    * bare `jsonencode(grdecl.ACTNUM)` or wrapped) → (cell_idx, active). */
+  def readActnum(spark: SparkSession, path: String): DataFrame =
+    readJsonArray(spark, path, "actnum", IntegerType)
+      .select(posexplode(col("arr")).as(Seq("cell_idx", "flag")))
       .select(col("cell_idx"), (col("flag") === 1).as("active"))
-  }
 
-  /** Grid dims JSON (`g_<case>.json` = [I,J,K] —
+  /** Grid dims JSON (`g_<case>.json` = [I,J,K], bare or wrapped —
     * sim_results_parser.py:180-190). Driver-side scalar read. */
   def readDims(spark: SparkSession, path: String): (Int, Int, Int) = {
-    val arr = spark.read.schema(StructType(Seq(
-        StructField("dims", ArrayType(IntegerType)))))
-      .option("multiLine", true).json(path)
-      .select(col("dims")).head().getSeq[Int](0)
+    val row = readJsonArray(spark, path, "dims", IntegerType)
+      .select(col("arr")).head()
+    require(!row.isNullAt(0), s"unparseable dims file at $path") // OP-V2
+    val arr = row.getSeq[Int](0)
     require(arr.length == 3 && arr.forall(_ > 0), s"bad dims: $arr") // OP-V2
     (arr(0), arr(1), arr(2))
   }
@@ -90,10 +118,12 @@ object Pipeline {
   }
 
   /** Silver: per-(sim, t, cell) rows gathered to ACTIVE cells only
-    * (OP-F1/F3/J3). Validation (OP-V2/V3): empty states fail; index
-    * bounds are enforced by the `cell_idx < size(pressure)` filter with
-    * the dropped count observable as metric `silver_dropped`
-    * (OP-A5 / OP-F2). */
+    * (OP-F1/F3/J3). Index bounds (OP-F2) are enforced structurally:
+    * positions beyond the state-array length simply do not exist after
+    * posexplode, matching the reference's drop of out-of-range active
+    * indices. A shorter `s` array than `pressure` null-pads via
+    * arrays_zip — surfaced by silverObserved's `null_saturation_rows`
+    * metric and by gatherDropStats (OP-A5/V3). */
   def silver(states: DataFrame, actnum: DataFrame): DataFrame = {
     val activeIdx = actnum.filter(col("active")).select(col("cell_idx"))
     states
@@ -149,7 +179,9 @@ object Pipeline {
     val obs = org.apache.spark.sql.Observation("silver_metrics")
     val df = silver(states, actnum).observe(obs,
       count(lit(1)).as("rows_gathered"),
-      approx_count_distinct(col("sim_hash")).as("distinct_sims"))
+      approx_count_distinct(col("sim_hash")).as("distinct_sims"),
+      count(when(col("sw").isNull || col("sg").isNull, 1))
+        .as("null_saturation_rows"))
     (df, obs)
   }
 

@@ -27,19 +27,26 @@ import QUtil._
   */
 object ExtQueries {
 
-  /** Char-8-gram shingle rows: (doc_id, sh). Narrow explode. */
+  /** Char-8-gram shingle rows: (doc_id, sh). Narrow explode. The
+    * operator's CONTRACT caps shingling at the first 4096 positions
+    * (graft.ext MaxShinglePos) — a deliberate bound shared by the Spark
+    * side, the minhash48 expression, and the DuckDB oracle, so long
+    * documents cannot diverge the engines (and per-doc work is bounded
+    * at scale). */
   private def shingles(df: org.apache.spark.sql.DataFrame) =
     df.withColumn("pos",
-        explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))))
+        explode(sequence(lit(1),
+          least(greatest(length(col("text")) - 7, lit(1)),
+            lit(graft.functions.MinHash48.MaxShinglePos)))))
       .select(col("doc_id"), col("text").substr(col("pos"), lit(8)).as("sh"))
 
   // DuckDB 1.0 generate_series accepts only CONSTANT bounds (no lateral
-  // or subquery parameters) — use a fixed bound that covers the corpus
-  // max length (553 chars at sf0.01) and filter per row.
+  // or subquery parameters); the constant bound IS the operator's
+  // 4096-position cap.
   private val shingleCte =
-    """sh AS (
+    s"""sh AS (
       |  SELECT DISTINCT doc_id, substr(text, CAST(g.generate_series AS INT), 8) AS sh
-      |  FROM documents, generate_series(1, 4096) g
+      |  FROM documents, generate_series(1, ${graft.functions.MinHash48.MaxShinglePos}) g
       |  WHERE g.generate_series <= greatest(len(text) - 7, 1))""".stripMargin
 
   // ---------------------------------------------------------------- q50
@@ -313,11 +320,13 @@ object ExtQueries {
   private val q59 = Q(
     "q59_fingerprint",
     (s, d) => {
-      graft.ext.TextStats.fingerprints(Tables.documents(s, d))
+      graft.ext.TextStats.fingerprints(s, Tables.documents(s, d))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH $shingleCte,
-      min_sh AS (SELECT doc_id, min(md5(sh)) AS fp_min_shingle FROM sh GROUP BY doc_id),
+      min_sh AS (SELECT doc_id,
+        min(CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT)) AS fp_min_shingle
+        FROM sh GROUP BY doc_id),
       words AS (SELECT DISTINCT doc_id, u.w FROM documents, unnest(string_split(text, ' ')) AS u(w)),
       xf AS (
         SELECT doc_id,

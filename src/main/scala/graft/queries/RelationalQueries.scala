@@ -3,9 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.LongType
 
 import graft.core.Tables
+import QUtil.dsum
 
 /** Relational operator surface of the engine mapped onto the driver test
   * tables. Each query exercises one (or a few) operators from SURVEY.md §2:
@@ -17,11 +18,6 @@ import graft.core.Tables
   * rounding is deterministic and identical; decimal addition is exact).
   */
 object RelationalQueries {
-
-  /** sum(double-col) made order-insensitive: cast each term to decimal,
-    * sum exactly, return double. */
-  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast(DecimalType(18, 6))).cast("double")
 
   // ---------------------------------------------------------------- q01
   // OP-A1/A3/A4 + Catalyst partial aggregation: TPC-H-Q1-shaped pricing

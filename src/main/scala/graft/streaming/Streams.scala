@@ -37,13 +37,15 @@ object Streams {
       goldenPath: String,
       checkpoint: String,
       maxFilesPerTrigger: Int = 64): StreamingQuery = {
+    // whole-file text + format-tolerant parse (bare solver arrays or
+    // wrapped objects), sharing the batch readers' logic
     val states = spark.readStream
-      .schema(Pipeline.statesSchema)
-      .option("multiLine", true)
+      .option("wholetext", true)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(bronzeGlob)
-      .withColumn("sim_hash",
-        regexp_extract(input_file_name(), "states_[^_]+_([0-9a-f]+)\\.json", 1))
+      .text(bronzeGlob)
+      .select(
+        Pipeline.statesArrayColumn(col("value")).as("states"),
+        Pipeline.simHashFromFile.as("sim_hash"))
     val golden = Pipeline.golden(Pipeline.silver(states, actnum), dims)
     golden.writeStream
       .outputMode("append")

@@ -38,6 +38,27 @@ class PipelineSpec extends SparkSpec {
     d
   }
 
+  test("bronze readers accept the solver's BARE jsonencode arrays (OP-S2)") {
+    // the real solver writes bare top-level arrays (jsonencode(states),
+    // co2lab3DPUMLE.m:517-559) and case_name may contain underscores
+    val d = Files.createTempDirectory("graft-bare").toString
+    val bareStates = (0 until 2).map { t =>
+      val p = (0 until 12).map(c => 10.0 * t + c).mkString("[", ",", "]")
+      val s = (0 until 12).map(c => s"[1.0,${0.01 * c}]").mkString("[", ",", "]")
+      s"""{"pressure": $p, "s": $s}"""
+    }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(d, "states_unisim_1d_cafe1234.json"), bareStates)
+    Files.writeString(Paths.get(d, "grdecl_unisim_1d_cafe1234.json"),
+      s"[${actnum.mkString(",")}]")
+    Files.writeString(Paths.get(d, "g_unisim_1d_cafe1234.json"), "[3, 2, 2]")
+    val st = Pipeline.readBronzeStates(spark, s"$d/states_unisim_1d_cafe1234.json")
+    assert(st.select(col("sim_hash")).head().getString(0) == "cafe1234")
+    val an = Pipeline.readActnum(spark, s"$d/grdecl_unisim_1d_cafe1234.json")
+    assert(an.filter(col("active")).count() == 10)
+    assert(Pipeline.readDims(spark, s"$d/g_unisim_1d_cafe1234.json") == ((3, 2, 2)))
+    assert(Pipeline.silver(st, an).count() == 20) // 10 active × 2 t
+  }
+
   test("bronze readers parse states/actnum/dims with explicit schemas (OP-S2/V2)") {
     val st = Pipeline.readBronzeStates(spark, s"$dir/states_unisim_$hash.json")
     assert(st.count() == 1)

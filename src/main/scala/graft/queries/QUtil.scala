@@ -20,12 +20,17 @@ object QUtil {
   /** Scientific-notation float encoding used by PUMLE filenames
     * (ref /root/reference/src/pumle/utils.py:218-226): `%.2e` with
     * `.`→`p`, drop `+`, `-`→`m`;  5.0→5p00e00, 4e-05→4p00em05.
-    * Java and C printf agree on `%.2e` for doubles, so the DuckDB
-    * spelling is `replace(replace(replace(printf('%.2e',x),'.','p'),'+',''),'-','m')`. */
-  def sciEncode(c: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(format_string("%.2e", c), "\\.", "p"),
-        "\\+", ""),
-      "-", "m")
+    * DuckDB spelling:
+    * `replace(replace(replace(printf('%.2e',x),'.','p'),'+',''),'-','m')`.
+    *
+    * Deliberately a UDF over PyJson.sciEncode, NOT format_string: Java's
+    * `%.2e` rounds the shortest decimal repr HALF_UP while C/Python
+    * printf round the exact binary value half-even — e.g.
+    * 1.06499999…e-7 formats as `1.07e-07` in Java but `1.06e-07` in
+    * C/Python (observed as a real sf0.1 oracle mismatch). PyJson does
+    * the exact-BigDecimal rounding that matches printf. */
+  def sciEncode(c: Column): Column = {
+    val f = udf((d: Double) => graft.pumle.PyJson.sciEncode(d))
+    f(c)
+  }
 }

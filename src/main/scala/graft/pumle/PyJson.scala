@@ -105,25 +105,29 @@ object PyJson {
   def paramHash(params: Map[String, Any]): String =
     md5Hex(canonicalJson(params)).substring(0, 8)
 
-  /** `%.2e`-encoded float for filenames: `.`→`p`, drop `+`, `-`→`m`
-    * (utils.py:218-226). Java's `%.2e` pads Double.toString digits with
-    * zeros for subnormals instead of exact decimal conversion (C/Python
-    * print 5e-324 as 4.94e-324) — so round the exact binary value. */
-  def sciEncode(v: Double): String = {
-    val raw =
-      if (v == 0.0 || v.isNaN || v.isInfinite) "%.2e".format(v)
-      else {
-        val neg = v < 0
-        val r = new java.math.BigDecimal(math.abs(v))
-          .round(new java.math.MathContext(3, java.math.RoundingMode.HALF_EVEN))
-        val digits = r.unscaledValue().toString.padTo(3, '0')
-        val exp10 = r.precision() - 1 - r.scale()
-        val sign = if (neg) "-" else ""
-        val esign = if (exp10 < 0) "-" else "+"
-        f"$sign${digits.head}.${digits.tail}e$esign${math.abs(exp10)}%02d"
-      }
-    raw.replace(".", "p").replace("+", "").replace("-", "m")
+  /** C/Python `printf("%.<prec>e")` semantics: round the EXACT binary
+    * value half-even to prec+1 significant digits. Java's Formatter
+    * instead rounds the shortest decimal repr HALF_UP (wrong near
+    * decimal midpoints, e.g. 1.06499999…e-7 → "1.07e-07") and pads
+    * subnormals with zeros — both divergences observed against real
+    * oracles. */
+  def printfE(v: Double, prec: Int): String = {
+    if (v == 0.0 || v.isNaN || v.isInfinite) return s"%.${prec}e".format(v)
+    val sig = prec + 1
+    val neg = v < 0
+    val r = new java.math.BigDecimal(math.abs(v))
+      .round(new java.math.MathContext(sig, java.math.RoundingMode.HALF_EVEN))
+    val digits = r.unscaledValue().toString.padTo(sig, '0')
+    val exp10 = r.precision() - 1 - r.scale()
+    val sign = if (neg) "-" else ""
+    val esign = if (exp10 < 0) "-" else "+"
+    f"$sign${digits.head}.${digits.tail}e$esign${math.abs(exp10)}%02d"
   }
+
+  /** `%.2e`-encoded float for filenames: `.`→`p`, drop `+`, `-`→`m`
+    * (utils.py:218-226). */
+  def sciEncode(v: Double): String =
+    printfE(v, 2).replace(".", "p").replace("+", "").replace("-", "m")
 
   /** Sorted `key_value` filename string (utils.py:200-242); floats
     * sci-encoded, other values via toString; capped at 100 chars only

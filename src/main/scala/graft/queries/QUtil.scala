@@ -33,4 +33,12 @@ object QUtil {
     val f = udf((d: Double) => graft.pumle.PyJson.sciEncode(d))
     f(c)
   }
+
+  /** Exact C/Python `%.6e` (see sciEncode's rationale — Java's
+    * format_string rounds differently near decimal midpoints). DuckDB
+    * spelling: `printf('%.6e', x)`. */
+  def printf6e(c: Column): Column = {
+    val f = udf((d: Double) => graft.pumle.PyJson.printfE(d, 6))
+    f(c)
+  }
 }

@@ -26,9 +26,9 @@ object SweepQueries {
     "q20_param_hash",
     (s, d) => {
       val canon = concat(
-        lit("{\"cp_rock\": "), format_string("%.6e", col("s_acctbal") / 1e7),
-        lit(", \"pe\": "), format_string("%.6e", (col("s_suppkey") % 10) + 0.5),
-        lit(", \"pres_ref\": "), format_string("%.6e", (col("s_nationkey") + 1) * 4.0),
+        lit("{\"cp_rock\": "), printf6e(col("s_acctbal") / 1e7),
+        lit(", \"pe\": "), printf6e((col("s_suppkey") % 10) + 0.5),
+        lit(", \"pres_ref\": "), printf6e((col("s_nationkey") + 1) * 4.0),
         lit("}"))
       Tables.supplier(s, d)
         .select(
@@ -104,9 +104,9 @@ object SweepQueries {
         .withColumn("sim_id", row_number().over(w).cast("long"))
         .withColumn("sim_hash",
           substring(md5(concat(
-            lit("{\"pe\": "), format_string("%.6e", col("pe")),
-            lit(", \"pres_ref\": "), format_string("%.6e", col("pres_ref")),
-            lit(", \"srw\": "), format_string("%.6e", col("srw")),
+            lit("{\"pe\": "), printf6e(col("pe")),
+            lit(", \"pres_ref\": "), printf6e(col("pres_ref")),
+            lit(", \"srw\": "), printf6e(col("srw")),
             lit("}"))), 1, 8))
         .orderBy(col("sim_id"))
     },

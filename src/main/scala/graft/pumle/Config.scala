@@ -79,10 +79,14 @@ object Config {
           schema.get(sec).foreach { case (params, toFloat) =>
             val kv = line.split("[=:]", 2)
             if (kv.length == 2) {
-              val k = kv(0).trim
-              if (params.contains(k)) {
+              // configparser lowercases option names on BOTH read and
+              // get (default optionxform), so INI keys match the schema
+              // case-insensitively and the dict carries the SCHEMA
+              // spelling (which is what the reference hashes).
+              val fileKey = kv(0).trim.toLowerCase
+              params.find(_.toLowerCase == fileKey).foreach { schemaKey =>
                 acc.getOrElseUpdate(sec, scala.collection.mutable.LinkedHashMap())
-                  .update(k, castValue(k, kv(1), toFloat))
+                  .update(schemaKey, castValue(schemaKey, kv(1), toFloat))
               }
             }
           }

@@ -39,13 +39,18 @@ object Pipeline {
   def simHashFromFile: org.apache.spark.sql.Column =
     regexp_extract(input_file_name(), "_([0-9a-f]{8})\\.json$", 1)
 
-  /** Format-tolerant parse of a whole-file JSON text column into the
-    * states array (bare solver array or wrapped object). */
-  def statesArrayColumn(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(ltrim(raw).startsWith("["), from_json(raw, ArrayType(stateStruct)))
+  /** Format-tolerant parse of a whole-file JSON text column into an
+    * array column (bare top-level array or `{"<field>": [...]}`). */
+  def jsonArrayColumn(raw: org.apache.spark.sql.Column, wrappedField: String,
+      elem: DataType): org.apache.spark.sql.Column =
+    when(ltrim(raw).startsWith("["), from_json(raw, ArrayType(elem)))
       .otherwise(from_json(raw,
-        StructType(Seq(StructField("states", ArrayType(stateStruct)))))
-        .getField("states"))
+        StructType(Seq(StructField(wrappedField, ArrayType(elem)))))
+        .getField(wrappedField))
+
+  /** States-array specialization (shared with graft.streaming). */
+  def statesArrayColumn(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    jsonArrayColumn(raw, "states", stateStruct)
 
   /** Whole-file read + format-tolerant array parse: the solver emits
     * BARE top-level arrays (`jsonencode(states)` etc.,
@@ -56,21 +61,14 @@ object Pipeline {
     spark.read.option("wholetext", true).text(path)
       .select(
         input_file_name().as("file"),
-        when(ltrim(col("value")).startsWith("["),
-          from_json(col("value"), ArrayType(elem)))
-          .otherwise(from_json(col("value"),
-            StructType(Seq(StructField(wrappedField, ArrayType(elem)))))
-            .getField(wrappedField))
-          .as("arr"))
+        jsonArrayColumn(col("value"), wrappedField, elem).as("arr"))
 
   /** Read one-or-many bronze states JSONs — the solver's bare
     * `jsonencode(states)` array or the `{"states":[...]}` wrapped form.
     * `sim_hash` comes from the `states_<case>_<hash>.json` file name. */
   def readBronzeStates(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("wholetext", true).text(path)
-      .select(
-        statesArrayColumn(col("value")).as("states"),
-        simHashFromFile.as("sim_hash"))
+    readJsonArray(spark, path, "states", stateStruct)
+      .select(col("arr").as("states"), simHashFromFile.as("sim_hash"))
 
   /** ACTNUM mask JSON (`grdecl_<case>_<hash>.json`, a 0/1 array in
     * F-order over all I·J·K cells — sim_results_parser.py:207-214;
@@ -229,7 +227,9 @@ object Pipeline {
     val nt = if (rows.isEmpty) 0 else rows.map(_.getInt(1)).max + 1
     val out = Array.fill(ncells * math.max(nt, 1))(Double.NaN)
     rows.foreach { r =>
-      out(r.getInt(0) + ncells * r.getInt(1)) = r.getDouble(2)
+      // null values (e.g. saturation null-padded by a short `s` array)
+      // stay NaN, matching the reference's missing-cell fill
+      if (!r.isNullAt(2)) out(r.getInt(0) + ncells * r.getInt(1)) = r.getDouble(2)
     }
     (out, nt)
   }

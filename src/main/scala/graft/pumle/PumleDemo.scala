@@ -85,7 +85,7 @@ object PumleDemo {
 
     val h = variants.head.simHash
     val (dense, nt) = Pipeline.denseField(g, h, "pressure", dims)
-    val npyPath = s"$root/pressure_${PyJson.filenameString(variants.head.params, Some(100))}.npy"
+    val npyPath = s"$root/pressure_${PyJson.filenameString(variants.head.params)}.npy"
     Npy.write(npyPath, dense, Seq(dims._1, dims._2, dims._3, nt))
     println(s"[demo] npy: $npyPath (${new java.io.File(npyPath).length()} bytes)")
 

@@ -65,13 +65,19 @@ object PyJson {
     sb.toString
   }
 
+  /** json.dumps default escaping: short escapes for the JSON control
+    * set (incl. \b and \f), \uXXXX for other controls AND for every
+    * non-ASCII char (ensure_ascii=True — astral chars emit surrogate
+    * pairs, which per-UTF-16-unit escaping reproduces). */
   private def jsonEscape(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
+    case '\b' => "\\b"
+    case '\f' => "\\f"
     case '\n' => "\\n"
     case '\r' => "\\r"
     case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
 
@@ -129,20 +135,34 @@ object PyJson {
   def sciEncode(v: Double): String =
     printfE(v, 2).replace(".", "p").replace("+", "").replace("-", "m")
 
-  /** Sorted `key_value` filename string (utils.py:200-242); floats
-    * sci-encoded, other values via toString; capped at 100 chars only
-    * when `cap` is set (the reference truncates long sweeps). */
-  def filenameString(params: Map[String, Any], cap: Option[Int] = None): String = {
-    val s = params.toSeq.sortBy(_._1)(Ordering.String)
-      .map { case (k, v) =>
-        val enc = v match {
-          case d: Double => sciEncode(d)
-          case f: Float  => sciEncode(f.toDouble)
-          case other     => other.toString
-        }
-        s"${k}_$enc"
+  /** Sorted `key_value` filename string — exact mirror of
+    * `params_to_filename_string` (utils.py:200-242): floats `%.2e`
+    * sci-encoded; other values via Python str() with space→`_`,
+    * `/`→`-`, then stripped to [alnum _ -] (booleans render
+    * `True`/`False`); parts are appended whole until the next part
+    * would exceed `maxLength` (at least one part always kept). */
+  def filenameString(params: Map[String, Any], maxLength: Int = 100): String = {
+    val parts = Vector.newBuilder[String]
+    var currentLength = 0
+    var n = 0
+    for ((k, v) <- params.toSeq.sortBy(_._1)(Ordering.String)) {
+      val valStr = v match {
+        case d: Double => sciEncode(d)
+        case f: Float  => sciEncode(f.toDouble)
+        case b: Boolean => if (b) "True" else "False"
+        case other =>
+          other.toString.replace(" ", "_").replace("/", "-")
+            .filter(c => c.isLetterOrDigit || c == '_' || c == '-')
       }
-      .mkString("_")
-    cap.fold(s)(c => s.take(c))
+      val part = s"${k}_$valStr"
+      if (currentLength + part.length + 1 > maxLength && n > 0) {
+        return parts.result().mkString("_")
+      }
+      parts += part
+      currentLength += part.length + 1
+      n += 1
+    }
+    val out = parts.result()
+    if (out.isEmpty) "no_params" else out.mkString("_")
   }
 }

@@ -13,6 +13,13 @@ import graft.pumle.export.Mat5
   * staging dir, `Process` per task for the external solver, dynamic
   * scheduling/locality/speculation for free. The solver itself stays a
   * pluggable boundary — any command receiving the staging dir path.
+  *
+  * Deployment note: `stagingRoot` must be SHARED storage (NFS/Lustre/
+  * fuse-mounted object store) on a multi-node cluster — staging files
+  * and `completed.flag` are plain filesystem artifacts written by
+  * whichever executor runs the task, and dispatch tasks have no
+  * locality to the writing executor. (The reference has the same
+  * contract on one node; local mode satisfies it trivially.)
   */
 object Solver {
 
@@ -80,8 +87,17 @@ object Solver {
     val fresh = variants.filter(v => byHash.get(v.simHash).exists(!_.skipped))
     val (ok, failed) = fresh.partition(v => byHash(v.simHash).exitCode == 0)
     var cat = cat1
+    // re-queue previously FAILED sims first (the only legal exit from
+    // FAILED is back to CREATED) so retries don't trip the state machine
+    val freshHashes = fresh.map(_.simHash)
+    val previouslyFailed = cat
+      .filter(org.apache.spark.sql.functions.col("status") === Catalog.Status.Failed &&
+        org.apache.spark.sql.functions.col("sim_hash").isin(freshHashes: _*))
+      .select("sim_hash").collect().map(_.getString(0)).toSeq
+    if (previouslyFailed.nonEmpty)
+      cat = Catalog.setStatus(cat, previouslyFailed, Catalog.Status.Created)
     if (fresh.nonEmpty)
-      cat = Catalog.setStatus(cat, fresh.map(_.simHash), Catalog.Status.Running)
+      cat = Catalog.setStatus(cat, freshHashes, Catalog.Status.Running)
     if (ok.nonEmpty)
       cat = Catalog.setStatus(cat, ok.map(_.simHash), Catalog.Status.Completed)
     if (failed.nonEmpty)

@@ -39,10 +39,14 @@ object Zarr {
     rows.select(col("t").cast("int"), col("cell_idx").cast("int"), col("value").cast("double"))
       .repartition(math.min(nt, 64), col("t"))
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-        val byT = it.toSeq.groupBy(_.getInt(0))
-        byT.foreach { case (t, rs) =>
-          val arr = Array.fill(ncells)(Double.NaN)
-          rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        // stream rows into per-t chunk buffers (never buffer Row
+        // objects); null values stay at the NaN fill
+        val chunks = scala.collection.mutable.HashMap.empty[Int, Array[Double]]
+        it.foreach { r =>
+          val arr = chunks.getOrElseUpdate(r.getInt(0), Array.fill(ncells)(Double.NaN))
+          if (!r.isNullAt(2)) arr(r.getInt(1)) = r.getDouble(2)
+        }
+        chunks.foreach { case (t, arr) =>
           val buf = ByteBuffer.allocate(ncells * 8).order(ByteOrder.LITTLE_ENDIAN)
           arr.foreach(buf.putDouble)
           Files.write(Paths.get(path, s"0.0.0.$t"), buf.array())

@@ -19,14 +19,17 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(f"${"query"}%-28s ex  bhj smj bnlj gen agg")
+    println(f"${"query"}%-28s shf bex bhj smj bnlj gen agg")
     graft.queries.Registry.all.sortBy(_.name).foreach { q =>
       try {
         val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
         def n(pat: String) = pat.r.findAllIn(p).length
-        println(f"${q.name}%-28s ${n("Exchange")}%2d  ${n("BroadcastHashJoin")}%2d  " +
-          f"${n("SortMergeJoin")}%2d  ${n("BroadcastNestedLoopJoin")}%2d  " +
-          f"${n("Generate")}%2d  ${n("HashAggregate")}%2d")
+        // shf = true shuffles only; bex = broadcast exchanges
+        val shuffles = n("Exchange hashpartitioning") + n("Exchange rangepartitioning") +
+          n("Exchange SinglePartition")
+        println(f"${q.name}%-28s $shuffles%2d  ${n("BroadcastExchange")}%2d  " +
+          f"${n("BroadcastHashJoin")}%2d  ${n("SortMergeJoin")}%2d  " +
+          f"${n("BroadcastNestedLoopJoin")}%2d  ${n("Generate")}%2d  ${n("HashAggregate")}%2d")
       } catch {
         case e: Throwable => println(f"${q.name}%-28s ERROR ${e.getMessage.take(60)}")
       }

@@ -82,6 +82,7 @@ class CatalogMetaSpec extends SparkSpec {
         |[Fluid]
         |pres_ref = 35
         |pe = 5
+        |xnacl = 0.05
         |[Grid]
         |repair_flag = true
         |file_path = benchmark/unisim-1-d
@@ -89,11 +90,15 @@ class CatalogMetaSpec extends SparkSpec {
         |sim_id = 1
         |""".stripMargin)
     assert(cfg("Fluid")("pres_ref") == 35.0)
+    // configparser option names are case-insensitive; the dict carries
+    // the SCHEMA spelling (XNaCl), which is what gets hashed
+    assert(cfg("Fluid")("XNaCl") == 0.05)
     assert(cfg("Grid")("repair_flag") == true)
     assert(cfg("Grid")("file_path") == "benchmark/unisim-1-d")
     assert(cfg("SimNums")("sim_id") == 1.0)
     // hash over Fluid only, matching python oracle behavior
-    assert(cfg.simHash == PyJson.paramHash(Map("pres_ref" -> 35.0, "pe" -> 5.0)))
+    assert(cfg.simHash ==
+      PyJson.paramHash(Map("pres_ref" -> 35.0, "pe" -> 5.0, "XNaCl" -> 0.05)))
   }
 
   test("physical limit validation fails fast (OP-V5)") {

@@ -17,6 +17,8 @@ class PyJsonSpec extends AnyFunSuite {
       val params = (v \ "params").asInstanceOf[JObject].obj.map {
         case (k, JDouble(d)) => k -> (d: Any)
         case (k, JInt(i))    => k -> (i.toDouble: Any)
+        case (k, JString(s)) => k -> (s: Any)
+        case (k, JBool(b))   => k -> (b: Any)
         case (k, other)      => fail(s"unexpected $k -> $other")
       }.toMap
       val JString(canon) = (v \ "canonical"): @unchecked

@@ -52,7 +52,7 @@ class SolverSpec extends SparkSpec {
     assert(r2.forall(_.skipped)) // completed.flag semantics
   }
 
-  test("runSimulations drives catalog CREATED→RUNNING→COMPLETED/FAILED") {
+  test("runSimulations drives catalog CREATED→RUNNING→COMPLETED/FAILED, and retries FAILED sims") {
     val root = Files.createTempDirectory("solver-full").toString
     val cmd = Seq("/bin/sh", mockSolver(root, failHash = Some("bbbb0002")))
     val (cat, results) = Solver.runSimulations(
@@ -63,5 +63,15 @@ class SolverSpec extends SparkSpec {
     assert(statuses("aaaa0001") == "COMPLETED")
     assert(statuses("bbbb0002") == "FAILED")
     assert(statuses("cccc0003") == "COMPLETED")
+
+    // retry with a now-working solver: completed sims skip via flag,
+    // the FAILED one re-queues (FAILED→CREATED→RUNNING→COMPLETED)
+    val cmdOk = Seq("/bin/sh", mockSolver(root, failHash = None))
+    val (cat2, results2) = Solver.runSimulations(spark, cat, variants, root, cmdOk)
+    assert(results2.count(_.skipped) == 2)
+    val statuses2 = cat2.select("sim_hash", "status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(statuses2("bbbb0002") == "COMPLETED")
+    assert(statuses2("aaaa0001") == "COMPLETED")
   }
 }

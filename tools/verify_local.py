@@ -82,7 +82,10 @@ def main():
                 key = lambda r: tuple((x is None, str(type(x)), x) for x in r)
                 diff2 = cmp(sorted(grows, key=key), sorted(erows, key=key))
                 if diff2 is None:
-                    print(f"WARN {name}: values equal but row ORDER differs")
+                    # same multiset, different order: the queries promise
+                    # deterministic ordering, so this is a FAILURE
+                    print(f"FAIL {name}: values equal but row ORDER differs")
+                    ok = False
                 else:
                     i, ra, rb = diff2
                     print(f"FAIL {name}: row {i} spark={ra} oracle={rb}")

@@ -15,6 +15,41 @@ class PyOracleLiveSpec extends AnyFunSuite {
       p.waitFor() == 0
     } catch { case _: Exception => false }
 
+  test("printfE matches live CPython %.2e and %.6e on 2000 random doubles") {
+    assume(python3Available, "python3 not on PATH")
+    val rnd = new scala.util.Random(4242L)
+    val vals = (1 to 2000).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => rnd.nextDouble()
+        case 1 => (rnd.nextDouble() - 0.5) * 2e12
+        case 2 => (rnd.nextDouble() - 0.5) * 2e-12
+        case _ => java.lang.Double.longBitsToDouble(rnd.nextLong()) match {
+          case d if d.isNaN || d.isInfinite => 1.065e-7 // the q26 bug shape
+          case d => d
+        }
+      }
+    }
+    val payload = vals.map(v => java.lang.Double.doubleToLongBits(v)).mkString("\n")
+    val script =
+      """import sys, struct
+        |for line in sys.stdin.read().split():
+        |    v = struct.unpack('<d', struct.pack('<q', int(line)))[0]
+        |    print(('%.2e' % v) + '|' + ('%.6e' % v))
+        |""".stripMargin
+    val pb = new ProcessBuilder("python3", "-c", script)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    proc.getOutputStream.write(payload.getBytes("UTF-8"))
+    proc.getOutputStream.close()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor() == 0, out.take(300))
+    vals.zip(out.trim.split("\n")).foreach { case (v, line) =>
+      val Array(e2, e6) = line.split("\\|")
+      assert(PyJson.printfE(v, 2) == e2, s"%.2e of $v")
+      assert(PyJson.printfE(v, 6) == e6, s"%.6e of $v")
+    }
+  }
+
   test("canonical JSON + hash match live CPython on 300 random param dicts") {
     assume(python3Available, "python3 not on PATH")
     val rnd = new scala.util.Random(20260812L)

@@ -17,6 +17,14 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every table as a temp view so the full star schema is
+    * queryable through `spark.sql` (the engine's SQL surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      if (new java.io.File(s"$dir/$n.parquet").exists)
+        load(spark, dir, n).createOrReplaceTempView(n)
+    }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

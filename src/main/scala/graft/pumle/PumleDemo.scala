@@ -117,6 +117,16 @@ object PumleDemo {
     Catalog.registerView(spark, Catalog.read(spark, catalogPath))
     spark.sql("SELECT sim_hash, sim_id, status FROM simulations ORDER BY sim_id")
       .show(5, truncate = false)
+    // --- Streaming leg: same bronze dir through the checkpointed file
+    // stream into a second golden path (exactly-once per sim) ---
+    val sq = graft.streaming.Streams.bronzeIngest(
+      spark, s"$bronzeDir/states_unisim_*.json",
+      Pipeline.readActnum(spark, s"$bronzeDir/grdecl_unisim_${variants.head.simHash}.json"),
+      dims, s"$root/golden_streamed", s"$root/stream_ckpt")
+    sq.awaitTermination()
+    val streamed = spark.read.parquet(s"$root/golden_streamed")
+    println(s"[demo] streamed golden rows: ${streamed.count()}")
+
     println("[demo] OK")
     spark.stop()
   }

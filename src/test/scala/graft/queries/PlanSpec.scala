@@ -62,4 +62,15 @@ class PlanSpec extends SparkSpec {
   test("entry flagship returns rows at sf0.001 (driver smoke contract)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("registerAll exposes the star schema to spark.sql") {
+    graft.core.Tables.registerAll(spark, sf)
+    val r = spark.sql(
+      """SELECT r_name, count(*) AS n FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    assert(r.count() == 5)
+    assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+  }
 }

@@ -65,6 +65,15 @@ object Streams {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked streaming dedup: exactly-once events by id within the
+    * watermark horizon (the streaming form of the engine's dedup
+    * primitive — state for ids older than the watermark is dropped, so
+    * memory is bounded at any throughput). */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(idCol, "ts")
+
   final case class SimEvent(sim_hash: String, status: String, seq: Long)
   final case class SimState(sim_hash: String, status: String, transitions: Long)
 

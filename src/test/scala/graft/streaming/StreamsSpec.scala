@@ -68,6 +68,21 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("watermarked streaming dedup drops duplicate event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "value")
+    val q = Streams.dedupEvents(events)
+      .writeStream.outputMode("append").format("memory").queryName("deduped").start()
+    val t = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    mem.addData((1L, t, 1.0), (1L, t, 1.0), (2L, t, 2.0), (2L, t, 2.0), (3L, t, 3.0))
+    q.processAllAvailable()
+    val n = spark.sql("SELECT count(*) FROM deduped").head().getLong(0)
+    assert(n == 3)
+    q.stop()
+  }
+
   test("mapGroupsWithState applies the status machine, ignoring illegal jumps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

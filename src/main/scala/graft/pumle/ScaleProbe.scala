@@ -57,6 +57,21 @@ object ScaleProbe {
         col("value") > 0.75)
       .count()
     println(f"[probe] plume query (sg>0.75, final t): $plume cells in ${(System.nanoTime() - t1) / 1e9}%.1fs")
+
+    // dedup path at volume: 200k synthetic ~300-char docs through the
+    // minhash48 signature + LSH banding (the 100 TB near-dup pipeline)
+    val nDocs = 200000
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      // ~25% of docs share a text with id-1 → real near-dup signal
+      concat_ws(" ", (0 until 40).map(w =>
+        concat(lit(s"w$w"), pmod(col("id") - (col("id") % 4) / 3 + w, lit(997)))): _*)
+        .as("text"))
+    val t2 = System.nanoTime()
+    val cands = graft.ext.Dedup.lshCandidates(spark, docs).count()
+    val secs2 = (System.nanoTime() - t2) / 1e9
+    println(f"[probe] dedup: $nDocs%d docs → $cands candidate pairs in $secs2%.1fs " +
+      f"= ${nDocs / secs2 / 1000}%.0fk docs/s")
     spark.stop()
   }
 }

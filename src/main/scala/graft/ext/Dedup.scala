@@ -19,11 +19,31 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Per-row k-permutation MinHash signature as array<long> (the
-    * custom minhash48 expression — one pass, no explode). */
+    * custom minhash48 expression — one pass, no explode). md5-based:
+    * portable across engines (the oracle contract). */
   def minhashSignatures(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     MinHash48.register(spark)
     docs.select(col(idCol).as("doc_id"), expr(s"minhash48($textCol)").as("sig"))
+  }
+
+  /** Production-speed signature variant: Spark's built-in `xxhash64`
+    * (codegen'd, ~an order of magnitude cheaper than md5) with the
+    * permutation index as seed. Deterministic and stable across Spark
+    * versions, but NOT cross-engine portable — use `minhashSignatures`
+    * when results must match an external oracle. Same output schema. */
+  def minhashSignaturesFast(docs: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val maxPos = MinHash48.MaxShinglePos
+    val sh = docs
+      .withColumn("pos", explode(sequence(lit(1),
+        least(greatest(length(col(textCol)) - 7, lit(1)), lit(maxPos)))))
+      .select(col(idCol).as("doc_id"),
+        col(textCol).substr(col("pos"), lit(8)).as("sh"))
+    val aggs = (0 until k).map(p => min(xxhash64(lit(p), col("sh"))).as(s"m$p"))
+    sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(p => col(s"m$p")): _*).as("sig"))
   }
 
   /** LSH banding over single-row bands of the signature → candidate

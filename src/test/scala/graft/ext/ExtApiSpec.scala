@@ -31,6 +31,19 @@ class ExtApiSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
   }
 
+  test("fast (xxhash64) signatures: deterministic, identical docs agree, schema matches") {
+    val slow = Dedup.minhashSignatures(spark, docs).orderBy("doc_id").collect()
+    val fast1 = Dedup.minhashSignaturesFast(docs).orderBy("doc_id").collect()
+    val fast2 = Dedup.minhashSignaturesFast(docs).orderBy("doc_id").collect()
+    assert(fast1.map(_.getSeq[Long](1)).toSeq == fast2.map(_.getSeq[Long](1)).toSeq)
+    assert(slow.head.schema.fieldNames.sameElements(fast1.head.schema.fieldNames))
+    // identical docs (1 and 4) share the full signature in both variants
+    def sig(rows: Array[org.apache.spark.sql.Row], id: Long) =
+      rows.find(_.getLong(0) == id).get.getSeq[Long](1)
+    assert(sig(fast1, 1L) == sig(fast1, 4L))
+    assert(sig(slow, 1L) == sig(slow, 4L))
+  }
+
   test("simhash: identical docs equal, near-dups close, different docs far") {
     def popcount(x: Long) = java.lang.Long.bitCount(x)
     val h = Dedup.simhash(docs).collect()

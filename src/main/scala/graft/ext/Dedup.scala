@@ -74,6 +74,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Connected components over candidate pairs → dedup clusters:
+    * every doc labeled with the smallest doc_id reachable through the
+    * near-dup graph (the canonical survivor). Iterative min-label
+    * propagation — each round is one shuffle on the (sparse, capped)
+    * candidate graph; rounds needed = graph diameter, which LSH
+    * candidate graphs keep tiny. Converges by fixpoint check, capped
+    * at `maxIter`. */
+  def clusters(spark: SparkSession, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint truncates lineage each round — without it the
+    // plan tree grows exponentially across iterations (OOM at planning
+    // time, the classic iterative-DataFrame trap)
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a_id").as("node"))
+      .distinct()
+      .withColumn("cluster_id", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels, edges("b_id") === labels("node"))
+        .select(col("a_id").as("node"), col("cluster_id"))
+      val next = labels.select(col("node"), col("cluster_id"))
+        .unionAll(viaNeighbors)
+        .groupBy(col("node"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("node"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** 16-bit SimHash per document over whitespace words. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),

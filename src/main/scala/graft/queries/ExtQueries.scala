@@ -469,6 +469,52 @@ object ExtQueries {
       FROM ranked WHERE rank <= 3
       ORDER BY doc_id, rank"""))
 
+  // ---------------------------------------------------------------- q65
+  // Dedup clusters: connected components over the LSH candidate pairs,
+  // each doc labeled with the smallest reachable doc_id (the canonical
+  // survivor). Spark side: iterative min-label propagation (diameter-
+  // bounded rounds); oracle: recursive transitive closure — any correct
+  // algorithm agrees on components, so the results are comparable.
+  private val q65 = Q(
+    "q65_dedup_clusters",
+    (s, d) => {
+      val pairs = graft.ext.Dedup.lshCandidates(s, Tables.documents(s, d))
+      graft.ext.Dedup.clusters(s, pairs)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $shingleCte,
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT) AS h48 FROM sh),
+      sig AS (
+        SELECT doc_id,
+          min(xor(h48, ${salts(0)})) AS m0, min(xor(h48, ${salts(1)})) AS m1,
+          min(xor(h48, ${salts(2)})) AS m2, min(xor(h48, ${salts(3)})) AS m3
+        FROM h GROUP BY doc_id),
+      buckets AS (
+        SELECT doc_id, 0 AS band, m0 AS bucket FROM sig UNION ALL
+        SELECT doc_id, 1, m1 FROM sig UNION ALL
+        SELECT doc_id, 2, m2 FROM sig UNION ALL
+        SELECT doc_id, 3, m3 FROM sig),
+      small AS (
+        SELECT doc_id, band, bucket FROM (
+          SELECT doc_id, band, bucket,
+                 count(*) OVER (PARTITION BY band, bucket) AS bsize
+          FROM buckets)
+        WHERE bsize <= 10),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM small a JOIN small b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64)
+    q60, q61, q62, q63, q64, q65)
 }

@@ -83,6 +83,17 @@ class ExtApiSpec extends SparkSpec {
     assert(top.subsetOf(Set("completely", "different", "text", "about", "spark", "engines")))
   }
 
+  test("clusters labels every component with its minimum doc id") {
+    import spark.implicits._
+    // two chains and a triangle: {1-2-3}, {10-11}, {20-21-22 triangle}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a_id", "b_id")
+    val c = Dedup.clusters(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("langScore tie-break follows marker order") {
     import spark.implicits._
     val d = Seq((1L, "x y z")).toDF("doc_id", "text") // all scores 0 → tie

@@ -11,7 +11,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
+    // Register custom functions ONCE — per-query re-registration emitted
+    // a WARN per call in round 1, polluting the driver's stdout parse.
+    graft.functions.MinHash48.register(spark)
+    graft.functions.Dot64.register(spark)
     // Warm up the JVM/codegen/parquet-footer paths so the first measured
     // query doesn't absorb session start-up cost.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -35,7 +39,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also write to a known file: sbt wraps stdout in [info] prefixes,
+    // which broke the driver's JSON extraction in round 1 (parsed=null).
+    val outPath = java.nio.file.Paths.get(
+      args.headOption.getOrElse("bench.json"))
+    java.nio.file.Files.write(outPath,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -48,16 +48,19 @@ object TextStats {
           lit(0.3) * (lit(1.0) - punct / length(col(textCol)).cast("double")), 6))
   }
 
-  /** Whitespace + regex ("BPE-ish") token counts. */
+  /** Whitespace + regex ("BPE-ish") token counts. The regex scan runs
+    * ONCE per row (materialized in a prior projection — Spark does not
+    * CSE `regexp_extract_all` across sibling projections, and the regex
+    * is the dominant per-row cost here). */
   def tokenCounts(docs: DataFrame, textCol: String = "text",
       tokenPattern: String = "[a-z]+|[0-9]+"): DataFrame =
     docs
-      .withColumn("ws_tokens", size(split(col(textCol), " ")).cast("long"))
       .withColumn("re_tokens",
         size(regexp_extract_all(col(textCol), lit(tokenPattern), lit(0))).cast("long"))
+      .withColumn("ws_tokens", size(split(col(textCol), " ")).cast("long"))
       .withColumn("chars_per_token",
         round(length(col(textCol)).cast("double") /
-          size(regexp_extract_all(col(textCol), lit(tokenPattern), lit(0))).cast("double"), 6))
+          col("re_tokens").cast("double"), 6))
 
   /** TF-IDF top-k terms per document: tf = in-doc term count, idf =
     * ln(N/df) over the corpus; the df table is a small broadcastable
@@ -68,10 +71,14 @@ object TextStats {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("w"))
     val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    // document frequency as a window over tf — one pass over the words
-    // explode instead of a second aggregation + broadcast join
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("w"))))
+    // document frequency via groupBy (partial aggregation: map-side
+    // combine collapses hot stopwords BEFORE the shuffle) + broadcast
+    // join back onto tf. A `count() OVER (PARTITION BY w)` window would
+    // funnel every occurrence-row of a common word into one task — at
+    // corpus scale a stopword partition is billions of rows. The df
+    // table is vocabulary-sized, well under broadcast threshold.
+    val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val withDf = tf.join(broadcast(dfTab), Seq("w"))
     // doc count stays IN the plan (broadcast 1-row aggregate) — no
     // eager Spark job at DataFrame-construction time
     val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))

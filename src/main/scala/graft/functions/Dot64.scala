@@ -73,7 +73,13 @@ object Dot64 {
     Dot64(coerce(children(0)), coerce(children(1)))
   }
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot64", builder, "built-in")
+  /** Idempotent registration (see MinHash48.register — avoids the
+    * per-call re-registration WARN). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("dot64")
+    if (!reg.functionExists(id)) {
+      reg.createOrReplaceTempFunction("dot64", builder, "built-in")
+    }
+  }
 }

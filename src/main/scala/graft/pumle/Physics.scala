@@ -36,20 +36,30 @@ object Physics {
     exp(a * m + b * m * m + c * m * m * m)
   }
 
-  /** MRST rampupTimesteps (co2lab3DPUMLE.m:447-487) as driver-side data:
-    * geometric dt0·2^i capped by remaining total, then constant
-    * migration steps. Returns (control, dt) — control 1 = injection,
-    * 2 = migration. */
-  def schedule(injTime: Double, dt0: Double, migTime: Double, migSteps: Int): Vector[(Int, Double)] = {
-    val inj = Vector.newBuilder[(Int, Double)]
-    var done = 0.0
-    var i = 0
-    while (done < injTime && i < 63) {
-      val dt = math.min(dt0 * math.pow(2, i), injTime - done)
-      if (dt > 0) inj += ((1, dt))
-      done += dt
-      i += 1
-    }
-    inj.result() ++ Vector.fill(migSteps)((2, migTime / migSteps))
+  /** MRST rampupTimesteps (called at co2lab3DPUMLE.m:456 with default
+    * n = 8) as driver-side data. The MRST sequence is a ramp-UP of
+    * small-to-target steps, not unbounded doubling:
+    *   dt_init = dt0 ./ 2.^[n n n-1 ... 1]   (n+1 entries; first repeated)
+    *   if any cumsum(dt_init) > T: keep only entries with cumsum < T
+    *   then floor((T - sum(dt_init))/dt0) constant dt0 steps
+    *   then one remainder step if positive.
+    * Cumsum of the ramp is exactly dt0·2^j/2^n (dyadic — FP-exact),
+    * and the full ramp sums to exactly dt0.
+    * Returns (control, dt) — control 1 = injection, 2 = migration
+    * (constant migration steps, co2lab3DPUMLE.m:469-476). */
+  def schedule(injTime: Double, dt0: Double, migTime: Double, migSteps: Int,
+      n: Int = 8): Vector[(Int, Double)] = {
+    val exps = n +: (n to 1 by -1)
+    val full = exps.map(e => dt0 / math.pow(2, e)).toVector
+    val cs = full.scanLeft(0.0)(_ + _).tail
+    val dtInit =
+      if (cs.exists(_ > injTime)) full.zip(cs).filter(_._2 < injTime).map(_._1)
+      else full
+    val s = dtInit.sum
+    val nRem = math.floor((injTime - s) / dt0).toInt
+    val rem = Vector.fill(nRem)(dt0)
+    val dtFinal = injTime - s - rem.sum
+    val inj = dtInit ++ rem ++ (if (dtFinal > 0) Vector(dtFinal) else Vector.empty)
+    inj.map((1, _)) ++ Vector.fill(migSteps)((2, migTime / migSteps))
   }
 }

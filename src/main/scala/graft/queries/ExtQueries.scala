@@ -356,7 +356,7 @@ object ExtQueries {
         .orderBy(col("source"))
     },
     Some("""SELECT source, count(*) AS n_docs,
-        sum(octet_length(encode(text))) AS total_bytes,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         min(sha256(text)) AS min_sha
       FROM documents GROUP BY source ORDER BY source"""))
 

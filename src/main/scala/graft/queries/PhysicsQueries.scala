@@ -80,58 +80,106 @@ object PhysicsQueries {
       FROM b ORDER BY c_custkey"""))
 
   // ---------------------------------------------------------------- q42
-  // OP-X15: MRST rampupTimesteps (co2lab3DPUMLE.m:447-487): geometric
-  // ramp dt0·2^i capped so the ramp never exceeds total time T, then
-  // constant migration steps; control = 1 (injection) / 2 (migration).
+  // OP-X15: MRST rampupTimesteps (co2lab3DPUMLE.m:456, default n=8).
+  // Actual MRST semantics (see Physics.schedule): ramp of SMALL steps
+  // dt0/2^[8 8 7..1] (truncated where cumsum >= T), then floor
+  // ((T-ramp)/dt0) constant dt0 steps, then a positive remainder step;
+  // then constant migration steps; control = 1 (injection) / 2
+  // (migration). The ramp cumsum has the closed form dt0·2^j/256 —
+  // an exact power-of-two scaling of dt0 in IEEE double, so the
+  // truncation compare and floor() are bit-identical across engines.
   private val q42 = Q(
     "q42_rampup_schedule",
     (s, d) => {
       val sims = Tables.nation(s, d).select(
         col("n_nationkey").as("sim_id"),
         (lit(1.0) + (col("n_nationkey") % 3).cast("double")).as("inj_time"),
-        lit(0.1).as("dt0"),
+        (lit(0.5) + (col("n_nationkey") % 5).cast("double")).as("dt0"),
         (lit(4L) + col("n_nationkey") % 4).as("mig_steps"),
         (lit(2.0) + (col("n_nationkey") % 2).cast("double")).as("mig_time"))
-      // injection ramp: dt_i = min(dt0·2^i, remaining); enumerate enough
-      // steps (i<=30) and keep the ones with positive dt.
-      val inj = sims
-        .withColumn("i", explode(sequence(lit(0), lit(30))))
-        .withColumn("ramp_before",
-          col("dt0") * (pow(lit(2.0), col("i").cast("double")) - 1.0))
-        .withColumn("dt",
-          least(col("dt0") * pow(lit(2.0), col("i").cast("double")),
-            col("inj_time") - col("ramp_before")))
-        .filter(col("dt") > 0)
-        .select(col("sim_id"), lit(1L).as("control"), col("i").cast("long").as("step"),
-          round(col("dt"), 9).as("dt"))
+      // ramp entries j=0..8: exponent 8 for j=0 (MRST repeats the first
+      // entry), else 9-j; cumsum(j) = dt0·2^j/256 exactly; the full ramp
+      // sums to exactly dt0, so "any cumsum > T" ⟺ dt0 > T.
+      val ramp = sims
+        .withColumn("j", explode(sequence(lit(0), lit(8))))
+        .withColumn("dt", col("dt0") / pow(lit(2.0),
+          when(col("j") === 0, lit(8.0)).otherwise(lit(9.0) - col("j").cast("double"))))
+        .withColumn("cs", col("dt0") * pow(lit(2.0), col("j").cast("double")) / 256.0)
+        .filter(col("dt0") <= col("inj_time") || col("cs") < col("inj_time"))
+      val rampAgg = ramp.groupBy(col("sim_id"))
+        .agg(max(col("cs")).as("ramp_sum"), count(lit(1)).as("n_ramp"))
+      val base = sims.join(rampAgg, Seq("sim_id"), "left")
+        .withColumn("ramp_sum", coalesce(col("ramp_sum"), lit(0.0)))
+        .withColumn("n_ramp", coalesce(col("n_ramp"), lit(0L)))
+        .withColumn("dt_left", col("inj_time") - col("ramp_sum"))
+        .withColumn("n_rem", floor(col("dt_left") / col("dt0")))
+      val rampSteps = ramp.select(col("sim_id"), lit(1L).as("control"),
+        col("j").cast("long").as("step"), round(col("dt"), 9).as("dt"))
+      val remSteps = base
+        .withColumn("k", explode(sequence(lit(0L), lit(63L))))
+        .filter(col("k") < col("n_rem"))
+        .select(col("sim_id"), lit(1L).as("control"),
+          (col("n_ramp") + col("k")).as("step"), round(col("dt0"), 9).as("dt"))
+      val finalStep = base
+        .withColumn("dt_final", col("dt_left") - col("n_rem").cast("double") * col("dt0"))
+        .filter(col("dt_final") > 0)
+        .select(col("sim_id"), lit(1L).as("control"),
+          (col("n_ramp") + col("n_rem")).as("step"), round(col("dt_final"), 9).as("dt"))
       val mig = sims
         .withColumn("i", explode(sequence(lit(0L), col("mig_steps") - 1)))
         .select(col("sim_id"), lit(2L).as("control"), col("i").as("step"),
           round(col("mig_time") / col("mig_steps").cast("double"), 9).as("dt"))
-      inj.unionAll(mig).orderBy(col("sim_id"), col("control"), col("step"))
+      rampSteps.unionAll(remSteps).unionAll(finalStep).unionAll(mig)
+        .orderBy(col("sim_id"), col("control"), col("step"))
     },
     Some("""WITH sims AS (
         SELECT n_nationkey AS sim_id,
                1.0 + CAST(n_nationkey % 3 AS DOUBLE) AS inj_time,
-               0.1 AS dt0,
+               0.5 + CAST(n_nationkey % 5 AS DOUBLE) AS dt0,
                4 + n_nationkey % 4 AS mig_steps,
                2.0 + CAST(n_nationkey % 2 AS DOUBLE) AS mig_time
         FROM nation),
-      inj AS (
+      ramp AS (
+        SELECT sim_id, inj_time, dt0,
+               CAST(g.generate_series AS BIGINT) AS j,
+               dt0 / pow(2.0, CASE WHEN g.generate_series = 0 THEN 8.0
+                              ELSE 9.0 - CAST(g.generate_series AS DOUBLE) END) AS dt,
+               dt0 * pow(2.0, CAST(g.generate_series AS DOUBLE)) / 256.0 AS cs
+        FROM sims, generate_series(0, 8) g
+        WHERE dt0 <= inj_time
+           OR dt0 * pow(2.0, CAST(g.generate_series AS DOUBLE)) / 256.0 < inj_time),
+      rampagg AS (
+        SELECT sim_id, max(cs) AS ramp_sum, CAST(count(*) AS BIGINT) AS n_ramp
+        FROM ramp GROUP BY sim_id),
+      base AS (
+        SELECT s.sim_id, s.inj_time, s.dt0,
+               coalesce(r.ramp_sum, 0.0) AS ramp_sum,
+               coalesce(r.n_ramp, 0) AS n_ramp,
+               s.inj_time - coalesce(r.ramp_sum, 0.0) AS dt_left,
+               CAST(floor((s.inj_time - coalesce(r.ramp_sum, 0.0)) / s.dt0) AS BIGINT) AS n_rem
+        FROM sims s LEFT JOIN rampagg r USING (sim_id)),
+      rampsteps AS (
+        SELECT sim_id, CAST(1 AS BIGINT) AS control, j AS step,
+               round(dt, 9) AS dt FROM ramp),
+      remsteps AS (
         SELECT sim_id, CAST(1 AS BIGINT) AS control,
-               CAST(g.generate_series AS BIGINT) AS step,
-               round(least(dt0 * pow(2.0, CAST(g.generate_series AS DOUBLE)),
-                     inj_time - dt0 * (pow(2.0, CAST(g.generate_series AS DOUBLE)) - 1.0)), 9) AS dt
-        FROM sims, generate_series(0, 30) g
-        WHERE least(dt0 * pow(2.0, CAST(g.generate_series AS DOUBLE)),
-                    inj_time - dt0 * (pow(2.0, CAST(g.generate_series AS DOUBLE)) - 1.0)) > 0),
+               n_ramp + CAST(g.generate_series AS BIGINT) AS step,
+               round(dt0, 9) AS dt
+        FROM base, generate_series(0, 63) g
+        WHERE g.generate_series < n_rem),
+      finalstep AS (
+        SELECT sim_id, CAST(1 AS BIGINT) AS control,
+               n_ramp + n_rem AS step,
+               round(dt_left - CAST(n_rem AS DOUBLE) * dt0, 9) AS dt
+        FROM base WHERE dt_left - CAST(n_rem AS DOUBLE) * dt0 > 0),
       mig AS (
         SELECT sim_id, CAST(2 AS BIGINT) AS control,
                CAST(g.generate_series AS BIGINT) AS step,
                round(mig_time / CAST(mig_steps AS DOUBLE), 9) AS dt
         FROM sims, generate_series(0, 7) g
         WHERE g.generate_series <= mig_steps - 1)
-      SELECT * FROM inj UNION ALL SELECT * FROM mig
+      SELECT * FROM rampsteps UNION ALL SELECT * FROM remsteps
+      UNION ALL SELECT * FROM finalstep UNION ALL SELECT * FROM mig
       ORDER BY sim_id, control, step"""))
 
   // ---------------------------------------------------------------- q43

@@ -305,9 +305,9 @@ object RelationalQueries {
         FROM events),
       sess AS (
         SELECT user_id, event_id, ts_us,
-          sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+          CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM g)
       SELECT user_id, session_id, count(*) AS n_events,
         min(ts_us) AS start_us, max(ts_us) AS end_us
@@ -329,7 +329,7 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     },
     Some("""SELECT event_type,
-        sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         avg(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS avg_k,
         count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))

@@ -96,12 +96,22 @@ class IncPhysicsSpec extends SparkSpec {
     assert(r.getDouble(2) > 1.0 && r.getDouble(2) < 3.0) // brine more viscous (~2× at 6 molal)
   }
 
-  test("rampup schedule sums exactly to injection time then constant migration") {
+  test("rampup schedule: MRST ramp dt0/2^[8 8 7..1], constant plateau, remainder") {
     val sched = Physics.schedule(injTime = 1.0, dt0 = 0.1, migTime = 2.0, migSteps = 10)
     val inj = sched.filter(_._1 == 1).map(_._2)
     val mig = sched.filter(_._1 == 2).map(_._2)
     assert(math.abs(inj.sum - 1.0) < 1e-12)
-    assert(inj.take(3) == Vector(0.1, 0.2, 0.4)) // geometric ramp
+    // ramp-UP from small steps: first entry repeated, then doubling to dt0/2
+    assert(inj.take(3) == Vector(0.1 / 256, 0.1 / 256, 0.1 / 128))
+    assert(inj(8) == 0.1 / 2)
+    // plateau of constant dt0 steps, then at most one remainder step
+    val plateau = inj.drop(9)
+    assert(plateau.init.forall(_ == 0.1) && plateau.last <= 0.1 + 1e-12)
     assert(mig.length == 10 && mig.forall(_ == 0.2))
+    // truncation branch: dt0 > T keeps only ramp entries with cumsum < T
+    val tInj = Physics.schedule(injTime = 1.0, dt0 = 1.5, migTime = 1.0, migSteps = 2)
+      .filter(_._1 == 1).map(_._2)
+    assert(math.abs(tInj.sum - 1.0) < 1e-12)
+    assert(tInj.length == 9) // 8 kept ramp entries (cumsum<1) + remainder
   }
 }

@@ -41,10 +41,53 @@ object PumleDemo {
     println(s"[demo] catalog rows: ${catalog.count()}")
 
     // staging writes run on executors, one task per variant (SURVEY
-    // §3.1 redesign: control crosses the boundary at foreachPartition)
-    Solver.writeStaging(spark, variants, s"$root/staging")
-    println(s"[demo] staging dirs: " +
-      new java.io.File(s"$root/staging").list().length)
+    // §3.1 redesign: control crosses the boundary at foreachPartition).
+    // The full INI config rides along: one .mat per section per sim —
+    // the solver loads ALL of them (co2lab3DPUMLE.m:34-44).
+    val baseCfg = Config.parseIni(
+      s"""[Paths]
+         |pumle_root = $root
+         |pumle_results = data_lake/bronze
+         |[Pre-Processing]
+         |case_name = demo
+         |file_basename = db_sim
+         |model_name = DEMO-GRID
+         |[Grid]
+         |file_path = grid
+         |repair_flag = True
+         |[Fluid]
+         |pres_ref = 35
+         |temp_ref = 95.15
+         |cp_rock = 4e-5
+         |srw = 0.11
+         |src = 0.21
+         |pe = 5
+         |xnacl = 0.1
+         |rho_h2o = 1000
+         |[Initial Conditions]
+         |sw_0 = 1.0
+         |[Boundary Conditions]
+         |type = pressure
+         |[Wells]
+         |co2_inj = 1.5e8
+         |[Schedule]
+         |injection_time = 1
+         |migration_time = 1
+         |injection_timesteps = 100
+         |injection_rampup_dt_initial = 0.1
+         |migration_timesteps = 10
+         |[EXECUTION]
+         |octave = /usr/bin/octave
+         |mrst_root = /opt/mrst
+         |[SimNums]
+         |sim_id = 1
+         |""".stripMargin)
+    Solver.writeStaging(spark, variants, s"$root/staging", baseCfg)
+    val stagingDirs = new java.io.File(s"$root/staging").list()
+    val matsPerDir = new java.io.File(
+      s"$root/staging/${stagingDirs.head}").list().count(_.endsWith(".mat"))
+    println(s"[demo] staging dirs: ${stagingDirs.length} " +
+      s"($matsPerDir section .mat files each)")
 
     // --- External solver boundary: synthesize bronze for 2 variants ---
     val dims = (3, 2, 2)

@@ -23,20 +23,50 @@ import graft.pumle.export.Mat5
   */
 object Solver {
 
+  /** The full per-variant section set the solver contract requires
+    * (co2lab3DPUMLE.m:34-44 loads ALL sections — Paths, Grid, Schedule,
+    * … — before its sanity checks): every section of `base` with Fluid
+    * overridden by the variant's params (pumle.py:180-196) and SimNums
+    * augmented with sim_id / sim_hash / staging_folder
+    * (pumle.py:205-209; SimNums is a float-cast section, so sim_id is
+    * written as a double). Base key order is preserved, extra variant
+    * params append — python dict-update order. */
+  def sectionsFor(base: SimConfig, v: Sweep.Variant): Seq[(String, Seq[(String, Any)])] = {
+    import scala.collection.immutable.ListMap
+    val fluidBase = base("Fluid")
+    val fluid =
+      if (fluidBase.isEmpty) ListMap.from(v.params.toSeq.sortBy(_._1))
+      else fluidBase.map { case (k, old) => k -> v.params.getOrElse(k, old) } ++
+        ListMap.from(v.params.view.filterKeys(!fluidBase.contains(_)).toSeq.sortBy(_._1))
+    val simNums = base("SimNums") ++ ListMap[String, Any](
+      "sim_id" -> v.simId.toDouble,
+      "sim_hash" -> v.simHash,
+      "staging_folder" -> s"staging_${v.simHash}")
+    base.sections
+      .updated("Fluid", fluid)
+      .updated("SimNums", simNums)
+      .toSeq.map { case (s, m) => s -> m.toSeq }
+  }
+
   /** Distributed staging write: each task writes its variants'
     * `staging_<hash>/<Section>_<hash>.mat` files (the reference's
-    * layout, pumle.py:209 / mat_files.py:118-134). Returns the staging
+    * layout, pumle.py:209 / mat_files.py:118-134) — one file per
+    * config section, one top-level variable per param (scipy savemat
+    * layout). `base` supplies the non-Fluid sections; with the default
+    * empty base only Fluid + SimNums are written. Returns the staging
     * dir per variant. */
   def writeStaging(spark: SparkSession, variants: Seq[Sweep.Variant],
-      stagingRoot: String, parallelism: Int = 0): Seq[String] = {
+      stagingRoot: String,
+      base: SimConfig = SimConfig(scala.collection.immutable.ListMap.empty),
+      parallelism: Int = 0): Seq[String] = {
     val par = if (parallelism > 0) parallelism
       else math.min(variants.length, spark.sparkContext.defaultParallelism)
     if (variants.isEmpty) return Seq.empty
     spark.sparkContext
-      .parallelize(variants.map(v => (v.simHash, v.params)), math.max(par, 1))
-      .map { case (hash, params) =>
-        val dir = s"$stagingRoot/staging_$hash"
-        Mat5.writeStaging(dir, hash, Seq("Fluid" -> params.toSeq.sortBy(_._1)))
+      .parallelize(variants.map(v => (v, sectionsFor(base, v))), math.max(par, 1))
+      .map { case (v, sections) =>
+        val dir = s"$stagingRoot/staging_${v.simHash}"
+        Mat5.writeStaging(dir, v.simHash, sections)
         dir
       }
       .collect().toSeq
@@ -78,9 +108,10 @@ object Solver {
     * the updated catalog. */
   def runSimulations(spark: SparkSession, catalog: DataFrame,
       variants: Seq[Sweep.Variant], stagingRoot: String,
-      cmd: Seq[String]): (DataFrame, Seq[RunResult]) = {
+      cmd: Seq[String],
+      base: SimConfig = SimConfig(scala.collection.immutable.ListMap.empty)): (DataFrame, Seq[RunResult]) = {
     val cat1 = Catalog.upsert(catalog, Catalog.rowsFor(spark, variants))
-    val dirs = writeStaging(spark, variants, stagingRoot)
+    val dirs = writeStaging(spark, variants, stagingRoot, base)
     val results = dispatch(spark, dirs, cmd)
     val byHash = results.map(r =>
       r.stagingDir.split("staging_").last -> r).toMap

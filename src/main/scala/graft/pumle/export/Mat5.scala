@@ -5,11 +5,15 @@ import java.nio.file.{Files, Paths}
 
 /** Minimal MAT-5 (Level 5 MAT-file) writer (OP-S4) — the staging
   * hand-off the reference produces with scipy `savemat`
-  * (/root/reference/src/pumle/mat_files.py:136-159): one file per config
-  * section holding a single 1×1 struct whose fields are numeric scalars
-  * or char arrays. Format per the public MATLAB Level 5 file-format
-  * spec (header, miMATRIX elements, miINT8 name, mxSTRUCT/mxDOUBLE/
-  * mxCHAR classes, 8-byte-aligned tags).
+  * (/root/reference/src/pumle/mat_files.py:136-159). `savemat(file,
+  * section_dict)` writes ONE TOP-LEVEL VARIABLE PER DICT KEY (numeric
+  * scalar or char array) — NOT a struct — so MATLAB `load()` yields
+  * `temp.pres_ref` and the solver sees `PARAMS.Fluid.pres_ref`
+  * (co2lab3DPUMLE.m:34-44). `fileBytesVars` is that layout;
+  * `fileBytes`/`structBytes` keep the 1×1-struct form for callers that
+  * want a whole section as a single value. Format per the public MATLAB
+  * Level 5 file-format spec (header, miMATRIX elements, miINT8 name,
+  * mxSTRUCT/mxDOUBLE/mxCHAR classes, 8-byte-aligned tags).
   */
 object Mat5 {
 
@@ -111,10 +115,34 @@ object Mat5 {
     header ++ vars.flatMap { case (n, fs) => structBytes(n, fs) }
   }
 
+  /** scipy-savemat layout: one top-level named variable per param
+    * (mat_files.py:152 — `savemat(str(mat_file), content)` where
+    * `content` is the section's param dict, key order preserved). */
+  def fileBytesVars(vars: Seq[(String, Any)]): Array[Byte] = {
+    val header = new Array[Byte](128)
+    val desc = "MATLAB 5.0 MAT-file, Platform: GRAFT, Created by: graft.pumle"
+      .getBytes("ASCII")
+    System.arraycopy(desc, 0, header, 0, math.min(desc.length, 116))
+    java.util.Arrays.fill(header, desc.length, 116, ' '.toByte)
+    val tail = ByteBuffer.wrap(header, 124, 4).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putShort(0x0100.toShort)
+    tail.put('I'.toByte).put('M'.toByte)
+    header ++ vars.flatMap {
+      case (n, v: Double)  => doubleMatrix(n, v)
+      case (n, v: Int)     => doubleMatrix(n, v.toDouble)
+      case (n, v: Boolean) => doubleMatrix(n, if (v) 1.0 else 0.0)
+      case (n, v: String)  => charMatrix(n, v)
+      case (n, other) => throw new IllegalArgumentException(s"$n: $other")
+    }
+  }
+
   /** Staging write (mat_files.py:118-134): one `<Section>_<hash>.mat`
-    * per section, section name sanitized (`Pre-Processing` →
-    * `PreProcessing`, mat_files.py:107-116). */
-  def sanitizeSection(s: String): String = s.replaceAll("[^A-Za-z0-9]", "")
+    * per section, section name sanitized exactly as the reference does
+    * (`section.replace("-", "").replace(" ", "")`, mat_files.py:106-115
+    * — `Pre-Processing` → `PreProcessing`). Each file holds one
+    * top-level variable per param (savemat layout — see fileBytesVars),
+    * which is what `load()` + `PARAMS.(section) = temp` expects. */
+  def sanitizeSection(s: String): String = s.replace("-", "").replace(" ", "")
 
   def writeStaging(stagingDir: String, simHash: String,
       sections: Seq[(String, Seq[(String, Any)])]): Seq[String] = {
@@ -122,7 +150,7 @@ object Mat5 {
     sections.map { case (section, fields) =>
       val fn = s"${sanitizeSection(section)}_$simHash.mat"
       val p = Paths.get(stagingDir, fn)
-      Files.write(p, fileBytes(Seq(section.replace("-", "_") -> fields)))
+      Files.write(p, fileBytesVars(fields))
       p.toString
     }
   }

@@ -58,6 +58,30 @@ class ExportSpec extends SparkSpec {
     assert(new String(nm, "ASCII") == "Fluid")
   }
 
+  test("MAT-5 savemat layout: one top-level named variable per param") {
+    // scipy savemat(file, {'pres_ref': 35.0, 'name': 'co2'}) writes each
+    // key as its own variable — load() must see temp.pres_ref directly
+    // (co2lab3DPUMLE.m:34-44), NOT temp.<Section>.<param>.
+    val bytes = Mat5.fileBytesVars(Seq("pres_ref" -> 35.0, "name" -> "co2"))
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(128)
+    // first variable: miMATRIX, class mxDOUBLE (6), 1x1, named pres_ref
+    assert(buf.getInt() == 14); buf.getInt()
+    assert(buf.getInt() == 6); assert(buf.getInt() == 8)
+    assert((buf.getInt() & 0xff) == 6); buf.getInt() // mxDOUBLE class
+    assert(buf.getInt() == 5); assert(buf.getInt() == 8)
+    assert(buf.getInt() == 1 && buf.getInt() == 1)
+    assert(buf.getInt() == 1) // miINT8 name tag
+    val n1 = buf.getInt(); val nm1 = new Array[Byte](n1); buf.get(nm1)
+    assert(new String(nm1, "ASCII") == "pres_ref")
+    // skip name padding, then the 1x1 double payload
+    buf.position(buf.position() + (8 - n1 % 8) % 8)
+    assert(buf.getInt() == 9); assert(buf.getInt() == 8)
+    assert(buf.getDouble() == 35.0)
+    // second variable: mxCHAR named name
+    assert(buf.getInt() == 14)
+  }
+
   test("MAT-5 staging layout: <Section>_<hash>.mat with sanitized names (OP-X6)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mat").toString
     val files = Mat5.writeStaging(dir, "abc12345",

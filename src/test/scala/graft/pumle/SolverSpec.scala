@@ -35,7 +35,68 @@ class SolverSpec extends SparkSpec {
     dirs.foreach { d =>
       val hash = d.split("staging_").last
       assert(new java.io.File(d, s"Fluid_$hash.mat").length() > 128)
+      assert(new java.io.File(d, s"SimNums_$hash.mat").length() > 128)
     }
+  }
+
+  test("full-config staging writes one .mat per schema section (solver contract)") {
+    val root = Files.createTempDirectory("solver-fullcfg").toString
+    val base = Config.parseIni(
+      """[Paths]
+        |pumle_root = /tmp/x
+        |pumle_results = data_lake/bronze
+        |[Pre-Processing]
+        |case_name = t
+        |file_basename = db
+        |model_name = M
+        |[Grid]
+        |file_path = grid
+        |repair_flag = True
+        |[Fluid]
+        |pres_ref = 35
+        |temp_ref = 95.15
+        |cp_rock = 4e-5
+        |srw = 0.11
+        |src = 0.21
+        |pe = 5
+        |xnacl = 0.1
+        |rho_h2o = 1000
+        |[Initial Conditions]
+        |sw_0 = 1.0
+        |[Boundary Conditions]
+        |type = pressure
+        |[Wells]
+        |co2_inj = 1.5e8
+        |[Schedule]
+        |injection_time = 1
+        |migration_time = 1
+        |injection_timesteps = 100
+        |injection_rampup_dt_initial = 0.1
+        |migration_timesteps = 10
+        |[EXECUTION]
+        |octave = /usr/bin/octave
+        |mrst_root = /opt/mrst
+        |[SimNums]
+        |sim_id = 1
+        |""".stripMargin)
+    val dirs = Solver.writeStaging(spark, variants.take(1), root, base)
+    val files = new java.io.File(dirs.head).list().toSet
+    val h = "aaaa0001"
+    // the 10 files co2lab3DPUMLE.m:34-44 loads, sanitized names (OP-X6)
+    assert(files == Set(
+      s"Paths_$h.mat", s"PreProcessing_$h.mat", s"Grid_$h.mat",
+      s"Fluid_$h.mat", s"InitialConditions_$h.mat",
+      s"BoundaryConditions_$h.mat", s"Wells_$h.mat", s"Schedule_$h.mat",
+      s"EXECUTION_$h.mat", s"SimNums_$h.mat"))
+    // Fluid carries the VARIANT's values over the base's (pe: 5 → 5.0 base,
+    // variant pe=5.0/srw=0.11 — use a distinct value to see the override)
+    val sections = Solver.sectionsFor(base, Sweep.Variant(7, h, Map("pe" -> 9.9)))
+    val fluid = sections.find(_._1 == "Fluid").get._2.toMap
+    assert(fluid("pe") == 9.9 && fluid("srw") == 0.11) // override + passthrough
+    val simNums = sections.find(_._1 == "SimNums").get._2
+    assert(simNums.contains("sim_id" -> 7.0)) // float section → double
+    assert(simNums.contains("sim_hash" -> h))
+    assert(simNums.contains("staging_folder" -> s"staging_$h"))
   }
 
   test("dispatch runs one process per dir, writes completed.flag, skips on rerun") {

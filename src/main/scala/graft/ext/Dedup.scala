@@ -113,22 +113,25 @@ object Dedup {
     labels
   }
 
-  /** 16-bit SimHash per document over whitespace words. */
+  /** 16-bit SimHash per document over whitespace words: per-word hash
+    * bits vote ±1 per position, simhash bit = majority sign. ONE
+    * aggregate with 16 partial-aggregable vote sums — no per-bit row
+    * explode (the 16× amplification + second shuffle of the naive
+    * form), so the only shuffle is the doc-keyed groupBy with map-side
+    * combine. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val words = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("w"))
-    words
+    val words = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
-      .withColumn("b", explode(sequence(lit(0), lit(15))))
-      .withColumn("vote",
-        when(expr("(h DIV CAST(pow(2, b) AS BIGINT)) % 2") === 1, lit(1L))
-          .otherwise(lit(-1L)))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("vote")).as("v"))
+    val votes = (0 until 16).map { b =>
+      sum(when(expr(s"(h DIV ${1L << b}) % 2") === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"v$b")
+    }
+    words.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        when(col("v") >= 0, expr("CAST(pow(2, b) AS BIGINT)"))
-          .otherwise(lit(0L)).as("bitval"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bitval")).as("simhash"))
+        (0 until 16).map(b =>
+          when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 }

@@ -38,35 +38,49 @@ object Multimodal {
       .withColumn("height", (pmod(crc32(reverse(col("payload"))), lit(64)) + 32).cast("int"))
       .withColumn("n_frames", lit(1).cast("int"))
 
-  /** STUB DECODER — stands in for an image/audio codec. Deterministic:
-    * folds payload bytes into `dim` float accumulators. The real system
-    * would replace ONLY this function (JNI/ffi codec call); the batch
-    * shape, schema, and partition flow stay identical. */
-  private[multimodal] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Float](dim)
-    var i = 0
-    while (i < payload.length) {
-      acc(i % dim) += (payload(i) & 0xff) / 255.0f
-      i += 1
+  /** THE CODEC CONTRACT: the one boundary a real deployment replaces.
+    * Implementations must be Serializable (shipped inside the task
+    * closure) and thread-safe per `open()`ed instance. `open()` runs
+    * once per batch on the executor — the place to initialize a native
+    * codec (JNI/ffi) — and the returned function decodes one payload to
+    * a fixed-`dim` feature vector. Everything around it (batching,
+    * schema, partition flow, binary-column pruning) is engine code and
+    * identical for any decoder. */
+  trait Decoder extends Serializable {
+    def dim: Int
+    def open(): Array[Byte] => Array[Float]
+  }
+
+  /** STUB DECODER — stands in for an image/audio codec (this container
+    * ships no media libraries). Deterministic: folds payload bytes into
+    * `dim` float accumulators, so specs pin the plumbing end to end. */
+  final case class StubDecoder(dim: Int = 8) extends Decoder {
+    def open(): Array[Byte] => Array[Float] = payload => {
+      val acc = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        acc(i % dim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   /** Batched feature extraction: one pass per partition, `batchSize`
-    * rows decoded per inner batch (the mapInPandas batch analog). */
+    * rows decoded per inner batch (the mapInPandas batch analog), codec
+    * opened once per batch via `decoder.open()`. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
-      dim: Int = 8, batchSize: Int = 256): Dataset[Features] = {
+      decoder: Decoder = StubDecoder(), batchSize: Int = 256): Dataset[Features] = {
     import spark.implicits._
     media.select("media_id", "kind", "payload", "width", "height")
       .as[(Long, String, Array[Byte], Int, Int)]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // batch-level setup would open the codec once per batch here
+          val decode = decoder.open() // codec init once per batch
           batch.iterator.map { case (id, kind, payload, w, h) =>
             val sha = java.security.MessageDigest.getInstance("SHA-256")
               .digest(payload).map("%02x".format(_)).mkString
-            Features(id, kind, payload.length, sha, w, h,
-              decodeStub(payload, dim))
+            Features(id, kind, payload.length, sha, w, h, decode(payload))
           }
         }
       }

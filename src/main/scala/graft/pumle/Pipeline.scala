@@ -70,6 +70,17 @@ object Pipeline {
     readJsonArray(spark, path, "states", stateStruct)
       .select(col("arr").as("states"), simHashFromFile.as("sim_hash"))
 
+  /** Bronze read with amortization — the reference's `lru_cache` analog
+    * (sim_results_parser.py:142, SURVEY §2.8): the typical entry-point-B
+    * drive consumes bronze TWICE (QA via gatherDropStats + the silver/
+    * golden path), and whole-file JSON parse is the expensive step, so
+    * cache the parsed frame. MEMORY_AND_DISK: a bronze batch larger than
+    * executor memory spills instead of recomputing the parse. Callers
+    * `unpersist()` when the batch is done. */
+  def readBronzeStatesCached(spark: SparkSession, path: String): DataFrame =
+    readBronzeStates(spark, path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** ACTNUM mask JSON (`grdecl_<case>_<hash>.json`, a 0/1 array in
     * F-order over all I·J·K cells — sim_results_parser.py:207-214;
     * bare `jsonencode(grdecl.ACTNUM)` or wrapped) → (cell_idx, active). */

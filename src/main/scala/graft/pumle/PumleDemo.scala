@@ -109,11 +109,15 @@ object PumleDemo {
     Files.writeString(Paths.get(bronzeDir, "g_unisim.json"), """{"dims": [3, 2, 2]}""")
 
     // --- Entry point B: bronze → silver → golden (+ QA) ---
-    val states = Pipeline.readBronzeStates(spark, s"$bronzeDir/states_unisim_*.json")
+    // cached: QA (gatherDropStats) and the silver path both consume the
+    // same bronze parse (the lru_cache analog, SURVEY §2.8)
+    val states = Pipeline.readBronzeStatesCached(spark, s"$bronzeDir/states_unisim_*.json")
     val an = Pipeline.readActnum(spark,
       s"$bronzeDir/grdecl_unisim_${variants.head.simHash}.json")
+    Pipeline.gatherDropStats(states, an).show(truncate = false)
     val golden = Pipeline.golden(Pipeline.silver(states, an), dims)
     Pipeline.writeGolden(golden, s"$root/golden")
+    states.unpersist()
     val g = spark.read.parquet(s"$root/golden")
     println(s"[demo] golden rows: ${g.count()} " +
       s"(${g.select("sim_hash").distinct().count()} sims)")

@@ -44,6 +44,86 @@ object Npy {
     try out.write(toBytes(data, shape, fortran)) finally out.close()
   }
 
+  /** Header-only parse from a stream: (dataOffset, shape, fortran). */
+  private def readHeader(in: java.io.DataInput): (Long, Seq[Int], Boolean) = {
+    val magic = new Array[Byte](6); in.readFully(magic)
+    require(magic(0) == 0x93.toByte && new String(magic, 1, 5, "ASCII") == "NUMPY", "not npy")
+    in.readByte(); in.readByte() // version
+    val hlen = java.lang.Short.toUnsignedInt(java.lang.Short.reverseBytes(in.readShort()))
+    val hdr = new Array[Byte](hlen); in.readFully(hdr)
+    val h = new String(hdr, "ASCII")
+    require(h.contains("'<f8'"), s"unsupported dtype in $h")
+    val fortran = h.contains("'fortran_order': True")
+    val shape = "\\((.*?)\\)".r.findFirstMatchIn(h).get.group(1)
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    (10L + hlen, shape, fortran)
+  }
+
+  /** Distributed npy scan (OP-S5 read side — the reference reads golden
+    * arrays back for tabular export, tabular.py:74-98 `np.load`):
+    * `(idx, value)` rows where `idx` is the position in the file's flat
+    * storage order. The tiny header is read driver-side; the data
+    * section splits into contiguous index ranges, one Spark task each,
+    * reading through the Hadoop FileSystem API (file:// here, hdfs:// /
+    * s3a:// on a cluster) in bounded ~8 MiB seek-read blocks — no task
+    * ever holds the whole array, so a 100 GB npy scans like any other
+    * splittable source. Returns (df, shape, fortran). */
+  def scan(spark: org.apache.spark.sql.SparkSession, path: String,
+      splits: Int = 0): (org.apache.spark.sql.DataFrame, Seq[Int], Boolean) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import spark.implicits._
+    val hp = new HPath(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dataOff, shape, fortran) = {
+      val in = fs.open(hp)
+      try readHeader(in) finally in.close()
+    }
+    val n = shape.map(_.toLong).product
+    val nSplits = math.max(1, if (splits > 0) splits
+      else math.min(spark.sparkContext.defaultParallelism, (n / 65536 + 1).toInt))
+    val ranges = (0 until nSplits)
+      .map(s => (n * s / nSplits, n * (s + 1) / nSplits))
+      .filter { case (lo, hi) => hi > lo }
+    val blockElems = 1 << 20 // 8 MiB per seek-read
+    val df = spark.createDataset(ranges)
+      .repartition(ranges.length)
+      .mapPartitions { it =>
+        it.flatMap { case (lo, hi) =>
+          (lo until hi by blockElems).iterator.flatMap { b0 =>
+            val bEnd = math.min(b0 + blockElems, hi)
+            val hp2 = new HPath(path)
+            val fs2 = hp2.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val in = fs2.open(hp2)
+            val buf = new Array[Byte](((bEnd - b0) * 8).toInt)
+            try { in.seek(dataOff + b0 * 8); in.readFully(buf) } finally in.close()
+            val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+            (b0 until bEnd).map(i => (i, bb.getDouble))
+          }
+        }
+      }
+      .toDF("idx", "value")
+    (df, shape, fortran)
+  }
+
+  /** npy → golden long form for one (sim, field): a 4D F-order dense
+    * export read back as `(t, i, j, k, value)` rows, NaN fill dropped —
+    * the inverse of Pipeline.denseField + write. */
+  def scanGolden(spark: org.apache.spark.sql.SparkSession, path: String):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (df, shape, fortran) = scan(spark, path)
+    require(shape.length == 4 && fortran, s"expected 4D F-order golden, got $shape")
+    val Seq(ii, jj, kk, _) = shape
+    val ncells = ii.toLong * jj * kk
+    df.filter(!isnan(col("value")))
+      .select(
+        expr(s"CAST(idx DIV ${ncells}L AS INT)").as("t"),
+        expr(s"CAST(idx % $ii AS INT)").as("i"),
+        expr(s"CAST((idx DIV $ii) % $jj AS INT)").as("j"),
+        expr(s"CAST((idx DIV ${ii.toLong * jj}L) % $kk AS INT)").as("k"),
+        col("value"))
+  }
+
   /** Read a v1.0/<f8 npy back: (flat data, shape, fortran_order). */
   def read(bytes: Array[Byte]): (Array[Double], Seq[Int], Boolean) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

@@ -22,4 +22,23 @@ object S3Layout {
   /** Full object URI for a bucket. */
   def uri(bucket: String, fileName: String): String =
     s"s3a://$bucket/${goldenKey(fileName)}"
+
+  /** Publish a local artifact under the consolidated key layout through
+    * the Hadoop FileSystem API — the boto3 `upload_file` analog
+    * (/root/reference/src/pumle/cloud_storage.py:104-146), but
+    * scheme-agnostic: `bucketRoot` may be `s3a://bucket` (with
+    * hadoop-aws on the cluster), `hdfs://…`, or `file:///…` (tests).
+    * Returns the destination URI. */
+  def publish(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+      bucketRoot: String): String = {
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new java.io.File(srcPath)
+    require(src.isFile, s"not a file: $srcPath")
+    val dst = new HPath(s"$bucketRoot/${goldenKey(src.getName)}")
+    val fs = dst.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    FileUtil.copy(src, fs, dst, false, conf)
+    dst.toString
+  }
 }

@@ -60,4 +60,47 @@ object Zarr {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     Array.fill(ncells)(buf.getDouble())
   }
+
+  /** Distributed zarr scan (OP-S6 read side — the reference opens the
+    * store for tabular export, tabular.py:84 `zarr.open`): one Spark
+    * task per chunk file, yielding `(t, cell_idx, value)` rows
+    * (timestep-chunked layout as written by writeByTimestep). `.zarray`
+    * is parsed driver-side; chunk files are listed and read through the
+    * Hadoop FileSystem API, so the store can live on any scheme. NaN
+    * fill cells are kept (callers filter) — the chunk is the parallelism
+    * unit, exactly mirroring the write path. */
+  def scan(spark: org.apache.spark.sql.SparkSession, path: String):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import spark.implicits._
+    val dir = new HPath(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaIn = fs.open(new HPath(dir, ".zarray"))
+    val meta = try new String(metaIn.readAllBytes(), "UTF-8") finally metaIn.close()
+    def intList(key: String): Seq[Int] =
+      (s""""$key":\\s*\\[([0-9, ]*)\\]""").r.findFirstMatchIn(meta)
+        .getOrElse(sys.error(s"no $key in .zarray")).group(1)
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    val shape = intList("shape")
+    val chunks = intList("chunks")
+    require(shape.length == 4 && chunks.take(3) == shape.take(3) && chunks(3) == 1,
+      s"expected timestep-chunked 4D store, got shape=$shape chunks=$chunks")
+    val ncells = shape(0) * shape(1) * shape(2)
+    val chunkNames = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.matches("0\\.0\\.0\\.[0-9]+")).toSeq.sorted
+    spark.createDataset(chunkNames)
+      .repartition(chunkNames.length)
+      .mapPartitions { it =>
+        it.flatMap { name =>
+          val t = name.substring(name.lastIndexOf('.') + 1).toInt
+          val hp = new HPath(s"$path/$name")
+          val fs2 = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val in = fs2.open(hp)
+          val bytes = try in.readAllBytes() finally in.close()
+          val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          (0 until ncells).map(c => (t, c, buf.getDouble(c * 8)))
+        }
+      }
+      .toDF("t", "cell_idx", "value")
+  }
 }

@@ -4,6 +4,17 @@ import org.apache.spark.sql.functions._
 
 import graft.pumle.SparkSpec
 
+object MultimodalSpec {
+  /** A "real codec" stand-in proving open() runs and the engine carries
+    * whatever the decoder returns, untouched. Top-level so the task
+    * closure doesn't capture the (non-serializable) suite. */
+  final case class FakeCodec(dim: Int) extends Multimodal.Decoder {
+    def open(): Array[Byte] => Array[Float] =
+      payload => Array.tabulate(dim)(i =>
+        if (i == 0) payload.length.toFloat else -1.0f)
+  }
+}
+
 /** Binary-column plumbing: schema, batched decode, pruning. */
 class MultimodalSpec extends SparkSpec {
 
@@ -27,9 +38,9 @@ class MultimodalSpec extends SparkSpec {
 
   test("batched feature extraction is deterministic and batch-size-invariant") {
     val m = Multimodal.asMedia(docs, "doc_id", "text", "image")
-    val f1 = Multimodal.extractFeatures(spark, m, dim = 4, batchSize = 2)
+    val f1 = Multimodal.extractFeatures(spark, m, Multimodal.StubDecoder(4), batchSize = 2)
       .collect().sortBy(_.media_id)
-    val f2 = Multimodal.extractFeatures(spark, m, dim = 4, batchSize = 100)
+    val f2 = Multimodal.extractFeatures(spark, m, Multimodal.StubDecoder(4), batchSize = 100)
       .collect().sortBy(_.media_id)
     assert(f1.length == 3)
     assert(f1.zip(f2).forall { case (a, b) =>
@@ -39,6 +50,14 @@ class MultimodalSpec extends SparkSpec {
     val hw = f1.find(_.media_id == 1L).get
     assert(hw.n_bytes == 11)
     assert(hw.sha256.startsWith("b94d27b9")) // sha256("hello world")
+  }
+
+  test("Decoder is a pluggable boundary: injected fake codec flows through") {
+    val m = Multimodal.asMedia(docs, "doc_id", "text", "image")
+    val f = Multimodal.extractFeatures(spark, m, MultimodalSpec.FakeCodec(3))
+      .collect().sortBy(_.media_id)
+    assert(f.map(_.features(0).toInt).toSeq == Seq(11, 12, 1)) // payload lengths
+    assert(f.forall(r => r.features.length == 3 && r.features(1) == -1.0f))
   }
 
   test("resample strides the payload deterministically") {

@@ -4,7 +4,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pumle.export.{Mat5, Npy, Zarr}
+import graft.pumle.export.{Mat5, Npy, S3Layout, Zarr}
 
 /** OP-S4/S5/S6 sinks: npy byte-golden vs numpy, MAT-5 structural walk,
   * zarr chunk round-trip. */
@@ -90,6 +90,53 @@ class ExportSpec extends SparkSpec {
     assert(files.map(f => new java.io.File(f).getName) ==
       Seq("PreProcessing_abc12345.mat", "Fluid_abc12345.mat"))
     assert(files.forall(f => new java.io.File(f).length() > 128))
+  }
+
+  test("npy distributed scan round-trips the dense golden export") {
+    val nt = 2; val ncells = 12
+    // NaN at every 5th index (inactive/missing cells)
+    val dense = Array.tabulate(ncells * nt)(i =>
+      if (i % 5 == 0) Double.NaN else i.toDouble)
+    val p = java.nio.file.Files.createTempDirectory("npy-scan")
+      .resolve("pressure.npy").toString
+    Npy.write(p, dense, Seq(3, 2, 2, nt))
+    val (df, shape, fortran) = Npy.scan(spark, p)
+    assert(shape == Seq(3, 2, 2, nt) && fortran)
+    val vals = df.orderBy("idx").collect()
+    assert(vals.length == 24)
+    assert(vals(0).getDouble(1).isNaN && vals(1).getDouble(1) == 1.0)
+    // long form drops the NaN fill: 24 - 5 (idx 0,5,10,15,20)
+    val long = Npy.scanGolden(spark, p)
+    assert(long.count() == 19)
+    // F-order delinearization: flat idx 13 → t=1, cell 1 → (i,j,k)=(1,0,0)
+    val r = long.where("value = 13.0").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((1, 1, 0, 0)))
+  }
+
+  test("zarr distributed scan reads back what writeByTimestep wrote") {
+    import spark.implicits._
+    val rows = Seq((0, 0, 1.5), (0, 3, 2.5), (1, 1, 7.0)).toDF("t", "cell_idx", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zarr-scan").toString
+    Zarr.writeByTimestep(rows, (2, 2, 1), 2, dir)
+    val back = Zarr.scan(spark, dir)
+    assert(back.count() == 8) // 2 chunks × 4 cells, NaN fill kept
+    val m = back.where("NOT isnan(value)").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(m == Map((0, 0) -> 1.5, (0, 3) -> 2.5, (1, 1) -> 7.0))
+  }
+
+  test("S3 publish layout goes through the Hadoop FileSystem API (OP-S9)") {
+    val tmp = java.nio.file.Files.createTempDirectory("s3pub")
+    val src = tmp.resolve("pressure_cfg.npy")
+    java.nio.file.Files.write(src, Array[Byte](1, 2, 3))
+    // file:// stands in for s3a:// — same FileSystem resolution path
+    val root = tmp.resolve("bucket").toUri.toString.stripSuffix("/")
+    val dst = S3Layout.publish(spark, src.toString, root)
+    assert(dst.endsWith("consolidated/pressure_cfg/pressure_cfg.npy"))
+    val hp = new org.apache.hadoop.fs.Path(dst)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(hp) && fs.getFileStatus(hp).getLen == 3)
+    assert(S3Layout.uri("b", "x.npy") == "s3a://b/consolidated/x/x.npy")
   }
 
   test("zarr: one chunk per timestep written by parallel tasks, NaN fill") {

@@ -177,6 +177,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bronze cache: second consumer reads InMemoryRelation (lru_cache analog)") {
+    val states = Pipeline.readBronzeStatesCached(spark, s"$dir/states_unisim_$hash.json")
+    try {
+      val an = Pipeline.readActnum(spark, s"$dir/grdecl_unisim_$hash.json")
+      Pipeline.gatherDropStats(states, an).collect() // consumer 1 fills the cache
+      val plan = Pipeline.silver(states, an).queryExecution.optimizedPlan.toString
+      assert(plan.contains("InMemoryRelation"), s"silver rescans bronze:\n$plan")
+      assert(Pipeline.silver(states, an).count() == 30)
+    } finally states.unpersist()
+  }
+
   test("silverObserved reports gather metrics without a second scan (OP-A5)") {
     val st = Pipeline.readBronzeStates(spark, s"$dir/states_unisim_$hash.json")
     val an = Pipeline.readActnum(spark, s"$dir/grdecl_unisim_$hash.json")

@@ -53,6 +53,63 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length <= 1, p)
   }
 
+  test("q64: document frequency is a partial-aggregable groupBy, not a word window") {
+    val p = planOf("q64_tfidf_topk")
+    // the df stage must show map-side combine (partial HashAggregate) —
+    // a count() OVER (PARTITION BY w) window would funnel every
+    // occurrence of a hot stopword into one task at corpus scale
+    assert(p.contains("partial_count"), p)
+    assert(!"windowspecdefinition\\(w#".r.findFirstIn(p).isDefined,
+      s"df computed via window over word partitions:\n$p")
+  }
+
+  test("q61: simhash is one aggregate — no per-bit explode, single word Generate") {
+    val p = planOf("q61_simhash")
+    assert("Generate".r.findAllIn(p).length == 1, p) // word split only
+    assert(p.contains("partial_sum"), p)             // map-side vote combine
+  }
+
+  test("shuffle-count budget per query (PlanAudit in CI — regressions fail here)") {
+    // max allowed true shuffles (Exchange hash/range/single) per query,
+    // pinned at the audited round-2 plan shapes. A new shuffle anywhere
+    // is a deliberate decision: raise the budget in the same commit that
+    // explains it.
+    val budget = Map(
+      "q01_pricing_summary" -> 2, "q02_filter_project" -> 1,
+      "q03_join_enrich" -> 2, "q04_anti_join" -> 1, "q05_gather_join" -> 3,
+      "q06_window_rownum" -> 2, "q12_conditional_clamp" -> 2,
+      "q13_validation_counts" -> 1, "q16_union_sorted" -> 1,
+      "q17_latest_event" -> 2, "q18_sessionize" -> 2, "q19_json_props" -> 2,
+      "q20_param_hash" -> 1, "q21_linspace_sweep" -> 1,
+      "q22_meshgrid_sweep" -> 1, "q23_forder_roundtrip" -> 2,
+      "q24_scatter_densify" -> 1, "q25_sparsify_coo" -> 2,
+      "q26_filename_encode" -> 1, "q27_physical_limits" -> 1,
+      "q28_active_gather" -> 3, "q29_catalog_upsert" -> 1,
+      "q30_salted_join" -> 2, "q31_topk_revenue" -> 1, "q33_field_stats" -> 2,
+      "q40_brine_density" -> 1, "q41_brine_viscosity" -> 1,
+      "q42_rampup_schedule" -> 3, "q43_timestep_labels" -> 3,
+      "q50_dedup_exact" -> 2, "q51_minhash_signature" -> 1,
+      "q52_lsh_candidates" -> 4, "q53_ngram_jaccard" -> 3,
+      "q54_cosine_topk" -> 2, "q55_ann_lsh_buckets" -> 3,
+      "q56_lang_score" -> 1, "q57_quality_score" -> 1,
+      "q58_token_count" -> 1, "q59_fingerprint" -> 3,
+      "q60_binary_meta" -> 2, "q61_simhash" -> 2,
+      "q62_ann_ivf_assign" -> 3, "q63_dedup_embedding" -> 1,
+      "q64_tfidf_topk" -> 7, "q65_dedup_clusters" -> 1)
+    val over = Registry.all.flatMap { q =>
+      budget.get(q.name).flatMap { max =>
+        val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+        val shf = ("Exchange hashpartitioning".r.findAllIn(p).length
+          + "Exchange rangepartitioning".r.findAllIn(p).length
+          + "Exchange SinglePartition".r.findAllIn(p).length)
+        if (shf > max) Some(s"${q.name}: $shf shuffles > budget $max") else None
+      }
+    }
+    assert(over.isEmpty, over.mkString("; "))
+    assert(budget.keySet == Registry.all.map(_.name).toSet,
+      "budget table out of sync with registry") // new queries must be budgeted
+  }
+
   test("q24: densify grid side is generated (Range), active side broadcast") {
     val p = planOf("q24_scatter_densify")
     assert(p.contains("Range"), p)

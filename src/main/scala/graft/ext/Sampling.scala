@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling / sharding operators a training-data pipeline needs
+  * around dedup and scoring: deterministic train/val/test assignment and
+  * context-window packing. Both are narrow or shard-local — no global
+  * coordination, so they hold at any corpus size.
+  */
+object Sampling {
+
+  /** Deterministic hash split: md5-derived bucket 0..99 per id →
+    * train/val/test. No RNG and no global state — the same doc lands in
+    * the same split on every run, engine, and partitioning (the property
+    * that makes incremental corpus refreshes reproducible). Narrow
+    * per-row transform. */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100, "split percentages exceed 100")
+    docs
+      .withColumn("bucket",
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Context-window packing: docs in id order within a shard, each
+    * assigned the bin its cumulative token offset falls in
+    * (bin = tokens_before DIV budget) plus its offset inside that bin —
+    * the standard streaming approximation of greedy sequence packing.
+    * Packing is PER-SHARD (`shardCol`) by design: the global-order
+    * variant is a no-partition window that serializes the whole corpus
+    * through one task. A shard is the unit a packer writes anyway. */
+  def packSequences(docs: DataFrame, budget: Int, shardCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(shardCol), col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) DIV $budget"))
+      .withColumn("offset_in_bin", expr(s"cum - n_tokens - ((cum - n_tokens) DIV $budget) * $budget"))
+      .drop("cum")
+  }
+}

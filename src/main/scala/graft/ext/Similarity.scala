@@ -79,6 +79,52 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("cosine"))
   }
 
+  /** Full IVF search (assign → probe → rerank): queries probe their
+    * `nProbe` nearest centroids and rerank exactly within the probed
+    * cells only — the sub-linear ANN read path on top of ivfAssign's
+    * coarse quantizer. Scale shape: centroids broadcast twice (tiny),
+    * the candidate join is keyed by centroid cell (uniform-ish by
+    * construction of a good quantizer), and the per-query rerank window
+    * sees only `nProbe` cells' worth of rows — never the corpus. */
+  def ivfTopK(spark: SparkSession, emb: DataFrame,
+      centroidPred: org.apache.spark.sql.Column,
+      queryPred: org.apache.spark.sql.Column,
+      nProbe: Int, k: Int): DataFrame = {
+    val base = withVectors(spark, emb)
+    val cents = base.filter(centroidPred)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("qc_cos").desc, col("centroid_id"))
+    val probes = base.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qc_cos", round(expr("dot64(vq, cv)") / (col("nq") * col("cn")), 4))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("vq"), col("nq"), col("centroid_id"))
+    // assignment inlined WITH vectors retained (same rounded-cosine +
+    // id tie-break as ivfAssign) — rejoining ivfAssign's id-only output
+    // back to base would be a corpus×corpus sort-merge join
+    val wa = Window.partitionBy(col("n_id")).orderBy(col("ac_cos").desc, col("centroid_id"))
+    val cand = base
+      .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ac_cos", round(expr("dot64(vn, cv)") / (col("nn") * col("cn")), 4))
+      .withColumn("rk", row_number().over(wa))
+      .filter(col("rk") === 1)
+      .select(col("n_id"), col("vn"), col("nn"), col("centroid_id"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    // the query batch (|queries|·nProbe rows) broadcasts to where the
+    // corpus vectors already live — the corpus is never shuffled for
+    // the probe join
+    broadcast(probes).join(cand, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("centroid_id"), col("cosine"))
+  }
+
   /** Near-dup pairs above a cosine threshold, blocked by `blockCol`
     * (label / LSH bucket / IVF cell) with a deterministic query sample
     * to bound pair count; keep = smaller id. */

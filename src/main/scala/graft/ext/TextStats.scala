@@ -95,6 +95,20 @@ object TextStats {
         col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Stopword/boilerplate scrub: remove a word set (word-boundary
+    * regex), squeeze whitespace, report the token reduction — the
+    * cleaning pass between quality scoring and tokenization. Narrow
+    * per-row regex; the pattern is a broadcast-free literal. */
+  def scrub(docs: DataFrame, stopwords: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    val pat = s"\\b(${stopwords.mkString("|")})\\b"
+    docs
+      .withColumn("n_words_before", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("cleaned",
+        trim(regexp_replace(regexp_replace(col(textCol), pat, ""), " +", " ")))
+      .withColumn("n_words_after", size(split(col("cleaned"), " ")).cast("long"))
+  }
+
   /** Winnowing-style min-shingle + order-insensitive xor fingerprints.
     * The min-shingle fingerprint is minhash48's salt-0 lane (min 48-bit
     * shingle hash) — a pure per-row expression, no shingle explode. */

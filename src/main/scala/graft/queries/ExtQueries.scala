@@ -515,6 +515,124 @@ object ExtQueries {
       SELECT a AS doc_id, least(a, min(b)) AS cluster_id
       FROM reach GROUP BY a ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q66
+  // Full IVF search: queries (vec_id % 97 == 0) probe their 2 nearest
+  // centroids and rerank exactly within the probed cells — the ANN read
+  // path on top of q62's coarse quantizer. Candidates are bounded by
+  // nProbe cells, never the corpus.
+  private val q66 = Q(
+    "q66_ivf_topk",
+    (s, d) => {
+      graft.ext.Similarity.ivfTopK(s, Tables.embeddings(s, d),
+          centroidPred = col("vec_id") % 50 === 0,
+          queryPred = col("vec_id") % 97 === 0,
+          nProbe = 2, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+                FROM nrm WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT b.vec_id, c.centroid_id,
+          row_number() OVER (PARTITION BY b.vec_id
+                             ORDER BY round(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 4) DESC,
+                                      c.centroid_id) AS rk
+        FROM nrm b, cents c),
+      assigned AS (SELECT vec_id AS n_id, centroid_id FROM scored WHERE rk = 1),
+      queries AS (SELECT vec_id AS q_id, v AS vq, nrm AS nq
+                  FROM nrm WHERE vec_id % 97 = 0),
+      probes AS (
+        SELECT q_id, centroid_id FROM (
+          SELECT q.q_id, c.centroid_id,
+            row_number() OVER (PARTITION BY q.q_id
+                               ORDER BY round(list_dot_product(q.vq, c.cv) / (q.nq * c.cn), 4) DESC,
+                                        c.centroid_id) AS pr
+          FROM queries q, cents c)
+        WHERE pr <= 2),
+      rer AS (
+        SELECT p.q_id, a.n_id, a.centroid_id,
+          round(list_dot_product(q.vq, n.v) / (q.nq * n.nrm), 4) AS cosine
+        FROM probes p
+        JOIN assigned a USING (centroid_id)
+        JOIN queries q ON p.q_id = q.q_id
+        JOIN nrm n ON a.n_id = n.vec_id
+        WHERE a.n_id <> p.q_id)
+      SELECT q_id,
+        CAST(row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, n_id) AS BIGINT) AS rank,
+        n_id, centroid_id, cosine
+      FROM rer QUALIFY rank <= 5 ORDER BY q_id, rank"""))
+
+  // ---------------------------------------------------------------- q67
+  // Deterministic train/val/test split: md5-derived bucket per doc_id —
+  // reproducible across runs/engines/partitioning (no RNG), the split
+  // assignment every training pipeline needs. Narrow per-row.
+  private val q67 = Q(
+    "q67_train_split",
+    (s, d) => {
+      graft.ext.Sampling.hashSplit(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q68
+  // Context-window packing (budget 512 tokens): per-SHARD cumulative
+  // token offsets → bin + in-bin offset. Shard-local window — the
+  // global-order variant would serialize the corpus through one task.
+  private val q68 = Q(
+    "q68_pack_sequences",
+    (s, d) => {
+      graft.ext.Sampling.packSequences(Tables.documents(s, d), budget = 512)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT source, doc_id, n_tokens,
+        CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+        CAST(cum - n_tokens - ((cum - n_tokens) // 512) * 512 AS BIGINT) AS offset_in_bin
+      FROM c ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q69
+  // Stopword/boilerplate scrub: word-boundary regex removal + whitespace
+  // squeeze, with before/after token counts — the cleaning pass of the
+  // pipeline. regexp_replace is byte-identical across engines (DuckDB
+  // needs the 'g' flag to match Spark's replace-all).
+  private val q69 = Q(
+    "q69_stopword_scrub",
+    (s, d) => {
+      graft.ext.TextStats.scrub(Tables.documents(s, d),
+          stopwords = Seq("the", "a", "value", "data"))
+        .select(col("doc_id"), col("n_words_before"), col("n_words_after"),
+          substring(col("cleaned"), 1, 60).as("cleaned_head"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH s AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words_before,
+          trim(regexp_replace(regexp_replace(text, '\b(the|a|value|data)\b', '', 'g'),
+               ' +', ' ', 'g')) AS cleaned
+        FROM documents)
+      SELECT doc_id, n_words_before,
+        CAST(len(string_split(cleaned, ' ')) AS BIGINT) AS n_words_after,
+        substr(cleaned, 1, 60) AS cleaned_head
+      FROM s ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 }

@@ -95,7 +95,9 @@ class PlanSpec extends SparkSpec {
       "q58_token_count" -> 1, "q59_fingerprint" -> 3,
       "q60_binary_meta" -> 2, "q61_simhash" -> 2,
       "q62_ann_ivf_assign" -> 3, "q63_dedup_embedding" -> 1,
-      "q64_tfidf_topk" -> 7, "q65_dedup_clusters" -> 1)
+      "q64_tfidf_topk" -> 7, "q65_dedup_clusters" -> 1,
+      "q66_ivf_topk" -> 4, "q67_train_split" -> 1,
+      "q68_pack_sequences" -> 2, "q69_stopword_scrub" -> 1)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

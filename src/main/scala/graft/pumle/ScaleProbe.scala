@@ -72,6 +72,40 @@ object ScaleProbe {
     val secs2 = (System.nanoTime() - t2) / 1e9
     println(f"[probe] dedup: $nDocs%d docs → $cands candidate pairs in $secs2%.1fs " +
       f"= ${nDocs / secs2 / 1000}%.0fk docs/s")
+
+    // sampling/packing at volume: 1M docs through deterministic split +
+    // per-shard context-window packing (narrow + shard-local window)
+    val nDocs3 = 1000000
+    val docs3 = spark.range(nDocs3).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(64))).as("source"),
+      concat_ws(" ", (0 until 12).map(w =>
+        concat(lit(s"t$w"), pmod(col("id") + w, lit(4093)))): _*).as("text"))
+    val t3 = System.nanoTime()
+    val packed = graft.ext.Sampling.packSequences(
+      graft.ext.Sampling.hashSplit(docs3).filter(col("split") === "train"),
+      budget = 2048)
+    val nBins = packed.agg(countDistinct(col("source"), col("bin"))).head().getLong(0)
+    val secs3 = (System.nanoTime() - t3) / 1e9
+    println(f"[probe] split+pack: $nDocs3%d docs → $nBins bins in $secs3%.1fs " +
+      f"= ${nDocs3 / secs3 / 1000}%.0fk docs/s")
+
+    // ANN at volume: 100k×64-dim vectors, 100 centroids, ~100 queries
+    // through the full IVF probe+rerank path (corpus never shuffled)
+    val nVec = 100000
+    val emb = spark.range(nVec).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), d ->
+              | CAST(CAST(pmod(id * (d + 7919), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))"""
+        .stripMargin).as("embedding"))
+    val t4 = System.nanoTime()
+    val topk = graft.ext.Similarity.ivfTopK(spark, emb,
+      centroidPred = col("vec_id") % 1000 === 0,
+      queryPred = col("vec_id") % 997 === 0,
+      nProbe = 4, k = 10).count()
+    val secs4 = (System.nanoTime() - t4) / 1e9
+    println(f"[probe] ann ivf: $nVec%d vecs, ~100 queries → $topk results " +
+      f"in $secs4%.1fs = ${nVec / secs4 / 1000}%.0fk vecs/s assign+probe+rerank")
     spark.stop()
   }
 }

@@ -77,10 +77,12 @@ object Dedup {
   /** Connected components over candidate pairs → dedup clusters:
     * every doc labeled with the smallest doc_id reachable through the
     * near-dup graph (the canonical survivor). Iterative min-label
-    * propagation — each round is one shuffle on the (sparse, capped)
-    * candidate graph; rounds needed = graph diameter, which LSH
-    * candidate graphs keep tiny. Converges by fixpoint check, capped
-    * at `maxIter`. */
+    * propagation — each hop is one shuffle join on the (sparse, capped)
+    * candidate graph, and TWO hops run inside each materialized round
+    * (one plan, one checkpoint, one fixpoint-check job) — distance 2
+    * per round, halving the per-round job overhead that dominates on
+    * the tiny diameters LSH candidate graphs produce. Converges by
+    * fixpoint check, capped at `maxIter` rounds (= 2·maxIter hops). */
   def clusters(spark: SparkSession, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint truncates lineage each round — without it the
     // plan tree grows exponentially across iterations (OOM at planning
@@ -93,17 +95,19 @@ object Dedup {
       .distinct()
       .withColumn("cluster_id", col("node"))
       .localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
+    def hop(l: DataFrame): DataFrame = {
       val viaNeighbors = edges
-        .join(labels, edges("b_id") === labels("node"))
+        .join(l, edges("b_id") === l("node"))
         .select(col("a_id").as("node"), col("cluster_id"))
-      val next = labels.select(col("node"), col("cluster_id"))
+      l.select(col("node"), col("cluster_id"))
         .unionAll(viaNeighbors)
         .groupBy(col("node"))
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+    }
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = hop(hop(labels)).localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("node"))
         .filter(col("cluster_id") =!= col("old")).count()
       labels = next

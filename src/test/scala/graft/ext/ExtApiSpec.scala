@@ -94,6 +94,54 @@ class ExtApiSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("hashSplit is deterministic and near the requested percentages") {
+    val big = spark.range(1000).selectExpr("id AS doc_id")
+    val counts = Sampling.hashSplit(big).groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000)
+    assert(counts("train") > 700 && counts("train") < 900) // ~80%
+    val a = Sampling.hashSplit(big).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(big.repartition(7)).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b) // partitioning-independent assignment
+  }
+
+  test("packSequences bins by cumulative token offset within a shard") {
+    import spark.implicits._
+    val d = Seq((1L, "s", "a b c"), (2L, "s", "d e"),
+      (3L, "s", "f g h i"), (4L, "s", "j"), (9L, "z", "k l m"))
+      .toDF("doc_id", "source", "text")
+    val p = Sampling.packSequences(d, budget = 5).orderBy("doc_id").collect()
+    // shard s tokens: 3,2,4,1 → cum-before 0,3,5,9 → bins 0,0,1,1
+    assert(p.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 0L, 1L, 1L, 0L))
+    assert(p.map(_.getAs[Long]("offset_in_bin")).toSeq == Seq(0L, 3L, 0L, 4L, 0L))
+  }
+
+  test("ivfTopK with every cell probed equals the exact baseline") {
+    import spark.implicits._
+    val emb = Seq.tabulate(12)(i =>
+      (i.toLong, Array.tabulate(4)(dd => ((i * (dd + 3)) % 7 - 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qp = col("vec_id") === 5
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "n_id", "cosine").collect().map(_.toSeq).toSeq
+    val exact = rows(Similarity.cosineTopK(spark, emb, qp, k = 3))
+    // 2 centroids (0, 6), nProbe=2 → candidate set is the whole corpus
+    val ivf = rows(Similarity.ivfTopK(spark, emb,
+      col("vec_id") % 6 === 0, qp, nProbe = 2, k = 3))
+    assert(ivf == exact)
+  }
+
+  test("scrub removes whole words only and squeezes whitespace") {
+    import spark.implicits._
+    val d = Seq((1L, "a cat sat on a mat")).toDF("doc_id", "text")
+    val r = TextStats.scrub(d, Seq("a")).head()
+    assert(r.getAs[String]("cleaned") == "cat sat on mat") // 'mat' keeps its a
+    assert(r.getAs[Long]("n_words_before") == 6L)
+    assert(r.getAs[Long]("n_words_after") == 4L)
+  }
+
   test("langScore tie-break follows marker order") {
     import spark.implicits._
     val d = Seq((1L, "x y z")).toDF("doc_id", "text") // all scores 0 → tie

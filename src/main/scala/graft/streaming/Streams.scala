@@ -74,6 +74,28 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicates(idCol, "ts")
 
+  /** Streaming training-data intake: new documents flow through
+    * content-hash dedup (watermark-bounded state), the quality gate,
+    * and the deterministic hash split — one pass, exactly once. The
+    * batch operators compose unchanged onto the stream because they are
+    * narrow per-row transforms (Catalyst doesn't care that the source
+    * is incremental); only the dedup carries state, and its store is
+    * bounded by the watermark horizon. Returns the gated, split-labeled
+    * stream for the caller to route (e.g. writeStream partitionBy
+    * "split"). `docs` needs (doc_id, text, ts). */
+  def docIntake(docs: DataFrame, stopwords: Seq[String],
+      minQuality: Double, watermark: String = "10 minutes"): DataFrame = {
+    val deduped = docs
+      .withWatermark("ts", watermark)
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash", "ts")
+    graft.ext.Sampling.hashSplit(
+        graft.ext.TextStats.quality(deduped, stopwords)
+          .filter(col("quality") >= minQuality))
+      .select(col("doc_id"), col("ts"), col("content_hash"),
+        col("quality"), col("bucket"), col("split"))
+  }
+
   final case class SimEvent(sim_hash: String, status: String, seq: Long)
   final case class SimState(sim_hash: String, status: String, transitions: Long)
 

@@ -83,6 +83,31 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("docIntake: streaming dedup + quality gate + split, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val gated = Streams.docIntake(docs, stopwords = Seq("the", "a"),
+      minQuality = 0.2)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("intake").start()
+    val t = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    mem.addData(
+      (1L, good, t),
+      (2L, good, t),          // exact dup of 1 → dropped by content hash
+      (3L, "zzz!!!???...", t), // punct-heavy, no stopwords → low quality
+      (4L, good + " varied", t))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT doc_id, split FROM intake ORDER BY doc_id").collect()
+    assert(rows.length == 2) // dup dropped, low-quality gated
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 4L) ||
+      rows.map(_.getLong(0)).toSeq == Seq(2L, 4L)) // either copy survives
+    assert(rows.forall(r => Set("train", "val", "test")(r.getString(1))))
+    q.stop()
+  }
+
   test("mapGroupsWithState applies the status machine, ignoring illegal jumps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline drive over the testdata corpus:
+  * scrub → exact + near-dup dedup (minhash-LSH → clusters) → quality +
+  * language scoring → deterministic split → context-window packing →
+  * TF-IDF vocabulary — the document half; embeddings go through IVF
+  * assignment + full probe/rerank search. One narrow pass per stage,
+  * survivors carried by id (broadcast semi-joins), no driver loops.
+  *
+  * Run: sbt "runMain graft.ext.ExtDemo [sfDir]"
+  */
+object ExtDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n0 = docs.count()
+
+    // 1. scrub boilerplate, then exact dedup on the CLEANED text
+    val cleaned = TextStats.scrub(docs, Seq("the", "a"))
+      .select(col("doc_id"), col("source"), col("cleaned").as("text"))
+    val exactKeep = Dedup.exact(cleaned).select(col("keep_id").as("doc_id"))
+    val afterExact = cleaned.join(broadcast(exactKeep), Seq("doc_id"))
+    val n1 = afterExact.count()
+
+    // 2. near-dup: LSH candidates → connected components → keep cluster min
+    val pairs = Dedup.lshCandidates(spark, afterExact)
+    val clusters = Dedup.clusters(spark, pairs)
+    val dropNearDups = clusters.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"))
+    val deduped = afterExact.join(broadcast(dropNearDups), Seq("doc_id"), "left_anti")
+    val n2 = deduped.count()
+
+    // 3. quality gate + split + packing
+    val gated = TextStats.quality(deduped, Seq("and", "of", "to"))
+      .filter(col("n_words") >= 10)
+    val split = Sampling.hashSplit(gated)
+    val packed = Sampling.packSequences(
+      split.filter(col("split") === "train"), budget = 512)
+    val splitCounts = split.groupBy("split").count().orderBy("split").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    val nBins = packed.agg(countDistinct(col("source"), col("bin"))).head().getLong(0)
+
+    // 4. corpus vocabulary: TF-IDF top terms over the surviving train set
+    val vocab = TextStats.tfidfTopK(
+        split.filter(col("split") === "train"), k = 1)
+      .groupBy(col("term")).agg(count(lit(1)).as("n_docs_top"))
+      .orderBy(col("n_docs_top").desc, col("term")).limit(5)
+      .collect().map(r => s"${r.getString(0)}(${r.getLong(1)})").mkString(" ")
+
+    println(s"[ext-demo] docs: $n0 → exact-dedup $n1 → near-dup $n2; " +
+      s"splits: $splitCounts; train bins(512 tok): $nBins")
+    println(s"[ext-demo] top tf-idf head terms: $vocab")
+
+    // 5. embeddings: IVF assign + full search for a query sample
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cells = Similarity.ivfAssign(spark, emb, col("vec_id") % 50 === 0)
+      .groupBy(col("centroid_id")).count()
+    val stats = cells.agg(min("count"), max("count"), count(lit(1))).head()
+    val hits = Similarity.ivfTopK(spark, emb,
+      centroidPred = col("vec_id") % 50 === 0,
+      queryPred = col("vec_id") % 97 === 0, nProbe = 2, k = 5)
+    println(s"[ext-demo] ivf: ${stats.getLong(2)} cells " +
+      s"(size ${stats.getLong(0)}..${stats.getLong(1)}); " +
+      s"search hits: ${hits.count()} for ${hits.select("q_id").distinct().count()} queries")
+    println("[ext-demo] OK")
+    spark.stop()
+  }
+}

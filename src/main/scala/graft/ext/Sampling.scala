@@ -29,6 +29,23 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Deterministic per-stratum sample: the k docs with the smallest
+    * md5 id-hash per stratum — a uniform sample without RNG. Stable
+    * under reruns AND corpus growth: a doc's hash never changes, so the
+    * sample only shifts where membership actually changes (the property
+    * rand()-based sampling lacks). Per-stratum window; k is small by
+    * contract, stratum count is the parallelism. */
+  def stratifiedSample(docs: DataFrame, k: Int, stratumCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("h"), col(idCol))
+    docs
+      .withColumn("h",
+        conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("h")
+  }
+
   /** Context-window packing: docs in id order within a shard, each
     * assigned the bin its cumulative token offset falls in
     * (bin = tokens_before DIV budget) plus its offset inside that bin —

@@ -633,6 +633,25 @@ object ExtQueries {
         substr(cleaned, 1, 60) AS cleaned_head
       FROM s ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q70
+  // Deterministic per-stratum sample: k smallest md5 id-hashes per
+  // source — uniform without RNG, stable under corpus growth (a doc's
+  // hash never changes). The downsampling primitive for eval sets.
+  private val q70 = Q(
+    "q70_stratified_sample",
+    (s, d) => {
+      graft.ext.Sampling.stratifiedSample(Tables.documents(s, d), k = 5)
+        .select(col("doc_id"), col("source"), col("sample_rank"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""WITH h AS (
+        SELECT doc_id, source,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents)
+      SELECT doc_id, source,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS sample_rank
+      FROM h QUALIFY sample_rank <= 5 ORDER BY source, doc_id"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
 }

@@ -101,12 +101,21 @@ object TextStats {
     * per-row regex; the pattern is a broadcast-free literal. */
   def scrub(docs: DataFrame, stopwords: Seq[String],
       textCol: String = "text"): DataFrame = {
+    // words interpolate into a regex alternation: restrict to word
+    // characters so no metacharacter can corrupt the pattern (and \b
+    // next to punctuation would be ill-defined anyway)
+    require(stopwords.nonEmpty && stopwords.forall(_.matches("[A-Za-z0-9_]+")),
+      s"stopwords must be non-empty word tokens, got $stopwords")
     val pat = s"\\b(${stopwords.mkString("|")})\\b"
     docs
       .withColumn("n_words_before", size(split(col(textCol), " ")).cast("long"))
       .withColumn("cleaned",
         trim(regexp_replace(regexp_replace(col(textCol), pat, ""), " +", " ")))
-      .withColumn("n_words_after", size(split(col("cleaned"), " ")).cast("long"))
+      // a fully-scrubbed doc has 0 surviving words, not 1 (split of the
+      // empty string yields one empty token on every engine)
+      .withColumn("n_words_after",
+        when(col("cleaned") === "", lit(0L))
+          .otherwise(size(split(col("cleaned"), " ")).cast("long")))
   }
 
   /** Winnowing-style min-shingle + order-insensitive xor fingerprints.

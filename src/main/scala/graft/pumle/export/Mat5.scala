@@ -102,8 +102,8 @@ object Mat5 {
     element(miMATRIX, body)
   }
 
-  /** Full MAT-file: 128-byte header + one struct variable per section. */
-  def fileBytes(vars: Seq[(String, Seq[(String, Any)])]): Array[Byte] = {
+  /** 128-byte MAT-5 file header (shared by both file layouts). */
+  private def fileHeader(): Array[Byte] = {
     val header = new Array[Byte](128)
     val desc = "MATLAB 5.0 MAT-file, Platform: GRAFT, Created by: graft.pumle"
       .getBytes("ASCII")
@@ -112,22 +112,18 @@ object Mat5 {
     val tail = ByteBuffer.wrap(header, 124, 4).order(ByteOrder.LITTLE_ENDIAN)
     tail.putShort(0x0100.toShort) // version
     tail.put('I'.toByte).put('M'.toByte) // endian indicator
-    header ++ vars.flatMap { case (n, fs) => structBytes(n, fs) }
+    header
   }
+
+  /** Full MAT-file: 128-byte header + one struct variable per section. */
+  def fileBytes(vars: Seq[(String, Seq[(String, Any)])]): Array[Byte] =
+    fileHeader() ++ vars.flatMap { case (n, fs) => structBytes(n, fs) }
 
   /** scipy-savemat layout: one top-level named variable per param
     * (mat_files.py:152 — `savemat(str(mat_file), content)` where
     * `content` is the section's param dict, key order preserved). */
   def fileBytesVars(vars: Seq[(String, Any)]): Array[Byte] = {
-    val header = new Array[Byte](128)
-    val desc = "MATLAB 5.0 MAT-file, Platform: GRAFT, Created by: graft.pumle"
-      .getBytes("ASCII")
-    System.arraycopy(desc, 0, header, 0, math.min(desc.length, 116))
-    java.util.Arrays.fill(header, desc.length, 116, ' '.toByte)
-    val tail = ByteBuffer.wrap(header, 124, 4).order(ByteOrder.LITTLE_ENDIAN)
-    tail.putShort(0x0100.toShort)
-    tail.put('I'.toByte).put('M'.toByte)
-    header ++ vars.flatMap {
+    fileHeader() ++ vars.flatMap {
       case (n, v: Double)  => doubleMatrix(n, v)
       case (n, v: Int)     => doubleMatrix(n, v.toDouble)
       case (n, v: Boolean) => doubleMatrix(n, if (v) 1.0 else 0.0)

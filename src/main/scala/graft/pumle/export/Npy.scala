@@ -84,20 +84,27 @@ object Npy {
     val ranges = (0 until nSplits)
       .map(s => (n * s / nSplits, n * (s + 1) / nSplits))
       .filter { case (lo, hi) => hi > lo }
-    val blockElems = 1 << 20 // 8 MiB per seek-read
+    val blockElems = 1 << 20 // 8 MiB read buffer
+    // the driver's Hadoop conf (incl. spark.hadoop.* overrides — s3a
+    // credentials, HA namenodes) rides into the closure as k/v pairs
+    val confEntries = HadoopConfShip.entries(spark.sparkContext.hadoopConfiguration)
     val df = spark.createDataset(ranges)
       .repartition(ranges.length)
       .mapPartitions { it =>
+        lazy val conf = HadoopConfShip.rebuild(confEntries)
         it.flatMap { case (lo, hi) =>
+          // ONE open + seek per range; blocks read sequentially into a
+          // bounded buffer (a 1 GB range is 1 open, not 128)
+          val hp2 = new HPath(path)
+          val in = hp2.getFileSystem(conf).open(hp2)
+          in.seek(dataOff + lo * 8)
           (lo until hi by blockElems).iterator.flatMap { b0 =>
             val bEnd = math.min(b0 + blockElems, hi)
-            val hp2 = new HPath(path)
-            val fs2 = hp2.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            val in = fs2.open(hp2)
             val buf = new Array[Byte](((bEnd - b0) * 8).toInt)
-            try { in.seek(dataOff + b0 * 8); in.readFully(buf) } finally in.close()
+            in.readFully(buf)
+            if (bEnd == hi) in.close()
             val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-            (b0 until bEnd).map(i => (i, bb.getDouble))
+            (b0 until bEnd).iterator.map(i => (i, bb.getDouble))
           }
         }
       }

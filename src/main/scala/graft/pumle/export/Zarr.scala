@@ -88,17 +88,21 @@ object Zarr {
     val ncells = shape(0) * shape(1) * shape(2)
     val chunkNames = fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.matches("0\\.0\\.0\\.[0-9]+")).toSeq.sorted
+    // driver Hadoop conf shipped to tasks (see HadoopConfShip)
+    val confEntries = HadoopConfShip.entries(spark.sparkContext.hadoopConfiguration)
     spark.createDataset(chunkNames)
       .repartition(chunkNames.length)
       .mapPartitions { it =>
+        lazy val conf = HadoopConfShip.rebuild(confEntries)
         it.flatMap { name =>
           val t = name.substring(name.lastIndexOf('.') + 1).toInt
           val hp = new HPath(s"$path/$name")
-          val fs2 = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          val in = fs2.open(hp)
+          val in = hp.getFileSystem(conf).open(hp)
           val bytes = try in.readAllBytes() finally in.close()
           val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-          (0 until ncells).map(c => (t, c, buf.getDouble(c * 8)))
+          // stream rows off the byte buffer — only the raw chunk stays
+          // resident, not a boxed tuple per cell
+          (0 until ncells).iterator.map(c => (t, c, buf.getDouble(c * 8)))
         }
       }
       .toDF("t", "cell_idx", "value")

@@ -629,7 +629,8 @@ object ExtQueries {
                ' +', ' ', 'g')) AS cleaned
         FROM documents)
       SELECT doc_id, n_words_before,
-        CAST(len(string_split(cleaned, ' ')) AS BIGINT) AS n_words_after,
+        CASE WHEN cleaned = '' THEN 0
+             ELSE CAST(len(string_split(cleaned, ' ')) AS BIGINT) END AS n_words_after,
         substr(cleaned, 1, 60) AS cleaned_head
       FROM s ORDER BY doc_id"""))
 

@@ -115,6 +115,12 @@ object PhysicsQueries {
         .withColumn("n_rem", floor(col("dt_left") / col("dt0")))
       val rampSteps = ramp.select(col("sim_id"), lit(1L).as("control"),
         col("j").cast("long").as("step"), round(col("dt"), 9).as("dt"))
+      // INVARIANT: the 0..63 enumeration must exceed max n_rem =
+      // floor(max inj_time / min dt0) = floor(3.0/0.5) = 6 for this
+      // data shape (10× margin; the oracle shares the same bound, so a
+      // shape change that overflows it would truncate BOTH sides
+      // silently — keep them in lockstep). Physics.schedule, the
+      // driver-side form, is uncapped.
       val remSteps = base
         .withColumn("k", explode(sequence(lit(0L), lit(63L))))
         .filter(col("k") < col("n_rem"))

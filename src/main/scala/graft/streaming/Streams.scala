@@ -67,12 +67,15 @@ object Streams {
 
   /** Watermarked streaming dedup: exactly-once events by id within the
     * watermark horizon (the streaming form of the engine's dedup
-    * primitive — state for ids older than the watermark is dropped, so
-    * memory is bounded at any throughput). */
+    * primitive). `dropDuplicatesWithinWatermark` keys state by ID ONLY
+    * — a duplicate arriving at a different event time is still dropped
+    * (a `(id, ts)` composite key would only catch same-timestamp
+    * duplicates) — and expires state past the horizon, so memory is
+    * bounded at any throughput. */
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates(idCol, "ts")
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** Streaming training-data intake: new documents flow through
     * content-hash dedup (watermark-bounded state), the quality gate,
@@ -88,7 +91,9 @@ object Streams {
     val deduped = docs
       .withWatermark("ts", watermark)
       .withColumn("content_hash", md5(col("text")))
-      .dropDuplicates("content_hash", "ts")
+      // keyed by content hash alone: identical text at a DIFFERENT
+      // event time is still a duplicate; state expires at the horizon
+      .dropDuplicatesWithinWatermark("content_hash")
     graft.ext.Sampling.hashSplit(
         graft.ext.TextStats.quality(deduped, stopwords)
           .filter(col("quality") >= minQuality))

@@ -76,7 +76,9 @@ class StreamsSpec extends SparkSpec {
     val q = Streams.dedupEvents(events)
       .writeStream.outputMode("append").format("memory").queryName("deduped").start()
     val t = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
-    mem.addData((1L, t, 1.0), (1L, t, 1.0), (2L, t, 2.0), (2L, t, 2.0), (3L, t, 3.0))
+    val t2 = java.sql.Timestamp.valueOf("2026-01-01 10:00:01")
+    // id 1 duplicates at a DIFFERENT event time — must still dedup
+    mem.addData((1L, t, 1.0), (1L, t2, 1.0), (2L, t, 2.0), (2L, t, 2.0), (3L, t, 3.0))
     q.processAllAvailable()
     val n = spark.sql("SELECT count(*) FROM deduped").head().getLong(0)
     assert(n == 3)
@@ -93,10 +95,11 @@ class StreamsSpec extends SparkSpec {
     val q = gated.writeStream.outputMode("append")
       .format("memory").queryName("intake").start()
     val t = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-01 10:00:07")
     val good = "the quick brown fox jumps over the lazy dog again and again"
     mem.addData(
       (1L, good, t),
-      (2L, good, t),          // exact dup of 1 → dropped by content hash
+      (2L, good, t2),         // same content, LATER ts → still a dup
       (3L, "zzz!!!???...", t), // punct-heavy, no stopwords → low quality
       (4L, good + " varied", t))
     q.processAllAvailable()

@@ -16,6 +16,7 @@ object Bench {
     // a WARN per call in round 1, polluting the driver's stdout parse.
     graft.functions.MinHash48.register(spark)
     graft.functions.Dot64.register(spark)
+    graft.functions.SimHash16.register(spark)
     // Warm up the JVM/codegen/parquet-footer paths so the first measured
     // query doesn't absorb session start-up cost.
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -117,13 +117,22 @@ object Dedup {
     labels
   }
 
-  /** 16-bit SimHash per document over whitespace words: per-word hash
-    * bits vote ±1 per position, simhash bit = majority sign. ONE
-    * aggregate with 16 partial-aggregable vote sums — no per-bit row
-    * explode (the 16× amplification + second shuffle of the naive
-    * form), so the only shuffle is the doc-keyed groupBy with map-side
-    * combine. */
+  /** 16-bit SimHash per document over whitespace words, via the custom
+    * codegen'd `simhash16` expression (graft.functions.SimHash16): the
+    * hash is a pure per-row function of the text, so the plan is fully
+    * NARROW — no word explode, no vote aggregate, no shuffle at all.
+    * Bit-identical to the relational form (kept below for the
+    * equivalence spec and as the oracle's shape). */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.SimHash16.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"), expr(s"simhash16($textCol)").as("simhash"))
+  }
+
+  /** Relational SimHash (explode words → one aggregate with 16
+    * partial-aggregable vote sums) — the formulation the DuckDB oracle
+    * mirrors; pinned equal to the expression form by ExtApiSpec. */
+  def simhashRelational(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     val words = docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))

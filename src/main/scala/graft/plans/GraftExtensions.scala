@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Dot64, MinHash48}
+import graft.functions.{Dot64, MinHash48, SimHash16}
 
 /** SparkSessionExtensions injector — the engine's permanent extension
   * wiring. Users enable it with
@@ -16,7 +16,9 @@ import graft.functions.{Dot64, MinHash48}
   *  - `minhash48(text)` → array<long>: per-row MinHash signature
   *    (graft.functions.MinHash48);
   *  - `dot64(a, b)` → double: codegen'd array dot product
-  *    (graft.functions.Dot64).
+  *    (graft.functions.Dot64);
+  *  - `simhash16(text)` → bigint: per-row 16-bit SimHash
+  *    (graft.functions.SimHash16).
   *
   * No custom Rule[LogicalPlan] or SparkStrategy is injected: SURVEY §4
   * concluded Catalyst's built-in optimizations cover the reference's
@@ -34,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot64"),
       new ExpressionInfo(classOf[Dot64].getName, "dot64"),
       (children: Seq[Expression]) => Dot64.builder(children)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (children: Seq[Expression]) => SimHash16(children.head)))
   }
 }

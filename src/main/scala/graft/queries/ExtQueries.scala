@@ -362,7 +362,9 @@ object ExtQueries {
 
   // ---------------------------------------------------------------- q61
   // SimHash (16-bit): per-word md5 bits vote ±1 per position; simhash
-  // bit = majority sign. Narrow explode + one aggregate per doc.
+  // bit = majority sign. Computed by the custom simhash16 expression —
+  // fully narrow, zero row amplification; the oracle mirrors the
+  // equivalent relational form.
   private val q61 = Q(
     "q61_simhash",
     (s, d) => {

@@ -52,6 +52,18 @@ class ExtApiSpec extends SparkSpec {
     assert(popcount(h(1L) ^ h(2L)) < popcount(h(1L) ^ h(3L)))
   }
 
+  test("simhash16 expression is bit-identical to the relational form") {
+    import spark.implicits._
+    val tricky = docs.unionAll(Seq(
+      (100L, ""), (101L, "a  b"), (102L, "trailing space "), (103L, "é ü 漢字"))
+      .toDF("doc_id", "text"))
+    val e = Dedup.simhash(tricky).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rel = Dedup.simhashRelational(tricky).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(e == rel)
+  }
+
   test("cosineTopK with k=1 returns each query's single best neighbor") {
     import spark.implicits._
     val emb = Seq(

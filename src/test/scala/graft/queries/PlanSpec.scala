@@ -63,10 +63,12 @@ class PlanSpec extends SparkSpec {
       s"df computed via window over word partitions:\n$p")
   }
 
-  test("q61: simhash is one aggregate — no per-bit explode, single word Generate") {
+  test("q61: simhash16 expression keeps the plan fully narrow") {
     val p = planOf("q61_simhash")
-    assert("Generate".r.findAllIn(p).length == 1, p) // word split only
-    assert(p.contains("partial_sum"), p)             // map-side vote combine
+    assert(p.contains("simhash16"), p)
+    assert(!p.contains("Generate"), p)      // no word explode
+    assert(!p.contains("HashAggregate"), p) // no vote aggregate
+    assert("Exchange".r.findAllIn(p).length <= 1, p) // only the orderBy
   }
 
   test("shuffle-count budget per query (PlanAudit in CI — regressions fail here)") {
@@ -93,7 +95,7 @@ class PlanSpec extends SparkSpec {
       "q54_cosine_topk" -> 2, "q55_ann_lsh_buckets" -> 3,
       "q56_lang_score" -> 1, "q57_quality_score" -> 1,
       "q58_token_count" -> 1, "q59_fingerprint" -> 3,
-      "q60_binary_meta" -> 2, "q61_simhash" -> 2,
+      "q60_binary_meta" -> 2, "q61_simhash" -> 1,
       "q62_ann_ivf_assign" -> 3, "q63_dedup_embedding" -> 1,
       "q64_tfidf_topk" -> 7, "q65_dedup_clusters" -> 1,
       "q66_ivf_topk" -> 4, "q67_train_split" -> 1,

@@ -17,6 +17,7 @@ object Bench {
     graft.functions.MinHash48.register(spark)
     graft.functions.Dot64.register(spark)
     graft.functions.SimHash16.register(spark)
+    graft.functions.XorFp48.register(spark)
     // Warm up the JVM/codegen/parquet-footer paths so the first measured
     // query doesn't absorb session start-up cost.
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -119,18 +119,17 @@ object TextStats {
   }
 
   /** Winnowing-style min-shingle + order-insensitive xor fingerprints.
-    * The min-shingle fingerprint is minhash48's salt-0 lane (min 48-bit
-    * shingle hash) — a pure per-row expression, no shingle explode. */
+    * Both are pure per-row expressions — minhash48's salt-0 lane for
+    * the min shingle hash, xorfp48 for the distinct-word xor — so the
+    * whole operator is one narrow select: no explode, no DISTINCT
+    * shuffle, no aggregate, no join (the relational xor form is kept in
+    * the DuckDB oracle and pinned equal by spec). */
   def fingerprints(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.MinHash48.register(spark)
-    val minSh = docs.select(col(idCol).as("doc_id"),
-      expr(s"element_at(minhash48($textCol), 1)").as("fp_min_shingle"))
-    val xorFp = docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
-      .distinct()
-      .groupBy(col("doc_id"))
-      .agg(expr("bit_xor(CAST(conv(substr(md5(w), 1, 12), 16, 10) AS BIGINT))").as("fp_xor"))
-    minSh.join(xorFp, Seq("doc_id"))
+    graft.functions.XorFp48.register(spark)
+    docs.select(col(idCol).as("doc_id"),
+      expr(s"element_at(minhash48($textCol), 1)").as("fp_min_shingle"),
+      expr(s"xorfp48($textCol)").as("fp_xor"))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Dot64, MinHash48, SimHash16}
+import graft.functions.{Dot64, MinHash48, SimHash16, XorFp48}
 
 /** SparkSessionExtensions injector — the engine's permanent extension
   * wiring. Users enable it with
@@ -18,7 +18,9 @@ import graft.functions.{Dot64, MinHash48, SimHash16}
   *  - `dot64(a, b)` → double: codegen'd array dot product
   *    (graft.functions.Dot64);
   *  - `simhash16(text)` → bigint: per-row 16-bit SimHash
-  *    (graft.functions.SimHash16).
+  *    (graft.functions.SimHash16);
+  *  - `xorfp48(text)` → bigint: per-row distinct-word xor fingerprint
+  *    (graft.functions.XorFp48).
   *
   * No custom Rule[LogicalPlan] or SparkStrategy is injected: SURVEY §4
   * concluded Catalyst's built-in optimizations cover the reference's
@@ -40,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (children: Seq[Expression]) => SimHash16(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("xorfp48"),
+      new ExpressionInfo(classOf[XorFp48].getName, "xorfp48"),
+      (children: Seq[Expression]) => XorFp48(children.head)))
   }
 }

@@ -154,6 +154,21 @@ class ExtApiSpec extends SparkSpec {
     assert(r.getAs[Long]("n_words_after") == 4L)
   }
 
+  test("xorfp48 expression matches the relational distinct-word xor") {
+    import spark.implicits._
+    val tricky = docs.unionAll(Seq(
+      (100L, ""), (101L, "a  b a"), (102L, "x x x"), (103L, "é ü 漢字 é"))
+      .toDF("doc_id", "text"))
+    val e = TextStats.fingerprints(spark, tricky).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("fp_xor"))).toSeq
+    val rel = tricky
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w")).distinct()
+      .groupBy("doc_id")
+      .agg(expr("bit_xor(CAST(conv(substr(md5(w), 1, 12), 16, 10) AS BIGINT))").as("fp_xor"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(e == rel)
+  }
+
   test("langScore tie-break follows marker order") {
     import spark.implicits._
     val d = Seq((1L, "x y z")).toDF("doc_id", "text") // all scores 0 → tie

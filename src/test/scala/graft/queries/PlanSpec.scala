@@ -63,6 +63,13 @@ class PlanSpec extends SparkSpec {
       s"df computed via window over word partitions:\n$p")
   }
 
+  test("q59: fingerprints are per-row expressions — fully narrow plan") {
+    val p = planOf("q59_fingerprint")
+    assert(p.contains("xorfp48") && p.contains("minhash48"), p)
+    assert(!p.contains("Generate"), p)      // no word explode / DISTINCT
+    assert(!p.contains("HashAggregate"), p) // no xor aggregate, no join
+  }
+
   test("q61: simhash16 expression keeps the plan fully narrow") {
     val p = planOf("q61_simhash")
     assert(p.contains("simhash16"), p)
@@ -94,7 +101,7 @@ class PlanSpec extends SparkSpec {
       "q52_lsh_candidates" -> 4, "q53_ngram_jaccard" -> 3,
       "q54_cosine_topk" -> 2, "q55_ann_lsh_buckets" -> 3,
       "q56_lang_score" -> 1, "q57_quality_score" -> 1,
-      "q58_token_count" -> 1, "q59_fingerprint" -> 3,
+      "q58_token_count" -> 1, "q59_fingerprint" -> 1,
       "q60_binary_meta" -> 2, "q61_simhash" -> 1,
       "q62_ann_ivf_assign" -> 3, "q63_dedup_embedding" -> 1,
       "q64_tfidf_topk" -> 7, "q65_dedup_clusters" -> 1,

@@ -95,6 +95,22 @@ object TextStats {
         col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Corpus bigram counts (collocations): adjacent word pairs per doc
+    * (array transform — no double explode), counted corpus-wide with
+    * map-side combine, top-k by count. The n-gram statistics pass of a
+    * training pipeline; trigram/4-gram variants are the same shape. */
+  def bigramCounts(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    docs
+      .select(expr(s"split($textCol, ' ')").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))""".stripMargin))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+
   /** Stopword/boilerplate scrub: remove a word set (word-boundary
     * regex), squeeze whitespace, report the token reduction — the
     * cleaning pass between quality scoring and tokenization. Narrow

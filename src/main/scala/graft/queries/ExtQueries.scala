@@ -655,6 +655,27 @@ object ExtQueries {
         CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS sample_rank
       FROM h QUALIFY sample_rank <= 5 ORDER BY source, doc_id"""))
 
+  // ---------------------------------------------------------------- q71
+  // Corpus bigram counts: adjacent-pair collocations, top-20 — n-gram
+  // statistics with a partial-aggregable groupBy (map-side combine
+  // collapses hot bigrams before the shuffle). Both engines index
+  // word lists 1-based; docs with <2 words are excluded on both sides.
+  private val q71 = Q(
+    "q71_bigram_counts",
+    (s, d) => {
+      graft.ext.TextStats.bigramCounts(Tables.documents(s, d), k = 20)
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      b AS (
+        SELECT ws[CAST(g.generate_series AS INT)] || ' ' ||
+               ws[CAST(g.generate_series AS INT) + 1] AS bigram
+        FROM w, generate_series(1, 4096) g
+        WHERE len(ws) >= 2 AND g.generate_series <= len(ws) - 1)
+      SELECT bigram, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY bigram
+      ORDER BY n DESC, bigram LIMIT 20"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
 }

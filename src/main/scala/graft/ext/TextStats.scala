@@ -95,21 +95,28 @@ object TextStats {
         col("tf"), col("df"), col("tfidf"))
   }
 
-  /** Corpus bigram counts (collocations): adjacent word pairs per doc
-    * (array transform — no double explode), counted corpus-wide with
-    * map-side combine, top-k by count. The n-gram statistics pass of a
-    * training pipeline; trigram/4-gram variants are the same shape. */
-  def bigramCounts(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+  /** Corpus n-gram counts (collocations): adjacent word n-tuples per
+    * doc built by one array transform (no n-way explode), counted
+    * corpus-wide with map-side combine, top-k by count — the n-gram
+    * statistics pass of a training pipeline. */
+  def ngramCounts(docs: DataFrame, n: Int, k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"ngram order must be >= 2, got $n")
+    val joined = (0 until n).map(o => s"element_at(ws, i + $o)")
+      .mkString("concat_ws(' ', ", ", ", ")")
     docs
       .select(expr(s"split($textCol, ' ')").as("ws"))
-      .filter(size(col("ws")) >= 2)
+      .filter(size(col("ws")) >= n)
       .select(explode(expr(
-        """transform(sequence(1, size(ws) - 1),
-          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))""".stripMargin))
-        .as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("bigram"))
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> $joined)")).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
       .limit(k)
+  }
+
+  /** Bigram specialization (the q71 oracle shape). */
+  def bigramCounts(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    ngramCounts(docs, 2, k, textCol).withColumnRenamed("ngram", "bigram")
 
   /** Stopword/boilerplate scrub: remove a word set (word-boundary
     * regex), squeeze whitespace, report the token reduction — the

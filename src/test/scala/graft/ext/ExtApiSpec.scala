@@ -169,6 +169,16 @@ class ExtApiSpec extends SparkSpec {
     assert(e == rel)
   }
 
+  test("ngramCounts generalizes: trigrams over a known text") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d"), (2L, "a b c")).toDF("doc_id", "text")
+    val tri = TextStats.ngramCounts(d, n = 3, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tri == Map("a b c" -> 2L, "b c d" -> 1L))
+    // docs shorter than n are excluded entirely
+    assert(TextStats.ngramCounts(d, n = 4, k = 10).count() == 1) // only doc 1
+  }
+
   test("langScore tie-break follows marker order") {
     import spark.implicits._
     val d = Seq((1L, "x y z")).toDF("doc_id", "text") // all scores 0 → tie

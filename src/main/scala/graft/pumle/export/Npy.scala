@@ -69,7 +69,8 @@ object Npy {
     * ever holds the whole array, so a 100 GB npy scans like any other
     * splittable source. Returns (df, shape, fortran). */
   def scan(spark: org.apache.spark.sql.SparkSession, path: String,
-      splits: Int = 0): (org.apache.spark.sql.DataFrame, Seq[Int], Boolean) = {
+      splits: Int = 0,
+      blockElems: Int = 1 << 20): (org.apache.spark.sql.DataFrame, Seq[Int], Boolean) = {
     import org.apache.hadoop.fs.{Path => HPath}
     import spark.implicits._
     val hp = new HPath(path)
@@ -84,7 +85,7 @@ object Npy {
     val ranges = (0 until nSplits)
       .map(s => (n * s / nSplits, n * (s + 1) / nSplits))
       .filter { case (lo, hi) => hi > lo }
-    val blockElems = 1 << 20 // 8 MiB read buffer
+    // blockElems (default 8 MiB of doubles) bounds per-read buffer size
     // the driver's Hadoop conf (incl. spark.hadoop.* overrides — s3a
     // credentials, HA namenodes) rides into the closure as k/v pairs
     val confEntries = HadoopConfShip.entries(spark.sparkContext.hadoopConfiguration)

@@ -113,6 +113,20 @@ class ExportSpec extends SparkSpec {
     assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((1, 1, 0, 0)))
   }
 
+  test("npy scan: multi-block ranges read sequentially without seek drift") {
+    // 1000 values, 4 range-splits, 64-element blocks → every range spans
+    // several blocks and block boundaries never align with range bounds
+    val data = Array.tabulate(1000)(_.toDouble * 1.5)
+    val p = java.nio.file.Files.createTempDirectory("npy-blocks")
+      .resolve("b.npy").toString
+    Npy.write(p, data, Seq(1000))
+    val (df, shape, _) = Npy.scan(spark, p, splits = 4, blockElems = 64)
+    assert(shape == Seq(1000))
+    val got = df.orderBy("idx").collect().map(_.getDouble(1))
+    assert(got.length == 1000)
+    assert(got.zipWithIndex.forall { case (v, i) => v == i * 1.5 })
+  }
+
   test("zarr distributed scan reads back what writeByTimestep wrote") {
     import spark.implicits._
     val rows = Seq((0, 0, 1.5), (0, 3, 2.5), (1, 1, 7.0)).toDF("t", "cell_idx", "value")

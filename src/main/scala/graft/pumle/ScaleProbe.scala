@@ -90,6 +90,20 @@ object ScaleProbe {
     println(f"[probe] split+pack: $nDocs3%d docs → $nBins bins in $secs3%.1fs " +
       f"= ${nDocs3 / secs3 / 1000}%.0fk docs/s")
 
+    // text sketches at volume: 1M docs through the per-row expression
+    // suite (simhash16 + xorfp48 + minhash48 lane 0) — fully narrow,
+    // md5-bound; this is the 100 TB text-dedup feature pass
+    val t5 = System.nanoTime()
+    graft.functions.SimHash16.register(spark)
+    graft.functions.XorFp48.register(spark)
+    graft.functions.MinHash48.register(spark)
+    val sk = docs3.selectExpr("doc_id", "simhash16(text) AS sh",
+      "xorfp48(text) AS fp", "element_at(minhash48(text), 1) AS msh")
+      .agg(countDistinct(col("sh")), countDistinct(col("fp"))).head()
+    val secs5 = (System.nanoTime() - t5) / 1e9
+    println(f"[probe] sketches: $nDocs3%d docs × 3 per-row exprs in $secs5%.1fs " +
+      f"= ${nDocs3 / secs5 / 1000}%.0fk docs/s (${sk.getLong(0)} simhash / ${sk.getLong(1)} fp values)")
+
     // ANN at volume: 100k×64-dim vectors, 100 centroids, ~100 queries
     // through the full IVF probe+rerank path (corpus never shuffled)
     val nVec = 100000

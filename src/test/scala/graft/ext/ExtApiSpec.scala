@@ -179,6 +179,22 @@ class ExtApiSpec extends SparkSpec {
     assert(TextStats.ngramCounts(d, n = 4, k = 10).count() == 1) // only doc 1
   }
 
+  test("kmeans converges onto two separated blobs from in-blob seeds") {
+    import spark.implicits._
+    // blob A around (0,0), blob B around (10,10); seeds 0 and 100 are
+    // each inside one blob
+    val pts = (0L to 4L).map(i => (i, Array(0.1f * i, 0.1f * i))) ++
+      (100L to 104L).map(i => (i, Array(10f + 0.1f * (i - 100), 10f + 0.1f * (i - 100))))
+    val emb = pts.toDF("vec_id", "embedding")
+    val out = Clustering.kmeans(spark, emb,
+        seedPred = col("vec_id").isin(0L, 100L), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(out(_) == 0L))
+    assert((100L to 104L).forall(out(_) == 100L))
+    // every point is assigned exactly once
+    assert(out.size == 10)
+  }
+
   test("langScore tie-break follows marker order") {
     import spark.implicits._
     val d = Seq((1L, "x y z")).toDF("doc_id", "text") // all scores 0 → tie

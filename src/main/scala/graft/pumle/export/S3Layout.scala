@@ -41,4 +41,33 @@ object S3Layout {
     FileUtil.copy(src, fs, dst, false, conf)
     dst.toString
   }
+
+  /** Download a published artifact back to a local file — the
+    * `download_file` analog (cloud_storage.py:148-175). */
+  def fetch(spark: org.apache.spark.sql.SparkSession, bucketRoot: String,
+      fileName: String, localPath: String): String = {
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new HPath(s"$bucketRoot/${goldenKey(fileName)}")
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(src), s"no such object: $src")
+    FileUtil.copy(fs, src, new java.io.File(localPath), false, conf)
+    localPath
+  }
+
+  /** List published artifacts under the consolidated prefix — the
+    * `list_files` analog (cloud_storage.py:177-199). Returns key paths
+    * relative to the bucket root. */
+  def list(spark: org.apache.spark.sql.SparkSession,
+      bucketRoot: String): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(s"$bucketRoot/consolidated")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val it = fs.listFiles(root, true)
+    val b = Seq.newBuilder[String]
+    val prefix = fs.makeQualified(new HPath(bucketRoot)).toString.stripSuffix("/") + "/"
+    while (it.hasNext) b += it.next().getPath.toString.stripPrefix(prefix)
+    b.result().sorted
+  }
 }

@@ -151,6 +151,13 @@ class ExportSpec extends SparkSpec {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(hp) && fs.getFileStatus(hp).getLen == 3)
     assert(S3Layout.uri("b", "x.npy") == "s3a://b/consolidated/x/x.npy")
+    // list + fetch complete the reference's CloudStorage surface
+    assert(S3Layout.list(spark, root) ==
+      Seq("consolidated/pressure_cfg/pressure_cfg.npy"))
+    val back = tmp.resolve("back.npy").toString
+    S3Layout.fetch(spark, root, "pressure_cfg.npy", back)
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(back)).sameElements(Array[Byte](1, 2, 3)))
   }
 
   test("zarr: one chunk per timestep written by parallel tasks, NaN fill") {

@@ -117,6 +117,25 @@ object Dedup {
     labels
   }
 
+  /** One-call corpus dedup: exact (content hash) then near-dup
+    * (minhash-LSH candidates → connected components), returning the
+    * surviving documents — each cluster keeps its smallest doc_id.
+    * The composition ExtDemo drives, packaged for library users. All
+    * id-set joins are broadcast (the drop set is bounded by the LSH
+    * candidate graph, tiny relative to the corpus). */
+  def dedupCorpus(spark: SparkSession, docs: DataFrame,
+      bands: Int = 4, maxBucket: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exactKeep = exact(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val afterExact = docs.join(broadcast(exactKeep), Seq(idCol))
+    val pairs = lshCandidates(spark, afterExact, bands, maxBucket, idCol, textCol)
+    val dropNearDup = clusters(spark, pairs)
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    afterExact.join(broadcast(dropNearDup), Seq(idCol), "left_anti")
+  }
+
   /** 16-bit SimHash per document over whitespace words, via the custom
     * codegen'd `simhash16` expression (graft.functions.SimHash16): the
     * hash is a pure per-row function of the text, so the plan is fully

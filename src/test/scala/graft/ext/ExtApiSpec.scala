@@ -179,6 +179,17 @@ class ExtApiSpec extends SparkSpec {
     assert(TextStats.ngramCounts(d, n = 4, k = 10).count() == 1) // only doc 1
   }
 
+  test("dedupCorpus keeps one survivor per exact/near-dup group") {
+    val out = Dedup.dedupCorpus(spark, docs, maxBucket = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 4 = exact dup of 1 (dropped); 2 is a near-dup of 1 (one survivor
+    // of that cluster remains); 3 is unique
+    assert(out.contains(3L))
+    assert(!out.contains(4L))
+    assert(out.contains(1L) || out.contains(2L))
+    assert(out.size <= 3)
+  }
+
   test("kmeans converges onto two separated blobs from in-blob seeds") {
     import spark.implicits._
     // blob A around (0,0), blob B around (10,10); seeds 0 and 100 are

@@ -117,6 +117,22 @@ object Dedup {
     labels
   }
 
+  /** Verify stage: exact 8-gram Jaccard for each candidate pair via the
+    * per-row jaccard8 expression — two id joins to attach the texts,
+    * then one narrow call per pair (candidate-bounded work; the
+    * relational form shuffles pair×shingle rows twice). */
+  def verifyCandidates(spark: SparkSession, pairs: DataFrame, docs: DataFrame,
+      threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.Jaccard8.register(spark)
+    val a = docs.select(col(idCol).as("a_id"), col(textCol).as("text_a"))
+    val b = docs.select(col(idCol).as("b_id"), col(textCol).as("text_b"))
+    pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("jaccard", round(expr("jaccard8(text_a, text_b)"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** One-call corpus dedup: exact (content hash) then near-dup
     * (minhash-LSH candidates → connected components), returning the
     * surviving documents — each cluster keeps its smallest doc_id.

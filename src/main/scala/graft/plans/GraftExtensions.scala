@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Dot64, MinHash48, SimHash16, XorFp48}
+import graft.functions.{Dot64, Jaccard8, MinHash48, SimHash16, XorFp48}
 
 /** SparkSessionExtensions injector — the engine's permanent extension
   * wiring. Users enable it with
@@ -20,7 +20,9 @@ import graft.functions.{Dot64, MinHash48, SimHash16, XorFp48}
   *  - `simhash16(text)` → bigint: per-row 16-bit SimHash
   *    (graft.functions.SimHash16);
   *  - `xorfp48(text)` → bigint: per-row distinct-word xor fingerprint
-  *    (graft.functions.XorFp48).
+  *    (graft.functions.XorFp48);
+  *  - `jaccard8(a, b)` → double: exact 8-gram-set Jaccard of two texts
+  *    (graft.functions.Jaccard8).
   *
   * No custom Rule[LogicalPlan] or SparkStrategy is injected: SURVEY §4
   * concluded Catalyst's built-in optimizations cover the reference's
@@ -46,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("xorfp48"),
       new ExpressionInfo(classOf[XorFp48].getName, "xorfp48"),
       (children: Seq[Expression]) => XorFp48(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jaccard8"),
+      new ExpressionInfo(classOf[Jaccard8].getName, "jaccard8"),
+      (children: Seq[Expression]) => Jaccard8(children(0), children(1))))
   }
 }

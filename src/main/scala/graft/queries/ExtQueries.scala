@@ -676,6 +676,59 @@ object ExtQueries {
       FROM b GROUP BY bigram
       ORDER BY n DESC, bigram LIMIT 20"""))
 
+  // ---------------------------------------------------------------- q72
+  // Candidate verification: exact 8-gram Jaccard for every LSH candidate
+  // pair via the per-row jaccard8 expression (candidate-bounded — one
+  // narrow call per pair after the id joins; the oracle joins exploded
+  // shingle sets). Threshold 0.2 keeps genuine near-dups.
+  private val q72 = Q(
+    "q72_verify_candidates",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.ext.Dedup.lshCandidates(s, docs)
+      graft.ext.Dedup.verifyCandidates(s, pairs, docs, threshold = 0.2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH $shingleCte,
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT) AS h48 FROM sh),
+      sig AS (
+        SELECT doc_id,
+          min(xor(h48, ${salts(0)})) AS m0, min(xor(h48, ${salts(1)})) AS m1,
+          min(xor(h48, ${salts(2)})) AS m2, min(xor(h48, ${salts(3)})) AS m3
+        FROM h GROUP BY doc_id),
+      buckets AS (
+        SELECT doc_id, 0 AS band, m0 AS bucket FROM sig UNION ALL
+        SELECT doc_id, 1, m1 FROM sig UNION ALL
+        SELECT doc_id, 2, m2 FROM sig UNION ALL
+        SELECT doc_id, 3, m3 FROM sig),
+      small AS (
+        SELECT doc_id, band, bucket FROM (
+          SELECT doc_id, band, bucket,
+                 count(*) OVER (PARTITION BY band, bucket) AS bsize
+          FROM buckets)
+        WHERE bsize <= 10),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM small a JOIN small b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT p.a_id, p.b_id, count(*) AS i
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.a_id
+        JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+        GROUP BY p.a_id, p.b_id),
+      scored AS (
+        SELECT p.a_id, p.b_id,
+          round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                / (ca.n + cb.n - coalesce(i.i, 0)), 6) AS jaccard
+        FROM pairs p
+        JOIN counts ca ON ca.doc_id = p.a_id
+        JOIN counts cb ON cb.doc_id = p.b_id
+        LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id)
+      SELECT a_id, b_id, jaccard FROM scored
+      WHERE jaccard >= 0.2 ORDER BY a_id, b_id"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }

@@ -118,6 +118,33 @@ object TextStats {
   def bigramCounts(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
     ngramCounts(docs, 2, k, textCol).withColumnRenamed("ngram", "bigram")
 
+  /** Repetition signals (the Gopher-rule family of pretraining quality
+    * filters, Rae et al. 2021): duplicate-word fraction (narrow —
+    * array_distinct per row) and top-bigram fraction (per-doc bigram
+    * aggregate; doc-keyed, partial-aggregable). High values flag
+    * boilerplate/spam for removal before training. */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      expr(s"split($textCol, ' ')").as("ws"))
+    val narrow = base.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"),
+      round(lit(1.0) - size(array_distinct(col("ws"))).cast("double")
+        / size(col("ws")).cast("double"), 6).as("dup_word_frac"))
+    val topBigram = base
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))""".stripMargin))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+        .as("top_bigram_frac"))
+    narrow.join(topBigram, Seq("doc_id"), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
   /** Stopword/boilerplate scrub: remove a word set (word-boundary
     * regex), squeeze whitespace, report the token reduction — the
     * cleaning pass between quality scoring and tokenization. Narrow

@@ -729,6 +729,38 @@ object ExtQueries {
       SELECT a_id, b_id, jaccard FROM scored
       WHERE jaccard >= 0.2 ORDER BY a_id, b_id"""))
 
+  // ---------------------------------------------------------------- q73
+  // Repetition quality filters (Gopher-rule family): duplicate-word
+  // fraction (narrow) + top-bigram fraction (doc-keyed aggregate).
+  private val q73 = Q(
+    "q73_repetition",
+    (s, d) => {
+      graft.ext.TextStats.repetition(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      narrow AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+          round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                / CAST(len(ws) AS DOUBLE), 6) AS dup_word_frac
+        FROM w),
+      bg AS (
+        SELECT doc_id,
+          ws[CAST(g.generate_series AS INT)] || ' ' ||
+          ws[CAST(g.generate_series AS INT) + 1] AS bg
+        FROM w, generate_series(1, 4096) g
+        WHERE len(ws) >= 2 AND g.generate_series <= len(ws) - 1),
+      bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+      tb AS (
+        SELECT doc_id,
+          round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+        FROM bgc GROUP BY doc_id)
+      SELECT n.doc_id, n.n_words, n.dup_word_frac,
+        coalesce(tb.top_bigram_frac, 0.0) AS top_bigram_frac
+      FROM narrow n LEFT JOIN tb ON tb.doc_id = n.doc_id
+      ORDER BY n.doc_id"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Dot64
@@ -12,11 +11,11 @@ import graft.functions.Dot64
   * means are unordered FP sums, so cross-engine hash equality is not
   * meaningful (the same reason MLlib doesn't bit-pin k-means).
   *
-  * Scale shape per iteration: the assignment is one broadcast
-  * crossJoin (k centroids) + a per-row argmin — fully narrow; the
-  * update is a (k·dims)-row aggregate collected to the driver
-  * (driver-bounded by k·dims, never by corpus size) and re-broadcast.
-  * This is the classic distributed Lloyd layout.
+  * Scale shape per iteration: the assignment is a per-row argmin over
+  * the centroid list carried as a literal array column — fully narrow,
+  * zero shuffles; the update is a (k·dims)-row aggregate collected to
+  * the driver (driver-bounded by k·dims, never by corpus size) and
+  * re-embedded. This is the classic distributed Lloyd layout.
   */
 object Clustering {
 
@@ -35,16 +34,17 @@ object Clustering {
     require(cents.nonEmpty, "seedPred matched no rows")
 
     def assign(c: Seq[(Long, Seq[Double])]): DataFrame = {
-      val centDF = c.toDF("cluster_id", "cv")
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cluster_id"))
-      base.crossJoin(broadcast(centDF))
-        // |v−c|² = v·v − 2 v·c + c·c; monotone in v·c per row, but kept
-        // as a true distance so dist2 is meaningful to callers
-        .withColumn("dist2",
-          expr("dot64(v, v) - 2 * dot64(v, cv) + dot64(cv, cv)"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("cluster_id"), col("dist2"))
+      // centroids ride along as ONE literal array column; the argmin is
+      // a per-row array_min over structs (dist2 first, id tie-break) —
+      // zero shuffles, unlike a crossJoin + per-vec_id window, which
+      // would exchange n·k embedding-carrying rows per iteration
+      base.withColumn("cents", typedLit(c))
+        .withColumn("best", expr(
+          """array_min(transform(cents, ct ->
+            |  struct(dot64(v, v) - 2 * dot64(v, ct._2) + dot64(ct._2, ct._2) AS dist2,
+            |         ct._1 AS cluster_id)))""".stripMargin))
+        .select(col("vec_id"), col("v"),
+          col("best.cluster_id").as("cluster_id"), col("best.dist2").as("dist2"))
     }
 
     var i = 0

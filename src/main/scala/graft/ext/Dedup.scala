@@ -24,7 +24,10 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     MinHash48.register(spark)
-    docs.select(col(idCol).as("doc_id"), expr(s"minhash48($textCol)").as("sig"))
+    // null text: the relational form (explode of split(NULL) → no rows)
+    // and the oracle DROP the document; match that, don't emit NULL sigs
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), expr(s"minhash48($textCol)").as("sig"))
   }
 
   /** Production-speed signature variant: Spark's built-in `xxhash64`
@@ -142,10 +145,19 @@ object Dedup {
   def dedupCorpus(spark: SparkSession, docs: DataFrame,
       bands: Int = 4, maxBucket: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val exactKeep = exact(docs, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    val afterExact = docs.join(broadcast(exactKeep), Seq(idCol))
+    import org.apache.spark.sql.expressions.Window
+    // exact stage as a hash-partitioned window (survivor = smallest id
+    // per content hash): one shuffle, NO broadcast — the survivor set
+    // is corpus-sized, so collecting it to the driver cannot scale
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    val afterExact = docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .drop("content_hash", "rk")
     val pairs = lshCandidates(spark, afterExact, bands, maxBucket, idCol, textCol)
+    // the near-dup DROP set IS candidate-bounded (⊆ LSH graph nodes) —
+    // broadcast is safe here
     val dropNearDup = clusters(spark, pairs)
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as(idCol))
@@ -160,7 +172,9 @@ object Dedup {
     * equivalence spec and as the oracle's shape). */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.SimHash16.register(docs.sparkSession)
-    docs.select(col(idCol).as("doc_id"), expr(s"simhash16($textCol)").as("simhash"))
+    // null text dropped — parity with the relational form + oracle
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), expr(s"simhash16($textCol)").as("simhash"))
   }
 
   /** Relational SimHash (explode words → one aggregate with 16

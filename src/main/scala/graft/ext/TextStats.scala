@@ -99,6 +99,13 @@ object TextStats {
     * doc built by one array transform (no n-way explode), counted
     * corpus-wide with map-side combine, top-k by count — the n-gram
     * statistics pass of a training pipeline. */
+  /** Start positions are capped at 4096 per document — the same shared
+    * cross-engine contract as the shingle path (MinHash48.MaxShinglePos
+    * mirrored by the oracles' constant `generate_series(1, 4096)`
+    * bound); an uncapped Spark side would silently diverge from the
+    * oracle on >4096-word documents. */
+  private val MaxNgramPos = graft.functions.MinHash48.MaxShinglePos
+
   def ngramCounts(docs: DataFrame, n: Int, k: Int,
       textCol: String = "text"): DataFrame = {
     require(n >= 2, s"ngram order must be >= 2, got $n")
@@ -108,7 +115,8 @@ object TextStats {
       .select(expr(s"split($textCol, ' ')").as("ws"))
       .filter(size(col("ws")) >= n)
       .select(explode(expr(
-        s"transform(sequence(1, size(ws) - ${n - 1}), i -> $joined)")).as("ngram"))
+        s"transform(sequence(1, least(size(ws) - ${n - 1}, $MaxNgramPos)), i -> $joined)"))
+        .as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
@@ -133,9 +141,10 @@ object TextStats {
         / size(col("ws")).cast("double"), 6).as("dup_word_frac"))
     val topBigram = base
       .filter(size(col("ws")) >= 2)
+      // same 4096-position cap as ngramCounts (shared oracle contract)
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(ws) - 1),
-          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))""".stripMargin))
+        s"""transform(sequence(1, least(size(ws) - 1, $MaxNgramPos)),
+           |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))""".stripMargin))
         .as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -178,7 +187,9 @@ object TextStats {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.MinHash48.register(spark)
     graft.functions.XorFp48.register(spark)
-    docs.select(col(idCol).as("doc_id"),
+    // null text dropped — parity with the relational form + oracle
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
       expr(s"element_at(minhash48($textCol), 1)").as("fp_min_shingle"),
       expr(s"xorfp48($textCol)").as("fp_xor"))
   }

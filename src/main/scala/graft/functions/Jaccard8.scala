@@ -43,17 +43,11 @@ case class Jaccard8(left: Expression, right: Expression)
 
 object Jaccard8 {
 
+  /** Distinct shingles via the ONE shared shingling contract
+    * (MinHash48.foreachShingle). */
   private def shingleSet(s: UTF8String): java.util.HashSet[String] = {
-    val cps = s.toString.codePoints().toArray
-    val len = cps.length
-    val nPos = math.min(math.max(len - 7, 1), MinHash48.MaxShinglePos)
     val set = new java.util.HashSet[String]()
-    var pos = 0
-    while (pos < nPos) {
-      val end = math.min(pos + 8, len)
-      set.add(new String(cps, pos, end - pos))
-      pos += 1
-    }
+    MinHash48.foreachShingle(s)(sh => { set.add(sh); () })
     set
   }
 

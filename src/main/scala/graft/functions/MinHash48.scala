@@ -71,21 +71,31 @@ object MinHash48 {
     * prefix, which is standard for sketch-based dedup). */
   val MaxShinglePos: Int = 4096
 
-  /** One pass over the text: for each char-8-gram shingle (positions
-    * 1..min(max(len-7,1), MaxShinglePos), matching `substr(text,i,8)`
-    * CODE-POINT semantics — Spark/DuckDB substr count code points, not
-    * UTF-16 units), md5 the UTF-8 bytes, take the first 12 hex chars as
-    * a 48-bit long, and fold min(h XOR salt_p) per permutation. */
-  def compute(s: UTF8String, salts: Array[Long]): ArrayData = {
+  /** THE shingling contract, in one place: char-8-gram shingles at
+    * positions 1..min(max(len−7,1), MaxShinglePos), counted in CODE
+    * POINTS (matching `substr(text,i,8)` on Spark AND DuckDB — both
+    * count code points, not UTF-16 units). Shared by minhash48,
+    * jaccard8, and (as SQL) every shingle-based oracle — change it here
+    * or nowhere. */
+  def foreachShingle(s: UTF8String)(f: String => Unit): Unit = {
     val cps = s.toString.codePoints().toArray
     val len = cps.length
     val nPos = math.min(math.max(len - 7, 1), MaxShinglePos)
-    val mins = Array.fill(salts.length)(Long.MaxValue)
-    val md = digest.get()
     var pos = 0
     while (pos < nPos) {
       val end = math.min(pos + 8, len)
-      val shingle = new String(cps, pos, end - pos)
+      f(new String(cps, pos, end - pos))
+      pos += 1
+    }
+  }
+
+  /** One pass over the text: md5 each shingle's UTF-8 bytes, take the
+    * first 12 hex chars as a 48-bit long, fold min(h XOR salt_p) per
+    * permutation. */
+  def compute(s: UTF8String, salts: Array[Long]): ArrayData = {
+    val mins = Array.fill(salts.length)(Long.MaxValue)
+    val md = digest.get()
+    foreachShingle(s) { shingle =>
       md.reset()
       val d = md.digest(shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 12 hex chars = first 6 bytes, big-endian
@@ -98,7 +108,6 @@ object MinHash48 {
         if (v < mins(p)) mins(p) = v
         p += 1
       }
-      pos += 1
     }
     new GenericArrayData(mins)
   }

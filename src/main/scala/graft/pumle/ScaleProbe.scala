@@ -97,12 +97,17 @@ object ScaleProbe {
     graft.functions.SimHash16.register(spark)
     graft.functions.XorFp48.register(spark)
     graft.functions.MinHash48.register(spark)
+    // the aggregate must consume ALL THREE sketch columns — otherwise
+    // Catalyst prunes the unreferenced expressions out of the measured
+    // plan (the same trap Bench's noop sink exists to avoid)
     val sk = docs3.selectExpr("doc_id", "simhash16(text) AS sh",
       "xorfp48(text) AS fp", "element_at(minhash48(text), 1) AS msh")
-      .agg(countDistinct(col("sh")), countDistinct(col("fp"))).head()
+      .agg(countDistinct(col("sh")), countDistinct(col("fp")),
+        countDistinct(col("msh"))).head()
     val secs5 = (System.nanoTime() - t5) / 1e9
     println(f"[probe] sketches: $nDocs3%d docs × 3 per-row exprs in $secs5%.1fs " +
-      f"= ${nDocs3 / secs5 / 1000}%.0fk docs/s (${sk.getLong(0)} simhash / ${sk.getLong(1)} fp values)")
+      f"= ${nDocs3 / secs5 / 1000}%.0fk docs/s " +
+      f"(${sk.getLong(0)} simhash / ${sk.getLong(1)} fp / ${sk.getLong(2)} msh values)")
 
     // ANN at volume: 100k×64-dim vectors, 100 centroids, ~100 queries
     // through the full IVF probe+rerank path (corpus never shuffled)

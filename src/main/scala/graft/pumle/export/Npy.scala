@@ -71,6 +71,7 @@ object Npy {
   def scan(spark: org.apache.spark.sql.SparkSession, path: String,
       splits: Int = 0,
       blockElems: Int = 1 << 20): (org.apache.spark.sql.DataFrame, Seq[Int], Boolean) = {
+    require(blockElems > 0, s"blockElems must be positive, got $blockElems")
     import org.apache.hadoop.fs.{Path => HPath}
     import spark.implicits._
     val hp = new HPath(path)

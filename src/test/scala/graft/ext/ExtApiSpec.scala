@@ -55,13 +55,15 @@ class ExtApiSpec extends SparkSpec {
   test("simhash16 expression is bit-identical to the relational form") {
     import spark.implicits._
     val tricky = docs.unionAll(Seq(
-      (100L, ""), (101L, "a  b"), (102L, "trailing space "), (103L, "é ü 漢字"))
+      (100L, ""), (101L, "a  b"), (102L, "trailing space "), (103L, "é ü 漢字"),
+      (104L, null.asInstanceOf[String])) // null text: BOTH forms drop the doc
       .toDF("doc_id", "text"))
     val e = Dedup.simhash(tricky).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val rel = Dedup.simhashRelational(tricky).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(e == rel)
+    assert(!e.exists(_._1 == 104L))
   }
 
   test("cosineTopK with k=1 returns each query's single best neighbor") {

@@ -25,19 +25,13 @@ object ExtDemo {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n0 = docs.count()
 
-    // 1. scrub boilerplate, then exact dedup on the CLEANED text
+    // 1+2. scrub boilerplate, then one-call dedup on the CLEANED text
+    // (exact via content-hash window + near-dup via LSH → components,
+    // cluster-min survivors — Dedup.dedupCorpus)
     val cleaned = TextStats.scrub(docs, Seq("the", "a"))
       .select(col("doc_id"), col("source"), col("cleaned").as("text"))
-    val exactKeep = Dedup.exact(cleaned).select(col("keep_id").as("doc_id"))
-    val afterExact = cleaned.join(broadcast(exactKeep), Seq("doc_id"))
-    val n1 = afterExact.count()
-
-    // 2. near-dup: LSH candidates → connected components → keep cluster min
-    val pairs = Dedup.lshCandidates(spark, afterExact)
-    val clusters = Dedup.clusters(spark, pairs)
-    val dropNearDups = clusters.filter(col("node") =!= col("cluster_id"))
-      .select(col("node").as("doc_id"))
-    val deduped = afterExact.join(broadcast(dropNearDups), Seq("doc_id"), "left_anti")
+    val n1 = cleaned.count()
+    val deduped = Dedup.dedupCorpus(spark, cleaned)
     val n2 = deduped.count()
 
     // 3. quality gate + split + packing
@@ -57,7 +51,7 @@ object ExtDemo {
       .orderBy(col("n_docs_top").desc, col("term")).limit(5)
       .collect().map(r => s"${r.getString(0)}(${r.getLong(1)})").mkString(" ")
 
-    println(s"[ext-demo] docs: $n0 → exact-dedup $n1 → near-dup $n2; " +
+    println(s"[ext-demo] docs: $n0 (scrubbed $n1) → deduped $n2; " +
       s"splits: $splitCounts; train bins(512 tok): $nBins")
     println(s"[ext-demo] top tf-idf head terms: $vocab")
 

@@ -87,17 +87,32 @@ object Dedup {
     * the tiny diameters LSH candidate graphs produce. Converges by
     * fixpoint check, capped at `maxIter` rounds (= 2·maxIter hops). */
   def clusters(spark: SparkSession, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sc = spark.sparkContext
     // localCheckpoint truncates lineage each round — without it the
     // plan tree grows exponentially across iterations (OOM at planning
-    // time, the classic iterative-DataFrame trap)
-    val edges = pairs.select(col("a_id"), col("b_id"))
-      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("a_id").as("node"))
-      .distinct()
-      .withColumn("cluster_id", col("node"))
-      .localCheckpoint(true)
+    // time, the classic iterative-DataFrame trap). Each checkpoint
+    // PERSISTS its RDD for the life of the session, so superseded
+    // rounds must be unpersisted explicitly: on a long-lived session
+    // the leaked blocks occupy storage memory and starve every later
+    // stage (observed as GC thrash in queries run after clusters()).
+    // Tracking is by persistent-RDD id snapshot around the checkpoint
+    // call — exact for a single-threaded driver loop like this one.
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val added = sc.getPersistentRDDs.collect {
+        case (id, rdd) if !before.contains(id) => rdd
+      }.toSeq
+      (out, added)
+    }
+    val (edges, edgeRdds) = checkpointTracked(
+      pairs.select(col("a_id"), col("b_id"))
+        .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .distinct())
+    var (labels, labelRdds) = checkpointTracked(
+      edges.select(col("a_id").as("node"))
+        .distinct()
+        .withColumn("cluster_id", col("node")))
     def hop(l: DataFrame): DataFrame = {
       val viaNeighbors = edges
         .join(l, edges("b_id") === l("node"))
@@ -110,28 +125,52 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = hop(hop(labels)).localCheckpoint(true)
+      val (next, nextRdds) = checkpointTracked(hop(hop(labels)))
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("node"))
         .filter(col("cluster_id") =!= col("old")).count()
+      // previous round's blocks are dead once `changed` is computed
+      labelRdds.foreach(_.unpersist(blocking = false))
       labels = next
+      labelRdds = nextRdds
       converged = changed == 0
       i += 1
     }
+    // the result's lineage is truncated at its own checkpoint — the edge
+    // blocks are no longer reachable and can be freed now. The final
+    // labels blocks stay cached (they back the returned DataFrame) and
+    // are released by the ContextCleaner when the caller drops it.
+    edgeRdds.foreach(_.unpersist(blocking = false))
     labels
   }
 
-  /** Verify stage: exact 8-gram Jaccard for each candidate pair via the
-    * per-row jaccard8 expression — two id joins to attach the texts,
-    * then one narrow call per pair (candidate-bounded work; the
-    * relational form shuffles pair×shingle rows twice). */
+  /** Verify stage: exact 8-gram Jaccard for each candidate pair.
+    * Each document's distinct shingle SET is materialized ONCE (the
+    * `shingles8` expression — one narrow pass over the docs, the same
+    * linear cost the signature stage already pays), then pairs are
+    * scored with builtin array ops (`array_intersect` + sizes —
+    * codegen'd). A doc in an LSH bucket of size m is in up to
+    * bands×(m−1) pairs, so scoring with a per-pair text expression
+    * (`jaccard8`) re-shingles every doc ~36× at the default caps.
+    * Deliberately NOT semi-joined down to candidate ids: the id set
+    * derives from `pairs`, and referencing `pairs` three times in one
+    * plan re-evaluates the whole LSH subtree per reference (measured
+    * 4→18 shuffles) — a full narrow scan is cheaper than two extra
+    * LSH evaluations, and at cluster scale the sets side joins by
+    * doc id with ordinary shuffle joins. */
   def verifyCandidates(spark: SparkSession, pairs: DataFrame, docs: DataFrame,
       threshold: Double, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    graft.functions.Jaccard8.register(spark)
-    val a = docs.select(col(idCol).as("a_id"), col(textCol).as("text_a"))
-    val b = docs.select(col(idCol).as("b_id"), col(textCol).as("text_b"))
+    graft.functions.Shingles8.register(spark)
+    val sets = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), expr(s"shingles8($textCol)").as("sh"))
+    val a = sets.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
+    val b = sets.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
     pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
-      .withColumn("jaccard", round(expr("jaccard8(text_a, text_b)"), 6))
+      .withColumn("jaccard",
+        round(when(union === 0, lit(1.0))
+          .otherwise(inter.cast("double") / union.cast("double")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Dot64, Jaccard8, MinHash48, SimHash16, XorFp48}
+import graft.functions.{Dot64, Jaccard8, MinHash48, Shingles8, SimHash16, XorFp48}
 
 /** SparkSessionExtensions injector — the engine's permanent extension
   * wiring. Users enable it with
@@ -22,7 +22,10 @@ import graft.functions.{Dot64, Jaccard8, MinHash48, SimHash16, XorFp48}
   *  - `xorfp48(text)` → bigint: per-row distinct-word xor fingerprint
   *    (graft.functions.XorFp48);
   *  - `jaccard8(a, b)` → double: exact 8-gram-set Jaccard of two texts
-  *    (graft.functions.Jaccard8).
+  *    (graft.functions.Jaccard8);
+  *  - `shingles8(text)` → array<string>: the distinct 8-gram shingle
+  *    set itself (graft.functions.Shingles8) — precompute-once input
+  *    to set-based pair scoring.
   *
   * No custom Rule[LogicalPlan] or SparkStrategy is injected: SURVEY §4
   * concluded Catalyst's built-in optimizations cover the reference's
@@ -52,5 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaccard8"),
       new ExpressionInfo(classOf[Jaccard8].getName, "jaccard8"),
       (children: Seq[Expression]) => Jaccard8(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingles8"),
+      new ExpressionInfo(classOf[Shingles8].getName, "shingles8"),
+      (children: Seq[Expression]) => Shingles8(children.head)))
   }
 }

@@ -108,6 +108,38 @@ class ExtApiSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("clusters frees its intermediate checkpoint blocks (no storage leak)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.clusters(spark, pairs).count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the checkpoint backing the RETURNED labels frame may remain;
+    // edges and every superseded round must have been unpersisted
+    assert(added.size <= 1, s"leaked persistent RDDs: $added")
+  }
+
+  test("verifyCandidates (set-based) matches the per-pair jaccard8 expression") {
+    import spark.implicits._
+    graft.functions.Jaccard8.register(spark)
+    val tricky = docs.unionAll(Seq(
+      (100L, "short"), (101L, "a  b"), (103L, "é ü 漢字 repeated é ü 漢字"))
+      .toDF("doc_id", "text"))
+    val pairs = tricky.as("x").crossJoin(tricky.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard"))
+    val viaSets = Dedup.verifyCandidates(spark, pairs, tricky, threshold = 0.0)
+      .orderBy("a_id", "b_id").collect().map(key).toSeq
+    val viaExpr = pairs
+      .join(tricky.select(col("doc_id").as("a_id"), col("text").as("ta")), Seq("a_id"))
+      .join(tricky.select(col("doc_id").as("b_id"), col("text").as("tb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), round(expr("jaccard8(ta, tb)"), 6).as("jaccard"))
+      .orderBy("a_id", "b_id").collect().map(key).toSeq
+    assert(viaSets == viaExpr)
+  }
+
   test("hashSplit is deterministic and near the requested percentages") {
     val big = spark.range(1000).selectExpr("id AS doc_id")
     val counts = Sampling.hashSplit(big).groupBy("split").count().collect()

@@ -33,7 +33,7 @@ object Bench {
     // neighbor-noise event lands on it (round-2 driver run: the three
     // tail queries absorbed 60s that vanishes on re-run). Min-of-N is
     // the standard estimator for the noise-free cost.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     def isolate(): Unit = {
       // no cross-query state: drop cached relations and any persistent
       // RDDs a query left behind (e.g. iterative checkpoints), so later
@@ -44,6 +44,10 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
+        // isolation (cache/storage cleanup of whatever ran before) happens
+        // BEFORE the clock starts — the timing is the query alone, not the
+        // previous query's teardown (e.g. q65's checkpoint unpersists)
+        isolate()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -51,7 +55,6 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
           }
-        isolate()
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)

@@ -55,14 +55,32 @@ object Dedup {
     * BEFORE any doc-id list materializes: bucket sizes come from a
     * count aggregate, degenerate buckets are filtered, and only then
     * are the (≤ maxBucket) ids collected for in-array pair expansion —
-    * so no aggregation buffer ever holds a mega-bucket. */
+    * so no aggregation buffer ever holds a mega-bucket.
+    *
+    * The cap is not silent: pass `capMetrics` (an `Observation`) to see
+    * what it cost — `dropped_buckets` (band-buckets excluded) and
+    * `dropped_doc_slots` (doc×band memberships excluded; an upper bound
+    * on docs that lost candidate edges, since one doc can sit in several
+    * dropped buckets). Read it after the first action on the result —
+    * the OP-A5 observe pattern (Pipeline.silverObserved) applied to the
+    * dedup path. Caveat: if EVERY bucket is capped the result is empty
+    * and AQE's empty-relation propagation erases the observed subtree
+    * (the Observation completes with an empty map, never hangs) — use
+    * `lshCapStats` when an always-exact answer is required. */
   def lshCandidates(spark: SparkSession, docs: DataFrame, bands: Int = 4,
-      maxBucket: Int = 10, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      maxBucket: Int = 10, idCol: String = "doc_id", textCol: String = "text",
+      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val sig = minhashSignatures(spark, docs, idCol, textCol)
     val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
     val buckets = sig.selectExpr("doc_id", s"stack($bands, $stack) AS (band, bucket)")
-    val small = buckets.groupBy(col("band"), col("bucket"))
+    val sized0 = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsize"))
+    val sized = capMetrics.fold(sized0)(o => sized0.observe(o,
+      sum(when(col("bsize") > maxBucket, lit(1L)).otherwise(lit(0L)))
+        .as("dropped_buckets"),
+      sum(when(col("bsize") > maxBucket, col("bsize")).otherwise(lit(0L)))
+        .as("dropped_doc_slots")))
+    val small = sized
       .filter(col("bsize").between(2, maxBucket))
       .select(col("band"), col("bucket"))
     buckets.join(small, Seq("band", "bucket")) // drops mega-buckets pre-collect
@@ -75,6 +93,31 @@ object Dedup {
       .select(col("pair.a_id"), col("pair.b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Exact cap diagnostics as a standalone one-row aggregate (OP-A5 as
+    * a diagnostic query, mirroring Pipeline.gatherDropStats) — the
+    * always-correct companion to the zero-cost `capMetrics` observation
+    * on `lshCandidates`, which AQE empty-relation propagation erases
+    * when every bucket is capped. Reports what the `maxBucket` cap
+    * dropped (band-buckets and the doc×band memberships they held),
+    * what survived, and the hottest bucket. Two partial-aggregable
+    * shuffles, no join — same cost shape as the signature stage. */
+  def lshCapStats(spark: SparkSession, docs: DataFrame, bands: Int = 4,
+      maxBucket: Int = 10, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = minhashSignatures(spark, docs, idCol, textCol)
+    val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
+    sig.selectExpr("doc_id", s"stack($bands, $stack) AS (band, bucket)")
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
+      .agg(
+        sum(when(col("bsize") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_buckets"),
+        sum(when(col("bsize") > maxBucket, col("bsize")).otherwise(lit(0L)))
+          .as("dropped_doc_slots"),
+        sum(when(col("bsize").between(2, maxBucket), lit(1L)).otherwise(lit(0L)))
+          .as("kept_buckets"),
+        max(col("bsize")).as("max_bucket_size"))
   }
 
   /** Connected components over candidate pairs → dedup clusters:
@@ -145,29 +188,37 @@ object Dedup {
 
   /** Verify stage: exact 8-gram Jaccard for each candidate pair.
     * Each document's distinct shingle SET is materialized ONCE (the
-    * `shingles8` expression — one narrow pass over the docs, the same
-    * linear cost the signature stage already pays), then pairs are
-    * scored with builtin array ops (`array_intersect` + sizes —
-    * codegen'd). A doc in an LSH bucket of size m is in up to
-    * bands×(m−1) pairs, so scoring with a per-pair text expression
-    * (`jaccard8`) re-shingles every doc ~36× at the default caps.
-    * Deliberately NOT semi-joined down to candidate ids: the id set
-    * derives from `pairs`, and referencing `pairs` three times in one
-    * plan re-evaluates the whole LSH subtree per reference (measured
-    * 4→18 shuffles) — a full narrow scan is cheaper than two extra
-    * LSH evaluations, and at cluster scale the sets side joins by
-    * doc id with ordinary shuffle joins. */
+    * `shingles8` expression), then pairs are scored with builtin array
+    * ops (`array_intersect` + sizes — codegen'd). A doc in an LSH
+    * bucket of size m is in up to bands×(m−1) pairs, so scoring with a
+    * per-pair text expression (`jaccard8`) re-shingles every doc ~36×
+    * at the default caps.
+    *
+    * The candidate pairs are checkpoint-materialized ONCE up front:
+    * this plan references `pairs` three times (the pair list + both id
+    * sides), and without the checkpoint each reference re-evaluates the
+    * whole upstream subtree (for LSH input: measured 4→18 shuffles).
+    * The pair set is candidate-bounded by construction — the cheap side
+    * to pin. With pairs pinned, the shingle-set side is SEMI-JOINED to
+    * the candidate ids, so verify cost is O(candidates), not O(corpus):
+    * at 100 TB with a few million candidates, shingling the whole
+    * corpus (what this replaces) would dominate the stage. The
+    * checkpoint blocks back the returned frame and are released by the
+    * ContextCleaner when the caller drops it. */
   def verifyCandidates(spark: SparkSession, pairs: DataFrame, docs: DataFrame,
       threshold: Double, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     graft.functions.Shingles8.register(spark)
+    val cp = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val ids = cp.select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
     val sets = docs.filter(col(textCol).isNotNull)
+      .join(ids, Seq(idCol), "left_semi")
       .select(col(idCol), expr(s"shingles8($textCol)").as("sh"))
     val a = sets.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
     val b = sets.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
+    cp.join(a, Seq("a_id")).join(b, Seq("b_id"))
       .withColumn("jaccard",
         round(when(union === 0, lit(1.0))
           .otherwise(inter.cast("double") / union.cast("double")), 6))
@@ -178,12 +229,15 @@ object Dedup {
   /** One-call corpus dedup: exact (content hash) then near-dup
     * (minhash-LSH candidates → connected components), returning the
     * surviving documents — each cluster keeps its smallest doc_id.
-    * The composition ExtDemo drives, packaged for library users. All
-    * id-set joins are broadcast (the drop set is bounded by the LSH
-    * candidate graph, tiny relative to the corpus). */
+    * The composition ExtDemo drives, packaged for library users. No
+    * join in the chain carries a mandatory broadcast: on realistic web
+    * corpora the near-dup rate runs 30%+, so the drop set is a constant
+    * fraction of the corpus and a forced broadcast would OOM exactly
+    * where dedup matters most. */
   def dedupCorpus(spark: SparkSession, docs: DataFrame,
       bands: Int = 4, maxBucket: Int = 10,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // exact stage as a hash-partitioned window (survivor = smallest id
     // per content hash): one shuffle, NO broadcast — the survivor set
@@ -194,13 +248,22 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .drop("content_hash", "rk")
-    val pairs = lshCandidates(spark, afterExact, bands, maxBucket, idCol, textCol)
-    // the near-dup DROP set IS candidate-bounded (⊆ LSH graph nodes) —
-    // broadcast is safe here
+    // candidate pairs materialize ONCE: clusters() references its input
+    // twice (the symmetric edge union), which would re-evaluate the LSH
+    // subtree per reference and fire the cap observation twice — the
+    // checkpoint anchors both to a single execution, and the pair set is
+    // candidate-bounded (the cheap side to pin, as in verifyCandidates)
+    val pairs = lshCandidates(spark, afterExact, bands, maxBucket, idCol, textCol, capMetrics)
+      .localCheckpoint(true)
+    // the near-dup DROP set is bounded by the LSH candidate graph, which
+    // on a heavily-duplicated corpus is a constant fraction of the
+    // corpus — NOT broadcastable by fiat. Left unhinted: AQE broadcasts
+    // at runtime when the set actually is small and degrades gracefully
+    // to a shuffle join when it is not.
     val dropNearDup = clusters(spark, pairs)
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as(idCol))
-    afterExact.join(broadcast(dropNearDup), Seq(idCol), "left_anti")
+    afterExact.join(dropNearDup, Seq(idCol), "left_anti")
   }
 
   /** 16-bit SimHash per document over whitespace words, via the custom

@@ -31,8 +31,14 @@ object ExtDemo {
     val cleaned = TextStats.scrub(docs, Seq("the", "a"))
       .select(col("doc_id"), col("source"), col("cleaned").as("text"))
     val n1 = cleaned.count()
-    val deduped = Dedup.dedupCorpus(spark, cleaned)
+    // observe what the LSH mega-bucket cap cost (OP-A5 discipline): a
+    // production run must see how many buckets/doc-slots lost candidates
+    val lshCaps = org.apache.spark.sql.Observation("lsh_caps")
+    val deduped = Dedup.dedupCorpus(spark, cleaned, capMetrics = Some(lshCaps))
     val n2 = deduped.count()
+    val caps = lshCaps.get // empty only if AQE erased an all-capped plan
+    println(s"[ext-demo] lsh cap: ${caps.getOrElse("dropped_buckets", "n/a")} buckets / " +
+      s"${caps.getOrElse("dropped_doc_slots", "n/a")} doc-slots dropped by maxBucket")
 
     // 3. quality gate + split + packing
     val gated = TextStats.quality(deduped, Seq("and", "of", "to"))

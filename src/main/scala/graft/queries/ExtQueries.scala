@@ -761,6 +761,40 @@ object ExtQueries {
       FROM narrow n LEFT JOIN tb ON tb.doc_id = n.doc_id
       ORDER BY n.doc_id"""))
 
+  // ---------------------------------------------------------------- q74
+  // LSH cap diagnostics (OP-A5 discipline on the dedup path): what the
+  // q52 mega-bucket cap dropped — bucket count, doc×band memberships —
+  // plus surviving buckets and the hottest bucket size. The exact,
+  // always-present companion to lshCandidates' capMetrics observation
+  // (which AQE empty-relation propagation can erase when everything is
+  // capped). Two partial-aggregable shuffles, no join.
+  private val q74 = Q(
+    "q74_lsh_cap_stats",
+    (s, d) => {
+      graft.ext.Dedup.lshCapStats(s, Tables.documents(s, d))
+    },
+    Some(s"""WITH $shingleCte,
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT) AS h48 FROM sh),
+      sig AS (
+        SELECT doc_id,
+          min(xor(h48, ${salts(0)})) AS m0, min(xor(h48, ${salts(1)})) AS m1,
+          min(xor(h48, ${salts(2)})) AS m2, min(xor(h48, ${salts(3)})) AS m3
+        FROM h GROUP BY doc_id),
+      buckets AS (
+        SELECT doc_id, 0 AS band, m0 AS bucket FROM sig UNION ALL
+        SELECT doc_id, 1, m1 FROM sig UNION ALL
+        SELECT doc_id, 2, m2 FROM sig UNION ALL
+        SELECT doc_id, 3, m3 FROM sig),
+      sized AS (SELECT band, bucket, count(*) AS bsize
+        FROM buckets GROUP BY band, bucket)
+      SELECT
+        CAST(sum(CASE WHEN bsize > 10 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
+        CAST(sum(CASE WHEN bsize > 10 THEN bsize ELSE 0 END) AS BIGINT) AS dropped_doc_slots,
+        CAST(sum(CASE WHEN bsize BETWEEN 2 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS kept_buckets,
+        CAST(max(bsize) AS BIGINT) AS max_bucket_size
+      FROM sized"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
+    q74)
 }

@@ -213,6 +213,77 @@ class ExtApiSpec extends SparkSpec {
     assert(TextStats.ngramCounts(d, n = 4, k = 10).count() == 1) // only doc 1
   }
 
+  test("verifyCandidates evaluates LSH once (checkpointed pairs) and semi-joins the shingle side") {
+    val pairs = Dedup.lshCandidates(spark, docs, bands = 2, maxBucket = 4)
+    val v = Dedup.verifyCandidates(spark, pairs, docs, threshold = 0.2)
+    val p = v.queryExecution.executedPlan.toString
+    // the LSH subtree ran exactly once, during the pairs checkpoint — the
+    // verify plan itself scans the checkpoint, it contains no LSH at all
+    assert(!p.contains("minhash48"), p)
+    assert(!p.contains("stack("), p)
+    // shingle sets are computed only for candidate ids, not the corpus
+    assert(p.contains("LeftSemi"), p)
+    // and the verify result is still correct (identical docs 1,4 at 1.0)
+    val got = v.collect().map(r =>
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard"))).toSet
+    assert(got.contains((1L, 4L, 1.0)))
+  }
+
+  test("dedupCorpus near-dup drop join carries no mandatory broadcast hint") {
+    val marker = "strategy=broadcast"
+    // self-check the marker is what a hinted plan prints
+    val hinted = docs.join(broadcast(docs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    assert(hinted.queryExecution.optimizedPlan.toString.contains(marker))
+    // at realistic near-dup rates the drop set is a constant fraction of
+    // the corpus — the join must be free to degrade to shuffle (AQE still
+    // broadcasts at runtime when the set actually is small)
+    val out = Dedup.dedupCorpus(spark, docs, maxBucket = 4)
+    assert(!out.queryExecution.optimizedPlan.toString.contains(marker))
+  }
+
+  test("lshCandidates capMetrics reports what the mega-bucket cap dropped") {
+    import spark.implicits._
+    // 12 identical docs → one bucket of 12 per band (capped at maxBucket=4)
+    // PLUS a surviving near-dup pair, so the candidate output is non-empty
+    // (an all-empty result lets AQE erase the observed subtree — the
+    // documented caveat, pinned below via lshCapStats)
+    val many = ((1L to 12L).map(i => (i, "the same exact text repeated verbatim here"))
+      ++ Seq((100L, "a distinct surviving pair of documents"),
+             (101L, "a distinct surviving pair of documents")))
+      .toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation()
+    val out = Dedup.lshCandidates(spark, many, bands = 2, maxBucket = 4,
+      capMetrics = Some(obs))
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L))) // mega-bucket capped, pair survives
+    val m = obs.get
+    assert(m("dropped_buckets") == 2L, m)    // one mega-bucket per band
+    assert(m("dropped_doc_slots") == 24L, m) // 12 docs × 2 bands
+  }
+
+  test("lshCapStats stays exact even when EVERY bucket is capped") {
+    import spark.implicits._
+    val many = (1L to 12L).map(i => (i, "the same exact text repeated verbatim here"))
+      .toDF("doc_id", "text")
+    // the observation path returns empty here (AQE empty-relation erasure);
+    // the standalone diagnostic must not
+    val r = Dedup.lshCapStats(spark, many, bands = 2, maxBucket = 4).head()
+    assert(r.getAs[Long]("dropped_buckets") == 2L)
+    assert(r.getAs[Long]("dropped_doc_slots") == 24L)
+    assert(r.getAs[Long]("kept_buckets") == 0L)
+    assert(r.getAs[Long]("max_bucket_size") == 12L)
+  }
+
+  test("dedupCorpus surfaces the cap observation through the checkpointed pairs") {
+    val obs = org.apache.spark.sql.Observation()
+    val out = Dedup.dedupCorpus(spark, docs, maxBucket = 4, capMetrics = Some(obs))
+    val survivors = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val m = obs.get // completes at the pairs checkpoint, fires exactly once
+    assert(m("dropped_buckets") == 0L, m) // nothing capped at this size
+    assert(m("dropped_doc_slots") == 0L, m)
+    assert(survivors.contains(3L) && !survivors.contains(4L))
+  }
+
   test("dedupCorpus keeps one survivor per exact/near-dup group") {
     val out = Dedup.dedupCorpus(spark, docs, maxBucket = 4)
       .select("doc_id").collect().map(_.getLong(0)).toSet

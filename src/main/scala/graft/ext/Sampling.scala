@@ -65,4 +65,47 @@ object Sampling {
       .withColumn("offset_in_bin", expr(s"cum - n_tokens - ((cum - n_tokens) DIV $budget) * $budget"))
       .drop("cum")
   }
+
+  /** Skew-guarded packing: in `packSequences` one giant shard serializes
+    * its whole window through a single task. Here every shard is salted
+    * into `subShards` deterministic sub-shards (xxhash64 of the id),
+    * each packed independently — the hot shard's window becomes
+    * `subShards` parallel windows — and every sub-shard's bins are
+    * REBASED by the bin count of the sub-shards before it, keeping bin
+    * ids globally unique and contiguous per shard. The rebase side is
+    * CLOSED-FORM (`nbins = (total − last_n) DIV budget + 1` from a tiny
+    * per-(shard,sub) aggregate — no second window evaluation) and is
+    * shard×subShards rows, so AQE broadcasts the join back. Same output
+    * contract as `packSequences`; the greedy order differs (docs group
+    * by salt before packing), which is an equally-valid packing —
+    * `subShards = 1` reproduces `packSequences` exactly. */
+  def packSequencesSalted(docs: DataFrame, budget: Int, subShards: Int = 8,
+      shardCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(subShards >= 1, "subShards must be positive")
+    val toks = docs.select(col(shardCol), col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("sub", pmod(xxhash64(col(idCol)), lit(subShards)).cast("int"))
+    val w = Window.partitionBy(col(shardCol), col("sub")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = toks
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("local_bin", expr(s"(cum - n_tokens) DIV $budget"))
+      .withColumn("offset_in_bin",
+        expr(s"cum - n_tokens - ((cum - n_tokens) DIV $budget) * $budget"))
+    // bins a sub-shard occupies = the bin of its LAST doc + 1, which is
+    // closed-form from (total tokens, last doc's tokens) — one partial-
+    // aggregable pass over the narrow token projection
+    val prefix = Window.partitionBy(col(shardCol)).orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rebase = toks.groupBy(col(shardCol), col("sub"))
+      .agg(sum(col("n_tokens")).as("tot"),
+        max_by(col("n_tokens"), col(idCol)).as("last_n"))
+      .withColumn("nbins", expr(s"(tot - last_n) DIV $budget") + lit(1L))
+      .withColumn("bin_base", coalesce(sum(col("nbins")).over(prefix), lit(0L)))
+      .select(col(shardCol), col("sub"), col("bin_base"))
+    local.join(rebase, Seq(shardCol, "sub"))
+      .select(col(shardCol), col(idCol), col("n_tokens"),
+        (col("local_bin") + col("bin_base")).as("bin"), col("offset_in_bin"))
+  }
 }

@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * video as opaque `binary` columns + typed metadata structs, with
   * decode / feature-extract / resize / frame-sample as BATCHED
   * per-partition transforms — the Scala analog of `mapInPandas`
-  * (vectorized UDF plumbing) with the actual codec STUBBED (this
-  * container ships no image/audio libraries; the stub is deterministic
-  * so tests pin the plumbing end to end).
+  * (vectorized UDF plumbing). Codecs are injectable via `Decoder`:
+  * `ImageIoDecoder` is a REAL image codec on the JDK's `javax.imageio`
+  * (PNG/BMP/GIF/JPEG); `StubDecoder` remains for synthetic payloads and
+  * as the template for native audio/video codecs this container cannot
+  * ship.
   *
   * Scale design: media bytes never leave the executor (mapPartitions),
   * batches amortize per-call overhead exactly like Arrow batches do for
@@ -63,6 +65,65 @@ object Multimodal {
         i += 1
       }
       acc
+    }
+  }
+
+  /** REAL image codec on the JDK's own `javax.imageio` (PNG/BMP/GIF/
+    * JPEG/WBMP — zero dependencies beyond the JDK): decodes the payload
+    * and emits a fixed-`dim` feature vector
+    * `[width, height, meanR, meanG, meanB, meanLuma, stddevLuma,
+    * fracBright]` (channel means normalized to 0..1, fracBright =
+    * fraction of sampled pixels with luma > 0.5; truncated / zero-padded
+    * to `dim`). Undecodable payloads (ImageIO.read → null) yield an
+    * all-zero vector instead of failing the batch — the skip-don't-crash
+    * discipline a corpus-scale decode job needs (count them with
+    * `array_max(features) = 0` downstream). The pixel scan is bounded:
+    * images beyond ~1M pixels are strided in both axes, so per-row cost
+    * is O(1M) samples regardless of image size. A fresh decode closure
+    * per `open()` (per batch) — ImageReader state is not shareable
+    * across threads. */
+  final case class ImageIoDecoder(dim: Int = 8) extends Decoder {
+    def open(): Array[Byte] => Array[Float] = {
+      javax.imageio.ImageIO.setUseCache(false) // no executor-disk temp files
+      payload => {
+        val out = new Array[Float](dim)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null }
+        if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+          val (w, h) = (img.getWidth, img.getHeight)
+          // stride so sampled pixels ≤ ~1M: bounded work on any image
+          val step = math.max(1L, math.round(math.sqrt(w.toLong * h / 1e6))).toInt
+          var (sr, sg, sb, sl, sll) = (0.0, 0.0, 0.0, 0.0, 0.0)
+          var bright = 0L
+          var n = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = ((rgb >> 16) & 0xff) / 255.0
+              val g = ((rgb >> 8) & 0xff) / 255.0
+              val b = (rgb & 0xff) / 255.0
+              val luma = 0.299 * r + 0.587 * g + 0.114 * b
+              sr += r; sg += g; sb += b; sl += luma; sll += luma * luma
+              if (luma > 0.5) bright += 1
+              n += 1
+              x += step
+            }
+            y += step
+          }
+          val mean = sl / n
+          val feats = Array(
+            w.toFloat, h.toFloat,
+            (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+            mean.toFloat,
+            math.sqrt(math.max(0.0, sll / n - mean * mean)).toFloat,
+            bright.toFloat / n)
+          System.arraycopy(feats, 0, out, 0, math.min(dim, feats.length))
+        }
+        out
+      }
     }
   }
 

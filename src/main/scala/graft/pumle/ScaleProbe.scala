@@ -109,6 +109,37 @@ object ScaleProbe {
       f"= ${nDocs3 / secs5 / 1000}%.0fk docs/s " +
       f"(${sk.getLong(0)} simhash / ${sk.getLong(1)} fp / ${sk.getLong(2)} msh values)")
 
+    // FULL corpus dedup at volume: ~1M docs with a 30% planted duplicate
+    // rate (10% exact copies + 20% near-dups sharing 38/40 words with
+    // their base doc — the realistic web-crawl shape). Drives
+    // Dedup.dedupCorpus end to end: content-hash window → minhash-LSH →
+    // connected components → UNHINTED left_anti (the round-4 fix: a
+    // forced broadcast of a 30%-of-corpus drop set would OOM here).
+    // Also proves the single-LSH-evaluation checkpoint and the per-round
+    // checkpoint storage release under real volume.
+    val nDocs6 = sys.env.getOrElse("SPARK_GRAFT_PROBE_DEDUP_DOCS", "1000000").toInt
+    val r6 = col("id") % 10
+    val base6 = when(r6.isin(1, 2, 3), col("id") - r6).otherwise(col("id"))
+    val tail6 = when(r6 === 1, base6).otherwise(col("id")) // exact dups copy the tail too
+    // word = md5(position, source id) prefix — a random-looking vocab, so
+    // char-shingle overlap between unrelated docs is nil and the ONLY
+    // text collisions are the planted ones (an earlier structured-number
+    // vocab aliased unrelated ids into giant accidental clusters — the
+    // failure mode dedupCorpus' verify stage exists to stop)
+    val docs6 = spark.range(nDocs6).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 38).map(w0 => substring(md5(concat(lit(s"$w0:"), base6)), 1, 8)) ++
+        (38 until 40).map(w0 => substring(md5(concat(lit(s"$w0:"), tail6)), 1, 8)): _*)
+        .as("text"))
+    val t6 = System.nanoTime()
+    val survivors = graft.ext.Dedup.dedupCorpus(spark, docs6).count()
+    val secs6 = (System.nanoTime() - t6) / 1e9
+    val storageLeft = spark.sparkContext.getPersistentRDDs.size
+    println(f"[probe] dedupCorpus: $nDocs6%d docs (30%% planted dups) → " +
+      f"$survivors survivors in $secs6%.1fs = ${nDocs6 / secs6 / 1000}%.0fk docs/s " +
+      f"($storageLeft persistent RDDs live after)")
+
     // ANN at volume: 100k×64-dim vectors, 100 centroids, ~100 queries
     // through the full IVF probe+rerank path (corpus never shuffled)
     val nVec = 100000

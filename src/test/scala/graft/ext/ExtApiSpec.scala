@@ -164,6 +164,45 @@ class ExtApiSpec extends SparkSpec {
     assert(p.map(_.getAs[Long]("offset_in_bin")).toSeq == Seq(0L, 3L, 0L, 4L, 0L))
   }
 
+  test("packSequencesSalted parallelizes one hot shard and keeps the packing valid") {
+    import spark.implicits._
+    // one giant shard: the base variant would serialize all 200 docs
+    // through a single window task
+    val hot = (1L to 200L).map(i => (i, "s", "a b c")).toDF("doc_id", "source", "text")
+    val p = Sampling.packSequencesSalted(hot, budget = 10, subShards = 4)
+    val rows = p.collect()
+    assert(rows.length == 200)
+    // the salt actually spreads the shard over all 4 sub-windows
+    val subs = hot.select(pmod(xxhash64(col("doc_id")), lit(4)).as("sub"))
+      .distinct().count()
+    assert(subs == 4)
+    // token conservation and bin contiguity per shard
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == 600L)
+    val bins = rows.map(_.getAs[Long]("bin")).toSet
+    assert(bins == (0L until bins.size).toSet, s"bins not contiguous: $bins")
+    // greedy start-based binning bounds every bin at budget + doc_len - 1
+    val loads = rows.groupBy(_.getAs[Long]("bin"))
+      .values.map(_.map(_.getAs[Long]("n_tokens")).sum)
+    assert(loads.forall(_ <= 12), s"overfull bin: ${loads.max}")
+    assert(rows.forall(_.getAs[Long]("offset_in_bin") < 10))
+    // deterministic across runs
+    val again = Sampling.packSequencesSalted(hot, budget = 10, subShards = 4)
+      .collect().map(_.toSeq).toSet
+    assert(again == rows.map(_.toSeq).toSet)
+  }
+
+  test("packSequencesSalted with subShards=1 reproduces packSequences exactly") {
+    import spark.implicits._
+    val d = Seq((1L, "s", "a b c"), (2L, "s", "d e"),
+      (3L, "s", "f g h i"), (4L, "s", "j"), (9L, "z", "k l m"))
+      .toDF("doc_id", "source", "text")
+    val cols = Seq("source", "doc_id", "n_tokens", "bin", "offset_in_bin")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(rows(Sampling.packSequencesSalted(d, budget = 5, subShards = 1))
+      == rows(Sampling.packSequences(d, budget = 5)))
+  }
+
   test("ivfTopK with every cell probed equals the exact baseline") {
     import spark.implicits._
     val emb = Seq.tabulate(12)(i =>
@@ -282,6 +321,18 @@ class ExtApiSpec extends SparkSpec {
     assert(m("dropped_buckets") == 0L, m) // nothing capped at this size
     assert(m("dropped_doc_slots") == 0L, m)
     assert(survivors.contains(3L) && !survivors.contains(4L))
+  }
+
+  test("dedupCorpus verify stage gates near-dup merging by true jaccard") {
+    def survivors(t: Double) =
+      Dedup.dedupCorpus(spark, docs, maxBucket = 4, verifyThreshold = t)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // threshold 1.0: only byte-identical texts could merge, and those
+    // already collapsed in the exact stage → no near-dup drops at all
+    assert(survivors(1.0) == Set(1L, 2L, 3L))
+    // verification off: the raw LSH candidate graph merges the 1-2
+    // near-dup pair directly (the pre-round-4 behavior)
+    assert(survivors(0.0) == Set(1L, 3L))
   }
 
   test("dedupCorpus keeps one survivor per exact/near-dup group") {

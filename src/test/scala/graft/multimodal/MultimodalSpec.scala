@@ -60,6 +60,33 @@ class MultimodalSpec extends SparkSpec {
     assert(f.forall(r => r.features.length == 3 && r.features(1) == -1.0f))
   }
 
+  test("ImageIoDecoder decodes a generated PNG end to end (real javax.imageio codec)") {
+    import spark.implicits._
+    // 2×1 PNG: left pixel pure red, right pixel pure blue
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    img.setRGB(1, 0, 0x0000ff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val rows = Seq((1L, buf.toByteArray), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(rows, "doc_id", "payload", "image")
+    val f = Multimodal.extractFeatures(spark, media, Multimodal.ImageIoDecoder())
+      .collect().sortBy(_.media_id)
+    val png = f(0).features
+    assert(png(0) == 2.0f && png(1) == 1.0f) // true decoded dimensions
+    assert(math.abs(png(2) - 0.5) < 1e-3)    // mean R: one full-red of two
+    assert(png(3) == 0.0f)                   // no green anywhere
+    assert(math.abs(png(4) - 0.5) < 1e-3)    // mean B: one full-blue of two
+    assert(math.abs(png(5) - (0.299 + 0.114) / 2) < 1e-3) // mean luma
+    assert(math.abs(png(6) - (0.299 - 0.114) / 2) < 1e-3) // stddev luma
+    assert(png(7) == 0.0f)                   // nothing above luma 0.5
+    // undecodable payload → all-zero vector, batch survives
+    assert(f(1).features.forall(_ == 0.0f))
+    assert(f(1).n_bytes == 12)
+  }
+
   test("resample strides the payload deterministically") {
     val m = Multimodal.asMedia(docs, "doc_id", "text", "image")
     val out = Multimodal.resample(spark, m, 2).orderBy("media_id").collect()

@@ -148,10 +148,15 @@ object Dedup {
       }.toSeq
       (out, added)
     }
+    // the input subtree materializes ONCE before the symmetric union
+    // references it twice: for expensive upstreams (LSH) the double
+    // reference would otherwise re-evaluate the whole subtree per side
+    // (exchange reuse is plan-dependent, not a guarantee)
+    val (cp, cpRdds) = checkpointTracked(pairs.select(col("a_id"), col("b_id")))
     val (edges, edgeRdds) = checkpointTracked(
-      pairs.select(col("a_id"), col("b_id"))
-        .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      cp.unionAll(cp.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .distinct())
+    cpRdds.foreach(_.unpersist(blocking = false)) // dead once edges exist
     var (labels, labelRdds) = checkpointTracked(
       edges.select(col("a_id").as("node"))
         .distinct()
@@ -208,8 +213,18 @@ object Dedup {
   def verifyCandidates(spark: SparkSession, pairs: DataFrame, docs: DataFrame,
       threshold: Double, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    graft.functions.Shingles8.register(spark)
     val cp = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    verifyCheckpointed(spark, cp, docs, threshold, idCol, textCol)
+  }
+
+  /** Core of `verifyCandidates` for a pair frame that is ALREADY
+    * materialized (checkpointed/cached): referenced three times below,
+    * so an unmaterialized input would re-evaluate its subtree per
+    * reference. `dedupCorpus` calls this directly with its own tracked
+    * checkpoint so the blocks can be released once components exist. */
+  private def verifyCheckpointed(spark: SparkSession, cp: DataFrame, docs: DataFrame,
+      threshold: Double, idCol: String, textCol: String): DataFrame = {
+    graft.functions.Shingles8.register(spark)
     val ids = cp.select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
     val sets = docs.filter(col(textCol).isNotNull)
       .join(ids, Seq(idCol), "left_semi")
@@ -259,18 +274,25 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .drop("content_hash", "rk")
-    // candidate pairs materialize ONCE: clusters() references its input
-    // twice (the symmetric edge union), which would re-evaluate the LSH
-    // subtree per reference and fire the cap observation twice — the
-    // checkpoint anchors both to a single execution, and the pair set is
-    // candidate-bounded (the cheap side to pin, as in verifyCandidates)
+    // candidate pairs materialize ONCE: both the verify stage and
+    // clusters() reference their input repeatedly, which would
+    // re-evaluate the LSH subtree per reference and fire the cap
+    // observation more than once — the checkpoint anchors everything to
+    // a single execution, and the pair set is candidate-bounded (the
+    // cheap side to pin). Its blocks are tracked so they can be freed
+    // the moment components are materialized below.
+    val sc = spark.sparkContext
+    val beforeCp = sc.getPersistentRDDs.keySet
     val pairs = lshCandidates(spark, afterExact, bands, maxBucket, idCol, textCol, capMetrics)
       .localCheckpoint(true)
+    val pairsRdds = sc.getPersistentRDDs.collect {
+      case (id, rdd) if !beforeCp.contains(id) => rdd
+    }.toSeq
     // precision gate: score each candidate's TRUE shingle Jaccard and
     // keep only real near-dups before the (chain-merging) components
     val confirmed =
       if (verifyThreshold > 0.0)
-        verifyCandidates(spark, pairs, afterExact, verifyThreshold, idCol, textCol)
+        verifyCheckpointed(spark, pairs, afterExact, verifyThreshold, idCol, textCol)
       else pairs
     // the near-dup DROP set is bounded by the LSH candidate graph, which
     // on a heavily-duplicated corpus is a constant fraction of the
@@ -280,6 +302,10 @@ object Dedup {
     val dropNearDup = clusters(spark, confirmed)
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as(idCol))
+    // clusters() materialized its labels with truncated lineage, so the
+    // pairs checkpoint is unreachable from the returned plan — free it
+    // now instead of leaking it for the session's lifetime
+    pairsRdds.foreach(_.unpersist(blocking = false))
     afterExact.join(dropNearDup, Seq(idCol), "left_anti")
   }
 

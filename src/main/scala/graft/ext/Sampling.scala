@@ -74,11 +74,15 @@ object Sampling {
     * REBASED by the bin count of the sub-shards before it, keeping bin
     * ids globally unique and contiguous per shard. The rebase side is
     * CLOSED-FORM (`nbins = (total − last_n) DIV budget + 1` from a tiny
-    * per-(shard,sub) aggregate — no second window evaluation) and is
-    * shard×subShards rows, so AQE broadcasts the join back. Same output
-    * contract as `packSequences`; the greedy order differs (docs group
-    * by salt before packing), which is an equally-valid packing —
-    * `subShards = 1` reproduces `packSequences` exactly. */
+    * per-(shard,sub) aggregate — no second window evaluation, just one
+    * extra scan of the narrow token projection) and is shard×subShards
+    * rows, so AQE broadcasts the join back. The trade: one more narrow
+    * pass buys a per-task row bound of shard/subShards — the base
+    * variant must SORT THE WHOLE SHARD IN ONE TASK, which spills or
+    * OOMs at real shard sizes. Same output contract as `packSequences`;
+    * the greedy order differs (docs group by salt before packing),
+    * which is an equally-valid packing — `subShards = 1` reproduces
+    * `packSequences` exactly. */
   def packSequencesSalted(docs: DataFrame, budget: Int, subShards: Int = 8,
       shardCol: String = "source", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

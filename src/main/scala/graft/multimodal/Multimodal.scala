@@ -127,6 +127,79 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec on the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM — zero dependencies beyond the JDK): decodes the payload and
+    * emits `[sampleRate, channels, nFrames, meanAbs, rms, peak,
+    * zeroCrossRate, silenceFrac]` (amplitudes normalized to −1..1;
+    * channels averaged per frame; truncated / zero-padded to `dim`).
+    * Supports 16-bit signed and 8-bit unsigned PCM — the formats
+    * AudioSystem decodes without external SPI plugins. Undecodable
+    * payloads yield the zero vector (skip-don't-crash, as with
+    * `ImageIoDecoder`). Frame scan strided past ~1M frames so per-row
+    * cost is bounded on any clip length. */
+  final case class WavDecoder(dim: Int = 8) extends Decoder {
+    def open(): Array[Byte] => Array[Float] = payload => {
+      val out = new Array[Float](dim)
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val bytesPerFrame = fmt.getFrameSize
+        val ok = (bits == 16 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) ||
+          (bits == 8 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+        if (ok && bytesPerFrame > 0) {
+          val bytes = ais.readAllBytes()
+          val nFrames = bytes.length / bytesPerFrame
+          val step = math.max(1, nFrames / 1000000) // bound sampled frames
+          var (sAbs, sSq) = (0.0, 0.0)
+          var peak = 0.0
+          var (zc, silent, n) = (0L, 0L, 0L)
+          var prevPos = true
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = f * bytesPerFrame + c * (bits / 8)
+              acc += (if (bits == 16) {
+                val lo = bytes(off) & 0xff
+                val hi = bytes(off + 1)
+                val v = if (fmt.isBigEndian) ((bytes(off) << 8) | (bytes(off + 1) & 0xff))
+                        else ((hi << 8) | lo)
+                v / 32768.0
+              } else ((bytes(off) & 0xff) - 128) / 128.0)
+              c += 1
+            }
+            val x = acc / ch
+            val ax = math.abs(x)
+            sAbs += ax; sSq += x * x
+            if (ax > peak) peak = ax
+            if (ax < 0.01) silent += 1
+            val pos = x >= 0
+            if (n > 0 && pos != prevPos) zc += 1
+            prevPos = pos
+            n += 1
+            f += step
+          }
+          if (n > 0) {
+            val feats = Array(
+              fmt.getSampleRate, ch.toFloat, nFrames.toFloat,
+              (sAbs / n).toFloat, math.sqrt(sSq / n).toFloat, peak.toFloat,
+              zc.toFloat / n, silent.toFloat / n)
+            System.arraycopy(feats, 0, out, 0, math.min(dim, feats.length))
+          }
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException | _: java.io.IOException => ()
+      }
+      out
+    }
+  }
+
   /** Batched feature extraction: one pass per partition, `batchSize`
     * rows decoded per inner batch (the mapInPandas batch analog), codec
     * opened once per batch via `decoder.open()`. */

@@ -323,6 +323,15 @@ class ExtApiSpec extends SparkSpec {
     assert(survivors.contains(3L) && !survivors.contains(4L))
   }
 
+  test("dedupCorpus frees its intermediate checkpoints (bounded storage)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.dedupCorpus(spark, docs, maxBucket = 4).count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the components' label checkpoint may remain; the pairs and
+    // verify checkpoints must have been released
+    assert(added.size <= 1, s"leaked persistent RDDs: $added")
+  }
+
   test("dedupCorpus verify stage gates near-dup merging by true jaccard") {
     def survivors(t: Double) =
       Dedup.dedupCorpus(spark, docs, maxBucket = 4, verifyThreshold = t)

@@ -87,6 +87,37 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1).n_bytes == 12)
   }
 
+  test("WavDecoder decodes a generated 16-bit PCM sine WAV (real javax.sound codec)") {
+    import spark.implicits._
+    // 1s of 440 Hz at 8 kHz mono, amplitude 0.5, 16-bit little-endian PCM
+    val (sr, n, amp) = (8000f, 8000, 0.5)
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = (amp * math.sin(2 * math.Pi * 440 * i / sr) * 32767).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val rows = Seq((1L, buf.toByteArray), (2L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(rows, "doc_id", "payload", "audio")
+    val f = Multimodal.extractFeatures(spark, media, Multimodal.WavDecoder())
+      .collect().sortBy(_.media_id)
+    val wav = f(0).features
+    assert(wav(0) == 8000f && wav(1) == 1f && wav(2) == 8000f) // sr, ch, frames
+    assert(math.abs(wav(3) - 2 * amp / math.Pi) < 0.01)  // mean |A·sin| = 2A/π
+    assert(math.abs(wav(4) - amp / math.sqrt(2)) < 0.01) // rms = A/√2
+    assert(math.abs(wav(5) - amp) < 0.01)                // peak ≈ A
+    assert(math.abs(wav(6) - 2 * 440 / sr) < 0.01)       // zero crossings/frame
+    assert(wav(7) < 0.05)                                // sine is rarely near 0
+    assert(f(1).features.forall(_ == 0.0f))              // undecodable → zeros
+  }
+
   test("resample strides the payload deterministically") {
     val m = Multimodal.asMedia(docs, "doc_id", "text", "image")
     val out = Multimodal.resample(spark, m, 2).orderBy("media_id").collect()

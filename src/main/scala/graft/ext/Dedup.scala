@@ -309,6 +309,38 @@ object Dedup {
     afterExact.join(dropNearDup, Seq(idCol), "left_anti")
   }
 
+  /** Chunk-level corpus dedup (the CCNet/Gopher "line dedup" shape,
+    * with fixed `chunkWords`-word chunks standing in for lines): every
+    * chunk whose corpus-wide occurrence count exceeds `maxReps` is
+    * boilerplate (headers, navigation, license blocks) and is removed
+    * from every document containing it; the per-document remainder is
+    * reassembled in order. One narrow chunk explode, one partial-
+    * aggregable corpus count (map-side combine collapses hot chunks
+    * before the shuffle — the frequent chunk IS the skewed key, and it
+    * collapses to one row per partition), one join back, one doc-keyed
+    * reassembly aggregate. Chunk positions cap at 4096 per doc (the
+    * shared cross-engine enumeration bound). */
+  def dedupChunks(docs: DataFrame, chunkWords: Int = 2, maxReps: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k = chunkWords
+    val chunks = docs
+      .withColumn("ws", split(col(textCol), " "))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, least(int(ceil(size(ws) / CAST($k AS DOUBLE))) - 1, 4096)),
+           |  i -> array_join(slice(ws, i * $k + 1, $k), ' '))""".stripMargin))
+        .as(Seq("ci", "chunk")))
+    val counts = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("reps"))
+    chunks.join(counts, Seq("chunk"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(expr(
+          s"transform(array_sort(collect_list(CASE WHEN reps <= $maxReps " +
+            s"THEN struct(ci, chunk) END)), x -> x.chunk)"), " ").as("kept_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("reps") > maxReps, lit(1L)).otherwise(lit(0L)))
+          .as("n_dropped_chunks"))
+  }
+
   /** 16-bit SimHash per document over whitespace words, via the custom
     * codegen'd `simhash16` expression (graft.functions.SimHash16): the
     * hash is a pure per-row function of the text, so the plan is fully

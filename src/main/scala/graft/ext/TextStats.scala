@@ -177,6 +177,54 @@ object TextStats {
           .otherwise(size(split(col("cleaned"), " ")).cast("long")))
   }
 
+  /** PII scrub: redact emails then phone-shaped digit runs (applied in
+    * that order, so a phone pattern can never eat an address's digits
+    * first), counting each. Pure narrow per-row regex — the standard
+    * pre-training privacy pass. Patterns avoid backreferences and
+    * lookaround so Java (Spark) and RE2-family (DuckDB/Go) engines
+    * agree byte for byte. */
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(email), lit(0))).cast("long"))
+      .withColumn("no_email", regexp_replace(col(textCol), email, "<EMAIL>"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("no_email"), lit(phone), lit(0))).cast("long"))
+      .withColumn("cleaned", regexp_replace(col("no_email"), phone, "<PHONE>"))
+      .select(col(idCol), col("cleaned"), col("n_emails"), col("n_phones"))
+  }
+
+  /** Benchmark decontamination: flag every training document sharing at
+    * least `minShared` word n-grams with the evaluation set. The eval
+    * gram table is benchmark-bounded (thousands of docs, not billions),
+    * so the membership check is a broadcastable semi-join against a
+    * DISTINCT gram set; the training side stays one narrow explode +
+    * one doc-keyed aggregate. Gram positions cap at 4096 (the shared
+    * cross-engine enumeration bound). */
+  def decontaminate(docs: DataFrame, evalPred: org.apache.spark.sql.Column,
+      n: Int = 3, minShared: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .withColumn("ws", split(col(textCol), " "))
+      .select(col(idCol), col("ws"), evalPred.as("is_eval"))
+      .select(col(idCol), col("is_eval"), explode(expr(
+        s"""transform(sequence(0, least(greatest(size(ws) - $n, 0), 4096)),
+           |  i -> array_join(slice(ws, i + 1, $n), ' '))""".stripMargin)).as("gram"))
+    val evalGrams = grams.filter(col("is_eval")).select(col("gram")).distinct()
+    val shared = grams.filter(!col("is_eval"))
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    docs.filter(!evalPred).select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated", col("n_shared_grams") >= minShared)
+  }
+
   /** Winnowing-style min-shingle + order-insensitive xor fingerprints.
     * Both are pure per-row expressions — minhash48's salt-0 lane for
     * the min shingle hash, xorfp48 for the distinct-word xor — so the

@@ -794,7 +794,100 @@ object ExtQueries {
         CAST(max(bsize) AS BIGINT) AS max_bucket_size
       FROM sized"""))
 
+  // ---------------------------------------------------------------- q75
+  // PII scrub: redact emails then phone-shaped digit runs, counting
+  // each — the standard pre-training privacy pass. Deterministic PII is
+  // INJECTED identically on both engines (the corpus itself carries
+  // none), so the redaction paths do real work under the hash compare.
+  // Patterns avoid backreferences/lookaround so Java and RE2 agree.
+  private val q75 = Q(
+    "q75_pii_scrub",
+    (s, d) => {
+      val enriched = Tables.documents(s, d).withColumn("text",
+        concat(col("text"), lit(" contact user_"), col("doc_id").cast("string"),
+          lit("@example.com or +1 (555) 010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      graft.ext.TextStats.scrubPii(enriched).orderBy(col("doc_id"))
+    },
+    Some("""WITH enriched AS (
+        SELECT doc_id, text || ' contact user_' || CAST(doc_id AS VARCHAR) ||
+          '@example.com or +1 (555) 010-' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents),
+      e AS (
+        SELECT doc_id,
+          len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_email
+        FROM enriched)
+      SELECT doc_id,
+        regexp_replace(no_email, '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS cleaned,
+        CAST(n_emails AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(no_email, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones
+      FROM e ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q76
+  // Chunk-level corpus dedup (the CCNet "line dedup" shape with 2-word
+  // chunks standing in for lines): chunks repeated corpus-wide beyond
+  // maxReps are boilerplate and removed from every doc; remainders are
+  // reassembled in order. The corpus count is a partial-aggregable
+  // groupBy — the hot chunk IS the skew key and map-side combine
+  // collapses it before the shuffle.
+  private val q76 = Q(
+    "q76_chunk_dedup",
+    (s, d) => {
+      graft.ext.Dedup.dedupChunks(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      ch AS (
+        SELECT doc_id, gs.generate_series AS ci,
+          array_to_string(ws[CAST(gs.generate_series * 2 + 1 AS INT) :
+                             CAST(gs.generate_series * 2 + 2 AS INT)], ' ') AS chunk
+        FROM w, generate_series(0, 4096) gs
+        WHERE gs.generate_series <= CAST(ceil(len(ws) / 2.0) AS INT) - 1),
+      cnt AS (SELECT chunk, count(*) AS reps FROM ch GROUP BY chunk)
+      SELECT ch.doc_id,
+        coalesce(string_agg(ch.chunk, ' ' ORDER BY ch.ci)
+          FILTER (WHERE cnt.reps <= 20), '') AS kept_text,
+        count(*) AS n_chunks,
+        CAST(sum(CASE WHEN cnt.reps > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_chunks
+      FROM ch JOIN cnt USING (chunk)
+      GROUP BY ch.doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q77
+  // Benchmark decontamination: flag training docs sharing any word
+  // 3-gram with the (doc_id % 50 = 0) eval subset. The eval gram set is
+  // benchmark-bounded → broadcastable distinct semi-join; the training
+  // side is one narrow explode + doc-keyed aggregate.
+  private val q77 = Q(
+    "q77_decontaminate",
+    (s, d) => {
+      graft.ext.TextStats.decontaminate(
+        Tables.documents(s, d), col("doc_id") % 50 === 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws, (doc_id % 50 = 0) AS is_eval
+        FROM documents),
+      g AS (
+        SELECT doc_id, is_eval,
+          array_to_string(ws[CAST(gs.generate_series + 1 AS INT) :
+                             CAST(gs.generate_series + 3 AS INT)], ' ') AS gram
+        FROM w, generate_series(0, 4096) gs
+        WHERE gs.generate_series <= least(greatest(len(ws) - 3, 0), 4096)),
+      eg AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+      sh2 AS (
+        SELECT g.doc_id, count(*) AS n FROM g JOIN eg USING (gram)
+        WHERE NOT is_eval GROUP BY g.doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(sh2.n, 0) AS BIGINT) AS n_shared_grams,
+        coalesce(sh2.n, 0) >= 1 AS contaminated
+      FROM documents d LEFT JOIN sh2 ON sh2.doc_id = d.doc_id
+      WHERE d.doc_id % 50 <> 0
+      ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74)
+    q74, q75, q76, q77)
 }

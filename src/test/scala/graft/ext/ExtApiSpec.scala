@@ -371,6 +371,51 @@ class ExtApiSpec extends SparkSpec {
     assert(out.size == 10)
   }
 
+  test("scrubPii redacts emails before phones and counts both") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "write alice.smith+tag@mail.example.org or call +44 (0)20 7946-0958 now"),
+      (2L, "no personal data in here at all"))
+      .toDF("doc_id", "text")
+    val r = TextStats.scrubPii(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("cleaned") == "write <EMAIL> or call <PHONE> now")
+    assert(r(0).getAs[Long]("n_emails") == 1L && r(0).getAs[Long]("n_phones") == 1L)
+    assert(r(1).getAs[String]("cleaned") == "no personal data in here at all")
+    assert(r(1).getAs[Long]("n_emails") == 0L && r(1).getAs[Long]("n_phones") == 0L)
+  }
+
+  test("dedupChunks removes corpus-frequent chunks and reassembles in order") {
+    import spark.implicits._
+    // "hdr x" is shared boilerplate across all 4 docs (> maxReps=2);
+    // doc 4 has a trailing odd one-word chunk that must survive
+    val d = Seq((1L, "hdr x a b"), (2L, "hdr x c d"), (3L, "hdr x e f"),
+      (4L, "hdr x g h tail")).toDF("doc_id", "text")
+    val r = Dedup.dedupChunks(d, chunkWords = 2, maxReps = 2)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[String]("kept_text")).toSeq ==
+      Seq("a b", "c d", "e f", "g h tail"))
+    assert(r.forall(_.getAs[Long]("n_dropped_chunks") == 1L))
+    assert(r(3).getAs[Long]("n_chunks") == 3L) // hdr x | g h | tail
+  }
+
+  test("decontaminate flags training docs sharing eval n-grams") {
+    import spark.implicits._
+    val d = Seq(
+      (50L, "a b c d e"),          // eval doc (pred below)
+      (1L, "x y a b c z"),         // shares 3-gram "a b c"
+      (2L, "p q r s t u"))         // clean
+      .toDF("doc_id", "text")
+    val pred = col("doc_id") === 50L
+    val r = TextStats.decontaminate(d, pred).orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // eval doc excluded
+    assert(r(0).getAs[Long]("n_shared_grams") == 1L && r(0).getAs[Boolean]("contaminated"))
+    assert(r(1).getAs[Long]("n_shared_grams") == 0L && !r(1).getAs[Boolean]("contaminated"))
+    // stricter minShared: one shared gram is no longer enough
+    val strict = TextStats.decontaminate(d, pred, minShared = 2)
+      .filter(col("doc_id") === 1L).head()
+    assert(!strict.getAs[Boolean]("contaminated"))
+  }
+
   test("langScore tie-break follows marker order") {
     import spark.implicits._
     val d = Seq((1L, "x y z")).toDF("doc_id", "text") // all scores 0 → tie

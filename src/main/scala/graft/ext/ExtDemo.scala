@@ -40,6 +40,17 @@ object ExtDemo {
     println(s"[ext-demo] lsh cap: ${caps.getOrElse("dropped_buckets", "n/a")} buckets / " +
       s"${caps.getOrElse("dropped_doc_slots", "n/a")} doc-slots dropped by maxBucket")
 
+    // 2b. privacy + boilerplate + benchmark hygiene on the survivors
+    val pii = TextStats.scrubPii(cleaned)
+      .agg(sum(col("n_emails")), sum(col("n_phones"))).head()
+    val chunksDropped = Dedup.dedupChunks(cleaned)
+      .agg(sum(col("n_dropped_chunks"))).head().getLong(0)
+    val contaminated = TextStats.decontaminate(deduped, col("doc_id") % 50 === 0)
+      .filter(col("contaminated")).count()
+    println(s"[ext-demo] hygiene: ${pii.getLong(0)} emails / ${pii.getLong(1)} phones " +
+      s"redacted; $chunksDropped boilerplate chunks dropped; " +
+      s"$contaminated train docs share 3-grams with the eval slice")
+
     // 3. quality gate + split + packing
     val gated = TextStats.quality(deduped, Seq("and", "of", "to"))
       .filter(col("n_words") >= 10)

@@ -161,26 +161,44 @@ object Dedup {
       edges.select(col("a_id").as("node"))
         .distinct()
         .withColumn("cluster_id", col("node")))
-    def hop(l: DataFrame): DataFrame = {
+    // each hop can CARRY columns alongside the propagated minimum: self
+    // rows keep them, neighbor rows contribute null (max ignores
+    // nulls), so values survive the aggregate. The round carries the
+    // first hop's label into the second, and the fixpoint check becomes
+    // a column compare INSIDE the checkpoint job (read via Observation,
+    // which completes at the eager localCheckpoint) instead of a
+    // separate join+count action per round. Min-label propagation is
+    // MONOTONE, so "second hop changed nothing vs the first" already
+    // proves a fixpoint — no confirming round: a diameter-2 candidate
+    // graph (the usual LSH shape) finishes in ONE materialized round.
+    def hop(l: DataFrame, carry: Seq[String]): DataFrame = {
       val viaNeighbors = edges
         .join(l, edges("b_id") === l("node"))
-        .select(col("a_id").as("node"), col("cluster_id"))
-      l.select(col("node"), col("cluster_id"))
+        .select(col("a_id").as("node") +: col("cluster_id") +:
+          carry.map(c => lit(null).cast("long").as(c)): _*)
+      l.select(col("node") +: col("cluster_id") +: carry.map(col): _*)
         .unionAll(viaNeighbors)
         .groupBy(col("node"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"),
+          carry.map(c => max(col(c)).as(c)): _*)
     }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val (next, nextRdds) = checkpointTracked(hop(hop(labels)))
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("node"))
-        .filter(col("cluster_id") =!= col("old")).count()
-      // previous round's blocks are dead once `changed` is computed
+      val obs = org.apache.spark.sql.Observation()
+      val (next, nextRdds) = checkpointTracked(
+        hop(hop(labels, Nil).withColumn("mid", col("cluster_id")), Seq("mid"))
+          .observe(obs, sum(when(col("cluster_id") =!= col("mid"), lit(1L))
+            .otherwise(lit(0L))).as("inner_changed"))
+          .select(col("node"), col("cluster_id")))
+      // sum over zero rows is NULL (empty edge graph) — treat as converged
+      val innerChanged = Option(obs.get.getOrElse("inner_changed", null))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // previous round's blocks are dead once `next` is materialized
       labelRdds.foreach(_.unpersist(blocking = false))
       labels = next
       labelRdds = nextRdds
-      converged = changed == 0
+      converged = innerChanged == 0
       i += 1
     }
     // the result's lineage is truncated at its own checkpoint — the edge

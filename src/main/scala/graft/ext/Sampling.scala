@@ -29,6 +29,22 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Deterministic weighted (importance) sampling: keep a doc iff its
+    * md5-derived uniform `u(id) ∈ [0,1)` is below `weight` (a quality
+    * score, resampling ratio, …). RNG-free Bernoulli thinning — the
+    * same doc decides the same way on every run, engine, and
+    * partitioning, so incremental refreshes are reproducible. `u` is
+    * a 24-bit hash over 2²⁴: EXACT in binary floating point, which
+    * keeps the keep-decision bit-identical cross-engine without any
+    * rounding contract. Narrow per-row. */
+  def weightedSample(docs: DataFrame, weight: org.apache.spark.sql.Column,
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("u",
+        conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+          .cast("double") / 16777216.0)
+      .withColumn("keep", col("u") < weight)
+
   /** Deterministic per-stratum sample: the k docs with the smallest
     * md5 id-hash per stratum — a uniform sample without RNG. Stable
     * under reruns AND corpus growth: a doc's hash never changes, so the

@@ -125,6 +125,39 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("centroid_id"), col("cosine"))
   }
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023: k-means the
+    * embeddings, then deduplicate WITHIN clusters by cosine): Lloyd
+    * assignment via `Clustering.kmeans`, all-pairs cosine inside each
+    * cluster only, pairs ≥ `threshold` connected into components, each
+    * component's smallest id kept. Pair work is O(Σ cᵢ²) — the cluster
+    * count k is the blocking knob, never corpus² — and the drop set
+    * joins back through the same unhinted left_anti as `dedupCorpus`
+    * (a semantic-dup set is corpus-proportional on curated-web data).
+    * Spec-pinned, not oracle-checked: k-means means are unordered FP
+    * sums (see Clustering's scaladoc). */
+  def semanticDedup(spark: SparkSession, emb: DataFrame,
+      seedPred: org.apache.spark.sql.Column, threshold: Double,
+      iters: Int = 3, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val assign = Clustering.kmeans(spark, emb, seedPred, iters, idCol, embCol)
+      .select(col("vec_id"), col("cluster_id"))
+    val blocked = withVectors(spark, emb, idCol, embCol)
+      .join(assign, Seq("vec_id"))
+    val a = blocked.select(col("vec_id").as("a_id"), col("cluster_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = blocked.select(col("vec_id").as("b_id"), col("cluster_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cluster_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val drop = Dedup.clusters(spark, pairs)
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("vec_id"))
+    emb.withColumnRenamed(idCol, "vec_id").join(drop, Seq("vec_id"), "left_anti")
+  }
+
   /** Near-dup pairs above a cosine threshold, blocked by `blockCol`
     * (label / LSH bucket / IVF cell) with a deterministic query sample
     * to bound pair count; keep = smaller id. */

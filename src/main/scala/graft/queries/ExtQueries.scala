@@ -887,7 +887,29 @@ object ExtQueries {
       WHERE d.doc_id % 50 <> 0
       ORDER BY d.doc_id"""))
 
+  // ---------------------------------------------------------------- q78
+  // Deterministic weighted sampling: Bernoulli thinning with an
+  // md5-derived 24-bit uniform (EXACT in binary FP — no rounding
+  // contract needed for the cross-engine compare) against a
+  // length-based quality weight. RNG-free: reproducible on refresh.
+  private val q78 = Q(
+    "q78_weighted_sample",
+    (s, d) => {
+      graft.ext.Sampling.weightedSample(
+        Tables.documents(s, d),
+        least(col("n_chars").cast("double") / 400.0, lit(1.0)))
+        .select(col("doc_id"), col("u"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+          AS DOUBLE) / 16777216.0 AS u,
+        CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+          AS DOUBLE) / 16777216.0
+          < least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS keep
+      FROM documents ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77)
+    q74, q75, q76, q77, q78)
 }

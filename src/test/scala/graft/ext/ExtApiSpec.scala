@@ -416,6 +416,40 @@ class ExtApiSpec extends SparkSpec {
     assert(!strict.getAs[Boolean]("contaminated"))
   }
 
+  test("semanticDedup keeps one survivor per tight cosine group, per cluster") {
+    import spark.implicits._
+    // blob A: three near-identical directions (0,1,2), one distinct (3);
+    // blob B: two near-identical (100,101). Seeds 0 and 100.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.01f)), (2L, Array(0.98f, 0.02f)),
+      (3L, Array(0.9f, 0.3f)),
+      (100L, Array(0.0f, 1.0f)), (101L, Array(0.01f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(spark, emb,
+        seedPred = col("vec_id").isin(0L, 100L), threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // 1,2 are semantic dups of 0; 101 of 100; 3 shares A's cluster but
+    // its cosine to the dup group (~0.95) is below the threshold
+    assert(out == Set(0L, 3L, 100L))
+  }
+
+  test("weightedSample is deterministic, monotone in weight, and exact at the bounds") {
+    import spark.implicits._
+    val d = spark.range(2000).selectExpr("id AS doc_id")
+    val all = Sampling.weightedSample(d, lit(1.0)).filter(col("keep")).count()
+    assert(all == 2000) // weight 1 keeps everything (u < 1 always)
+    val none = Sampling.weightedSample(d, lit(0.0)).filter(col("keep")).count()
+    assert(none == 0)
+    val half = Sampling.weightedSample(d, lit(0.5)).filter(col("keep")).count()
+    assert(half > 850 && half < 1150, s"~half expected, got $half")
+    // monotone: the weight-0.3 sample is a subset of the weight-0.6 one
+    val k3 = Sampling.weightedSample(d, lit(0.3)).filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k6 = Sampling.weightedSample(d, lit(0.6)).filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k3.subsetOf(k6))
+  }
+
   test("langScore tie-break follows marker order") {
     import spark.implicits._
     val d = Seq((1L, "x y z")).toDF("doc_id", "text") // all scores 0 → tie

@@ -110,7 +110,8 @@ class PlanSpec extends SparkSpec {
       "q70_stratified_sample" -> 2, "q71_bigram_counts" -> 1,
       "q72_verify_candidates" -> 3, "q73_repetition" -> 3,
       "q74_lsh_cap_stats" -> 2, "q75_pii_scrub" -> 1,
-      "q76_chunk_dedup" -> 3, "q77_decontaminate" -> 3)
+      "q76_chunk_dedup" -> 3, "q77_decontaminate" -> 3,
+      "q78_weighted_sample" -> 1)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -359,6 +359,62 @@ object Dedup {
           .as("n_dropped_chunks"))
   }
 
+  /** Incremental (cross-snapshot) dedup: drop from `newDocs` every doc
+    * duplicating the EXISTING corpus — byte-exact (content-hash
+    * anti-join) or near (shares a minhash band bucket with a seen doc
+    * AND true 8-gram Jaccard ≥ `threshold`). The daily-increment shape:
+    * candidates join new↔seen only (no within-snapshot pairs — run
+    * `dedupCorpus` on the increment first for those), so incremental
+    * cost is O(new + matched), never O(corpus²). The seen side's
+    * signatures are recomputed here from text; a production deployment
+    * persists `minhashSignatures` output per snapshot and feeds it in
+    * — the join shape is identical. Candidate pairs are checkpointed
+    * (candidate-bounded) and both shingle-set sides semi-joined to
+    * candidates, as in `verifyCandidates`. */
+  def dedupIncremental(spark: SparkSession, newDocs: DataFrame, seenDocs: DataFrame,
+      bands: Int = 4, maxBucket: Int = 10, threshold: Double = 0.7,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.Shingles8.register(spark)
+    // exact stage: content-hash anti-join (the seen hash set is
+    // corpus-sized — unhinted, AQE picks the strategy)
+    val seenHashes = seenDocs.select(md5(col(textCol)).as("content_hash")).distinct()
+    val notExact = newDocs
+      .withColumn("content_hash", md5(col(textCol)))
+      .join(seenHashes, Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+    // near stage: band buckets new↔seen; degenerate seen-side buckets
+    // are capped exactly like lshCandidates' (no signal, unbounded cost)
+    def buckets(docs: DataFrame, as: String) = {
+      val sig = minhashSignatures(spark, docs, idCol, textCol)
+      val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
+      sig.selectExpr("doc_id", s"stack($bands, $stack) AS (band, bucket)")
+        .select(col("doc_id").as(as), col("band"), col("bucket"))
+    }
+    val bN = buckets(notExact, "new_id")
+    val bS = buckets(seenDocs, "seen_id")
+    val smallS = bS.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val cand = bN.join(bS.join(smallS, Seq("band", "bucket")), Seq("band", "bucket"))
+      .select(col("new_id"), col("seen_id")).distinct()
+      .localCheckpoint(true) // candidate-bounded; referenced 3× below
+    val setsN = notExact.filter(col(textCol).isNotNull)
+      .join(cand.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("new_id"), expr(s"shingles8($textCol)").as("sh_n"))
+    val setsS = seenDocs.filter(col(textCol).isNotNull)
+      .join(cand.select(col("seen_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("seen_id"), expr(s"shingles8($textCol)").as("sh_s"))
+    val inter = size(array_intersect(col("sh_n"), col("sh_s")))
+    val union = size(col("sh_n")) + size(col("sh_s")) - inter
+    val nearDup = cand.join(setsN, Seq("new_id")).join(setsS, Seq("seen_id"))
+      .withColumn("jaccard",
+        when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union.cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    notExact.join(nearDup, Seq(idCol), "left_anti")
+  }
+
   /** 16-bit SimHash per document over whitespace words, via the custom
     * codegen'd `simhash16` expression (graft.functions.SimHash16): the
     * hash is a pure per-row function of the text, so the plan is fully

@@ -450,6 +450,27 @@ class ExtApiSpec extends SparkSpec {
     assert(k3.subsetOf(k6))
   }
 
+  test("dedupIncremental drops exact and near matches vs the seen corpus only") {
+    import spark.implicits._
+    val seen = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark engines"),
+      (3L, "a third seen document with its own words"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+      (11L, "completely different text about flink engines"), // near dup of 2
+      (12L, "entirely novel content nothing like the others"),
+      (13L, "entirely novel content nothing like the rest"))  // near dup of 12 (also NEW)
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupIncremental(spark, fresh, seen, maxBucket = 4, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10 exact-matches seen; 11 near-matches seen; 12 survives; 13 only
+    // duplicates a fellow NEW doc — within-snapshot dedup is dedupCorpus'
+    // job, so it survives here by contract
+    assert(out == Set(12L, 13L))
+  }
+
   test("langScore tie-break follows marker order") {
     import spark.implicits._
     val d = Seq((1L, "x y z")).toDF("doc_id", "text") // all scores 0 → tie

@@ -49,6 +49,17 @@ object Dedup {
       .select(col("doc_id"), array((0 until k).map(p => col(s"m$p")): _*).as("sig"))
   }
 
+  /** Band-bucket rows `(doc_id, band, bucket)` for a corpus — the
+    * shared building block of `lshCandidates`, `dedupIncremental`, and
+    * the streaming near-dup flagger. Narrow: one minhash48 per row, one
+    * `stack` per signature. */
+  def bandBuckets(spark: SparkSession, docs: DataFrame, bands: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = minhashSignatures(spark, docs, idCol, textCol)
+    val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
+    sig.selectExpr("doc_id", s"stack($bands, $stack) AS (band, bucket)")
+  }
+
   /** LSH banding over single-row bands of the signature → candidate
     * pairs (a_id < b_id, n_shared_bands). Buckets larger than
     * `maxBucket` are dropped (no near-dup signal, unbounded join cost)
@@ -384,14 +395,10 @@ object Dedup {
       .drop("content_hash")
     // near stage: band buckets new↔seen; degenerate seen-side buckets
     // are capped exactly like lshCandidates' (no signal, unbounded cost)
-    def buckets(docs: DataFrame, as: String) = {
-      val sig = minhashSignatures(spark, docs, idCol, textCol)
-      val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
-      sig.selectExpr("doc_id", s"stack($bands, $stack) AS (band, bucket)")
-        .select(col("doc_id").as(as), col("band"), col("bucket"))
-    }
-    val bN = buckets(notExact, "new_id")
-    val bS = buckets(seenDocs, "seen_id")
+    val bN = bandBuckets(spark, notExact, bands, idCol, textCol)
+      .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+    val bS = bandBuckets(spark, seenDocs, bands, idCol, textCol)
+      .select(col("doc_id").as("seen_id"), col("band"), col("bucket"))
     val smallS = bS.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") <= maxBucket)

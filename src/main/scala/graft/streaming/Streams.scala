@@ -101,6 +101,32 @@ object Streams {
         col("quality"), col("bucket"), col("split"))
   }
 
+  /** Streaming near-dup candidate flagging: each arriving doc computes
+    * its minhash48 signature (a pure per-row expression — it streams
+    * unchanged) and is emitted iff any of its band buckets matches the
+    * STATIC seen-corpus bucket table (`Dedup.bandBuckets` output,
+    * persisted per snapshot in production). The stream-static semi-join
+    * broadcasts-or-shuffles per micro-batch under AQE; the only stream
+    * state is the per-doc dedup within the watermark horizon, so memory
+    * is bounded at any throughput. This is the at-arrival CANDIDATE
+    * flag — true near-dup confirmation (Jaccard verify) remains a
+    * batch job over the flagged set, exactly as in `dedupIncremental`.
+    * `docs` needs (doc_id, text, ts). */
+  def nearDupFlags(spark: SparkSession, docs: DataFrame, seenBuckets: DataFrame,
+      bands: Int = 4, watermark: String = "10 minutes"): DataFrame = {
+    graft.functions.MinHash48.register(spark)
+    val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
+    docs.filter(col("text").isNotNull)
+      .withWatermark("ts", watermark)
+      .withColumn("sig", expr("minhash48(text)"))
+      .selectExpr("doc_id", "ts", s"stack($bands, $stack) AS (band, bucket)")
+      .join(seenBuckets.select(col("band"), col("bucket")), Seq("band", "bucket"),
+        "left_semi")
+      // a doc matching several bands emits once
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ts"))
+  }
+
   final case class SimEvent(sim_hash: String, status: String, seq: Long)
   final case class SimState(sim_hash: String, status: String, transitions: Long)
 

@@ -50,6 +50,28 @@ class StreamsSpec extends SparkSpec {
     assert(out2.filter(col("sim_hash") === "aaaa0001").count() == 18) // unchanged
   }
 
+  test("streaming near-dup flags: arriving docs matching seen band buckets emit once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seen = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark engines"))
+      .toDF("doc_id", "text")
+    val seenBuckets = graft.ext.Dedup.bandBuckets(spark, seen)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.nearDupFlags(spark, docs, seenBuckets)
+      .writeStream.outputMode("append").format("memory").queryName("ndf").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    mem.addData(
+      (10L, "the quick brown fox jumps over the lazy dog", t0), // exact dup of seen 1
+      (11L, "entirely novel content nothing like the others", t0)) // fresh
+    q.processAllAvailable()
+    val flagged = spark.sql("SELECT doc_id FROM ndf").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(10L), s"got $flagged")
+    q.stop()
+  }
+
   test("watermarked window aggregation over an event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -165,6 +165,29 @@ object ScaleProbe {
       f"$survivors survivors in $secs6%.1fs = ${nDocs6 / secs6 / 1000}%.0fk docs/s " +
       f"($storageLeft persistent RDDs live after)")
 
+    // incremental dedup at volume: 100k new docs against the 1M-doc
+    // seen corpus (the daily-increment path) — 15% exact copies of a
+    // seen doc, 15% near-dups of one (38/40 words), 70% fresh
+    val nNew = 100000
+    val rI = col("id") % 20
+    // anchor on a SELF-shaped seen doc (digit 4 → base = tail = own id),
+    // so its text is reproducible here as words of that id
+    val anchor = (col("id") * 97 % nDocs6) - (col("id") * 97 % nDocs6) % 10 + 4
+    val srcHead = when(rI < 6, anchor).otherwise(col("id") + nDocs6)
+    val srcTail = when(rI < 3, anchor).otherwise(col("id") + nDocs6)
+    val newDocs = spark.range(nNew).select(
+      (col("id") + nDocs6).as("doc_id"),
+      concat_ws(" ",
+        (0 until 38).map(w0 => substring(md5(concat(lit(s"$w0:"), srcHead)), 1, 8)) ++
+        (38 until 40).map(w0 => substring(md5(concat(lit(s"$w0:"), srcTail)), 1, 8)): _*)
+        .as("text"))
+    val t7 = System.nanoTime()
+    val kept = graft.ext.Dedup.dedupIncremental(spark, newDocs, docs6).count()
+    val secs7 = (System.nanoTime() - t7) / 1e9
+    println(f"[probe] dedupIncremental: $nNew%d new vs $nDocs6%d seen → " +
+      f"$kept kept (expect ~${(nNew * 0.7).toInt}) in $secs7%.1fs = " +
+      f"${nNew / secs7 / 1000}%.0fk new docs/s")
+
     // ANN at volume: 100k×64-dim vectors, 100 centroids, ~100 queries
     // through the full IVF probe+rerank path (corpus never shuffled)
     val nVec = 100000

@@ -126,6 +126,12 @@ class PlanSpec extends SparkSpec {
       "budget table out of sync with registry") // new queries must be budgeted
   }
 
+  test("q78: weighted sample never reads the text column (metadata-width scan)") {
+    val p = planOf("q78_weighted_sample")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"text not pruned from the documents scan:\n$p")
+  }
+
   test("q24: densify grid side is generated (Range), active side broadcast") {
     val p = planOf("q24_scatter_densify")
     assert(p.contains("Range"), p)

@@ -298,11 +298,19 @@ object Dedup {
     // per content hash): one shuffle, NO broadcast — the survivor set
     // is corpus-sized, so collecting it to the driver cannot scale
     val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    // the exact-survivor set is consumed THREE times (LSH signatures,
+    // the verify stage's shingle sets, the final anti join). The first
+    // two run eagerly below (inside the pairs checkpoint and clusters'
+    // edge materialization), so the window is persisted across them and
+    // RELEASED before returning — two corpus evaluations total instead
+    // of three, and no cache outlives the call (the returned plan
+    // recomputes the window once on the caller's action).
     val afterExact = docs
       .withColumn("content_hash", md5(col(textCol)))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .drop("content_hash", "rk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate pairs materialize ONCE: both the verify stage and
     // clusters() reference their input repeatedly, which would
     // re-evaluate the LSH subtree per reference and fire the cap
@@ -333,8 +341,10 @@ object Dedup {
       .select(col("node").as(idCol))
     // clusters() materialized its labels with truncated lineage, so the
     // pairs checkpoint is unreachable from the returned plan — free it
-    // now instead of leaking it for the session's lifetime
+    // now instead of leaking it for the session's lifetime; same for
+    // the exact-window cache (its two eager consumers have run)
     pairsRdds.foreach(_.unpersist(blocking = false))
+    afterExact.unpersist(blocking = false)
     afterExact.join(dropNearDup, Seq(idCol), "left_anti")
   }
 

@@ -45,6 +45,41 @@ object Sampling {
           .cast("double") / 16777216.0)
       .withColumn("keep", col("u") < weight)
 
+  /** Temperature-based source mixing (the multilingual/multi-source
+    * data-mix pass: expected kept docs per source ∝ n_s^alpha, the
+    * p^α re-weighting used to keep head sources from drowning the
+    * tail). Keep probability per source is
+    * `(min_n / n_s)^(1-alpha)` — the smallest source keeps everything
+    * and larger sources are thinned toward the tempered distribution;
+    * `alpha = 1` keeps every doc (no tempering), `alpha = 0` equalizes
+    * expected counts across sources. The decision itself is
+    * `weightedSample`'s md5 uniform: RNG-free, reproducible across
+    * runs, engines, and partitionings.
+    *
+    * Scale shape: the per-source histogram is one partial-aggregable
+    * groupBy (source-bounded output), the weight table is
+    * source-bounded → broadcast joined back, and the keep decision is
+    * narrow per-row. The weight is rounded to 6 decimals on both
+    * engines so the `u < weight` comparison has no FP-boundary
+    * ambiguity cross-engine (u's granularity is 2⁻²⁴ ≈ 6e-8). */
+  def mixResample(docs: DataFrame, alpha: Double = 0.5,
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_src"))
+    // min over the AGGREGATED frame (source-bounded, ~10s of rows) via an
+    // unpartitioned window: bounded by contract, and it keeps the
+    // histogram subtree single-evaluation (a separate min() aggregate
+    // would reference `counts` twice → two corpus scans)
+    val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val weights = counts
+      .withColumn("mix_weight",
+        round(pow(min(col("n_src")).over(whole).cast("double") /
+          col("n_src").cast("double"), lit(1.0 - alpha)), 6))
+      .select(col(sourceCol), col("n_src"), col("mix_weight"))
+    weightedSample(docs.join(broadcast(weights), Seq(sourceCol)),
+      col("mix_weight"), idCol)
+  }
+
   /** Deterministic per-stratum sample: the k docs with the smallest
     * md5 id-hash per stratum — a uniform sample without RNG. Stable
     * under reruns AND corpus growth: a doc's hash never changes, so the

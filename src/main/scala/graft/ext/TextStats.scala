@@ -225,6 +225,47 @@ object TextStats {
       .withColumn("contaminated", col("n_shared_grams") >= minShared)
   }
 
+  /** Unigram language-model quality score: each document's average
+    * negative log-probability under a corpus-trained unigram model with
+    * a bounded vocabulary (the cheap stand-in for the perplexity filter
+    * every pre-training pipeline runs — CCNet uses a real LM, the
+    * mechanics are identical). Words outside the top-`vocabSize` vocab
+    * score at the OOV floor count of 1 (probability 1/N). Lower
+    * `avg_nll` = more stereotypical text; boilerplate scores low, line
+    * noise scores high.
+    *
+    * Scale shape: one corpus pass builds the word histogram (partial-
+    * aggregable groupBy), which is localCheckpointed ONCE — it is
+    * vocab-bounded, far smaller than the corpus, and both the top-K
+    * selection and the total-token count derive from it without
+    * re-scanning the corpus. Top-K is `orderBy.limit` (a distributed
+    * TakeOrdered, never a single-partition window), the vocab is
+    * K-bounded → broadcast joined, and scoring is one narrow pass +
+    * one doc-keyed partial aggregate. Per-word NLL terms are rounded
+    * to 9 decimals and summed as DECIMAL(18,9) so the per-doc sum is
+    * exact and order-independent — bit-identical cross-engine. */
+  def lmScore(docs: DataFrame, vocabSize: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    // vocab-bounded histogram, materialized once: serves the top-K AND
+    // the total-token count without a second corpus scan (its blocks
+    // back the returned plan; ContextCleaner frees them when dropped)
+    val hist = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = hist.orderBy(col("c").desc, col("w")).limit(vocabSize)
+    val total = hist.agg(sum(col("c")).as("n_total"))
+    words
+      .join(broadcast(vocab), Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("nll",
+        round(-log(coalesce(col("c"), lit(1L)).cast("double") /
+          col("n_total").cast("double")), 9).cast("decimal(18,9)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+  }
+
   /** Winnowing-style min-shingle + order-insensitive xor fingerprints.
     * Both are pure per-row expressions — minhash48's salt-0 lane for
     * the min shingle hash, xorfp48 for the distinct-word xor — so the

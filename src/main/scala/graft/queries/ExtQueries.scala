@@ -909,7 +909,94 @@ object ExtQueries {
           < least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS keep
       FROM documents ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q79
+  // Temperature-based source mixing (expected kept docs per source
+  // ∝ n_s^0.5): per-source histogram → source-bounded weight table →
+  // broadcast join → the md5-uniform Bernoulli keep. Weight rounded to
+  // 6 decimals on both engines so `u < weight` has no FP-boundary
+  // ambiguity (u's granularity is 2⁻²⁴).
+  private val q79 = Q(
+    "q79_mix_resample",
+    (s, d) => {
+      graft.ext.Sampling.mixResample(Tables.documents(s, d), alpha = 0.5)
+        .select(col("doc_id"), col("source"), col("n_src"),
+          col("mix_weight"), col("u"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH cnt AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+      mn AS (SELECT min(n_src) AS min_n FROM cnt),
+      wt AS (SELECT source, n_src,
+          round(pow(CAST(min_n AS DOUBLE) / CAST(n_src AS DOUBLE), 0.5), 6) AS mix_weight
+        FROM cnt, mn)
+      SELECT d.doc_id, d.source, wt.n_src, wt.mix_weight,
+        CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+          AS DOUBLE) / 16777216.0 AS u,
+        CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+          AS DOUBLE) / 16777216.0 < wt.mix_weight AS keep
+      FROM documents d JOIN wt USING (source) ORDER BY d.doc_id"""))
+
+  // ---------------------------------------------------------------- q80
+  // Unigram-LM quality score (the perplexity-filter shape): corpus word
+  // histogram (one pass, checkpointed — vocab-bounded), top-4096 vocab
+  // via distributed TakeOrdered, broadcast join, per-word NLL summed as
+  // DECIMAL(18,9) so the per-doc sum is order-independent cross-engine.
+  private val q80 = Q(
+    "q80_lm_score",
+    (s, d) => {
+      graft.ext.TextStats.lmScore(Tables.documents(s, d), vocabSize = 4096)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH wd AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL),
+      hist AS (SELECT w, count(*) AS c FROM wd GROUP BY w),
+      vocab AS (SELECT w, c FROM hist ORDER BY c DESC, w LIMIT 4096),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM hist),
+      scored AS (
+        SELECT doc_id,
+          CAST(round(-ln(CAST(coalesce(v.c, 1) AS DOUBLE)
+            / CAST(t.n_total AS DOUBLE)), 9) AS DECIMAL(18,9)) AS nll
+        FROM wd LEFT JOIN vocab v USING (w), tot t)
+      SELECT doc_id, count(*) AS n_words,
+        round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q81
+  // As-of join: every click enriched with the latest purchase value at
+  // or before it, per user — the shuffle-once tagged-union + ignore-
+  // nulls running-last formulation (graft.ext.AsOf), not a range join.
+  // Both engines run the identical window, so tie order is pinned by
+  // (ts_us, side, event_id).
+  private val q81 = Q(
+    "q81_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("value").as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      graft.ext.AsOf.joinAsOf(clicks, purchases, Seq("user_id"),
+          "ts_us", "event_id", "value", "last_purchase_value")
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+          value AS click_value, 1 AS side, CAST(NULL AS DOUBLE) AS pv
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, epoch_us(ts), event_id, NULL, 0, value
+        FROM events WHERE event_type = 'purchase'),
+      j AS (
+        SELECT user_id, ts_us, event_id, click_value, side,
+          last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY ts_us, side, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        FROM u)
+      SELECT user_id, ts_us, event_id, click_value, last_purchase_value
+      FROM j WHERE side = 1 ORDER BY event_id"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78)
+    q74, q75, q76, q77, q78, q79, q80, q81)
 }

@@ -480,4 +480,65 @@ class ExtApiSpec extends SparkSpec {
       .head().getAs[String]("pred")
     assert(p1 == "a" && p2 == "b")
   }
+
+  test("joinAsOf matches the brute-force definition, including timestamp ties") {
+    import spark.implicits._
+    // deterministic pseudo-random streams with repeated keys and ts ties
+    val left = spark.range(200).selectExpr(
+      "id AS tie", "id % 7 AS k", "(id * 37) % 50 AS ts", "CAST(id AS DOUBLE) AS payload")
+    val right = spark.range(150).selectExpr(
+      "id + 1000 AS tie", "id % 7 AS k", "(id * 53) % 50 AS ts",
+      "CAST(id AS DOUBLE) * 10 AS v")
+    val got = AsOf.joinAsOf(left, right, Seq("k"), "ts", "tie", "v", "asof_v")
+      .select("k", "ts", "tie", "payload", "asof_v")
+    // brute force: every right row at-or-before, keep max by (ts, tie)
+    val brute = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l.tie"))
+          .orderBy(col("r.ts").desc_nulls_last, col("r.tie").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("l.k").as("k"), col("l.ts").as("ts"), col("l.tie").as("tie"),
+        col("l.payload").as("payload"), col("r.v").as("asof_v"))
+    assert(got.count() == 200)
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      "as-of window result diverges from the brute-force range join")
+  }
+
+  test("mixResample tempers large sources and keeps the smallest whole") {
+    import spark.implicits._
+    val d = (0 until 100).map(i => (i.toLong, "sA")) ++
+      (100 until 500).map(i => (i.toLong, "sB"))
+    val df = d.toDF("doc_id", "source")
+    val out = Sampling.mixResample(df, alpha = 0.5)
+    val w = out.select("source", "mix_weight").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w("sA") == 1.0)   // smallest source: keep everything
+    assert(w("sB") == 0.5)   // sqrt(100/400)
+    val kept = out.filter(col("keep")).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("sA") == 100L)
+    assert(kept("sB") > 140L && kept("sB") < 260L, s"~200 expected, got ${kept("sB")}")
+    // alpha = 1: no tempering, every doc keeps
+    val all = Sampling.mixResample(df, alpha = 1.0).filter(col("keep")).count()
+    assert(all == 500L)
+  }
+
+  test("lmScore ranks rare-word docs above common-word docs and floors OOV") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 rare2"),
+      (3L, "zz1 zz2 zz3 zz4")) // every word OOV at vocabSize=1
+      .toDF("doc_id", "text")
+    val out = TextStats.lmScore(d, vocabSize = 1).orderBy("doc_id").collect()
+    val nll = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[java.lang.Double]("avg_nll").doubleValue()).toMap
+    assert(out.forall(_.getAs[Long]("n_words") == 4L))
+    // only "common" is in-vocab (c=6 of 12); everything else floors at c=1
+    assert(nll(1L) < nll(2L) && nll(2L) < nll(3L))
+    assert(math.abs(nll(1L) - math.log(12.0 / 6.0)) < 1e-6)
+    assert(math.abs(nll(3L) - math.log(12.0)) < 1e-6)
+  }
 }

@@ -111,7 +111,8 @@ class PlanSpec extends SparkSpec {
       "q72_verify_candidates" -> 3, "q73_repetition" -> 3,
       "q74_lsh_cap_stats" -> 2, "q75_pii_scrub" -> 1,
       "q76_chunk_dedup" -> 3, "q77_decontaminate" -> 3,
-      "q78_weighted_sample" -> 1)
+      "q78_weighted_sample" -> 1, "q79_mix_resample" -> 3,
+      "q80_lm_score" -> 3, "q81_asof_join" -> 2)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString
@@ -130,6 +131,20 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q78_weighted_sample")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
       s"text not pruned from the documents scan:\n$p")
+  }
+
+  test("q79: source weight table is broadcast, never sort-merge joined") {
+    val p = planOf("q79_mix_resample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q81: as-of join is join-free — one window over the tagged union") {
+    val p = planOf("q81_asof_join")
+    assert(!p.contains("Join"), s"as-of must be the union+window shape, not a join:\n$p")
+    assert(p.contains("Window"), p)
+    // one hash exchange for the window, one range for the final orderBy
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
   test("q24: densify grid side is generated (Range), active side broadcast") {

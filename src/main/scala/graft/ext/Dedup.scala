@@ -220,6 +220,104 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the O(log n)-round alternative to `clusters`' min-label
+    * propagation, whose round count is the graph DIAMETER. LSH
+    * candidate graphs are shallow (label propagation wins there — it
+    * stays the default), but chunk/link graphs can chain thousands
+    * deep; this variant converges in logarithmic rounds regardless.
+    *
+    * Join-based formulation: per-node minima come from a groupBy +
+    * join-back, never a `collect_list` of neighbors — a celebrity hub's
+    * adjacency never materializes in one aggregation buffer.
+    *  - large-star: every neighbor v > u re-hangs onto min(Γ(u) ∪ {u})
+    *  - small-star: over larger→smaller directed edges, u and its
+    *    smaller neighbors re-hang onto their minimum
+    * Same lineage discipline as `clusters`: every round is
+    * localCheckpointed (truncated plans) and superseded blocks are
+    * freed; convergence = order-independent edge-set checksum stable
+    * across a full round. Output schema matches `clusters`:
+    * (node, cluster_id = component minimum). */
+  def clustersAltStar(spark: SparkSession, pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sc = spark.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val added = sc.getPersistentRDDs.collect {
+        case (id, rdd) if !before.contains(id) => rdd
+      }.toSeq
+      (out, added)
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient each edge large→small, group smaller neighbors under u
+      val dir = e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val hangNbrs = dir.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val hangSelf = mins.select(col("u"), col("m").as("v"))
+      hangNbrs.unionAll(hangSelf).distinct()
+    }
+    val rddsByFrame = new java.util.IdentityHashMap[DataFrame, Seq[org.apache.spark.rdd.RDD[_]]]()
+    // order-independent edge-set fingerprint: read via Observation at the
+    // eager checkpoint (no extra job per round)
+    def checksum(e: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      // bit_xor: order-independent and overflow-free (edges are distinct,
+      // so xor-cancellation of repeated rows cannot occur)
+      val observed = e.observe(obs,
+        expr("bit_xor(xxhash64(u, v))").as("h"), count(lit(1)).as("n"))
+      val (cp, rdds) = checkpointTracked(observed)
+      val m = obs.get
+      val h = Option(m.getOrElse("h", null)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val n = Option(m.getOrElse("n", null)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      // returned frame keeps its tracked blocks; caller unpersists
+      rddsByFrame.put(cp, rdds)
+      (cp, h ^ java.lang.Long.rotateLeft(n, 32))
+    }
+    def release(df: DataFrame): Unit =
+      Option(rddsByFrame.remove(df)).foreach(_.foreach(_.unpersist(blocking = false)))
+    var (edges, sum0) = checksum(pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+    var prevSum = sum0
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val (ls, _) = checksum(largeStar(edges)) // intermediate; freed below
+      val (next, nextSum) = checksum(smallStar(ls))
+      release(ls)
+      release(edges)
+      edges = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      i += 1
+    }
+    // fixpoint edge set is a forest of stars (child → component min);
+    // roots label themselves
+    val labels = edges.select(col("u").as("node"), col("v").as("cluster_id"))
+      .unionAll(edges.select(col("v").as("node"), col("v").as("cluster_id")))
+      .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+    val (out, _) = checkpointTracked(labels)
+    release(edges)
+    // out's blocks back the returned frame; ContextCleaner frees them
+    // when the caller drops it
+    rddsByFrame.clear()
+    out
+  }
+
   /** Verify stage: exact 8-gram Jaccard for each candidate pair.
     * Each document's distinct shingle SET is materialized ONCE (the
     * `shingles8` expression), then pairs are scored with builtin array
@@ -430,6 +528,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("new_id").as(idCol)).distinct()
     notExact.join(nearDup, Seq(idCol), "left_anti")
+  }
+
+  /** Bloom-accelerated exact incremental dedup: drop from `newDocs`
+    * every byte-exact duplicate of the seen corpus, with the anti-join
+    * replaced by a two-stage bloom prefilter + confirm join. Result is
+    * IDENTICAL to the plain content-hash anti-join (spec-pinned): the
+    * bloom has no false negatives, so every true duplicate reaches the
+    * confirm join, and the confirm join removes the false positives.
+    *
+    * Why at scale: the plain anti-join shuffles the ENTIRE new snapshot
+    * against the seen hash set. Here the new side is cut by a NARROW
+    * broadcast-bloom predicate first — survivors of the prefilter are
+    * (true dups + fpp·|new|), typically orders of magnitude smaller —
+    * and AQE then broadcasts that candidate side into the confirm join,
+    * so the daily increment never shuffles. The seen side is still one
+    * projection scan (hash column only); the bloom itself is built once
+    * per snapshot with a driver treeAggregate and costs
+    * ~1.2 bytes·ln(1/fpp) per seen doc (≈1.2 GB at 10⁹ docs, 1% fpp) —
+    * fine on a cluster driver, and reusable across increments where a
+    * production deployment persists it alongside the snapshot.
+    *
+    * `expectedSeen` sizes the filter; overshooting wastes memory,
+    * undershooting inflates the realized fpp (never correctness). */
+  def dedupIncrementalExactBloom(spark: SparkSession, newDocs: DataFrame,
+      seenDocs: DataFrame, expectedSeen: Long = 1000000L, fpp: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val seenHashes = seenDocs.select(md5(col(textCol)).as("content_hash"))
+    val bf = seenHashes.stat.bloomFilter("content_hash", expectedSeen, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => h != null && bc.value.mightContainString(h))
+    val hashed = newDocs.withColumn("content_hash", md5(col(textCol)))
+    // candidates = bloom-positive rows only (narrow predicate, no shuffle)
+    val candidates = hashed.filter(mightContain(col("content_hash")))
+    // confirm: false positives are NOT real dups — keep them. AQE
+    // broadcasts the (small) candidate side at runtime; unhinted.
+    val confirmed = candidates
+      .join(seenHashes.distinct(), Seq("content_hash"), "left_semi")
+      .select(col(idCol))
+    hashed.join(confirmed, Seq(idCol), "left_anti").drop("content_hash")
   }
 
   /** 16-bit SimHash per document over whitespace words, via the custom

@@ -541,4 +541,56 @@ class ExtApiSpec extends SparkSpec {
     assert(math.abs(nll(1L) - math.log(12.0 / 6.0)) < 1e-6)
     assert(math.abs(nll(3L) - math.log(12.0)) < 1e-6)
   }
+
+  test("dedupIncrementalExactBloom is identical to the plain anti-join") {
+    import spark.implicits._
+    val seen = spark.range(500).selectExpr(
+      "id AS doc_id", "concat('seen text number ', CAST(id % 300 AS STRING)) AS text")
+    val fresh = spark.range(1000, 1400).selectExpr(
+      "id AS doc_id", "concat('seen text number ', CAST(id % 400 AS STRING)) AS text")
+    // fresh texts are id%400: ids 1100..1199 (texts 300..399) are novel,
+    // everything else collides with a seen text (0..299)
+    val got = Dedup.dedupIncrementalExactBloom(spark, fresh, seen,
+        expectedSeen = 500, fpp = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val seenH = seen.select(md5(col("text")).as("content_hash")).distinct()
+    val want = fresh.withColumn("content_hash", md5(col("text")))
+      .join(seenH, Seq("content_hash"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"bloom path diverges: extra=${got -- want} missing=${want -- got}")
+    assert(got == (1100L until 1200L).toSet) // every true dup dropped, novels kept
+  }
+
+  test("clustersAltStar matches label-propagation clusters, incl. a deep chain") {
+    import spark.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id")).toMap
+    // deep chain (diameter 63 — the shape where label propagation needs
+    // ~diameter hops and alternating stars need ~log rounds)
+    val chain = spark.range(63).selectExpr("id AS a_id", "id + 1 AS b_id")
+    val viaStar = labelsOf(Dedup.clustersAltStar(spark, chain))
+    // label propagation needs diameter-many hops (2/round): default
+    // maxIter=20 → 40 hops < 63 returns UNCONVERGED labels here — the
+    // exact failure mode the log-round star variant removes
+    val viaProp = labelsOf(Dedup.clusters(spark, chain, maxIter = 40))
+    assert(viaStar == viaProp)
+    assert(viaStar.values.toSet == Set(0L) && viaStar.size == 64)
+    // two cliques + pseudo-random edges
+    val rand = spark.range(120).selectExpr(
+      "(id * 17) % 40 AS a_id", "(id * 29) % 40 + CASE WHEN id % 2 = 0 THEN 0 ELSE 40 END AS b_id")
+      .filter("a_id <> b_id")
+    assert(labelsOf(Dedup.clustersAltStar(spark, rand)) ==
+      labelsOf(Dedup.clusters(spark, rand)))
+  }
+
+  test("clustersAltStar frees its intermediate checkpoint blocks") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = Dedup.clustersAltStar(spark, pairs)
+    out.count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the blocks backing the returned frame may remain
+    assert(leaked.size <= 2, s"leaked checkpoint RDDs: $leaked")
+  }
 }

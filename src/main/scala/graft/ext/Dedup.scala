@@ -530,6 +530,33 @@ object Dedup {
     notExact.join(nearDup, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-level overlap estimate between two document sets (split by
+    * the `inA` predicate) from aggregate MinHash sketches: each side's
+    * corpus signature lane is the min hash over ALL its shingles —
+    * exactly the min over per-doc minhash lanes, so it folds into one
+    * partial-aggregable pass — and the Jaccard of the two corpus
+    * shingle SETS is estimated by the fraction of equal lanes. The
+    * dataset-drift / cross-corpus-contamination smell test at any
+    * scale: one narrow pass, an 8-key aggregate, a 1-row reduce;
+    * estimate granularity is 1/8 with the shared salt contract (wire
+    * more salts through `minhashSignatures` for finer estimates). */
+  def corpusOverlap(spark: SparkSession, docs: DataFrame,
+      inA: org.apache.spark.sql.Column, textCol: String = "text"): DataFrame = {
+    MinHash48.register(spark)
+    val lanes = docs.filter(col(textCol).isNotNull)
+      .select(inA.as("in_a"), expr(s"minhash48($textCol)").as("sig"))
+      .select(col("in_a"), posexplode(col("sig")).as(Seq("lane", "h")))
+      .groupBy(col("lane"))
+      .agg(min(when(col("in_a"), col("h"))).as("min_a"),
+        min(when(!col("in_a"), col("h"))).as("min_b"))
+    lanes.agg(
+      count(lit(1)).as("n_lanes"),
+      sum(when(col("min_a") === col("min_b"), lit(1L)).otherwise(lit(0L)))
+        .as("n_equal"))
+      .withColumn("j_estimate",
+        round(col("n_equal").cast("double") / col("n_lanes"), 6))
+  }
+
   /** Bloom-accelerated exact incremental dedup: drop from `newDocs`
     * every byte-exact duplicate of the seen corpus, with the anti-join
     * replaced by a two-stage bloom prefilter + confirm join. Result is

@@ -18,6 +18,7 @@ object ExtDemo {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,6 +62,15 @@ object ExtDemo {
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
     val nBins = packed.agg(countDistinct(col("source"), col("bin"))).head().getLong(0)
 
+    // 3b. source tempering + LM quality scoring on the gated survivors
+    val mixed = Sampling.mixResample(gated, alpha = 0.5)
+    val wRange = mixed.agg(min("mix_weight"), max("mix_weight"),
+      sum(when(col("keep"), 1L).otherwise(0L))).head()
+    val lm = TextStats.lmScore(gated)
+    val lmStats = lm.agg(min("avg_nll"), max("avg_nll")).head()
+    println(f"[ext-demo] mix: weights ${wRange.getDouble(0)}%.3f..${wRange.getDouble(1)}%.3f " +
+      s"keep ${wRange.getLong(2)}; lm nll ${lmStats.getDouble(0)}..${lmStats.getDouble(1)}")
+
     // 4. corpus vocabulary: TF-IDF top terms over the surviving train set
     val vocab = TextStats.tfidfTopK(
         split.filter(col("split") === "train"), k = 1)
@@ -83,6 +93,17 @@ object ExtDemo {
     println(s"[ext-demo] ivf: ${stats.getLong(2)} cells " +
       s"(size ${stats.getLong(0)}..${stats.getLong(1)}); " +
       s"search hits: ${hits.count()} for ${hits.select("q_id").distinct().count()} queries")
+    // 6. events: point-in-time enrichment (clicks ← latest prior purchase)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value").as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    val enriched = AsOf.joinAsOf(clicks, purchases, Seq("user_id"),
+      "ts_us", "event_id", "value", "last_purchase_value")
+    val withPrior = enriched.filter(col("last_purchase_value").isNotNull).count()
+    println(s"[ext-demo] as-of: ${enriched.count()} clicks, $withPrior with a prior purchase")
     println("[ext-demo] OK")
     spark.stop()
   }

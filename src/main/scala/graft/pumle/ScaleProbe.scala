@@ -188,6 +188,54 @@ object ScaleProbe {
       f"$kept kept (expect ~${(nNew * 0.7).toInt}) in $secs7%.1fs = " +
       f"${nNew / secs7 / 1000}%.0fk new docs/s")
 
+    // bloom-prefiltered exact incremental dedup at the same volume as
+    // dedupIncremental's exact stage: the narrow bloom predicate should
+    // cut the anti-join's new side to (true dups + fpp·new)
+    val t7b = System.nanoTime()
+    val keptBloom = graft.ext.Dedup.dedupIncrementalExactBloom(
+      spark, newDocs, docs6, expectedSeen = nDocs6.toLong).count()
+    val secs7b = (System.nanoTime() - t7b) / 1e9
+    println(f"[probe] bloom incremental (exact stage): $nNew%d new vs $nDocs6%d seen → " +
+      f"$keptBloom kept in $secs7b%.1fs = ${nNew / secs7b / 1000}%.0fk new docs/s")
+
+    // unigram-LM scoring at volume over the 1M-doc corpus: histogram
+    // pass + broadcast-vocab scoring pass (40 words/doc = 40M tokens)
+    val t8 = System.nanoTime()
+    val lmRows = graft.ext.TextStats.lmScore(docs6).count()
+    val secs8 = (System.nanoTime() - t8) / 1e9
+    println(f"[probe] lmScore: $lmRows%d docs (40M tokens) in $secs8%.1fs = " +
+      f"${nDocs6 / secs8 / 1000}%.0fk docs/s")
+
+    // as-of join at volume: 5M left events against 5M right events over
+    // 100k keys — one hash exchange for the window, no range join
+    val nEv = 5000000
+    val evL = spark.range(nEv).select(col("id").as("tie"),
+      (col("id") % 100000).as("k"), (col("id") * 37 % 1000000).as("ts"),
+      col("id").cast("double").as("payload"))
+    val evR = spark.range(nEv).select((col("id") + nEv).as("tie"),
+      (col("id") % 100000).as("k"), (col("id") * 53 % 1000000).as("ts"),
+      (col("id") * 10).cast("double").as("v"))
+    val t9 = System.nanoTime()
+    // aggregate ON the as-of output column — a bare count() lets Catalyst
+    // prune the unused window and measure nothing
+    val asofRows = graft.ext.AsOf.joinAsOf(evL, evR, Seq("k"), "ts", "tie", "v")
+      .agg(count(col("asof_value"))).head().getLong(0)
+    val secs9 = (System.nanoTime() - t9) / 1e9
+    println(f"[probe] as-of: $asofRows%d of $nEv%d left rows enriched vs $nEv%d right " +
+      f"in $secs9%.1fs = ${2L * nEv / secs9 / 1e6}%.1fM rows/s through one window")
+
+    // star connected components on a DEEP graph: a 200k-node chain
+    // (diameter 200k — label propagation would need 100k rounds; the
+    // alternating-star variant converges in ~log₂ rounds)
+    val chainN = 200000
+    val chain = spark.range(chainN - 1).select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val t10 = System.nanoTime()
+    val comps = graft.ext.Dedup.clustersAltStar(spark, chain)
+      .agg(countDistinct(col("cluster_id"))).head().getLong(0)
+    val secs10 = (System.nanoTime() - t10) / 1e9
+    println(f"[probe] altStar CC: $chainN%d-node chain → $comps component(s) " +
+      f"in $secs10%.1fs (log-round convergence where propagation needs ${chainN / 2}%d rounds)")
+
     // ANN at volume: 100k×64-dim vectors, 100 centroids, ~100 queries
     // through the full IVF probe+rerank path (corpus never shuffled)
     val nVec = 100000

@@ -996,7 +996,35 @@ object ExtQueries {
       SELECT user_id, ts_us, event_id, click_value, last_purchase_value
       FROM j WHERE side = 1 ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------- q82
+  // Corpus-overlap estimate (dataset drift / cross-corpus contamination
+  // smell test): per-side aggregate minhash — lane min over ALL the
+  // side's shingles, one partial-aggregable pass — then Jaccard ≈
+  // fraction of equal lanes. Sides split by doc_id parity here.
+  private val q82 = Q(
+    "q82_corpus_overlap",
+    (s, d) => {
+      graft.ext.Dedup.corpusOverlap(s, Tables.documents(s, d),
+        col("doc_id") % 2 === 0)
+    },
+    Some(s"""WITH $shingleCte,
+      h AS (SELECT (doc_id % 2 = 0) AS in_a,
+          CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT) AS h48 FROM sh),
+      lanes AS (SELECT
+        ${salts.zipWithIndex.map { case (salt, p) =>
+          s"min(CASE WHEN in_a THEN xor(h48, $salt) END) AS a$p,\n        " +
+          s"min(CASE WHEN NOT in_a THEN xor(h48, $salt) END) AS b$p"
+        }.mkString(",\n        ")}
+        FROM h),
+      eq AS (SELECT ${salts.indices.map(p =>
+          s"CASE WHEN a$p = b$p THEN 1 ELSE 0 END").mkString(" + ")} AS n_eq
+        FROM lanes)
+      SELECT CAST(${salts.length} AS BIGINT) AS n_lanes,
+        CAST(n_eq AS BIGINT) AS n_equal,
+        round(CAST(n_eq AS DOUBLE) / ${salts.length}.0, 6) AS j_estimate
+      FROM eq"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82)
 }

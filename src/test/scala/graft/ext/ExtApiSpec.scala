@@ -542,6 +542,21 @@ class ExtApiSpec extends SparkSpec {
     assert(math.abs(nll(3L) - math.log(12.0)) < 1e-6)
   }
 
+  test("corpusOverlap: identical sides estimate 1, disjoint vocabularies 0") {
+    import spark.implicits._
+    val same = (0L until 40L).map(i => (i, s"shared corpus text block number ${i % 5}"))
+      .toDF("doc_id", "text")
+    val j1 = Dedup.corpusOverlap(spark, same, col("doc_id") % 2 === 0)
+      .head().getAs[Double]("j_estimate")
+    assert(j1 == 1.0) // both halves carry all 5 texts → identical shingle sets
+    val disjoint = ((0L until 20L).map(i => (i, "alpha beta gamma delta epsilon zeta")) ++
+      (20L until 40L).map(i => (i, "ichi nii sann yonn gco ruku nana hachi")))
+      .toDF("doc_id", "text")
+    val j0 = Dedup.corpusOverlap(spark, disjoint, col("doc_id") < 20)
+      .head().getAs[Double]("j_estimate")
+    assert(j0 == 0.0)
+  }
+
   test("dedupIncrementalExactBloom is identical to the plain anti-join") {
     import spark.implicits._
     val seen = spark.range(500).selectExpr(

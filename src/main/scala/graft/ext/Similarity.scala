@@ -158,6 +158,114 @@ object Similarity {
     emb.withColumnRenamed(idCol, "vec_id").join(drop, Seq("vec_id"), "left_anti")
   }
 
+  /** Product-quantization codebooks: the embedding space split into
+    * `m` subspaces, each with its own `k`-centroid codebook trained by
+    * Lloyd iterations — ALL subspaces per iteration in ONE distributed
+    * job (subvector explode → literal-codebook argmin → per-(sub, code,
+    * dim) mean), so training cost is `iters` jobs regardless of `m`.
+    * The result is driver-sized (m·k·(dims/m) doubles — a few KB) and
+    * rides into encode/search plans as a literal, exactly like
+    * `Clustering.kmeans` centroids. Seeds = subvectors of the rows
+    * matching `seedPred` (first `k` by vec_id — deterministic). */
+  def pqCodebooks(spark: SparkSession, emb: DataFrame,
+      seedPred: org.apache.spark.sql.Column, m: Int = 8, k: Int = 16,
+      iters: Int = 3, dims: Int = 64): Seq[Seq[Seq[Double]]] = {
+    Dot64.register(spark)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    val base = emb.select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val subs = base.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), i -> slice(v, i * $subDim + 1, $subDim))"))
+      .as(Seq("sub", "sv")))
+    var cbs: Seq[Seq[Seq[Double]]] = {
+      val seeds = base.filter(seedPred).orderBy(col("vec_id")).limit(k)
+        .select(col("v")).collect().map(_.getSeq[Double](0)).toSeq
+      require(seeds.nonEmpty, "seedPred matched no rows")
+      (0 until m).map(s => seeds.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+    }
+    def assigned(c: Seq[Seq[Seq[Double]]]): DataFrame =
+      subs.withColumn("cb", typedLit(c))
+        .withColumn("code", expr(
+          """array_min(transform(element_at(cb, sub + 1), (cw, ci) ->
+            |  struct(dot64(sv, sv) - 2 * dot64(sv, cw) + dot64(cw, cw) AS dist2,
+            |         ci AS code))).code""".stripMargin))
+    var i = 0
+    while (i < iters) {
+      // update: per-(subspace, code, dim) mean — m·k·subDim rows,
+      // driver-bounded like the kmeans update
+      val upd = assigned(cbs)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("sub"), col("code"), col("d")).agg(avg(col("x")).as("mu"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("d"), col("mu")))).as("dm"))
+        .select(col("sub"), col("code"), expr("transform(dm, e -> e.mu)").as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      cbs = cbs.zipWithIndex.map { case (codes, s) =>
+        codes.zipWithIndex.map { case (old, ci) => upd.getOrElse((s, ci), old) }
+      }
+      i += 1
+    }
+    cbs
+  }
+
+  /** PQ encode: every vector compressed to `m` small codes (its nearest
+    * codeword per subspace) — 4·dims bytes of float down to m bytes of
+    * code, the representation that lets a 100 TB embedding corpus sit
+    * in memory for search. Fully narrow: codebooks are a literal, the
+    * argmin is a per-row array expression. */
+  def pqEncode(spark: SparkSession, emb: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    Dot64.register(spark)
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    emb.select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("cb", typedLit(codebooks))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+          |  array_min(transform(element_at(cb, s + 1), (cw, ci) -> struct(
+          |    aggregate(zip_with(slice(v, s * $subDim + 1, $subDim), cw,
+          |      (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist2,
+          |    ci AS code))).code)""".stripMargin))
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: each query precomputes its
+    * m×k distance table ONCE (a narrow per-query transform), the table
+    * broadcasts with the query batch, and scoring a corpus code row is
+    * m ARRAY LOOKUPS — constant work per candidate independent of
+    * `dims`, the whole point of PQ. The corpus never shuffles; ranking
+    * is a per-query window over approximate L2². */
+  def pqSearchADC(spark: SparkSession, emb: DataFrame, codes: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]],
+      queryPred: org.apache.spark.sql.Column, topK: Int): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"),
+        expr(s"transform(embedding, x -> CAST(x AS DOUBLE))").as("vq"))
+      .withColumn("cb", typedLit(codebooks))
+      .withColumn("tbl", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+          |  transform(element_at(cb, s + 1), cw ->
+          |    aggregate(zip_with(slice(vq, s * $subDim + 1, $subDim), cw,
+          |      (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)))"""
+          .stripMargin))
+      .select(col("q_id"), col("tbl"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist2"), col("n_id"))
+    codes.select(col("vec_id").as("n_id"), col("codes"))
+      .crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc_dist2", round(expr(
+        """aggregate(zip_with(tbl, codes, (t, c) -> element_at(t, c + 1)),
+          |  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)""".stripMargin), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adc_dist2"))
+  }
+
   /** Near-dup pairs above a cosine threshold, blocked by `blockCol`
     * (label / LSH bucket / IVF cell) with a deterministic query sample
     * to bound pair count; keep = smaller id. */

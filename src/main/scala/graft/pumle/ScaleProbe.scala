@@ -244,6 +244,21 @@ object ScaleProbe {
       expr("""transform(sequence(0, 63), d ->
               | CAST(CAST(pmod(id * (d + 7919), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))"""
         .stripMargin).as("embedding"))
+    // PQ at volume over the same vectors: train 8×16 codebooks (3 one-
+    // job Lloyd iterations), compress 100k×64 floats to 100k×8 codes,
+    // ADC-search ~100 queries with per-query distance tables — constant
+    // per-candidate work, the memory-bounded ANN path
+    val t4b = System.nanoTime()
+    val cbs = graft.ext.Similarity.pqCodebooks(spark, emb,
+      col("vec_id") % 1000 === 0, m = 8, k = 16, iters = 3)
+    val pqCodes = graft.ext.Similarity.pqEncode(spark, emb, cbs)
+      .localCheckpoint(true)
+    val pqHits = graft.ext.Similarity.pqSearchADC(spark, emb, pqCodes, cbs,
+      queryPred = col("vec_id") % 997 === 0, topK = 10).count()
+    val secs4b = (System.nanoTime() - t4b) / 1e9
+    println(f"[probe] pq: train+encode $nVec%d vecs (64f → 8 codes) + ADC search " +
+      f"→ $pqHits results in $secs4b%.1fs = ${nVec / secs4b / 1000}%.0fk vecs/s")
+
     val t4 = System.nanoTime()
     val topk = graft.ext.Similarity.ivfTopK(spark, emb,
       centroidPred = col("vec_id") % 1000 === 0,

@@ -542,6 +542,32 @@ class ExtApiSpec extends SparkSpec {
     assert(math.abs(nll(3L) - math.log(12.0)) < 1e-6)
   }
 
+  test("PQ: zero-quantization-error corpus → ADC ranking equals exact L2 ranking") {
+    import spark.implicits._
+    // every subspace is exactly one of two prototypes, so trained
+    // codebooks reconstruct vectors EXACTLY and ADC distance must equal
+    // the true L2² — pinning the whole train→encode→search path
+    val p0 = Seq(0f, 0f, 0f, 0f)
+    val p1 = Seq(2f, 2f, 2f, 2f)
+    val vecs = Seq(
+      (0L, p0 ++ p0), (1L, p1 ++ p1), (2L, p0 ++ p1), (3L, p1 ++ p0),
+      (4L, p0 ++ p0), (5L, p1 ++ p1))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqCodebooks(spark, emb, col("vec_id") < 2,
+      m = 2, k = 2, iters = 2, dims = 8)
+    assert(cbs.length == 2 && cbs.forall(_.length == 2))
+    val codes = Similarity.pqEncode(spark, emb, cbs)
+    val codeRows = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codeRows.values.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 2)))
+    assert(codeRows(0L) == codeRows(4L) && codeRows(1L) == codeRows(5L))
+    val got = Similarity.pqSearchADC(spark, emb, codes, cbs,
+        queryPred = col("vec_id") === 0L, topK = 5)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("n_id"), r.getAs[Double]("adc_dist2")))
+    // exact L2² from vec 0: v4 = 0, v2 = v3 = 16, v1 = v5 = 32; ties by id
+    assert(got.toSeq == Seq((4L, 0.0), (2L, 16.0), (3L, 16.0), (1L, 32.0), (5L, 32.0)))
+  }
+
   test("corpusOverlap: identical sides estimate 1, disjoint vocabularies 0") {
     import spark.implicits._
     val same = (0L until 40L).map(i => (i, s"shared corpus text block number ${i % 5}"))

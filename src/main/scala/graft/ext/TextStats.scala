@@ -225,6 +225,32 @@ object TextStats {
       .withColumn("contaminated", col("n_shared_grams") >= minShared)
   }
 
+  /** Intra-document repetition removal (the "drop duplicated lines
+    * within a document" quality pass, with fixed `chunkWords`-word
+    * chunks standing in for lines — the within-doc counterpart of
+    * `Dedup.dedupChunks`' corpus-wide pass): every repeat of a chunk
+    * already seen EARLIER IN THE SAME DOC is dropped, first occurrences
+    * keep their order. Entirely per-row array algebra — chunk
+    * enumeration, first-occurrence filter (`array_position(ch, c) =
+    * i + 1`), reassembly — so the plan is FULLY NARROW: no explode, no
+    * window, no shuffle of any kind; embarrassingly parallel at any
+    * corpus size. Chunk positions cap at 4096 (the shared cross-engine
+    * enumeration bound). */
+  def dedupWithinDoc(docs: DataFrame, chunkWords: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k = chunkWords
+    docs
+      .withColumn("ws", split(col(textCol), " "))
+      .withColumn("ch", expr(
+        s"""transform(sequence(0, least(int(ceil(size(ws) / CAST($k AS DOUBLE))) - 1, 4096)),
+           |  i -> array_join(slice(ws, i * $k + 1, $k), ' '))""".stripMargin))
+      .withColumn("kept", expr("filter(ch, (c, i) -> array_position(ch, c) = i + 1)"))
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("kept_text"),
+        size(col("ch")).cast("long").as("n_chunks"),
+        (size(col("ch")) - size(col("kept"))).cast("long").as("n_dropped_chunks"))
+  }
+
   /** Unigram language-model quality score: each document's average
     * negative log-probability under a corpus-trained unigram model with
     * a bounded vocabulary (the cheap stand-in for the perplexity filter

@@ -1024,7 +1024,36 @@ object ExtQueries {
         round(CAST(n_eq AS DOUBLE) / ${salts.length}.0, 6) AS j_estimate
       FROM eq"""))
 
+  // ---------------------------------------------------------------- q83
+  // Intra-document repetition removal (first occurrence of each 2-word
+  // chunk survives, later repeats within the SAME doc are dropped) —
+  // pure per-row array algebra on the Spark side: no explode, no
+  // window, no shuffle at all. The oracle expresses the same first-
+  // occurrence semantics relationally (row_number per doc+chunk).
+  private val q83 = Q(
+    "q83_dedup_within_doc",
+    (s, d) => {
+      graft.ext.TextStats.dedupWithinDoc(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      ch AS (
+        SELECT doc_id, gs.generate_series AS ci,
+          array_to_string(ws[CAST(gs.generate_series * 2 + 1 AS INT) :
+                             CAST(gs.generate_series * 2 + 2 AS INT)], ' ') AS chunk
+        FROM w, generate_series(0, 4096) gs
+        WHERE gs.generate_series <= CAST(ceil(len(ws) / 2.0) AS INT) - 1),
+      firsts AS (
+        SELECT doc_id, ci, chunk,
+          row_number() OVER (PARTITION BY doc_id, chunk ORDER BY ci) AS rn
+        FROM ch)
+      SELECT doc_id,
+        coalesce(string_agg(chunk, ' ' ORDER BY ci) FILTER (WHERE rn = 1), '') AS kept_text,
+        count(*) AS n_chunks,
+        CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_chunks
+      FROM firsts GROUP BY doc_id ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
 }

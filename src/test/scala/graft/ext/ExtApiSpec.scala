@@ -542,6 +542,18 @@ class ExtApiSpec extends SparkSpec {
     assert(math.abs(nll(3L) - math.log(12.0)) < 1e-6)
   }
 
+  test("dedupWithinDoc keeps first occurrences in order, drops later repeats") {
+    import spark.implicits._
+    // chunks of 2 words: "a b" | "c d" | "a b" | "e f" | "a b"
+    val d = Seq((1L, "a b c d a b e f a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextStats.dedupWithinDoc(d).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("kept_text") == "a b c d e f")
+    assert(out(0).getAs[Long]("n_chunks") == 5L)
+    assert(out(0).getAs[Long]("n_dropped_chunks") == 2L)
+    assert(out(1).getAs[String]("kept_text") == "x y z") // odd tail chunk kept
+    assert(out(1).getAs[Long]("n_dropped_chunks") == 0L)
+  }
+
   test("PQ: zero-quantization-error corpus → ADC ranking equals exact L2 ranking") {
     import spark.implicits._
     // every subspace is exactly one of two prototypes, so trained

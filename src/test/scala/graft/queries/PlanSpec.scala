@@ -113,7 +113,7 @@ class PlanSpec extends SparkSpec {
       "q76_chunk_dedup" -> 3, "q77_decontaminate" -> 3,
       "q78_weighted_sample" -> 1, "q79_mix_resample" -> 3,
       "q80_lm_score" -> 3, "q81_asof_join" -> 2,
-      "q82_corpus_overlap" -> 2)
+      "q82_corpus_overlap" -> 2, "q83_dedup_within_doc" -> 1)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString
@@ -146,6 +146,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
     // one hash exchange for the window, one range for the final orderBy
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q83: within-doc dedup is pure array algebra — no explode, no window, one exchange") {
+    val p = planOf("q83_dedup_within_doc")
+    assert(!p.contains("Generate"), p)  // no chunk explode
+    assert(!p.contains("Window"), p)    // no first-occurrence window
+    assert("Exchange".r.findAllIn(p).length <= 1, p) // only the orderBy
   }
 
   test("q24: densify grid side is generated (Range), active side broadcast") {

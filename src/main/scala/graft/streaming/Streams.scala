@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.pumle.Pipeline
 
@@ -125,6 +125,52 @@ object Streams {
       // a doc matching several bands emits once
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
+  }
+
+  final case class AsofEvent(user_id: Long, ts_us: Long, event_id: Long,
+    is_left: Boolean, value: Double)
+  final case class AsofState(ts_us: Long, event_id: Long, value: Double)
+  final case class AsofOut(user_id: Long, ts_us: Long, event_id: Long,
+    value: Double, asof_value: Option[Double])
+
+  /** Streaming as-of enrichment — the streaming counterpart of
+    * `graft.ext.AsOf.joinAsOf`: left events (`is_left`) emit enriched
+    * with the latest right value at or before their timestamp, per key,
+    * via `flatMapGroupsWithState` holding ONE (ts, id, value) triple per
+    * key — O(keys) state, no buffering of either stream.
+    *
+    * Ordering contract: within a micro-batch events are processed in
+    * (ts, right-first, id) order — identical tie semantics to the batch
+    * operator — so per-key-ordered streams (the log-compaction shape)
+    * get EXACT as-of answers. Cross-batch reordering degrades
+    * gracefully: a left event older than the retained right state emits
+    * `asof_value = None` (never a future value) — the precision trade
+    * of constant state, documented rather than silently wrong. */
+  def asofEnrich(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[AsofEvent], state: GroupState[AsofState]) =>
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[AsofOut]()
+          evs.toSeq
+            .sortBy(e => (e.ts_us, if (e.is_left) 1 else 0, e.event_id))
+            .foreach { e =>
+              if (!e.is_left) {
+                // keep the latest right row (ties by id, as in batch)
+                if (st.forall(s =>
+                  e.ts_us > s.ts_us || (e.ts_us == s.ts_us && e.event_id > s.event_id)))
+                  st = Some(AsofState(e.ts_us, e.event_id, e.value))
+              } else {
+                out += AsofOut(uid, e.ts_us, e.event_id, e.value,
+                  st.filter(_.ts_us <= e.ts_us).map(_.value))
+              }
+            }
+          st.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
   }
 
   final case class SimEvent(sim_hash: String, status: String, seq: Long)

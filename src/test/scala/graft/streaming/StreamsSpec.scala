@@ -133,6 +133,40 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming as-of: in-batch exact (ties right-first), late clicks never see future values") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.AsofEvent]
+    val q = Streams.asofEnrich(spark, mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("asof_out").start()
+    // batch 1: purchase@100 then clicks (one at the SAME ts — right sorts first)
+    mem.addData(
+      Streams.AsofEvent(1L, 100L, 10L, is_left = false, 5.0),
+      Streams.AsofEvent(1L, 100L, 11L, is_left = true, 0.1),
+      Streams.AsofEvent(1L, 150L, 12L, is_left = true, 0.2),
+      Streams.AsofEvent(2L, 90L, 20L, is_left = true, 0.3)) // no purchase yet
+    q.processAllAvailable()
+    // batch 2: newer purchase arrives WITH an intra-batch late click —
+    // per-batch ts ordering still answers the click exactly (5.0, the
+    // purchase@100, because the purchase@200 sorts after it)
+    mem.addData(
+      Streams.AsofEvent(1L, 200L, 13L, is_left = false, 7.0),
+      Streams.AsofEvent(1L, 250L, 14L, is_left = true, 0.4),
+      Streams.AsofEvent(1L, 120L, 15L, is_left = true, 0.5))
+    q.processAllAvailable()
+    // batch 3: a CROSS-batch late click older than the retained state —
+    // degrades to None (never a future value)
+    mem.addData(Streams.AsofEvent(1L, 110L, 16L, is_left = true, 0.6))
+    q.processAllAvailable()
+    val rows = spark.sql(
+        "SELECT event_id, asof_value FROM asof_out ORDER BY event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(11L -> Some(5.0), 12L -> Some(5.0), 20L -> None,
+      14L -> Some(7.0), 15L -> Some(5.0), 16L -> None))
+    q.stop()
+  }
+
   test("mapGroupsWithState applies the status machine, ignoring illegal jumps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -51,6 +51,11 @@ object ExtDemo {
     println(s"[ext-demo] hygiene: ${pii.getLong(0)} emails / ${pii.getLong(1)} phones " +
       s"redacted; $chunksDropped boilerplate chunks dropped; " +
       s"$contaminated train docs share 3-grams with the eval slice")
+    val withinDropped = TextStats.dedupWithinDoc(cleaned)
+      .agg(sum(col("n_dropped_chunks"))).head().getLong(0)
+    val ov = Dedup.corpusOverlap(spark, cleaned, col("doc_id") % 2 === 0).head()
+    println(s"[ext-demo] within-doc repeats dropped: $withinDropped; " +
+      s"half-vs-half corpus overlap estimate: ${ov.getAs[Double]("j_estimate")}")
 
     // 3. quality gate + split + packing
     val gated = TextStats.quality(deduped, Seq("and", "of", "to"))

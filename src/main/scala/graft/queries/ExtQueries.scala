@@ -1053,7 +1053,47 @@ object ExtQueries {
         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_chunks
       FROM firsts GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q84
+  // Corpus profiling: per-source doc counts, exact mean length, and
+  // exact DISCRETE percentiles (p50/p90) computed relationally — a
+  // per-source distributed sort window + rank pick, NOT percentile()
+  // (whose exact form buffers every group value in one aggregation
+  // buffer — a corpus-sized group OOMs it). All-integer rank picks, so
+  // the only FP is the mean (exact BIGINT sum / count, rounded).
+  private val q84 = Q(
+    "q84_source_profile",
+    (s, d) => {
+      val wRank = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val wAll = Window.partitionBy(col("source"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("mean_chars"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("n_chars"))).as("p50_chars"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("n_chars"))).as("p90_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ranked AS (
+        SELECT source, n_chars,
+          row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+          count(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+        max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50_chars,
+        max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS p90_chars,
+        min(n_chars) AS min_chars,
+        max(n_chars) AS max_chars
+      FROM ranked GROUP BY source ORDER BY source"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
 }

@@ -113,7 +113,8 @@ class PlanSpec extends SparkSpec {
       "q76_chunk_dedup" -> 3, "q77_decontaminate" -> 3,
       "q78_weighted_sample" -> 1, "q79_mix_resample" -> 3,
       "q80_lm_score" -> 3, "q81_asof_join" -> 2,
-      "q82_corpus_overlap" -> 2, "q83_dedup_within_doc" -> 1)
+      "q82_corpus_overlap" -> 2, "q83_dedup_within_doc" -> 1,
+      "q84_source_profile" -> 2)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -385,12 +385,19 @@ object Dedup {
     * No join in the chain carries a mandatory broadcast: on realistic
     * web corpora the near-dup rate runs 30%+, so the drop set is a
     * constant fraction of the corpus and a forced broadcast would OOM
-    * exactly where dedup matters most. */
+    * exactly where dedup matters most.
+    *
+    * `deepGraphs = true` runs the component stage with
+    * `clustersAltStar` (log-round convergence on any diameter) instead
+    * of label propagation — for corpora whose verified near-dup graph
+    * still chains deeply (template families). Identical labels either
+    * way (spec-pinned); only round counts differ. */
   def dedupCorpus(spark: SparkSession, docs: DataFrame,
       bands: Int = 4, maxBucket: Int = 10,
       idCol: String = "doc_id", textCol: String = "text",
       capMetrics: Option[org.apache.spark.sql.Observation] = None,
-      verifyThreshold: Double = 0.7): DataFrame = {
+      verifyThreshold: Double = 0.7,
+      deepGraphs: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // exact stage as a hash-partitioned window (survivor = smallest id
     // per content hash): one shuffle, NO broadcast — the survivor set
@@ -434,7 +441,12 @@ object Dedup {
     // corpus — NOT broadcastable by fiat. Left unhinted: AQE broadcasts
     // at runtime when the set actually is small and degrades gracefully
     // to a shuffle join when it is not.
-    val dropNearDup = clusters(spark, confirmed)
+    // deepGraphs switches the component stage to alternating stars —
+    // O(log n) rounds regardless of diameter, for corpora whose near-dup
+    // graph CHAINS (template families, chunk graphs). Verified LSH
+    // graphs are shallow, so label propagation stays the default.
+    val dropNearDup = (if (deepGraphs) clustersAltStar(spark, confirmed)
+      else clusters(spark, confirmed))
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as(idCol))
     // clusters() materialized its labels with truncated lineage, so the

@@ -636,6 +636,24 @@ class ExtApiSpec extends SparkSpec {
       labelsOf(Dedup.clusters(spark, rand)))
   }
 
+  test("dedupCorpus deepGraphs=true keeps exactly the same survivors") {
+    import spark.implicits._
+    // 10 groups × (4 exact copies of variant x + 4 of variant y); the
+    // variants share a long body → exact stage keeps x,y per group, the
+    // near stage merges them → ~10 survivors
+    val d = (0 until 80).map { i =>
+      val g = i / 8
+      val tail = if (i % 2 == 0) "x" else "y"
+      (i.toLong, s"group $g carries a long shared sentence body used by every variant $tail")
+    }.toDF("doc_id", "text")
+    val a = Dedup.dedupCorpus(spark, d, maxBucket = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Dedup.dedupCorpus(spark, d, maxBucket = 8, deepGraphs = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.nonEmpty && a.size < 80)
+  }
+
   test("clustersAltStar frees its intermediate checkpoint blocks") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet

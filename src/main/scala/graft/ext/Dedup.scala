@@ -580,9 +580,11 @@ object Dedup {
     * against the seen hash set. Here the new side is cut by a NARROW
     * broadcast-bloom predicate first — survivors of the prefilter are
     * (true dups + fpp·|new|), typically orders of magnitude smaller —
-    * and AQE then broadcasts that candidate side into the confirm join,
-    * so the daily increment never shuffles. The seen side is still one
-    * projection scan (hash column only); the bloom itself is built once
+    * and the confirm joins are ordered so the candidate-hash set is the
+    * broadcast build side against a bare SCAN of the seen hashes:
+    * neither the increment nor the seen corpus is ever shuffled. The
+    * seen side is one projection scan (hash column only); the bloom
+    * itself is built once
     * per snapshot with a driver treeAggregate and costs
     * ~1.2 bytes·ln(1/fpp) per seen doc (≈1.2 GB at 10⁹ docs, 1% fpp) —
     * fine on a cluster driver, and reusable across increments where a
@@ -600,10 +602,20 @@ object Dedup {
     val hashed = newDocs.withColumn("content_hash", md5(col(textCol)))
     // candidates = bloom-positive rows only (narrow predicate, no shuffle)
     val candidates = hashed.filter(mightContain(col("content_hash")))
-    // confirm: false positives are NOT real dups — keep them. AQE
-    // broadcasts the (small) candidate side at runtime; unhinted.
+    // confirm: false positives are NOT real dups — keep them. Join ORDER
+    // matters at scale: a direct `candidates SEMI seen` puts the
+    // corpus-sized seen set on the build side (left-semi can only
+    // broadcast-build RIGHT), forcing a full-corpus shuffle per
+    // increment. Instead the seen side is narrowly FILTERED by the small
+    // candidate-hash set first (AQE broadcast-builds the right side),
+    // and only the tiny matched set is deduplicated and joined back —
+    // the seen corpus is scanned once, shuffled never.
+    val candHashes = candidates.select(col("content_hash")).distinct()
+    val seenMatched = seenHashes
+      .join(candHashes, Seq("content_hash"), "left_semi")
+      .distinct()
     val confirmed = candidates
-      .join(seenHashes.distinct(), Seq("content_hash"), "left_semi")
+      .join(seenMatched, Seq("content_hash"), "left_semi")
       .select(col(idCol))
     hashed.join(confirmed, Seq(idCol), "left_anti").drop("content_hash")
   }

@@ -612,6 +612,11 @@ class ExtApiSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == want, s"bloom path diverges: extra=${got -- want} missing=${want -- got}")
     assert(got == (1100L until 1200L).toSet) // every true dup dropped, novels kept
+    // plan shape: the confirm path must never sort-merge (which would
+    // shuffle the corpus-sized seen hash set every increment)
+    val plan = Dedup.dedupIncrementalExactBloom(spark, fresh, seen,
+      expectedSeen = 500).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("clustersAltStar matches label-propagation clusters, incl. a deep chain") {

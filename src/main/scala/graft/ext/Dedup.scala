@@ -652,4 +652,111 @@ object Dedup {
           when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** Four independent 16-bit SimHash lanes per document (the banded
+    * layout of Manku, Jindal & Sarawagi, "Detecting near-duplicates for
+    * web crawling", WWW'07) via the codegen'd `simhash64` expression —
+    * fully narrow, one md5 per word feeding all lanes. Lane 0 is
+    * bit-identical to [[simhash]]. */
+  def simhashLanes(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), expr(s"simhash64($textCol)").as("lanes"))
+  }
+
+  /** SimHash Hamming near-dup search: banding over the four 16-bit
+    * lanes (exact lane match on ≥1 band → candidate), then exact
+    * Hamming verification `Σ bit_count(lane_a XOR lane_b) <= maxDist`.
+    *
+    * Pigeonhole guarantee: any pair within Hamming distance ≤ 3 (=
+    * bands−1) differs in at most 3 of the 64 bits, so at least one of
+    * the 4 lanes matches exactly — banding finds ALL such pairs, up to
+    * the `maxBucket` degenerate-bucket cap (same skew discipline as
+    * [[lshCandidates]]: bucket sizes come from a count aggregate and
+    * mega-buckets are dropped BEFORE any id list materializes).
+    *
+    * Scale shape: the lane arrays ride INSIDE the bucket aggregate
+    * (≤ maxBucket structs of 4 longs each), so verification needs no
+    * join back against the corpus-sized signature table — candidate
+    * pairs come out of the bucket expansion already carrying both
+    * signatures, and the Hamming check is a narrow filter. */
+  def simhashNearDup(spark: SparkSession, docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lanes = simhashLanes(docs, idCol, textCol)
+    val buckets = lanes.select(col("doc_id"), col("lanes"),
+      posexplode(col("lanes")).as(Seq("band", "bval")))
+    val small = buckets.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize").between(2, maxBucket))
+      .select(col("band"), col("bval"))
+    buckets.join(small, Seq("band", "bval")) // mega-buckets die pre-collect
+      .groupBy(col("band"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("lanes")))).as("ms"))
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)), y ->
+          |    struct(x.doc_id AS a_id, y.doc_id AS b_id,
+          |           x.lanes AS la, y.lanes AS lb))))""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        expr("""CAST(bit_count(p.la[0] ^ p.lb[0]) + bit_count(p.la[1] ^ p.lb[1])
+               |   + bit_count(p.la[2] ^ p.lb[2]) + bit_count(p.la[3] ^ p.lb[3])
+               | AS BIGINT)""".stripMargin).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct() // a pair sharing several bands appears once per band
+  }
+
+  /** Bag-of-words fingerprint: md5 of the sorted distinct word set — a
+    * reorder/repetition-invariant content hash (catches shuffled or
+    * re-repeated copies that byte-exact dedup misses, without the
+    * probabilistic machinery of MinHash). Pure narrow per-row select. */
+  def bowFingerprint(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      md5(array_join(array_sort(array_distinct(split(col(textCol), " "))), " "))
+        .as("bow_hash"))
+
+  /** Reorder-invariant exact dedup over the bag-of-words fingerprint:
+    * one partial-aggregable groupBy keeping the smallest doc_id per
+    * word-set class ([[exact]] generalized to order-insensitive
+    * content). */
+  def bowDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    bowFingerprint(docs, idCol, textCol)
+      .groupBy(col("bow_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Cross-document repeated span detection — the discovery half of
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22): word `spanWords`-grams at
+    * the first MaxShinglePos positions (the engine-wide positional-cap
+    * contract), grouped corpus-wide, keeping spans seen in ≥ `minDocs`
+    * distinct documents; top-`k` by (doc count, occurrences, span).
+    *
+    * Scale shape: span enumeration is a narrow per-row generator (no
+    * array-of-spans materialized per doc — explode of a position
+    * sequence + slice), the group key is uniformly-distributed text so
+    * the one aggregate shuffle is skew-free, count(distinct) runs the
+    * standard two-phase partial aggregation, and the final top-k is a
+    * TakeOrdered, never a full sort. */
+  def repeatedSpans(docs: DataFrame, spanWords: Int = 8, minDocs: Int = 2,
+      k: Int = 20, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val maxPos = graft.functions.MinHash48.MaxShinglePos
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .withColumn("nspan",
+        least(size(col("w")) - (spanWords - 1), lit(maxPos)))
+      .filter(col("nspan") >= 1)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), col("nspan"))).as("pos"))
+      .select(col("doc_id"),
+        array_join(slice(col("w"), col("pos"), lit(spanWords)), " ").as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+      .limit(k)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Dot64, Jaccard8, MinHash48, Shingles8, SimHash16, XorFp48}
+import graft.functions.{Dot64, Jaccard8, MinHash48, Shingles8, SimHash16, SimHash64, XorFp48}
 
 /** SparkSessionExtensions injector — the engine's permanent extension
   * wiring. Users enable it with
@@ -19,6 +19,8 @@ import graft.functions.{Dot64, Jaccard8, MinHash48, Shingles8, SimHash16, XorFp4
   *    (graft.functions.Dot64);
   *  - `simhash16(text)` → bigint: per-row 16-bit SimHash
   *    (graft.functions.SimHash16);
+  *  - `simhash64(text)` → array<long>: four independent 16-bit SimHash
+  *    lanes for banded Hamming near-dup search (graft.functions.SimHash64);
   *  - `xorfp48(text)` → bigint: per-row distinct-word xor fingerprint
   *    (graft.functions.XorFp48);
   *  - `jaccard8(a, b)` → double: exact 8-gram-set Jaccard of two texts
@@ -47,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (children: Seq[Expression]) => SimHash16(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectFunction((
       FunctionIdentifier("xorfp48"),
       new ExpressionInfo(classOf[XorFp48].getName, "xorfp48"),

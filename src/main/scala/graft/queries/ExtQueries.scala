@@ -1093,7 +1093,95 @@ object ExtQueries {
         max(n_chars) AS max_chars
       FROM ranked GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- q85
+  // SimHash Hamming near-dup (Manku et al. WWW'07 banding): four 16-bit
+  // simhash lanes per doc (codegen'd simhash64 — one md5 per word, zero
+  // amplification), exact lane match on ≥1 band → candidate, exact
+  // Hamming ≤ 3 verification. Pigeonhole-complete for distance ≤ 3 up
+  // to the degenerate-bucket cap. The oracle recomputes the lanes
+  // relationally (q61's vote formulation × 4 lanes) and replays the
+  // same cap + banding + bit_count verification.
+  private val q85 = Q(
+    "q85_simhash_neardup",
+    (s, d) => {
+      graft.ext.Dedup.simhashNearDup(s, Tables.documents(s, d))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH words AS (
+        SELECT doc_id, u.w FROM documents, unnest(string_split(text, ' ')) AS u(w)),
+      lane_h AS (
+        SELECT doc_id, CAST(l.generate_series AS INTEGER) AS lane,
+          CAST(('0x' || substr(md5(w), CAST(l.generate_series * 4 + 1 AS INT), 4)) AS BIGINT) AS h
+        FROM words, generate_series(0, 3) l),
+      votes AS (
+        SELECT doc_id, lane, CAST(b.generate_series AS INTEGER) AS b,
+          sum(CASE WHEN (h // CAST(pow(2, b.generate_series) AS BIGINT)) % 2 = 1
+                   THEN 1 ELSE -1 END) AS v
+        FROM lane_h, generate_series(0, 15) b
+        GROUP BY doc_id, lane, b.generate_series),
+      sig AS (
+        SELECT doc_id, lane,
+          CAST(sum(CASE WHEN v >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS lv
+        FROM votes GROUP BY doc_id, lane),
+      sized AS (
+        SELECT doc_id, lane, lv, count(*) OVER (PARTITION BY lane, lv) AS bsize
+        FROM sig),
+      small AS (SELECT doc_id, lane, lv FROM sized WHERE bsize BETWEEN 2 AND 10),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM small a JOIN small b
+          ON a.lane = b.lane AND a.lv = b.lv AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT p.a_id, p.b_id,
+          CAST(sum(bit_count(xor(sa.lv, sb.lv))) AS BIGINT) AS hamming
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.a_id
+        JOIN sig sb ON sb.doc_id = p.b_id AND sb.lane = sa.lane
+        GROUP BY p.a_id, p.b_id)
+      SELECT a_id, b_id, hamming FROM ham
+      WHERE hamming <= 3 ORDER BY a_id, b_id"""))
+
+  // ---------------------------------------------------------------- q86
+  // Reorder-invariant exact dedup: md5 of the sorted distinct word set
+  // (bag-of-words fingerprint) — catches shuffled/re-repeated copies
+  // that q50's byte hash misses, with a deterministic (non-sketch)
+  // guarantee. Narrow fingerprint + one partial-aggregable groupBy.
+  private val q86 = Q(
+    "q86_bow_dedup",
+    (s, d) => {
+      graft.ext.Dedup.bowDedup(Tables.documents(s, d)).orderBy(col("keep_id"))
+    },
+    Some("""SELECT
+        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_hash,
+        min(doc_id) AS keep_id, count(*) AS n_docs
+      FROM documents GROUP BY 1 ORDER BY keep_id"""))
+
+  // ---------------------------------------------------------------- q87
+  // Cross-doc repeated span detection (the discovery half of Lee et
+  // al.'s exact-substring dedup): word 8-grams at the first 4096
+  // positions (engine-wide cap contract), spans seen in ≥2 distinct
+  // docs, top-20 by (n_docs, n_occ, span). Narrow span generator, one
+  // skew-free aggregate on uniformly-distributed text keys, TakeOrdered
+  // top-k.
+  private val q87 = Q(
+    "q87_repeated_spans",
+    (s, d) => {
+      graft.ext.Dedup.repeatedSpans(Tables.documents(s, d))
+    },
+    Some(s"""WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      spans AS (
+        SELECT doc_id,
+          array_to_string(w[CAST(g.generate_series AS INT) :
+                            CAST(g.generate_series + 7 AS INT)], ' ') AS span
+        FROM ws, generate_series(1, ${graft.functions.MinHash48.MaxShinglePos}) g
+        WHERE g.generate_series <= len(w) - 7)
+      SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+      FROM spans GROUP BY span
+      HAVING count(DISTINCT doc_id) >= 2
+      ORDER BY n_docs DESC, n_occ DESC, span LIMIT 20"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
 }

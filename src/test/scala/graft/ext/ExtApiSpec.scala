@@ -669,4 +669,81 @@ class ExtApiSpec extends SparkSpec {
     // only the blocks backing the returned frame may remain
     assert(leaked.size <= 2, s"leaked checkpoint RDDs: $leaked")
   }
+
+  test("simhash64 lane 0 is bit-identical to simhash16 (incl. edge texts)") {
+    import spark.implicits._
+    val tricky = docs.unionAll(Seq(
+      (100L, ""), (101L, "a  b"), (102L, "trailing space "), (103L, "é ü 漢字"))
+      .toDF("doc_id", "text"))
+    val l0 = Dedup.simhashLanes(tricky).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).head).toMap
+    val h16 = Dedup.simhash(tricky).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(l0 == h16)
+    // lanes are independent hashes: not all four equal for a real text
+    val lanes1 = Dedup.simhashLanes(tricky).filter(col("doc_id") === 1L)
+      .head().getSeq[Long](1)
+    assert(lanes1.distinct.size > 1)
+  }
+
+  test("simhashNearDup (uncapped) = brute-force Hamming<=maxDist over all pairs") {
+    import spark.implicits._
+    // 3 exact-copy groups + word-level tweaks + unrelated docs
+    val d = (0 until 60).map { i =>
+      val txt = i % 10 match {
+        case 0 | 1 | 2 => "alpha beta gamma delta epsilon zeta eta theta"
+        case 3 | 4     => "alpha beta gamma delta epsilon zeta eta iota"
+        case 5         => s"unique text number $i with its own words entirely"
+        case _         => s"filler document $i about nothing shared at all $i"
+      }
+      (i.toLong, txt)
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashNearDup(spark, d, maxDist = 3, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same lanes
+    val lanes = Dedup.simhashLanes(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).sortBy(_._1)
+    val want = (for {
+      (a, la) <- lanes; (b, lb) <- lanes if a < b
+      ham = la.zip(lb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if ham <= 3
+    } yield (a, b)).toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    assert(want.nonEmpty) // identical copies guarantee Hamming-0 pairs
+  }
+
+  test("bowDedup collapses reordered and re-repeated copies; exact dedup does not") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "fox brown quick the"),           // reordered
+      (3L, "the the quick quick brown fox"), // re-repeated
+      (4L, "a different document")).toDF("doc_id", "text")
+    val bow = Dedup.bowDedup(d).orderBy("keep_id").collect()
+    assert(bow.length == 2)
+    assert(bow.head.getAs[Long]("keep_id") == 1L)
+    assert(bow.head.getAs[Long]("n_docs") == 3L)
+    assert(Dedup.exact(d).count() == 4) // byte hash keeps all four apart
+  }
+
+  test("repeatedSpans finds planted cross-doc spans, ignores within-doc-only repeats") {
+    import spark.implicits._
+    val shared = "one two three four"
+    val d = Seq(
+      (1L, s"prefix a $shared suffix a"),
+      (2L, s"prefix b $shared suffix b"),
+      (3L, s"$shared and again $shared"), // within-doc repeat of the shared span
+      (4L, "solo solo solo solo solo solo solo solo"), // single-doc repeats only
+      (5L, "nothing in common here at all")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(d, spanWords = 4, minDocs = 2, k = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySpan = spans.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(bySpan.contains(shared))
+    assert(bySpan(shared) == (3L, 4L)) // 3 docs; doc 3 contributes 2 occurrences
+    // doc 4's internal repeats never cross the minDocs gate
+    assert(!spans.exists(_._1.startsWith("solo")))
+    // short docs (< spanWords words) contribute nothing and don't crash
+    val tiny = Seq((9L, "too short")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(tiny, spanWords = 4).count() == 0)
+  }
 }

@@ -114,7 +114,8 @@ class PlanSpec extends SparkSpec {
       "q78_weighted_sample" -> 1, "q79_mix_resample" -> 3,
       "q80_lm_score" -> 3, "q81_asof_join" -> 2,
       "q82_corpus_overlap" -> 2, "q83_dedup_within_doc" -> 1,
-      "q84_source_profile" -> 2)
+      "q84_source_profile" -> 2, "q85_simhash_neardup" -> 4,
+      "q86_bow_dedup" -> 2, "q87_repeated_spans" -> 2)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString
@@ -154,6 +155,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), p)  // no chunk explode
     assert(!p.contains("Window"), p)    // no first-occurrence window
     assert("Exchange".r.findAllIn(p).length <= 1, p) // only the orderBy
+  }
+
+  test("q86: bow fingerprint is narrow per-row + one partial aggregate (no explode)") {
+    val p = planOf("q86_bow_dedup")
+    assert(!p.contains("Generate"), p) // sort/distinct happen in-array, not via explode
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q87: top-k repeated spans is TakeOrdered, never a full sort") {
+    val p = planOf("q87_repeated_spans")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p) // span counts combine map-side
   }
 
   test("q24: densify grid side is generated (Range), active side broadcast") {

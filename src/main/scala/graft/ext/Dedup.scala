@@ -742,6 +742,22 @@ object Dedup {
     * TakeOrdered, never a full sort. */
   def repeatedSpans(docs: DataFrame, spanWords: Int = 8, minDocs: Int = 2,
       k: Int = 20, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    spanRows(docs, spanWords, idCol, textCol)
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+      .limit(k)
+  }
+
+  /** (doc_id, span) rows: word `spanWords`-grams at the first
+    * MaxShinglePos positions — the shared generator behind
+    * [[repeatedSpans]] and [[dupSpanStats]]. Narrow: explode of a
+    * position sequence + in-array slice, no per-doc span array ever
+    * materializes. */
+  private def spanRows(docs: DataFrame, spanWords: Int, idCol: String,
+      textCol: String): DataFrame = {
     val maxPos = graft.functions.MinHash48.MaxShinglePos
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
@@ -752,11 +768,40 @@ object Dedup {
         explode(sequence(lit(1), col("nspan"))).as("pos"))
       .select(col("doc_id"),
         array_join(slice(col("w"), col("pos"), lit(spanWords)), " ").as("span"))
-      .groupBy(col("span"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"))
-      .filter(col("n_docs") >= minDocs)
-      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
-      .limit(k)
+  }
+
+  /** Per-document duplicated-span fraction: what share of a document's
+    * word `spanWords`-grams also appear in ≥ `minDocs` distinct
+    * documents — the per-doc filter signal behind exact-substring dedup
+    * (flag or drop documents that are mostly corpus-duplicated text, the
+    * RefinedWeb/Gopher discipline). Companion to [[repeatedSpans]],
+    * which reports the spans themselves.
+    *
+    * Scale shape: the denominator (span count per doc) is computed
+    * NARROWLY from the word count — no explode needed; only the
+    * numerator touches the exploded span rows: one partial-aggregable
+    * distinct-doc count, a filter down to the (much smaller)
+    * duplicated-span set, a semi-join back, and a doc-keyed partial
+    * count. All keys are uniformly-distributed text/ids — skew-free. */
+  def dupSpanStats(docs: DataFrame, spanWords: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val maxPos = graft.functions.MinHash48.MaxShinglePos
+    val spans = spanRows(docs, spanWords, idCol, textCol)
+    val dupSpans = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("span_docs"))
+      .filter(col("span_docs") >= minDocs)
+      .select(col("span"))
+    val dupPerDoc = spans.join(dupSpans, Seq("span"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        least(greatest(size(split(col(textCol), " ")) - (spanWords - 1), lit(0)),
+          lit(maxPos)).cast("long").as("n_spans"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans") > 0,
+          round(coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+            col("n_spans"), 6)).otherwise(lit(0.0)).as("dup_frac"))
   }
 }

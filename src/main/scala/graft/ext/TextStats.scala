@@ -292,6 +292,35 @@ object TextStats {
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
   }
 
+  /** Per-document Shannon entropy of the word distribution — the
+    * Gopher-style entropy filter: low-entropy documents are dominated
+    * by a few repeated words (boilerplate, keyword stuffing, SEO spam),
+    * high-entropy documents have diverse vocabulary. Uses the identity
+    * H = ln(t) − (Σ c·ln c)/t over per-doc word counts c (total t), so
+    * the only logs are per-distinct-word.
+    *
+    * Scale shape: two doc-keyed partial-aggregable groupBys (word
+    * counts, then the entropy reduction) — no windows, no joins, no
+    * corpus-wide state. Cross-engine determinism: each ln(c) is rounded
+    * to 9 decimals and the c·ln(c) products are summed as exact
+    * DECIMALs, so the per-doc sum is order-independent (the lmScore
+    * discipline). */
+  def wordEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cw = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    cw.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(log(col("c").cast("double")), 9).cast("decimal(18,9)")
+          * col("c")).as("s"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(round(log(col("n_words").cast("double")), 9)
+          - col("s").cast("double") / col("n_words"), 6).as("entropy"))
+  }
+
   /** Winnowing-style min-shingle + order-insensitive xor fingerprints.
     * Both are pure per-row expressions — minhash48's salt-0 lane for
     * the min shingle hash, xorfp48 for the distinct-word xor — so the

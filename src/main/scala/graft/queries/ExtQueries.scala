@@ -1181,7 +1181,68 @@ object ExtQueries {
       HAVING count(DISTINCT doc_id) >= 2
       ORDER BY n_docs DESC, n_occ DESC, span LIMIT 20"""))
 
+  // ---------------------------------------------------------------- q88
+  // Per-doc duplicated-span fraction — the filter signal behind exact-
+  // substring dedup (RefinedWeb/Gopher discipline): share of each doc's
+  // word 8-grams that also appear in ≥2 distinct docs. Denominator is
+  // narrow (word count, no explode); numerator = distinct-doc span
+  // count → duplicated-span set → semi-join back → doc-keyed count.
+  private val q88 = Q(
+    "q88_dup_span_frac",
+    (s, d) => {
+      graft.ext.Dedup.dupSpanStats(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      meta AS (
+        SELECT doc_id,
+          CAST(least(greatest(len(w) - 7, 0), ${graft.functions.MinHash48.MaxShinglePos}) AS BIGINT) AS n_spans
+        FROM ws),
+      spans AS (
+        SELECT doc_id,
+          array_to_string(w[CAST(g.generate_series AS INT) :
+                            CAST(g.generate_series + 7 AS INT)], ' ') AS span
+        FROM ws, generate_series(1, ${graft.functions.MinHash48.MaxShinglePos}) g
+        WHERE g.generate_series <= len(w) - 7),
+      dup_spans AS (
+        SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+      dup AS (
+        SELECT doc_id, count(*) AS n_dup
+        FROM spans JOIN dup_spans USING (span) GROUP BY doc_id)
+      SELECT m.doc_id, m.n_spans,
+        CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+        CASE WHEN m.n_spans > 0
+             THEN round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / m.n_spans, 6)
+             ELSE 0.0 END AS dup_frac
+      FROM meta m LEFT JOIN dup d USING (doc_id) ORDER BY m.doc_id"""))
+
+  // ---------------------------------------------------------------- q89
+  // Word-distribution Shannon entropy per doc (Gopher entropy filter):
+  // H = ln(t) − (Σ c·ln c)/t. Per-word ln rounded to 9 decimals and
+  // products summed as exact DECIMALs (order-independent cross-engine —
+  // the q80 discipline). Two doc-keyed partial-aggregable groupBys.
+  private val q89 = Q(
+    "q89_word_entropy",
+    (s, d) => {
+      graft.ext.TextStats.wordEntropy(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH wd AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL),
+      cw AS (SELECT doc_id, w, count(*) AS c FROM wd GROUP BY doc_id, w),
+      agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+          count(*) AS n_distinct,
+          sum(CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) * c) AS s
+        FROM cw GROUP BY doc_id)
+      SELECT doc_id, n_words, n_distinct,
+        round(round(ln(CAST(n_words AS DOUBLE)), 9)
+          - CAST(s AS DOUBLE) / n_words, 6) AS entropy
+      FROM agg ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
+    q88, q89)
 }

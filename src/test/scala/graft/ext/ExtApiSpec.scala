@@ -726,6 +726,36 @@ class ExtApiSpec extends SparkSpec {
     assert(Dedup.exact(d).count() == 4) // byte hash keeps all four apart
   }
 
+  test("dupSpanStats: exact duplicated-span fractions, zero for unique and short docs") {
+    import spark.implicits._
+    val shared = "one two three four"
+    val d = Seq(
+      (1L, s"$shared alpha beta"),      // 6 words → 3 spans; 1 duplicated
+      (2L, s"$shared gamma delta"),     // 3 spans; 1 duplicated
+      (3L, "five six seven eight nine"),// 2 spans; none duplicated
+      (4L, "tiny")).toDF("doc_id", "text") // < spanWords → 0 spans
+    val got = Dedup.dupSpanStats(d, spanWords = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 1L, 0.333333)))
+    assert(got(2L) == ((3L, 1L, 0.333333)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("wordEntropy: zero for constant docs, ln(n) for all-distinct docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same same same same"),  // H = 0
+      (2L, "a b c d"),              // H = ln(4)
+      (3L, "x x y y")).toDF("doc_id", "text") // H = ln(2)
+    val got = TextStats.wordEntropy(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 1L, 0.0)))
+    assert(got(2L)._3 == math.rint(math.log(4) * 1e6) / 1e6)
+    assert(got(3L)._3 == math.rint(math.log(2) * 1e6) / 1e6)
+    assert(got(2L)._2 == 4L && got(3L)._2 == 2L)
+  }
+
   test("repeatedSpans finds planted cross-doc spans, ignores within-doc-only repeats") {
     import spark.implicits._
     val shared = "one two three four"

@@ -115,7 +115,8 @@ class PlanSpec extends SparkSpec {
       "q80_lm_score" -> 3, "q81_asof_join" -> 2,
       "q82_corpus_overlap" -> 2, "q83_dedup_within_doc" -> 1,
       "q84_source_profile" -> 2, "q85_simhash_neardup" -> 4,
-      "q86_bow_dedup" -> 2, "q87_repeated_spans" -> 2)
+      "q86_bow_dedup" -> 2, "q87_repeated_spans" -> 2,
+      "q88_dup_span_frac" -> 4, "q89_word_entropy" -> 3)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

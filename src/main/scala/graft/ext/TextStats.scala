@@ -321,6 +321,124 @@ object TextStats {
           - col("s").cast("double") / col("n_words"), 6).as("entropy"))
   }
 
+  /** Per-group length standardization: z-score of `valueCol` against its
+    * group's (population) mean/stddev + outlier flag — the per-source
+    * length-anomaly screen run before mixing corpora (a source whose
+    * docs are 5σ long is usually concatenation junk).
+    *
+    * Scale shape: the group stats are ONE partial-aggregable groupBy
+    * producing a group-bounded table (|sources|, not |docs|) that
+    * broadcasts back onto the corpus — no window over the full corpus
+    * (a `stddev() OVER (PARTITION BY source)` would shuffle every row
+    * to its source's partition: a hot source = a hot partition).
+    * Cross-engine determinism: moments are EXACT integer sums (BIGINT),
+    * so mean/variance are order-independent; z is one fixed IEEE
+    * expression over them, rounded to 6. */
+  def lengthZscore(docs: DataFrame, byCol: String = "source",
+      valueCol: String = "n_chars", idCol: String = "doc_id",
+      outlierZ: Double = 2.0): DataFrame = {
+    val stats = docs.groupBy(col(byCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol)).as("s"),
+      sum(col(valueCol) * col(valueCol)).as("s2"))
+    val meanV = col("s").cast("double") / col("n").cast("double")
+    docs.select(col(idCol), col(byCol), col(valueCol))
+      .join(broadcast(stats), Seq(byCol))
+      .withColumn("mean_v", meanV)
+      .withColumn("var_v",
+        col("s2").cast("double") / col("n").cast("double")
+          - col("mean_v") * col("mean_v"))
+      .withColumn("z", when(col("var_v") > 0,
+          round((col(valueCol).cast("double") - col("mean_v"))
+            / sqrt(col("var_v")), 6))
+        .otherwise(lit(0.0)))
+      .select(col(idCol), col(byCol), col(valueCol),
+        round(col("mean_v"), 6).as("mean_chars"),
+        col("z"),
+        (abs(col("z")) >= outlierZ).as("is_outlier"))
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-`vocabSize` word vocabulary — the tokenizer-coverage signal
+    * (how much of each doc a fixed vocab fails to cover; docs that are
+    * mostly OOV are line noise or the wrong language).
+    *
+    * Scale shape: the lmScore discipline — histogram via partial-
+    * aggregable groupBy, top-K via distributed TakeOrdered (never a
+    * single-partition window), K-bounded vocab broadcast back, one
+    * doc-keyed aggregate. Ties at the vocab boundary break by word so
+    * the vocab set is deterministic cross-engine. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_words").cast("double"), 6))
+  }
+
+  /** Adjacent-character-pair statistics within words — the counting pass
+    * of one BPE merge iteration (the pair with the top count is the next
+    * merge a tokenizer trainer would pick). Word positions cap at 4096
+    * per doc and pair positions at `MaxWordPairPos` per word — the
+    * engine-wide enumeration-bound contract shared with the oracles.
+    *
+    * Scale shape: narrow per-row array transforms (never a char-level
+    * explode of the raw text) + one corpus groupBy whose keys are
+    * 2-char strings — the map-side combine collapses the stream to at
+    * most |alphabet|² partial rows per task before any shuffle; top-k
+    * is a distributed TakeOrdered. */
+  val MaxWordPairPos = 64
+  def bpePairStats(docs: DataFrame, k: Int = 20,
+      textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(expr(
+        s"slice(split($textCol, ' '), 1, $MaxNgramPos)")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        s"transform(sequence(1, least(length(w) - 1, $MaxWordPairPos)), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
+  /** Composite pretraining quality gate (the Gopher/C4 rule stack as ONE
+    * verdict operator): word-count bounds, duplicate-word fraction,
+    * top-bigram fraction, and word-entropy floor, combined into a
+    * `reason_mask` bitmask (bit set = rule violated; 1=length,
+    * 2=dup-word, 4=top-bigram, 8=entropy) and a `keep` verdict — what a
+    * pipeline actually materializes before tokenization.
+    *
+    * Built by composing `repetition` and `wordEntropy` (both doc-keyed
+    * partial-aggregable aggregates) with one doc-keyed join — no new
+    * shuffle shapes; thresholds compare against the 6-decimal ROUNDED
+    * signals both engines already agree on, so a boundary value can
+    * never split the engines. */
+  def gopherFilter(docs: DataFrame,
+      minWords: Long = 20, maxWords: Long = 10000,
+      maxDupWordFrac: Double = 0.6, maxTopBigramFrac: Double = 0.06,
+      minEntropy: Double = 2.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rep = repetition(docs.filter(col(textCol).isNotNull), idCol, textCol)
+    val ent = wordEntropy(docs, idCol, textCol)
+      .select(col("doc_id"), col("entropy"))
+    rep.join(ent, Seq("doc_id"))
+      .withColumn("reason_mask",
+        when(col("n_words") < minWords || col("n_words") > maxWords, 1L).otherwise(0L)
+          + when(col("dup_word_frac") > maxDupWordFrac, 2L).otherwise(0L)
+          + when(col("top_bigram_frac") > maxTopBigramFrac, 4L).otherwise(0L)
+          + when(col("entropy") < minEntropy, 8L).otherwise(0L))
+      .withColumn("keep", col("reason_mask") === 0L)
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        col("top_bigram_frac"), col("entropy"), col("reason_mask"), col("keep"))
+  }
+
   /** Winnowing-style min-shingle + order-insensitive xor fingerprints.
     * Both are pure per-row expressions — minhash48's salt-0 lane for
     * the min shingle hash, xorfp48 for the distinct-word xor — so the

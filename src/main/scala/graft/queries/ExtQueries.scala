@@ -1241,8 +1241,146 @@ object ExtQueries {
           - CAST(s AS DOUBLE) / n_words, 6) AS entropy
       FROM agg ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q90
+  // Per-source length z-score + outlier flag (corpus-mixing anomaly
+  // screen). Group moments are exact BIGINT sums aggregated map-side and
+  // broadcast back — never a stddev window over the corpus; z is one
+  // fixed IEEE expression over order-independent inputs.
+  private val q90 = Q(
+    "q90_length_zscore",
+    (s, d) => {
+      graft.ext.TextStats.lengthZscore(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH st AS (
+        SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
+          CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        FROM documents GROUP BY source),
+      j AS (
+        SELECT d.doc_id, d.source, d.n_chars,
+          CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+          CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var_v
+        FROM documents d JOIN st USING (source)),
+      z AS (
+        SELECT doc_id, source, n_chars, round(mean_v, 6) AS mean_chars,
+          CASE WHEN var_v > 0
+               THEN round((CAST(n_chars AS DOUBLE) - mean_v) / sqrt(var_v), 6)
+               ELSE 0.0 END AS z
+        FROM j)
+      SELECT doc_id, source, n_chars, mean_chars, z,
+        abs(z) >= 2.0 AS is_outlier
+      FROM z ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q91
+  // Out-of-vocabulary rate vs the corpus's own top-16 vocabulary
+  // (tokenizer-coverage signal). Histogram groupBy → TakeOrdered top-K
+  // (ties break by word) → broadcast membership join → doc-keyed agg.
+  private val q91 = Q(
+    "q91_oov_rate",
+    (s, d) => {
+      graft.ext.TextStats.oovRate(Tables.documents(s, d), vocabSize = 16)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH wd AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL),
+      vocab AS (
+        SELECT w FROM (SELECT w, count(*) AS c FROM wd GROUP BY w)
+        ORDER BY c DESC, w LIMIT 16),
+      j AS (
+        SELECT wd.doc_id,
+          CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        FROM wd LEFT JOIN vocab v USING (w))
+      SELECT doc_id, count(*) AS n_words,
+        CAST(sum(oov) AS BIGINT) AS n_oov,
+        round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q92
+  // BPE merge statistics: adjacent char-pair counts within words, top-20
+  // — the counting pass of one tokenizer-trainer merge iteration. Word
+  // positions cap at 4096/doc and pair positions at 64/word (shared
+  // cross-engine enumeration bounds). Array transforms, no char explode
+  // of raw text; pair keys collapse map-side (≤ |alphabet|² per task).
+  private val q92 = Q(
+    "q92_bpe_pairs",
+    (s, d) => {
+      graft.ext.TextStats.bpePairStats(Tables.documents(s, d), k = 20)
+    },
+    Some(s"""WITH wd AS (
+        SELECT unnest((string_split(text, ' '))[1:${graft.functions.MinHash48.MaxShinglePos}]) AS w
+        FROM documents WHERE text IS NOT NULL),
+      pairs AS (
+        SELECT substr(w, CAST(g.generate_series AS INT), 2) AS pair
+        FROM wd, generate_series(1, ${graft.ext.TextStats.MaxWordPairPos}) g
+        WHERE g.generate_series <= len(w) - 1)
+      SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+      ORDER BY n DESC, pair LIMIT 20"""))
+
+  // ---------------------------------------------------------------- q93
+  // Composite Gopher/C4 quality gate: one verdict row per doc with a
+  // violation bitmask (1=length, 2=dup-word, 4=top-bigram, 8=entropy)
+  // and the keep decision. Composes the q73 + q89 aggregates with one
+  // doc-keyed join; thresholds compare the ROUNDED signals both engines
+  // agree on bit-for-bit.
+  private val q93 = Q(
+    "q93_quality_gate",
+    (s, d) => {
+      graft.ext.TextStats.gopherFilter(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE text IS NOT NULL),
+      narrow AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+          round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                / CAST(len(ws) AS DOUBLE), 6) AS dup_word_frac
+        FROM w),
+      bg AS (
+        SELECT doc_id,
+          ws[CAST(g.generate_series AS INT)] || ' ' ||
+          ws[CAST(g.generate_series AS INT) + 1] AS bg
+        FROM w, generate_series(1, 4096) g
+        WHERE len(ws) >= 2 AND g.generate_series <= len(ws) - 1),
+      bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+      tb AS (
+        SELECT doc_id,
+          round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+        FROM bgc GROUP BY doc_id),
+      wd AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL),
+      cw AS (SELECT doc_id, w, count(*) AS c FROM wd GROUP BY doc_id, w),
+      agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS t,
+          sum(CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) * c) AS s
+        FROM cw GROUP BY doc_id),
+      ent AS (
+        SELECT doc_id,
+          round(round(ln(CAST(t AS DOUBLE)), 9) - CAST(s AS DOUBLE) / t, 6) AS entropy
+        FROM agg),
+      sig AS (
+        SELECT n.doc_id, n.n_words, n.dup_word_frac,
+          coalesce(tb.top_bigram_frac, 0.0) AS top_bigram_frac, e.entropy
+        FROM narrow n
+        LEFT JOIN tb ON tb.doc_id = n.doc_id
+        JOIN ent e ON e.doc_id = n.doc_id),
+      mask AS (
+        SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, entropy,
+          CAST(CASE WHEN n_words < 20 OR n_words > 10000 THEN 1 ELSE 0 END
+             + CASE WHEN dup_word_frac > 0.6 THEN 2 ELSE 0 END
+             + CASE WHEN top_bigram_frac > 0.06 THEN 4 ELSE 0 END
+             + CASE WHEN entropy < 2.8 THEN 8 ELSE 0 END AS BIGINT) AS reason_mask
+        FROM sig)
+      SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, entropy,
+        reason_mask, reason_mask = 0 AS keep
+      FROM mask ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89)
+    q88, q89, q90, q91, q92, q93)
 }

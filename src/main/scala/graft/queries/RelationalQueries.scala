@@ -367,6 +367,40 @@ object RelationalQueries {
         CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_orderkey % 5 END
       GROUP BY 1, 2 ORDER BY key"""))
 
+  // ---------------------------------------------------------------- q34
+  // Sliding-frame window aggregate: per-user rolling 3-event mean of
+  // `value` (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ordered by
+  // (ts, event_id) — the rolling-metric shape (moving averages, rate
+  // smoothing) that complements q17's top-1 and q18's running-sum
+  // windows. One hash shuffle on user_id, then a narrow in-partition
+  // frame scan. Frame sums route through DECIMAL(18,6) (the dsum
+  // discipline) so intra-frame addition order cannot produce ULP
+  // divergence cross-engine.
+  private val q34 = Q(
+    "q34_rolling_avg",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("n_in_frame", count(lit(1)).over(w))
+        .withColumn("rolling_avg",
+          round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .over(w).cast("double") / col("n_in_frame").cast("double"), 6))
+        .drop("ts")
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, value,
+        count(*) OVER w AS n_in_frame,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+          / count(*) OVER w, 6) AS rolling_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
   val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q12, q13, q16, q17,
-    q18, q19, q30, q31, q33)
+    q18, q19, q30, q31, q33, q34)
 }

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.pumle.SparkSpec
+
+/** Specs for the round-4 text/profiling additions: per-source length
+  * z-score, OOV rate, BPE pair statistics, and the composite Gopher
+  * quality gate. Invariant-style (laws that hold for any corpus) plus
+  * planted-signal checks. */
+class TextStats4Spec extends SparkSpec {
+
+  private def randomDocs(n: Int, seed: Long, vocab: Int = 40, len: Int = 25) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val t = Seq.fill(1 + rnd.nextInt(len))("w" + rnd.nextInt(vocab)).mkString(" ")
+      (i.toLong, t, "src" + (i % 3), t.length.toLong)
+    }.toDF("doc_id", "text", "source", "n_chars")
+  }
+
+  test("lengthZscore: constant-length group has z=0 everywhere; planted extreme is the outlier") {
+    import spark.implicits._
+    val const = (0 until 10).map(i => (i.toLong, "aaaa", "constant", 100L))
+    val spread = (10 until 29).map(i => (i.toLong, "bbbb", "spread", 100L + (i % 5))) :+
+      ((29L, "cccc", "spread", 100000L)) // the planted anomaly
+    val docs = (const ++ spread).toDF("doc_id", "text", "source", "n_chars")
+    val out = TextStats.lengthZscore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("z"), r.getAs[Boolean]("is_outlier"))).toMap
+    (0L until 10L).foreach { id =>
+      assert(out(id)._1 == 0.0 && !out(id)._2, s"constant group doc $id: ${out(id)}")
+    }
+    assert(out(29L)._2, "planted 100000-char doc not flagged")
+    assert(out(29L)._1 > 2.0)
+    // z-scores within a group sum to ~0 (population standardization)
+    val spreadZ = (10L to 29L).map(out(_)._1).sum
+    assert(math.abs(spreadZ) < 1e-3, s"spread-group z sum $spreadZ")
+    assert(out.size == 30)
+  }
+
+  test("oovRate: a vocab covering every word gives rate 0; rates always in [0,1]") {
+    val docs = randomDocs(30, seed = 3, vocab = 12)
+    val full = TextStats.oovRate(docs, vocabSize = 1000).collect()
+    assert(full.length == 30)
+    full.foreach(r => assert(r.getAs[Long]("n_oov") == 0L
+      && r.getAs[Double]("oov_rate") == 0.0, s"full-vocab OOV: $r"))
+    val tight = TextStats.oovRate(docs, vocabSize = 4).collect()
+    tight.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0, s"rate out of range: $r")
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_words"))
+    }
+    // a 4-word vocab over 12 distinct words must leave OOV somewhere
+    assert(tight.map(_.getAs[Long]("n_oov")).sum > 0)
+  }
+
+  test("bpePairStats matches a hand-computed pair count") {
+    import spark.implicits._
+    // "abab" -> ab, ba, ab ; "abc" -> ab, bc ; single chars contribute none
+    val docs = Seq((0L, "abab abc a"), (1L, "abc")).toDF("doc_id", "text")
+    val got = TextStats.bpePairStats(docs, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 4L, "ba" -> 1L, "bc" -> 2L), s"got $got")
+  }
+
+  test("gopherFilter: keep == (reason_mask == 0) and each bit matches its signal") {
+    val docs = randomDocs(60, seed = 5, vocab = 8, len = 60) // small vocab → real violations
+    val out = TextStats.gopherFilter(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val mask = r.getAs[Long]("reason_mask")
+      assert(r.getAs[Boolean]("keep") == (mask == 0L), s"keep/mask mismatch: $r")
+      val nWords = r.getAs[Long]("n_words")
+      assert(((mask & 1L) != 0L) == (nWords < 20 || nWords > 10000), s"bit1: $r")
+      assert(((mask & 2L) != 0L) == (r.getAs[Double]("dup_word_frac") > 0.6), s"bit2: $r")
+      assert(((mask & 4L) != 0L) == (r.getAs[Double]("top_bigram_frac") > 0.06), s"bit4: $r")
+      assert(((mask & 8L) != 0L) == (r.getAs[Double]("entropy") < 2.8), s"bit8: $r")
+    }
+    // the 8-word vocab at len<=60 must produce BOTH verdicts
+    assert(out.exists(_.getAs[Boolean]("keep")) || out.exists(!_.getAs[Boolean]("keep")))
+  }
+
+  test("gopherFilter signals agree with repetition() and wordEntropy() outputs") {
+    val docs = randomDocs(25, seed = 9, vocab = 10)
+    val gate = TextStats.gopherFilter(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_word_frac"), r.getAs[Double]("entropy"))).toMap
+    val rep = TextStats.repetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_word_frac")).toMap
+    val ent = TextStats.wordEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    gate.foreach { case (id, (dwf, e)) =>
+      assert(dwf == rep(id), s"dup_word_frac diverges for $id")
+      assert(e == ent(id), s"entropy diverges for $id")
+    }
+  }
+}

@@ -116,7 +116,9 @@ class PlanSpec extends SparkSpec {
       "q82_corpus_overlap" -> 2, "q83_dedup_within_doc" -> 1,
       "q84_source_profile" -> 2, "q85_simhash_neardup" -> 4,
       "q86_bow_dedup" -> 2, "q87_repeated_spans" -> 2,
-      "q88_dup_span_frac" -> 4, "q89_word_entropy" -> 3)
+      "q88_dup_span_frac" -> 4, "q89_word_entropy" -> 3,
+      "q34_rolling_avg" -> 2, "q90_length_zscore" -> 2,
+      "q91_oov_rate" -> 3, "q92_bpe_pairs" -> 1, "q93_quality_gate" -> 5)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString
@@ -168,6 +170,38 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q87_repeated_spans")
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_"), p) // span counts combine map-side
+  }
+
+  test("q90: group stats broadcast back — no stddev window over the corpus") {
+    val p = planOf("q90_length_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), s"z-score must not window-partition by source:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // moment aggregate combines map-side
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q91: vocab is TakeOrdered + broadcast membership join, histogram combines map-side") {
+    val p = planOf("q91_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), p) // top-K vocab, no full sort
+    assert(p.contains("BroadcastHashJoin"), p)     // K-bounded vocab broadcast
+    assert(p.contains("partial_count"), p)         // histogram map-side combine
+    assert(!"windowspecdefinition".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q92: BPE pairs stay word-level (array transforms) with TakeOrdered top-k") {
+    val p = planOf("q92_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p) // ≤|alphabet|² rows/task pre-shuffle
+    // text column read, everything else pruned from the scan
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+  }
+
+  test("q34: rolling frame runs in one window pass over one key shuffle") {
+    val p = planOf("q34_rolling_avg")
+    assert("Window".r.findAllIn(p).nonEmpty, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
   }
 
   test("q24: densify grid side is generated (Range), active side broadcast") {

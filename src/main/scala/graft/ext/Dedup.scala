@@ -368,6 +368,49 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Sketch calibration: signature-ESTIMATED Jaccard (equal-lane
+    * fraction of the two 48-bit MinHash signatures) against the TRUE
+    * 8-gram Jaccard, for every LSH candidate pair — the measurement a
+    * pipeline runs before trusting sketch thresholds at scale (pick the
+    * verify threshold from `abs_err`'s distribution, not folklore).
+    *
+    * Same scale shape as the verify stage: candidate pairs checkpoint
+    * ONCE (candidate-bounded), per-doc signature + shingle set
+    * materialize once behind a semi-join to candidate ids — cost is
+    * O(candidates), the corpus is never re-shingled per pair. The
+    * estimate divides an integer lane count by k (a power of two), so
+    * both engines produce the identical exact dyadic double. */
+  def minhashCalibration(spark: SparkSession, docs: DataFrame,
+      bands: Int = 4, maxBucket: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.MinHash48.register(spark)
+    graft.functions.Shingles8.register(spark)
+    val cp = lshCandidates(spark, docs, bands, maxBucket, idCol, textCol)
+      .select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val ids = cp.select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
+    val side = docs.filter(col(textCol).isNotNull)
+      .join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        expr(s"minhash48($textCol)").as("sig"),
+        expr(s"shingles8($textCol)").as("sh"))
+    val a = side.select(col(idCol).as("a_id"),
+      col("sig").as("sig_a"), col("sh").as("sh_a"))
+    val b = side.select(col(idCol).as("b_id"),
+      col("sig").as("sig_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
+    val eqLanes = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+    cp.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("est_jaccard",
+        eqLanes.cast("double") / size(col("sig_a")).cast("double"))
+      .withColumn("jaccard",
+        round(when(union === 0, lit(1.0))
+          .otherwise(inter.cast("double") / union.cast("double")), 6))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
+      .select(col("a_id"), col("b_id"), col("est_jaccard"),
+        col("jaccard"), col("abs_err"))
+  }
+
   /** One-call corpus dedup — the full four-stage pipeline: exact
     * (content hash) → minhash-LSH candidates → VERIFY (true 8-gram
     * Jaccard ≥ `verifyThreshold`) → connected components, returning the

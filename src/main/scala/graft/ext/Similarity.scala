@@ -24,6 +24,29 @@ object Similarity {
       .withColumnRenamed(idCol, "vec_id")
   }
 
+  /** Per-label embedding-norm profile: count, min/max/mean L2 norm and
+    * zero-vector count — the vector-QA pass run before indexing or
+    * cosine math (zero vectors NaN out cosine; a label whose norms
+    * collapsed usually means a broken encoder batch). Norms are narrow
+    * per-row dot64 calls rounded to 6; the label aggregate is one
+    * partial-aggregable groupBy with the mean summed in exact DECIMALs
+    * over the rounded terms (order-free cross-engine). */
+  def normProfile(spark: SparkSession, emb: DataFrame,
+      labelCol: String = "label", embCol: String = "embedding"): DataFrame = {
+    Dot64.register(spark)
+    emb
+      .withColumn("v", expr(s"transform($embCol, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", round(expr("sqrt(dot64(v, v))"), 6))
+      .groupBy(col(labelCol))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        round(sum(col("nrm").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("mean_norm"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+  }
+
   /** Exact top-k for the query subset (brute force — the baseline that
     * bounds pair count by |queries|·n, not n²). */
   def cosineTopK(spark: SparkSession, emb: DataFrame,

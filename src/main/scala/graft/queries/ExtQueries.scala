@@ -1379,8 +1379,90 @@ object ExtQueries {
         reason_mask, reason_mask = 0 AS keep
       FROM mask ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q94
+  // MinHash sketch calibration: estimated Jaccard (equal-lane fraction
+  // over all 8 signature lanes) vs TRUE 8-gram Jaccard per LSH candidate
+  // pair, with the absolute error — how a pipeline picks its verify
+  // threshold empirically. Candidate-bounded like the verify stage; the
+  // estimate is an exact dyadic double (integer count / 8) on both
+  // engines.
+  private val q94 = Q(
+    "q94_minhash_calibration",
+    (s, d) => {
+      graft.ext.Dedup.minhashCalibration(s, Tables.documents(s, d))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH $shingleCte,
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT) AS h48 FROM sh),
+      sig AS (
+        SELECT doc_id,
+          ${salts.zipWithIndex.map { case (salt, p) =>
+            s"min(xor(h48, $salt)) AS m$p" }.mkString(",\n          ")}
+        FROM h GROUP BY doc_id),
+      buckets AS (
+        SELECT doc_id, 0 AS band, m0 AS bucket FROM sig UNION ALL
+        SELECT doc_id, 1, m1 FROM sig UNION ALL
+        SELECT doc_id, 2, m2 FROM sig UNION ALL
+        SELECT doc_id, 3, m3 FROM sig),
+      small AS (
+        SELECT doc_id, band, bucket FROM (
+          SELECT doc_id, band, bucket,
+                 count(*) OVER (PARTITION BY band, bucket) AS bsize
+          FROM buckets)
+        WHERE bsize <= 10),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM small a JOIN small b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT p.a_id, p.b_id, count(*) AS i
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.a_id
+        JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+        GROUP BY p.a_id, p.b_id),
+      scored AS (
+        SELECT p.a_id, p.b_id,
+          (${salts.indices.map(p =>
+            s"CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END").mkString(" + ")})
+            / ${salts.length}.0 AS est_jaccard,
+          round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                / (ca.n + cb.n - coalesce(i.i, 0)), 6) AS jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.a_id
+        JOIN sig sb ON sb.doc_id = p.b_id
+        JOIN counts ca ON ca.doc_id = p.a_id
+        JOIN counts cb ON cb.doc_id = p.b_id
+        LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id)
+      SELECT a_id, b_id, est_jaccard, jaccard,
+        round(abs(est_jaccard - jaccard), 6) AS abs_err
+      FROM scored ORDER BY a_id, b_id"""))
+
+  // ---------------------------------------------------------------- q95
+  // Per-label embedding-norm profile (vector QA before indexing): narrow
+  // per-row dot64 norms, one partial-aggregable label groupBy, mean over
+  // exact DECIMAL sums of the 6-dp-rounded norms.
+  private val q95 = Q(
+    "q95_norm_profile",
+    (s, d) => {
+      graft.ext.Similarity.normProfile(s, Tables.embeddings(s, d))
+        .orderBy(col("label"))
+    },
+    Some("""WITH nrm AS (
+        SELECT label,
+          round(sqrt(list_dot_product(
+            list_transform(embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS nrm
+        FROM embeddings)
+      SELECT label, count(*) AS n_vecs,
+        min(nrm) AS min_norm, max(nrm) AS max_norm,
+        round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS mean_norm,
+        CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      FROM nrm GROUP BY label ORDER BY label"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q92, q93)
+    q88, q89, q90, q91, q92, q93, q94, q95)
 }

@@ -118,7 +118,8 @@ class PlanSpec extends SparkSpec {
       "q86_bow_dedup" -> 2, "q87_repeated_spans" -> 2,
       "q88_dup_span_frac" -> 4, "q89_word_entropy" -> 3,
       "q34_rolling_avg" -> 2, "q90_length_zscore" -> 2,
-      "q91_oov_rate" -> 3, "q92_bpe_pairs" -> 1, "q93_quality_gate" -> 5)
+      "q91_oov_rate" -> 3, "q92_bpe_pairs" -> 1, "q93_quality_gate" -> 5,
+      "q94_minhash_calibration" -> 3, "q95_norm_profile" -> 2)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

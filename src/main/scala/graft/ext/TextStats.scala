@@ -439,6 +439,64 @@ object TextStats {
         col("top_bigram_frac"), col("entropy"), col("reason_mask"), col("keep"))
   }
 
+  /** The composite quality gate recomputed as PURE PER-ROW array algebra
+    * — bit-identical verdicts to `gopherFilter` (q96 runs against q93's
+    * exact oracle; Stream4Spec pins the equality on random corpora) with
+    * ZERO shuffles, so it composes onto Structured Streaming unchanged
+    * (`Streams.qualityGate`) and onto batch as an embarrassingly
+    * parallel map.
+    *
+    * The trade is per-row work for shuffle-freedom: bigram/word counts
+    * use `filter`-within-`transform` (O(distinct·n) per doc, bounded by
+    * the 4096-position cap) instead of a doc-keyed aggregate —
+    * the right side of the trade for a streaming gate, where any
+    * aggregate would force state, and for batch corpora whose docs are
+    * bounded (the cap IS the bound). Entropy terms accumulate in exact
+    * DECIMALs inside `aggregate(...)` — the same order-free discipline
+    * as `wordEntropy`, so the two forms agree to the last bit.
+    * Appends the signal/verdict columns; every input column passes
+    * through. */
+  def gopherFilterNarrow(docs: DataFrame,
+      minWords: Long = 20, maxWords: Long = 10000,
+      maxDupWordFrac: Double = 0.6, maxTopBigramFrac: Double = 0.06,
+      minEntropy: Double = 2.8, textCol: String = "text"): DataFrame = {
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("ws", split(col(textCol), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("dup_word_frac",
+        round(lit(1.0) - size(array_distinct(col("ws"))).cast("double")
+          / size(col("ws")).cast("double"), 6))
+      .withColumn("bg", expr(
+        s"""CASE WHEN size(ws) >= 2 THEN
+           |  transform(sequence(1, least(size(ws) - 1, $MaxNgramPos)),
+           |    i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))
+           |ELSE array() END""".stripMargin))
+      .withColumn("top_bigram_frac", expr(
+        """CASE WHEN size(bg) = 0 THEN 0.0 ELSE
+          |  round(CAST(array_max(transform(array_distinct(bg),
+          |          b -> size(filter(bg, x -> x = b)))) AS DOUBLE)
+          |    / CAST(size(bg) AS DOUBLE), 6) END""".stripMargin))
+      // exact-DECIMAL entropy accumulation (the wordEntropy discipline),
+      // evaluated entirely inside the row
+      .withColumn("ent_s", expr(
+        """aggregate(
+          |  transform(array_distinct(ws), w -> size(filter(ws, x -> x = w))),
+          |  CAST(0 AS DECIMAL(28,9)),
+          |  (acc, c) -> CAST(acc
+          |    + CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) * c
+          |    AS DECIMAL(28,9)))""".stripMargin))
+      .withColumn("entropy",
+        round(round(log(col("n_words").cast("double")), 9)
+          - col("ent_s").cast("double") / col("n_words"), 6))
+      .withColumn("reason_mask",
+        when(col("n_words") < minWords || col("n_words") > maxWords, 1L).otherwise(0L)
+          + when(col("dup_word_frac") > maxDupWordFrac, 2L).otherwise(0L)
+          + when(col("top_bigram_frac") > maxTopBigramFrac, 4L).otherwise(0L)
+          + when(col("entropy") < minEntropy, 8L).otherwise(0L))
+      .withColumn("keep", col("reason_mask") === 0L)
+      .drop("ws", "bg", "ent_s")
+  }
+
   /** Winnowing-style min-shingle + order-insensitive xor fingerprints.
     * Both are pure per-row expressions — minhash48's salt-0 lane for
     * the min shingle hash, xorfp48 for the distinct-word xor — so the

@@ -1379,6 +1379,22 @@ object ExtQueries {
         reason_mask, reason_mask = 0 AS keep
       FROM mask ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q96
+  // The SAME quality gate as q93, recomputed as pure per-row array
+  // algebra (zero shuffles — the streaming-safe form behind
+  // Streams.qualityGate). Shares q93's oracle verbatim: the narrow and
+  // relational forms must be bit-identical, and this query makes the
+  // driver prove it.
+  private val q96 = Q(
+    "q96_quality_gate_narrow",
+    (s, d) => {
+      graft.ext.TextStats.gopherFilterNarrow(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+          col("top_bigram_frac"), col("entropy"), col("reason_mask"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    q93.oracle) // q93's oracle VERBATIM — the two forms must agree bit-for-bit
+
   // ---------------------------------------------------------------- q94
   // MinHash sketch calibration: estimated Jaccard (equal-lane fraction
   // over all 8 signature lanes) vs TRUE 8-gram Jaccard per LSH candidate
@@ -1464,5 +1480,5 @@ object ExtQueries {
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q92, q93, q94, q95)
+    q88, q89, q90, q91, q92, q93, q94, q95, q96)
 }

@@ -101,6 +101,26 @@ object Streams {
         col("quality"), col("bucket"), col("split"))
   }
 
+  /** Streaming Gopher quality gate: arriving documents flow through
+    * content-hash dedup (watermark-bounded state) and the FULL composite
+    * gate — length bounds, duplicate-word fraction, top-bigram fraction,
+    * entropy floor — emitting each doc with its `reason_mask`/`keep`
+    * verdict. Possible only because `gopherFilterNarrow` recomputes
+    * every signal as per-row array algebra: a relational gate
+    * (`gopherFilter`'s doc-keyed aggregates) would demand stateful
+    * aggregation per doc; the narrow form needs zero state beyond the
+    * dedup horizon, so throughput is bounded by CPU, not state-store
+    * size. Verdicts are bit-identical to the batch gate (q96 vs q93's
+    * shared oracle + Stream4Spec). `docs` needs (doc_id, text, ts). */
+  def qualityGate(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    graft.ext.TextStats.gopherFilterNarrow(
+        docs.filter(col("text").isNotNull)
+          .withWatermark("ts", watermark)
+          .withColumn("content_hash", md5(col("text")))
+          .dropDuplicatesWithinWatermark("content_hash"))
+      .select(col("doc_id"), col("ts"), col("n_words"), col("dup_word_frac"),
+        col("top_bigram_frac"), col("entropy"), col("reason_mask"), col("keep"))
+
   /** Streaming near-dup candidate flagging: each arriving doc computes
     * its minhash48 signature (a pure per-row expression — it streams
     * unchanged) and is emitted iff any of its band buckets matches the

@@ -119,7 +119,8 @@ class PlanSpec extends SparkSpec {
       "q88_dup_span_frac" -> 4, "q89_word_entropy" -> 3,
       "q34_rolling_avg" -> 2, "q90_length_zscore" -> 2,
       "q91_oov_rate" -> 3, "q92_bpe_pairs" -> 1, "q93_quality_gate" -> 5,
-      "q94_minhash_calibration" -> 3, "q95_norm_profile" -> 2)
+      "q94_minhash_calibration" -> 3, "q95_norm_profile" -> 2,
+      "q96_quality_gate_narrow" -> 1)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString
@@ -203,6 +204,13 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).nonEmpty, p)
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
     assert(!p.contains("Join"), p)
+  }
+
+  test("q96: narrow gate has zero shuffles beyond the final orderBy") {
+    val p = planOf("q96_quality_gate_narrow")
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined, p)
   }
 
   test("q24: densify grid side is generated (Range), active side broadcast") {

@@ -57,7 +57,34 @@ object ExtDemo {
     println(s"[ext-demo] within-doc repeats dropped: $withinDropped; " +
       s"half-vs-half corpus overlap estimate: ${ov.getAs[Double]("j_estimate")}")
 
-    // 3. quality gate + split + packing
+    // 2c. corpus health screens: per-source length anomalies, tokenizer
+    // coverage (OOV vs the corpus's own top-16 vocab), next BPE merge
+    val outliers = TextStats.lengthZscore(docs).filter(col("is_outlier")).count()
+    val oov = TextStats.oovRate(cleaned).agg(
+      round(avg(col("oov_rate")), 4)).head().getDouble(0)
+    val topPair = TextStats.bpePairStats(cleaned, k = 1).head()
+    println(s"[ext-demo] health: $outliers length outliers; mean OOV rate $oov; " +
+      s"next BPE merge '${topPair.getString(0)}' (${topPair.getLong(1)} occurrences)")
+
+    // 2d. sketch calibration: how far the minhash estimate sits from
+    // true Jaccard on this corpus's candidate pairs — the number that
+    // justifies (or indicts) a chosen verify threshold
+    val calib = Dedup.minhashCalibration(spark, cleaned)
+      .agg(count(lit(1)).as("n"), round(avg(col("abs_err")), 4).as("mae"),
+        round(max(col("abs_err")), 4).as("worst")).head()
+    println(s"[ext-demo] sketch calibration: ${calib.getLong(0)} pairs, " +
+      s"mean |est-true| ${calib.getDouble(1)}, worst ${calib.getDouble(2)}")
+
+    // 3. quality gate + split + packing — the composite Gopher gate
+    // (narrow form: the same operator streams in Streams.qualityGate)
+    val verdicts = TextStats.gopherFilterNarrow(deduped)
+    val gateKept = verdicts.filter(col("keep")).count()
+    val topReason = verdicts.filter(!col("keep"))
+      .groupBy(col("reason_mask")).count()
+      .orderBy(col("count").desc).limit(1).collect().headOption
+      .map(r => s"mask=${r.getLong(0)} (${r.getLong(1)} docs)").getOrElse("none")
+    println(s"[ext-demo] gopher gate: $gateKept/${n2} kept; top drop reason: $topReason")
+
     val gated = TextStats.quality(deduped, Seq("and", "of", "to"))
       .filter(col("n_words") >= 10)
     val split = Sampling.hashSplit(gated)
@@ -87,8 +114,12 @@ object ExtDemo {
       s"splits: $splitCounts; train bins(512 tok): $nBins")
     println(s"[ext-demo] top tf-idf head terms: $vocab")
 
-    // 5. embeddings: IVF assign + full search for a query sample
+    // 5. embeddings: vector QA, then IVF assign + full search
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nprof = Similarity.normProfile(spark, emb)
+      .agg(min("min_norm"), max("max_norm"), sum("n_zero")).head()
+    println(s"[ext-demo] vector QA: norms ${nprof.getDouble(0)}..${nprof.getDouble(1)}, " +
+      s"${nprof.getLong(2)} zero vectors")
     val cells = Similarity.ivfAssign(spark, emb, col("vec_id") % 50 === 0)
       .groupBy(col("centroid_id")).count()
     val stats = cells.agg(min("count"), max("count"), count(lit(1))).head()

@@ -310,12 +310,19 @@ object TextStats {
     val cw = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    // the count multiplier must be a NARROW decimal: a LongType operand
+    // promotes to DECIMAL(20,0), the product type 18+20+1=39 exceeds
+    // Spark's 38-digit cap, and the precision-loss rule silently drops
+    // the products to scale 8 — each term loses its 9th decimal, which
+    // flipped a 6-dp-midpoint entropy (sf0.1 doc 2600: raw value
+    // 3.0731554999…) one ulp above the oracle. DECIMAL(10,0) keeps the
+    // product at (29,9): exact, order-free, within the cap.
     cw.groupBy(col("doc_id"))
       .agg(
         sum(col("c")).as("n_words"),
         count(lit(1)).as("n_distinct"),
         sum(round(log(col("c").cast("double")), 9).cast("decimal(18,9)")
-          * col("c")).as("s"))
+          * col("c").cast(org.apache.spark.sql.types.DecimalType(10, 0))).as("s"))
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
         round(round(log(col("n_words").cast("double")), 9)
           - col("s").cast("double") / col("n_words"), 6).as("entropy"))

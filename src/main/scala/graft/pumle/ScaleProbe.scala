@@ -134,6 +134,20 @@ object ScaleProbe {
       f"= ${nDocs3 / secs5 / 1000}%.0fk docs/s " +
       f"(${sk.getLong(0)} simhash / ${sk.getLong(1)} fp / ${sk.getLong(2)} msh values)")
 
+    // quality gate at volume: the NARROW (streaming-safe) composite
+    // Gopher gate over the same 1M docs — zero shuffles; per-row cost
+    // is the O(distinct·n) in-row counting, which this probe prices.
+    // The docs/s here is the honest per-core budget for running the
+    // full gate at intake time instead of as a batch aggregate.
+    val tG = System.nanoTime()
+    val gate = graft.ext.TextStats.gopherFilterNarrow(docs3)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+        countDistinct(col("reason_mask")).as("n_masks")).head()
+    val secsG = (System.nanoTime() - tG) / 1e9
+    println(f"[probe] narrow gate: $nDocs3%d docs in $secsG%.1fs " +
+      f"= ${nDocs3 / secsG / 1000}%.0fk docs/s (${gate.getLong(0)} kept, " +
+      f"${gate.getLong(1)} distinct masks)")
+
     // FULL corpus dedup at volume: ~1M docs with a 30% planted duplicate
     // rate (10% exact copies + 20% near-dups sharing 38/40 words with
     // their base doc — the realistic web-crawl shape). Drives

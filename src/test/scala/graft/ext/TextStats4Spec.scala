@@ -81,6 +81,26 @@ class TextStats4Spec extends SparkSpec {
     assert(out.exists(_.getAs[Boolean]("keep")) || out.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("wordEntropy: 6-dp-midpoint doc rounds like the exact decimal value (precision-cap regression)") {
+    import spark.implicits._
+    // count multiset {1×6, 2×12, 3×3, 4×2, 5×1} (52 words, 24 distinct —
+    // sf0.1 doc 2600): the raw entropy is 3.0731554999…, one 9th-decimal
+    // slip in any summed term flips the 6-dp rounding to 3.073156. A
+    // LongType multiplier used to widen the product past DECIMAL(38,.)
+    // and silently drop the terms to scale 8 — this pins the fix.
+    val words = Seq.fill(6)(1).zipWithIndex.flatMap { case (c, i) => Seq.fill(c)(s"a$i") } ++
+      Seq.fill(12)(2).zipWithIndex.flatMap { case (c, i) => Seq.fill(c)(s"b$i") } ++
+      Seq.fill(3)(3).zipWithIndex.flatMap { case (c, i) => Seq.fill(c)(s"c$i") } ++
+      Seq.fill(2)(4).zipWithIndex.flatMap { case (c, i) => Seq.fill(c)(s"d$i") } ++
+      Seq.fill(1)(5).zipWithIndex.flatMap { case (c, i) => Seq.fill(c)(s"e$i") }
+    val docs = Seq((2600L, words.mkString(" "))).toDF("doc_id", "text")
+    val rel = TextStats.wordEntropy(docs).head()
+    assert(rel.getAs[Long]("n_words") == 52 && rel.getAs[Long]("n_distinct") == 24)
+    assert(rel.getAs[Double]("entropy") == 3.073155, s"relational: $rel")
+    val nar = TextStats.gopherFilterNarrow(docs).select("entropy").head()
+    assert(nar.getDouble(0) == 3.073155, s"narrow: $nar")
+  }
+
   test("gopherFilter signals agree with repetition() and wordEntropy() outputs") {
     val docs = randomDocs(25, seed = 9, vocab = 10)
     val gate = TextStats.gopherFilter(docs).collect()

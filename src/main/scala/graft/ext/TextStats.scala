@@ -453,16 +453,20 @@ object TextStats {
     * (`Streams.qualityGate`) and onto batch as an embarrassingly
     * parallel map.
     *
-    * The trade is per-row work for shuffle-freedom: bigram/word counts
-    * use `filter`-within-`transform` (O(distinct·n) per doc, bounded by
-    * the 4096-position cap) instead of a doc-keyed aggregate —
-    * the right side of the trade for a streaming gate, where any
-    * aggregate would force state, and for batch corpora whose docs are
-    * bounded (the cap IS the bound). Entropy terms accumulate in exact
-    * DECIMALs inside `aggregate(...)` — the same order-free discipline
-    * as `wordEntropy`, so the two forms agree to the last bit.
-    * Appends the signal/verdict columns; every input column passes
-    * through. */
+    * The trade is per-row work for shuffle-freedom — the right side of
+    * the trade for a streaming gate, where any aggregate would force
+    * state, and for batch corpora whose docs are bounded (the 4096
+    * position cap IS the bound). In-row counting is SORTED-RUN
+    * aggregation: `array_sort` + one O(n) `aggregate` pass whose state
+    * carries (prev, run, result) — equal elements are adjacent after
+    * the sort, so a run boundary closes each count exactly once. The
+    * naive form (`filter`-within-`transform`, O(distinct·n) interpreted
+    * lambda calls per doc) measured 4× slower than the RELATIONAL gate
+    * at sf0.1; the run form is ~n lambda calls per doc. Entropy terms
+    * accumulate in exact DECIMALs inside the aggregate — the same
+    * order-free discipline as `wordEntropy` (sorting cannot change an
+    * exact sum), so the two forms agree to the last bit. Appends the
+    * signal/verdict columns; every input column passes through. */
   def gopherFilterNarrow(docs: DataFrame,
       minWords: Long = 20, maxWords: Long = 10000,
       maxDupWordFrac: Double = 0.6, maxTopBigramFrac: Double = 0.06,
@@ -480,18 +484,31 @@ object TextStats {
            |ELSE array() END""".stripMargin))
       .withColumn("top_bigram_frac", expr(
         """CASE WHEN size(bg) = 0 THEN 0.0 ELSE
-          |  round(CAST(array_max(transform(array_distinct(bg),
-          |          b -> size(filter(bg, x -> x = b)))) AS DOUBLE)
+          |  round(CAST(aggregate(array_sort(bg),
+          |      named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          |      (acc, b) -> named_struct(
+          |        'prev', b,
+          |        'run',  IF(acc.prev IS NOT NULL AND b = acc.prev, acc.run + 1, 1),
+          |        'best', greatest(acc.best,
+          |          IF(acc.prev IS NOT NULL AND b = acc.prev, acc.run + 1, 1))),
+          |      acc -> acc.best) AS DOUBLE)
           |    / CAST(size(bg) AS DOUBLE), 6) END""".stripMargin))
       // exact-DECIMAL entropy accumulation (the wordEntropy discipline),
-      // evaluated entirely inside the row
+      // evaluated entirely inside the row: each sorted run of length c
+      // contributes round(ln(c),9)·c when its boundary closes
       .withColumn("ent_s", expr(
-        """aggregate(
-          |  transform(array_distinct(ws), w -> size(filter(ws, x -> x = w))),
-          |  CAST(0 AS DECIMAL(28,9)),
-          |  (acc, c) -> CAST(acc
-          |    + CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) * c
-          |    AS DECIMAL(28,9)))""".stripMargin))
+        """aggregate(array_sort(ws),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0,
+          |               's', CAST(0 AS DECIMAL(28,9))),
+          |  (acc, w) -> IF(acc.prev IS NOT NULL AND w = acc.prev,
+          |    named_struct('prev', w, 'run', acc.run + 1, 's', acc.s),
+          |    named_struct('prev', w, 'run', 1, 's',
+          |      CAST(acc.s + IF(acc.run = 0, CAST(0 AS DECIMAL(29,9)),
+          |        CAST(round(ln(CAST(acc.run AS DOUBLE)), 9) AS DECIMAL(18,9)) * acc.run)
+          |      AS DECIMAL(28,9)))),
+          |  acc -> CAST(acc.s + IF(acc.run = 0, CAST(0 AS DECIMAL(29,9)),
+          |    CAST(round(ln(CAST(acc.run AS DOUBLE)), 9) AS DECIMAL(18,9)) * acc.run)
+          |  AS DECIMAL(28,9)))""".stripMargin))
       .withColumn("entropy",
         round(round(log(col("n_words").cast("double")), 9)
           - col("ent_s").cast("double") / col("n_words"), 6))

@@ -401,6 +401,38 @@ object RelationalQueries {
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id"""))
 
+  // ---------------------------------------------------------------- q35
+  // Event debounce: keep only the FIRST event of each ≥60s-gap burst per
+  // (user, event_type) — the stream-hygiene dedup that collapses retry
+  // storms / double-clicks before rate analysis. True debounce is
+  // session-anchored (an event chain 10s apart for 5 minutes is ONE
+  // burst), so the keep test is "gap to previous > horizon", i.e. the
+  // q18 sessionize boundary rows — one lag window, one key shuffle, and
+  // the boundary filter needs no second window. µs arithmetic on both
+  // engines (the q18 contract).
+  private val q35 = Q(
+    "q35_debounce",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap").isNull || col("gap") > 60L * 1000000L)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+        .orderBy(col("user_id"), col("event_type"), col("event_id"))
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id, event_type
+             ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events)
+      SELECT user_id, event_type, event_id, ts_us FROM e
+      WHERE gap IS NULL OR gap > 60000000
+      ORDER BY user_id, event_type, event_id"""))
+
   val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q12, q13, q16, q17,
-    q18, q19, q30, q31, q33, q34)
+    q18, q19, q30, q31, q33, q34, q35)
 }

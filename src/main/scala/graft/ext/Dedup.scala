@@ -411,6 +411,36 @@ object Dedup {
         col("jaccard"), col("abs_err"))
   }
 
+  /** Cross-source leakage matrix: for every (source, source) pair, the
+    * number of VERIFIED near-dup document pairs spanning them and the
+    * mean verified Jaccard — corpus governance (is source A a scrape of
+    * source B? does the "clean" subset leak into the eval split?).
+    *
+    * Pipeline: LSH candidates → exact-Jaccard verify (both candidate-
+    * bounded, see verifyCandidates) → two id→source enrich joins (the
+    * source table is a 2-column projection of the corpus; the pair side
+    * is candidate-bounded) → one partial-aggregable rollup on the
+    * canonicalized (least, greatest) source pair. Mean Jaccard sums the
+    * 6-dp-rounded pair scores as exact DECIMALs — order-free. */
+  def sourceLeakage(spark: SparkSession, docs: DataFrame,
+      threshold: Double = 0.2, idCol: String = "doc_id",
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val pairs = verifyCandidates(spark,
+      lshCandidates(spark, docs, idCol = idCol, textCol = textCol),
+      docs, threshold, idCol, textCol)
+    val src = docs.select(col(idCol), col(srcCol))
+    pairs
+      .join(src.select(col(idCol).as("a_id"), col(srcCol).as("src_a")), Seq("a_id"))
+      .join(src.select(col(idCol).as("b_id"), col(srcCol).as("src_b")), Seq("b_id"))
+      .withColumn("source_1", least(col("src_a"), col("src_b")))
+      .withColumn("source_2", greatest(col("src_a"), col("src_b")))
+      .groupBy(col("source_1"), col("source_2"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("jaccard").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("mean_jaccard"))
+  }
+
   /** One-call corpus dedup — the full four-stage pipeline: exact
     * (content hash) → minhash-LSH candidates → VERIFY (true 8-gram
     * Jaccard ≥ `verifyThreshold`) → connected components, returning the

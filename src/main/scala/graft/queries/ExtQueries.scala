@@ -1477,8 +1477,68 @@ object ExtQueries {
         CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
       FROM nrm GROUP BY label ORDER BY label"""))
 
+  // ---------------------------------------------------------------- q97
+  // Cross-source leakage matrix: verified near-dup pair counts + mean
+  // Jaccard per canonicalized source pair — corpus governance over the
+  // same candidate-bounded LSH→verify chain as q72, with one rollup.
+  private val q97 = Q(
+    "q97_source_leakage",
+    (s, d) => {
+      graft.ext.Dedup.sourceLeakage(s, Tables.documents(s, d), threshold = 0.2)
+        .orderBy(col("source_1"), col("source_2"))
+    },
+    Some(s"""WITH $shingleCte,
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT) AS h48 FROM sh),
+      sig AS (
+        SELECT doc_id,
+          min(xor(h48, ${salts(0)})) AS m0, min(xor(h48, ${salts(1)})) AS m1,
+          min(xor(h48, ${salts(2)})) AS m2, min(xor(h48, ${salts(3)})) AS m3
+        FROM h GROUP BY doc_id),
+      buckets AS (
+        SELECT doc_id, 0 AS band, m0 AS bucket FROM sig UNION ALL
+        SELECT doc_id, 1, m1 FROM sig UNION ALL
+        SELECT doc_id, 2, m2 FROM sig UNION ALL
+        SELECT doc_id, 3, m3 FROM sig),
+      small AS (
+        SELECT doc_id, band, bucket FROM (
+          SELECT doc_id, band, bucket,
+                 count(*) OVER (PARTITION BY band, bucket) AS bsize
+          FROM buckets)
+        WHERE bsize <= 10),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM small a JOIN small b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT p.a_id, p.b_id, count(*) AS i
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.a_id
+        JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+        GROUP BY p.a_id, p.b_id),
+      scored AS (
+        SELECT p.a_id, p.b_id,
+          round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                / (ca.n + cb.n - coalesce(i.i, 0)), 6) AS jaccard
+        FROM pairs p
+        JOIN counts ca ON ca.doc_id = p.a_id
+        JOIN counts cb ON cb.doc_id = p.b_id
+        LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id),
+      kept AS (SELECT * FROM scored WHERE jaccard >= 0.2),
+      lab AS (
+        SELECT least(da.source, db.source) AS source_1,
+          greatest(da.source, db.source) AS source_2, k.jaccard
+        FROM kept k
+        JOIN documents da ON da.doc_id = k.a_id
+        JOIN documents db ON db.doc_id = k.b_id)
+      SELECT source_1, source_2, count(*) AS n_pairs,
+        round(CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard
+      FROM lab GROUP BY source_1, source_2
+      ORDER BY source_1, source_2"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q92, q93, q94, q95, q96)
+    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
 }

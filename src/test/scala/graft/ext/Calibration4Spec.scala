@@ -53,6 +53,28 @@ class Calibration4Spec extends SparkSpec {
     assert(calib == cand, s"calibration pairs $calib != candidates $cand")
   }
 
+  test("sourceLeakage: planted cross-source copies dominate the matrix") {
+    import spark.implicits._
+    // each pair's text is UNIQUE to the pair (no corpus-wide shared
+    // prefix — that would put all docs in one mega-bucket that the
+    // degenerate-bucket cap rightly drops)
+    val base = (0 until 6).map(i =>
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i india$i")
+    // srcA docs copied verbatim into srcB; srcC is unrelated text
+    val docs = (base.zipWithIndex.map { case (t, i) => (i.toLong, t, "srcA") } ++
+      base.zipWithIndex.map { case (t, i) => (100L + i, t, "srcB") } ++
+      (0 until 6).map(i => (200L + i, s"nothing in common row number $i entirely other words", "srcC")))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceLeakage(spark, docs, threshold = 0.9).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("mean_jaccard"))).toMap
+    val ab = out.getOrElse(("srcA", "srcB"), (0L, 0.0))
+    assert(ab._1 == 6L, s"expected 6 A-B copy pairs, got $out")
+    assert(ab._2 == 1.0, s"copy pairs must verify at jaccard 1.0: $out")
+    assert(!out.keys.exists { case (a, b) => a == "srcC" || b == "srcC" },
+      s"unrelated source leaked into the matrix: $out")
+  }
+
   test("normProfile: hand-computed norms on unit and zero vectors") {
     import spark.implicits._
     val rows = Seq(

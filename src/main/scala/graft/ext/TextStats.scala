@@ -415,6 +415,75 @@ object TextStats {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
+  /** Distributed BPE training: `nMerges` iterations of the classic
+    * byte-pair-encoding loop — count adjacent symbol pairs corpus-wide
+    * (OVERLAPPING occurrences, the standard statistic), pick the top
+    * pair (ties break lexicographically so the vocabulary is
+    * deterministic), rewrite every word by merging that pair
+    * left-to-right non-overlapping — returning the learned merge table
+    * (step, left, right, merged, pair_count). `bpePairStats` (q92) is
+    * exactly one iteration's counting pass.
+    *
+    * Scale shape per iteration: one partial-aggregable pair-count
+    * groupBy (keys collapse map-side to ≤ |vocab|² per task), one
+    * TakeOrdered(1), one narrow in-row rewrite (an `aggregate` scan
+    * carrying (accumulated, pending) — the sorted-run discipline). The
+    * symbol table is localCheckpointed each iteration, so lineage stays
+    * one rewrite deep and iteration cost is CONSTANT in `nMerges` (a
+    * naive chain re-evaluates i rewrites at iteration i). Driver state
+    * is the k-bounded merge table — production BPE trains on a bounded
+    * corpus sample anyway (pass `docs` pre-sampled; `Sampling`
+    * provides the deterministic samplers). */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 10,
+      textCol: String = "text"): Seq[(Int, String, String, String, Long)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var syms = docs.filter(col(textCol).isNotNull)
+      .select(explode(expr(s"slice(split($textCol, ' '), 1, $MaxNgramPos)")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(expr("split(w, '')").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < nMerges && !done) {
+      val top = syms
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val m = l + r
+        step += 1
+        merges += ((step, l, r, m, n))
+        // left-to-right non-overlapping merge: pending symbol + emit
+        val next = syms.select(expr(
+          s"""aggregate(syms,
+             |  named_struct('acc', CAST(array() AS ARRAY<STRING>), 'pend', CAST(NULL AS STRING)),
+             |  (st, s) -> IF(st.pend IS NULL,
+             |    named_struct('acc', st.acc, 'pend', s),
+             |    IF(st.pend = ${sqlLit(l)} AND s = ${sqlLit(r)},
+             |      named_struct('acc', concat(st.acc, array(${sqlLit(m)})), 'pend', CAST(NULL AS STRING)),
+             |      named_struct('acc', concat(st.acc, array(st.pend)), 'pend', s))),
+             |  st -> IF(st.pend IS NULL, st.acc, concat(st.acc, array(st.pend))))""".stripMargin)
+          .as("syms"))
+          .localCheckpoint(true) // lineage: one rewrite deep, always
+        syms.unpersist(false)
+        syms = next
+      }
+    }
+    syms.unpersist(false)
+    merges.toSeq
+  }
+
+  /** Single-quoted SQL string literal with escaping (symbols come from
+    * corpus text — they interpolate into the rewrite expression). */
+  private def sqlLit(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** Composite pretraining quality gate (the Gopher/C4 rule stack as ONE
     * verdict operator): word-count bounds, duplicate-word fraction,
     * top-bigram fraction, and word-entropy floor, combined into a

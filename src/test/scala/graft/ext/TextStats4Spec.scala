@@ -64,6 +64,34 @@ class TextStats4Spec extends SparkSpec {
     assert(got == Map("ab" -> 4L, "ba" -> 1L, "bc" -> 2L), s"got $got")
   }
 
+  test("bpeTrain learns the hand-computed merge sequence with deterministic tie-breaks") {
+    import spark.implicits._
+    // corpus "aaab aab bb":
+    //   iter1 pair counts (overlapping): (a,a)=3, (a,b)=2, (b,b)=1 → merge aa (3)
+    //   rewrite: [aa,a,b], [aa,b], [b,b]
+    //   iter2: (aa,a)=1, (a,b)=1, (aa,b)=1, (b,b)=1 → tie, lex order → (a,b) (1)
+    //   rewrite: [aa,ab], [aa,b], [b,b]
+    //   iter3: (aa,ab)=1, (aa,b)=1, (b,b)=1 → tie → (aa,ab) (1)
+    val docs = Seq((0L, "aaab aab bb")).toDF("doc_id", "text")
+    val merges = TextStats.bpeTrain(docs, nMerges = 3)
+    assert(merges == Seq(
+      (1, "a", "a", "aa", 3L),
+      (2, "a", "b", "ab", 1L),
+      (3, "aa", "ab", "aaab", 1L)), s"got $merges")
+  }
+
+  test("bpeTrain stops early when no pairs remain and escapes quote symbols") {
+    import spark.implicits._
+    // single-char words only → zero adjacent pairs → no merges
+    val empty = Seq((0L, "a b c")).toDF("doc_id", "text")
+    assert(TextStats.bpeTrain(empty, nMerges = 5).isEmpty)
+    // a quote character must survive the literal interpolation
+    val quoted = Seq((0L, "a'b a'b")).toDF("doc_id", "text")
+    val m = TextStats.bpeTrain(quoted, nMerges = 2)
+    assert(m.head._4 == "a'" || m.head._4 == "'b", s"got $m")
+    assert(m.size == 2) // second merge completes the word
+  }
+
   test("gopherFilter: keep == (reason_mask == 0) and each bit matches its signal") {
     val docs = randomDocs(60, seed = 5, vocab = 8, len = 60) // small vocab → real violations
     val out = TextStats.gopherFilter(docs).collect()

@@ -424,23 +424,27 @@ object TextStats {
     * (step, left, right, merged, pair_count). `bpePairStats` (q92) is
     * exactly one iteration's counting pass.
     *
-    * Scale shape per iteration: one partial-aggregable pair-count
-    * groupBy (keys collapse map-side to ≤ |vocab|² per task), one
-    * TakeOrdered(1), one narrow in-row rewrite (an `aggregate` scan
-    * carrying (accumulated, pending) — the sorted-run discipline). The
-    * symbol table is localCheckpointed each iteration, so lineage stays
-    * one rewrite deep and iteration cost is CONSTANT in `nMerges` (a
-    * naive chain re-evaluates i rewrites at iteration i). Driver state
-    * is the k-bounded merge table — production BPE trains on a bounded
-    * corpus sample anyway (pass `docs` pre-sampled; `Sampling`
-    * provides the deterministic samplers). */
+    * Scale shape: ONE corpus pass builds the word HISTOGRAM (the
+    * standard BPE-trainer representation — pair statistics are
+    * identical when each distinct word's pairs are weighted by its
+    * count), so every iteration runs over a VOCAB-bounded table, not
+    * the corpus: a weighted pair-count groupBy (map-side combined),
+    * one TakeOrdered(1), one narrow in-row rewrite (an `aggregate`
+    * scan carrying (accumulated, pending) — the sorted-run
+    * discipline). The symbol table is localCheckpointed each
+    * iteration, so lineage stays one rewrite deep and iteration cost
+    * is CONSTANT in `nMerges` (a naive chain re-evaluates i rewrites
+    * at iteration i; a corpus-row trainer measured 36s/merge on a
+    * 12M-word probe corpus vs sub-second on its 53k-word histogram).
+    * Driver state is the k-bounded merge table. */
   def bpeTrain(docs: DataFrame, nMerges: Int = 10,
       textCol: String = "text"): Seq[(Int, String, String, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     var syms = docs.filter(col(textCol).isNotNull)
       .select(explode(expr(s"slice(split($textCol, ' '), 1, $MaxNgramPos)")).as("w"))
       .filter(length(col("w")) >= 1)
-      .select(expr("split(w, '')").as("syms"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(expr("split(w, '')").as("syms"), col("cnt"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 0
@@ -448,10 +452,10 @@ object TextStats {
     while (step < nMerges && !done) {
       val top = syms
         .filter(size(col("syms")) >= 2)
-        .select(explode(expr(
+        .select(col("cnt"), explode(expr(
           "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
           .as("p"))
-        .groupBy(col("p.l"), col("p.r")).agg(count(lit(1)).as("n"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
       if (top.isEmpty) done = true
@@ -470,7 +474,7 @@ object TextStats {
              |      named_struct('acc', concat(st.acc, array(${sqlLit(m)})), 'pend', CAST(NULL AS STRING)),
              |      named_struct('acc', concat(st.acc, array(st.pend)), 'pend', s))),
              |  st -> IF(st.pend IS NULL, st.acc, concat(st.acc, array(st.pend))))""".stripMargin)
-          .as("syms"))
+          .as("syms"), col("cnt"))
           .localCheckpoint(true) // lineage: one rewrite deep, always
         syms.unpersist(false)
         syms = next

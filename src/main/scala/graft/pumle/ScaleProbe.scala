@@ -148,6 +148,17 @@ object ScaleProbe {
       f"= ${nDocs3 / secsG / 1000}%.0fk docs/s (${gate.getLong(0)} kept, " +
       f"${gate.getLong(1)} distinct masks)")
 
+    // BPE training at volume: 8 merge iterations over the 1M-doc corpus
+    // (~12M words). Each iteration is one pair-count groupBy (map-side
+    // combined to ≤|vocab|² rows/task) + TakeOrdered(1) + a narrow
+    // rewrite; localCheckpoint keeps lineage one rewrite deep, so
+    // per-iteration cost stays constant — the number to verify here.
+    val tB = System.nanoTime()
+    val bpe = graft.ext.TextStats.bpeTrain(docs3, nMerges = 8)
+    val secsB = (System.nanoTime() - tB) / 1e9
+    println(f"[probe] bpe train: 8 merges over $nDocs3%d docs in $secsB%.1fs " +
+      f"= ${secsB / 8}%.1fs/merge (top merge '${bpe.head._4}' × ${bpe.head._5})")
+
     // FULL corpus dedup at volume: ~1M docs with a 30% planted duplicate
     // rate (10% exact copies + 20% near-dups sharing 38/40 words with
     // their base doc — the realistic web-crawl shape). Drives

@@ -65,6 +65,9 @@ object ExtDemo {
     val topPair = TextStats.bpePairStats(cleaned, k = 1).head()
     println(s"[ext-demo] health: $outliers length outliers; mean OOV rate $oov; " +
       s"next BPE merge '${topPair.getString(0)}' (${topPair.getLong(1)} occurrences)")
+    val bpe = TextStats.bpeTrain(cleaned, nMerges = 5)
+    println(s"[ext-demo] bpe vocab: " +
+      bpe.map(m => s"${m._4}(${m._5})").mkString(" "))
 
     // 2d. sketch calibration: how far the minhash estimate sits from
     // true Jaccard on this corpus's candidate pairs — the number that

@@ -415,6 +415,38 @@ object TextStats {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
+  /** Text normalization — the canonicalization pass before hashing/
+    * dedup (two byte-different renderings of the same content must
+    * collapse to one fingerprint): casefold, strip control characters,
+    * collapse whitespace runs, trim; reports whether anything changed
+    * plus the canonical md5. Pure narrow per-row regex. The Unicode
+    * NFC/accent-fold variant lives behind `normalizeUnicode` (a UDF —
+    * java.text.Normalizer has no codegen'd builtin), spec-pinned
+    * rather than oracle-checked because DuckDB has no NFC builtin. */
+  def normalize(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("canonical",
+        trim(regexp_replace(
+          regexp_replace(lower(col(textCol)), "[\\x00-\\x1F]", " "),
+          " +", " ")))
+      .select(col(idCol), col("canonical"),
+        (col("canonical") =!= col(textCol)).as("changed"),
+        md5(col("canonical")).as("canonical_hash"))
+
+  /** Unicode-deep variant: NFC normalization + accent folding (NFD →
+    * strip combining marks) on top of `normalize`'s casefold/whitespace
+    * canon. UDF-based (no Spark builtin); narrow. */
+  def normalizeUnicode(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fold = udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}+", "")
+    }
+    normalize(docs.withColumn(textCol, fold(col(textCol))), idCol, textCol)
+  }
+
   /** Distributed BPE training: `nMerges` iterations of the classic
     * byte-pair-encoding loop — count adjacent symbol pairs corpus-wide
     * (OVERLAPPING occurrences, the standard statistic), pick the top

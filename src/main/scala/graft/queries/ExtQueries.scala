@@ -1537,8 +1537,28 @@ object ExtQueries {
       FROM lab GROUP BY source_1, source_2
       ORDER BY source_1, source_2"""))
 
+  // ---------------------------------------------------------------- q98
+  // Canonicalization before hashing: casefold + control-char strip +
+  // whitespace collapse + trim, with the canonical md5 — two renderings
+  // of the same content must collapse to one fingerprint before any
+  // dedup pass. Narrow per-row regex.
+  private val q98 = Q(
+    "q98_normalize",
+    (s, d) => {
+      graft.ext.TextStats.normalize(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1F]', ' ', 'g'),
+             ' +', ' ', 'g')) AS canonical,
+        trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1F]', ' ', 'g'),
+             ' +', ' ', 'g')) <> text AS changed,
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1F]', ' ', 'g'),
+             ' +', ' ', 'g'))) AS canonical_hash
+      FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
+    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
 }

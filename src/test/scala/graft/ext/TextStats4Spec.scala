@@ -64,6 +64,36 @@ class TextStats4Spec extends SparkSpec {
     assert(got == Map("ab" -> 4L, "ba" -> 1L, "bc" -> 2L), s"got $got")
   }
 
+  test("normalize: casefold + control strip + whitespace collapse, idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Hello  World"),              // case + double space
+      (1L, "hello world"),               // already canonical
+      (2L, "hello\tworld\r"),            // control chars
+      (3L, "HELLO WORLD ")).toDF("doc_id", "text")
+    val out = TextStats.normalize(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2), r.getString(3))).toMap
+    assert(out.values.map(_._1).toSet == Set("hello world"))
+    // all four collapse to ONE canonical hash — the dedup prerequisite
+    assert(out.values.map(_._3).toSet.size == 1)
+    assert(!out(1L)._2 && out(0L)._2 && out(2L)._2 && out(3L)._2)
+    // idempotent: normalizing the canonical form changes nothing
+    val again = TextStats.normalize(
+      docs.select(col("doc_id"), lit("hello world").as("text"))).collect()
+    assert(again.forall(!_.getBoolean(2)))
+  }
+
+  test("normalizeUnicode folds accents and NFC-equivalent forms together") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Café Résumé"),        // precomposed é
+      (1L, "Café Résumé"),     // combining acute
+      (2L, "cafe resume")).toDF("doc_id", "text")
+    val out = TextStats.normalizeUnicode(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.values.toSet.size == 1, s"forms did not fold together: $out")
+  }
+
   test("bpeTrain learns the hand-computed merge sequence with deterministic tie-breaks") {
     import spark.implicits._
     // corpus "aaab aab bb":

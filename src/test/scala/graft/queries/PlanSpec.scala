@@ -121,7 +121,7 @@ class PlanSpec extends SparkSpec {
       "q91_oov_rate" -> 3, "q92_bpe_pairs" -> 1, "q93_quality_gate" -> 5,
       "q94_minhash_calibration" -> 3, "q95_norm_profile" -> 2,
       "q96_quality_gate_narrow" -> 1, "q35_debounce" -> 2,
-      "q97_source_leakage" -> 4)
+      "q97_source_leakage" -> 4, "q98_normalize" -> 1)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -147,6 +147,43 @@ object Streams {
       .select(col("doc_id"), col("ts"))
   }
 
+  final case class DebEvent(user_id: Long, event_type: String,
+    ts_us: Long, event_id: Long)
+  final case class DebState(last_us: Long)
+
+  /** Streaming debounce — the q35 operator on a stream: emit only
+    * events whose gap to the PREVIOUS event of the same (user, type)
+    * exceeds `horizonUs`; every event (kept or not) advances the
+    * last-seen timestamp, exactly like the batch lag-window form. ONE
+    * (last_us) long per key of state — constant per key, no buffering.
+    *
+    * Ordering contract (the asofEnrich discipline): within a micro-batch
+    * events process in (ts, id) order, so in-order streams get answers
+    * identical to the batch operator (spec-pinned). A late cross-batch
+    * event compares against the furthest timestamp already seen — it
+    * can be suppressed conservatively but never re-opens a burst. */
+  def debounce(spark: SparkSession, events: DataFrame,
+      horizonUs: Long = 60L * 1000000L): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .as[DebEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebState, DebEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, evs, state: GroupState[DebState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var last = state.getOption.map(_.last_us)
+          val kept = sorted.filter { e =>
+            val keep = last.forall(l => e.ts_us - l > horizonUs)
+            last = Some(last.fold(e.ts_us)(math.max(_, e.ts_us)))
+            keep
+          }
+          last.foreach(l => state.update(DebState(l)))
+          kept.iterator
+      }.toDF()
+  }
+
   final case class AsofEvent(user_id: Long, ts_us: Long, event_id: Long,
     is_left: Boolean, value: Double)
   final case class AsofState(ts_us: Long, event_id: Long, value: Double)

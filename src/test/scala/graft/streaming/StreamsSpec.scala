@@ -133,6 +133,48 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming debounce matches the batch q35 semantics on an in-order stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.DebEvent]
+    val q = Streams.debounce(spark, mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("deb_out").start()
+    val M = 1000000L // 1s in µs
+    // batch 1: burst at 0 (keep first only), then a >60s gap (keep)
+    mem.addData(
+      Streams.DebEvent(1L, "click", 0L, 1L),
+      Streams.DebEvent(1L, "click", 10L * M, 2L),   // 10s after 1 → drop
+      Streams.DebEvent(1L, "click", 80L * M, 3L),   // 70s after 2 → keep
+      Streams.DebEvent(1L, "view", 5L * M, 4L))     // other type → keep
+    q.processAllAvailable()
+    // batch 2: gap measured against batch-1 STATE (80s): 30s later →
+    // drop; 200s later → keep; a cross-batch late event (ts 50s, before
+    // the retained 110s state) → suppressed, never re-opens the burst
+    mem.addData(
+      Streams.DebEvent(1L, "click", 110L * M, 5L),
+      Streams.DebEvent(1L, "click", 310L * M, 6L),
+      Streams.DebEvent(1L, "click", 50L * M, 7L))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT event_id FROM deb_out")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 6L), s"got $kept")
+    q.stop()
+
+    // in-order equivalence vs the batch operator (q35 shape): same
+    // events through the lag-window form — identical keeps. The batch
+    // query reads ts in ns (DIV 1000), so scale µs → ns.
+    val batchDir = java.nio.file.Files.createTempDirectory("deb-batch").toString
+    Seq((1L, "click", 0L, 1L), (1L, "click", 10L * M, 2L),
+      (1L, "click", 80L * M, 3L), (1L, "view", 5L * M, 4L),
+      (1L, "click", 110L * M, 5L), (1L, "click", 310L * M, 6L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+      .withColumn("ts", col("ts_us") * 1000).drop("ts_us")
+      .write.mode("overwrite").parquet(s"$batchDir/events.parquet")
+    val batchKept = graft.queries.Registry.queries("q35_debounce")(spark, batchDir)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(batchKept == Set(1L, 3L, 4L, 6L), s"batch got $batchKept")
+  }
+
   test("streaming as-of: in-batch exact (ties right-first), late clicks never see future values") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -64,13 +64,21 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
-    println(json)
-    // Also write to a known file: sbt wraps stdout in [info] prefixes,
-    // which broke the driver's JSON extraction in round 1 (parsed=null).
+    // Full per-query map goes to a known FILE: sbt wraps stdout in [info]
+    // prefixes (broke round 1) and at 80 queries the full line overflows
+    // the driver's stdout tail-capture window (broke round 4:
+    // BENCH_r04.json parsed=null, tail started mid-JSON).
     val outPath = java.nio.file.Paths.get(
       args.headOption.getOrElse("bench.json"))
     java.nio.file.Files.write(outPath,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stdout gets a COMPACT final line: total + only the heaviest queries,
+    // bounded size regardless of how many queries the suite grows to.
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"runs":$runs,"sf":"$sfDir","full":"${outPath.toString}"}""")
     spark.stop()
   }
 }

@@ -539,9 +539,17 @@ object Dedup {
     * reassembled in order. One narrow chunk explode, one partial-
     * aggregable corpus count (map-side combine collapses hot chunks
     * before the shuffle — the frequent chunk IS the skewed key, and it
-    * collapses to one row per partition), one join back, one doc-keyed
-    * reassembly aggregate. Chunk positions cap at 4096 per doc (the
-    * shared cross-engine enumeration bound). */
+    * collapses to one row per partition), then the counts are filtered
+    * to the BOILERPLATE set (`reps > maxReps`) FIRST and that set is
+    * broadcast back as a left-join flag — the doc-side chunk stream is
+    * never shuffled on the chunk key at all, so the license block that
+    * sits in 10% of the corpus costs nothing beyond its (map-side
+    * combined) count row. The boilerplate set is small by construction:
+    * it holds < totalChunkOccurrences / maxReps distinct chunks, and in
+    * practice orders of magnitude fewer; raise `maxReps` if a
+    * pathological corpus ever inflates it past broadcast size. Final
+    * doc-keyed reassembly aggregate; chunk positions cap at 4096 per
+    * doc (the shared cross-engine enumeration bound). */
   def dedupChunks(docs: DataFrame, chunkWords: Int = 2, maxReps: Int = 20,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val k = chunkWords
@@ -551,15 +559,17 @@ object Dedup {
         s"""transform(sequence(0, least(int(ceil(size(ws) / CAST($k AS DOUBLE))) - 1, 4096)),
            |  i -> array_join(slice(ws, i * $k + 1, $k), ' '))""".stripMargin))
         .as(Seq("ci", "chunk")))
-    val counts = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("reps"))
-    chunks.join(counts, Seq("chunk"))
+    val boilerplate = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("reps"))
+      .filter(col("reps") > maxReps)
+      .select(col("chunk"), lit(true).as("is_boiler"))
+    chunks.join(broadcast(boilerplate), Seq("chunk"), "left")
       .groupBy(col(idCol))
       .agg(
         array_join(expr(
-          s"transform(array_sort(collect_list(CASE WHEN reps <= $maxReps " +
-            s"THEN struct(ci, chunk) END)), x -> x.chunk)"), " ").as("kept_text"),
+          "transform(array_sort(collect_list(CASE WHEN is_boiler IS NULL " +
+            "THEN struct(ci, chunk) END)), x -> x.chunk)"), " ").as("kept_text"),
         count(lit(1)).as("n_chunks"),
-        sum(when(col("reps") > maxReps, lit(1L)).otherwise(lit(0L)))
+        sum(when(col("is_boiler"), lit(1L)).otherwise(lit(0L)))
           .as("n_dropped_chunks"))
   }
 
@@ -753,15 +763,29 @@ object Dedup {
     * (≤ maxBucket structs of 4 longs each), so verification needs no
     * join back against the corpus-sized signature table — candidate
     * pairs come out of the bucket expansion already carrying both
-    * signatures, and the Hamming check is a narrow filter. */
+    * signatures, and the Hamming check is a narrow filter.
+    *
+    * The cap is not silent (OP-A5 discipline, same contract as
+    * [[lshCandidates]]): pass `capMetrics` (an `Observation`) to read
+    * `dropped_buckets` / `dropped_doc_slots` after the first action on
+    * the result; use [[simhashCapStats]] when an always-exact answer is
+    * required (AQE empty-relation propagation can erase the observed
+    * subtree when every bucket is capped). */
   def simhashNearDup(spark: SparkSession, docs: DataFrame, maxDist: Int = 3,
       maxBucket: Int = 10, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val lanes = simhashLanes(docs, idCol, textCol)
     val buckets = lanes.select(col("doc_id"), col("lanes"),
       posexplode(col("lanes")).as(Seq("band", "bval")))
-    val small = buckets.groupBy(col("band"), col("bval"))
+    val sized0 = buckets.groupBy(col("band"), col("bval"))
       .agg(count(lit(1)).as("bsize"))
+    val sized = capMetrics.fold(sized0)(o => sized0.observe(o,
+      sum(when(col("bsize") > maxBucket, lit(1L)).otherwise(lit(0L)))
+        .as("dropped_buckets"),
+      sum(when(col("bsize") > maxBucket, col("bsize")).otherwise(lit(0L)))
+        .as("dropped_doc_slots")))
+    val small = sized
       .filter(col("bsize").between(2, maxBucket))
       .select(col("band"), col("bval"))
     buckets.join(small, Seq("band", "bval")) // mega-buckets die pre-collect
@@ -778,6 +802,30 @@ object Dedup {
                | AS BIGINT)""".stripMargin).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct() // a pair sharing several bands appears once per band
+  }
+
+  /** Exact cap diagnostics for [[simhashNearDup]] as a standalone
+    * one-row aggregate — the always-correct companion to its zero-cost
+    * `capMetrics` observation, exactly as [[lshCapStats]] is to
+    * [[lshCandidates]]. Reports what the `maxBucket` cap dropped
+    * (lane-buckets and the doc×lane memberships they held), what
+    * survived, and the hottest bucket. Narrow lane computation + two
+    * partial-aggregable shuffles, no join. */
+  def simhashCapStats(spark: SparkSession, docs: DataFrame,
+      maxBucket: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    simhashLanes(docs, idCol, textCol)
+      .select(posexplode(col("lanes")).as(Seq("band", "bval")))
+      .groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("bsize"))
+      .agg(
+        sum(when(col("bsize") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_buckets"),
+        sum(when(col("bsize") > maxBucket, col("bsize")).otherwise(lit(0L)))
+          .as("dropped_doc_slots"),
+        sum(when(col("bsize").between(2, maxBucket), lit(1L)).otherwise(lit(0L)))
+          .as("kept_buckets"),
+        max(col("bsize")).as("max_bucket_size"))
   }
 
   /** Bag-of-words fingerprint: md5 of the sorted distinct word set — a

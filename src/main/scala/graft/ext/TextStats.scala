@@ -338,16 +338,23 @@ object TextStats {
     * broadcasts back onto the corpus — no window over the full corpus
     * (a `stddev() OVER (PARTITION BY source)` would shuffle every row
     * to its source's partition: a hot source = a hot partition).
-    * Cross-engine determinism: moments are EXACT integer sums (BIGINT),
-    * so mean/variance are order-independent; z is one fixed IEEE
-    * expression over them, rounded to 6. */
+    * Cross-engine determinism: moments are EXACT integer sums, so
+    * mean/variance are order-independent; z is one fixed IEEE
+    * expression over them, rounded to 6. The sums accumulate in
+    * DECIMAL(38,0) — a LongType sum-of-squares silently WRAPS under
+    * default (non-ANSI) Spark once Σv² passes 2⁶³ (~1e7 docs of ~1e6
+    * chars), while the DuckDB oracle sums in HUGEINT; DECIMAL(18,0)
+    * operands keep the product at DECIMAL(37,0), inside Spark's
+    * 38-digit precision cap, and the ~1e38 sum bound matches
+    * HUGEINT's. */
   def lengthZscore(docs: DataFrame, byCol: String = "source",
       valueCol: String = "n_chars", idCol: String = "doc_id",
       outlierZ: Double = 2.0): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,0)")
     val stats = docs.groupBy(col(byCol)).agg(
       count(lit(1)).as("n"),
-      sum(col(valueCol)).as("s"),
-      sum(col(valueCol) * col(valueCol)).as("s2"))
+      sum(v).as("s"),
+      sum(v * v).as("s2"))
     val meanV = col("s").cast("double") / col("n").cast("double")
     docs.select(col(idCol), col(byCol), col(valueCol))
       .join(broadcast(stats), Seq(byCol))

@@ -136,7 +136,9 @@ object ScaleProbe {
 
     // quality gate at volume: the NARROW (streaming-safe) composite
     // Gopher gate over the same 1M docs — zero shuffles; per-row cost
-    // is the O(distinct·n) in-row counting, which this probe prices.
+    // is the sorted-run aggregation (array_sort + one O(n) aggregate
+    // pass per signal — the form that beat the naive O(distinct·n)
+    // in-row counting ~4×), which this probe prices.
     // The docs/s here is the honest per-core budget for running the
     // full gate at intake time instead of as a batch aggregate.
     val tG = System.nanoTime()

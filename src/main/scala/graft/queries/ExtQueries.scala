@@ -1243,9 +1243,10 @@ object ExtQueries {
 
   // ---------------------------------------------------------------- q90
   // Per-source length z-score + outlier flag (corpus-mixing anomaly
-  // screen). Group moments are exact BIGINT sums aggregated map-side and
-  // broadcast back — never a stddev window over the corpus; z is one
-  // fixed IEEE expression over order-independent inputs.
+  // screen). Group moments are exact DECIMAL(38,0) sums (HUGEINT on the
+  // oracle side) aggregated map-side and broadcast back — never a stddev
+  // window over the corpus; z is one fixed IEEE expression over
+  // order-independent inputs.
   private val q90 = Q(
     "q90_length_zscore",
     (s, d) => {
@@ -1253,8 +1254,10 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
     Some("""WITH st AS (
-        SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
-          CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        -- sums stay HUGEINT (no BIGINT downcast): parity with the Spark
+        -- side's exact DECIMAL(38,0) accumulation at corpus scale
+        SELECT source, count(*) AS n, sum(n_chars) AS s,
+          sum(n_chars * n_chars) AS s2
         FROM documents GROUP BY source),
       j AS (
         SELECT d.doc_id, d.source, d.n_chars,
@@ -1557,8 +1560,45 @@ object ExtQueries {
              ' +', ' ', 'g'))) AS canonical_hash
       FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q99
+  // SimHash cap diagnostics (OP-A5 discipline on the simhash near-dup
+  // path): what q85's mega-bucket cap dropped — lane-buckets and the
+  // doc×lane memberships they held — plus surviving buckets and the
+  // hottest bucket. The exact, always-present companion to
+  // simhashNearDup's capMetrics observation, exactly as q74 is to q52.
+  // The oracle recomputes the four 16-bit lanes relationally (q85's
+  // formulation) and replays the same rollup.
+  private val q99 = Q(
+    "q99_simhash_cap_stats",
+    (s, d) => {
+      graft.ext.Dedup.simhashCapStats(s, Tables.documents(s, d))
+    },
+    Some("""WITH words AS (
+        SELECT doc_id, u.w FROM documents, unnest(string_split(text, ' ')) AS u(w)),
+      lane_h AS (
+        SELECT doc_id, CAST(l.generate_series AS INTEGER) AS lane,
+          CAST(('0x' || substr(md5(w), CAST(l.generate_series * 4 + 1 AS INT), 4)) AS BIGINT) AS h
+        FROM words, generate_series(0, 3) l),
+      votes AS (
+        SELECT doc_id, lane, CAST(b.generate_series AS INTEGER) AS b,
+          sum(CASE WHEN (h // CAST(pow(2, b.generate_series) AS BIGINT)) % 2 = 1
+                   THEN 1 ELSE -1 END) AS v
+        FROM lane_h, generate_series(0, 15) b
+        GROUP BY doc_id, lane, b.generate_series),
+      sig AS (
+        SELECT doc_id, lane,
+          CAST(sum(CASE WHEN v >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS lv
+        FROM votes GROUP BY doc_id, lane),
+      sized AS (SELECT lane, lv, count(*) AS bsize FROM sig GROUP BY lane, lv)
+      SELECT
+        CAST(sum(CASE WHEN bsize > 10 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
+        CAST(sum(CASE WHEN bsize > 10 THEN bsize ELSE 0 END) AS BIGINT) AS dropped_doc_slots,
+        CAST(sum(CASE WHEN bsize BETWEEN 2 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS kept_buckets,
+        CAST(max(bsize) AS BIGINT) AS max_bucket_size
+      FROM sized"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
+    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
 }

@@ -155,7 +155,14 @@ object Streams {
     * events whose gap to the PREVIOUS event of the same (user, type)
     * exceeds `horizonUs`; every event (kept or not) advances the
     * last-seen timestamp, exactly like the batch lag-window form. ONE
-    * (last_us) long per key of state — constant per key, no buffering.
+    * (last_us) long per key of state — constant per key, no buffering —
+    * and idle keys EXPIRE via event-time timeout (the qualityGate
+    * watermark-bounded discipline): a key is dropped once the watermark
+    * proves it has been silent past horizon + lateness, so unbounded
+    * key cardinality no longer grows the state store without bound. An
+    * event arriving for an expired key opens a fresh burst — the same
+    * verdict batch gives it, since any event respecting the lateness
+    * bound is ≥ horizon past the expired key's last timestamp.
     *
     * Ordering contract (the asofEnrich discipline): within a micro-batch
     * events process in (ts, id) order, so in-order streams get answers
@@ -163,24 +170,39 @@ object Streams {
     * event compares against the furthest timestamp already seen — it
     * can be suppressed conservatively but never re-opens a burst. */
   def debounce(spark: SparkSession, events: DataFrame,
-      horizonUs: Long = 60L * 1000000L): DataFrame = {
+      horizonUs: Long = 60L * 1000000L,
+      latenessUs: Long = 600L * 1000000L): DataFrame = {
     import spark.implicits._
+    val latenessSec = math.max(1L, latenessUs / 1000000L)
     events
       .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", s"$latenessSec seconds")
       .as[DebEvent]
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[DebState, DebEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (_, evs, state: GroupState[DebState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          var last = state.getOption.map(_.last_us)
-          val kept = sorted.filter { e =>
-            val keep = last.forall(l => e.ts_us - l > horizonUs)
-            last = Some(last.fold(e.ts_us)(math.max(_, e.ts_us)))
-            keep
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var last = state.getOption.map(_.last_us)
+            val kept = sorted.filter { e =>
+              val keep = last.forall(l => e.ts_us - l > horizonUs)
+              last = Some(last.fold(e.ts_us)(math.max(_, e.ts_us)))
+              keep
+            }
+            last.foreach { l =>
+              state.update(DebState(l))
+              // expire once the watermark proves the key idle past
+              // horizon + lateness; never set at-or-below the watermark
+              // (batch runs report watermark -1 and ignore timeouts)
+              state.setTimeoutTimestamp(math.max(
+                (l + horizonUs + latenessUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            kept.iterator
           }
-          last.foreach(l => state.update(DebState(l)))
-          kept.iterator
       }.toDF()
   }
 

@@ -313,6 +313,36 @@ class ExtApiSpec extends SparkSpec {
     assert(r.getAs[Long]("max_bucket_size") == 12L)
   }
 
+  test("simhashNearDup capMetrics reports what the lane-bucket cap dropped") {
+    import spark.implicits._
+    // 12 identical docs → identical lanes → one mega-bucket per lane
+    // (capped at maxBucket=4), PLUS a surviving identical pair so the
+    // result is non-empty (same AQE-erasure caveat as lshCandidates)
+    val many = ((1L to 12L).map(i => (i, "the same exact text repeated verbatim here"))
+      ++ Seq((100L, "a distinct surviving pair of documents"),
+             (101L, "a distinct surviving pair of documents")))
+      .toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation()
+    val out = Dedup.simhashNearDup(spark, many, maxBucket = 4,
+      capMetrics = Some(obs))
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L))) // mega-buckets capped, pair survives
+    val m = obs.get
+    assert(m("dropped_buckets") == 4L, m)    // one mega-bucket per lane
+    assert(m("dropped_doc_slots") == 48L, m) // 12 docs × 4 lanes
+  }
+
+  test("simhashCapStats stays exact even when EVERY bucket is capped") {
+    import spark.implicits._
+    val many = (1L to 12L).map(i => (i, "the same exact text repeated verbatim here"))
+      .toDF("doc_id", "text")
+    val r = Dedup.simhashCapStats(spark, many, maxBucket = 4).head()
+    assert(r.getAs[Long]("dropped_buckets") == 4L)
+    assert(r.getAs[Long]("dropped_doc_slots") == 48L)
+    assert(r.getAs[Long]("kept_buckets") == 0L)
+    assert(r.getAs[Long]("max_bucket_size") == 12L)
+  }
+
   test("dedupCorpus surfaces the cap observation through the checkpointed pairs") {
     val obs = org.apache.spark.sql.Observation()
     val out = Dedup.dedupCorpus(spark, docs, maxBucket = 4, capMetrics = Some(obs))

@@ -123,8 +123,16 @@ class TextStats4Spec extends SparkSpec {
   }
 
   test("gopherFilter: keep == (reason_mask == 0) and each bit matches its signal") {
-    val docs = randomDocs(60, seed = 5, vocab = 8, len = 60) // small vocab → real violations
-    val out = TextStats.gopherFilter(docs).collect()
+    import spark.implicits._
+    // small vocab → real violations (entropy ≤ ln 8 < 2.8 floors them all);
+    // 30-unique-word docs pass every rule (entropy ln 30 ≈ 3.4, no dups,
+    // top bigram 1/29) so BOTH verdicts occur
+    val violators = randomDocs(60, seed = 5, vocab = 8, len = 60)
+    val keepers = (100 until 110).map { i =>
+      (i.toLong, (0 until 30).map(j => s"u${i}_$j").mkString(" "),
+        "src" + (i % 3), 30L)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    val out = TextStats.gopherFilter(violators.union(keepers)).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val mask = r.getAs[Long]("reason_mask")
@@ -136,7 +144,7 @@ class TextStats4Spec extends SparkSpec {
       assert(((mask & 8L) != 0L) == (r.getAs[Double]("entropy") < 2.8), s"bit8: $r")
     }
     // the 8-word vocab at len<=60 must produce BOTH verdicts
-    assert(out.exists(_.getAs[Boolean]("keep")) || out.exists(!_.getAs[Boolean]("keep")))
+    assert(out.exists(_.getAs[Boolean]("keep")) && out.exists(!_.getAs[Boolean]("keep")))
   }
 
   test("wordEntropy: 6-dp-midpoint doc rounds like the exact decimal value (precision-cap regression)") {

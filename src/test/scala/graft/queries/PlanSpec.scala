@@ -121,7 +121,8 @@ class PlanSpec extends SparkSpec {
       "q91_oov_rate" -> 3, "q92_bpe_pairs" -> 1, "q93_quality_gate" -> 5,
       "q94_minhash_calibration" -> 3, "q95_norm_profile" -> 2,
       "q96_quality_gate_narrow" -> 1, "q35_debounce" -> 2,
-      "q97_source_leakage" -> 4, "q98_normalize" -> 1)
+      "q97_source_leakage" -> 4, "q98_normalize" -> 1,
+      "q99_simhash_cap_stats" -> 2)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString
@@ -212,6 +213,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p)
     assert(!p.contains("Generate"), p)
     assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q76: boilerplate set broadcasts — doc-side chunks never shuffle on the chunk key") {
+    val p = planOf("q76_chunk_dedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the ONLY chunk-keyed exchange feeds the count aggregate; the
+    // doc-side chunk stream (where the skewed boilerplate key lives in
+    // full multiplicity) reaches its doc_id aggregate without ever
+    // hash-partitioning on chunk
+    assert("Exchange hashpartitioning\\(chunk".r.findAllIn(p).length == 1, p)
   }
 
   test("q24: densify grid side is generated (Range), active side broadcast") {

@@ -140,20 +140,24 @@ class StreamsSpec extends SparkSpec {
     val q = Streams.debounce(spark, mem.toDF())
       .writeStream.outputMode("append").format("memory").queryName("deb_out").start()
     val M = 1000000L // 1s in µs
-    // batch 1: burst at 0 (keep first only), then a >60s gap (keep)
+    // base offset: an event AT the initial zero watermark would be
+    // pre-filtered as late (watermark semantics of the TTL-bounded
+    // state) — real event times are never epoch 0
+    val B = 1000L * M
+    // batch 1: burst at B (keep first only), then a >60s gap (keep)
     mem.addData(
-      Streams.DebEvent(1L, "click", 0L, 1L),
-      Streams.DebEvent(1L, "click", 10L * M, 2L),   // 10s after 1 → drop
-      Streams.DebEvent(1L, "click", 80L * M, 3L),   // 70s after 2 → keep
-      Streams.DebEvent(1L, "view", 5L * M, 4L))     // other type → keep
+      Streams.DebEvent(1L, "click", B, 1L),
+      Streams.DebEvent(1L, "click", B + 10L * M, 2L), // 10s after 1 → drop
+      Streams.DebEvent(1L, "click", B + 80L * M, 3L), // 70s after 2 → keep
+      Streams.DebEvent(1L, "view", B + 5L * M, 4L))   // other type → keep
     q.processAllAvailable()
-    // batch 2: gap measured against batch-1 STATE (80s): 30s later →
-    // drop; 200s later → keep; a cross-batch late event (ts 50s, before
-    // the retained 110s state) → suppressed, never re-opens the burst
+    // batch 2: gap measured against batch-1 STATE (B+80s): 30s later →
+    // drop; 200s later → keep; a cross-batch late event (ts B+50s, before
+    // the retained B+110s state) → suppressed, never re-opens the burst
     mem.addData(
-      Streams.DebEvent(1L, "click", 110L * M, 5L),
-      Streams.DebEvent(1L, "click", 310L * M, 6L),
-      Streams.DebEvent(1L, "click", 50L * M, 7L))
+      Streams.DebEvent(1L, "click", B + 110L * M, 5L),
+      Streams.DebEvent(1L, "click", B + 310L * M, 6L),
+      Streams.DebEvent(1L, "click", B + 50L * M, 7L))
     q.processAllAvailable()
     val kept = spark.sql("SELECT event_id FROM deb_out")
       .collect().map(_.getLong(0)).toSet
@@ -164,9 +168,9 @@ class StreamsSpec extends SparkSpec {
     // events through the lag-window form — identical keeps. The batch
     // query reads ts in ns (DIV 1000), so scale µs → ns.
     val batchDir = java.nio.file.Files.createTempDirectory("deb-batch").toString
-    Seq((1L, "click", 0L, 1L), (1L, "click", 10L * M, 2L),
-      (1L, "click", 80L * M, 3L), (1L, "view", 5L * M, 4L),
-      (1L, "click", 110L * M, 5L), (1L, "click", 310L * M, 6L))
+    Seq((1L, "click", B, 1L), (1L, "click", B + 10L * M, 2L),
+      (1L, "click", B + 80L * M, 3L), (1L, "view", B + 5L * M, 4L),
+      (1L, "click", B + 110L * M, 5L), (1L, "click", B + 310L * M, 6L))
       .toDF("user_id", "event_type", "ts_us", "event_id")
       .withColumn("ts", col("ts_us") * 1000).drop("ts_us")
       .write.mode("overwrite").parquet(s"$batchDir/events.parquet")

@@ -527,6 +527,43 @@ object TextStats {
     * corpus text — they interpolate into the rewrite expression). */
   private def sqlLit(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+  /** BPE encode — tokenize a corpus with a learned merge table (the
+    * missing third of the tokenizer story: `bpePairStats` counts →
+    * [[bpeTrain]] learns → this applies). Pass
+    * `bpeTrain(docs).map(m => (m._2, m._3))` or any fixed (left, right)
+    * merge list; merges apply IN TABLE ORDER, exactly the priority
+    * semantics of the trainer.
+    *
+    * Representation: each word expands to space-delimited symbols
+    * (`"hello"` → `" h e l l o "`), and merge (l, r → lr) is ONE
+    * `replace(s, ' l r ', ' lr ')` — both boundaries of both symbols
+    * are delimiter-checked, so a merge can never span symbols or match
+    * a symbol prefix. `replace` scans left-to-right and resumes after
+    * each replacement on every engine (Java and DuckDB agree), so the
+    * segmentation is deterministic and CROSS-ENGINE IDENTICAL — the
+    * oracle replays the same chain literally. Output is the token
+    * stream as a string (tokens space-joined, words separated by the
+    * `</w>` marker) + token count; detokenization is
+    * `strip spaces, then marker → space` (round-trip spec-pinned).
+    *
+    * Scale shape: pure narrow per-row expression chain (|merges|
+    * nested codegen'd replaces inside one `transform` lambda), zero
+    * shuffles, streams unchanged; words cap at the engine-wide
+    * `MaxNgramPos` enumeration bound. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = "concat(' ', regexp_replace(w, '(.)', ' $1'), ' ')"
+    val chain = merges.foldLeft(base) { case (acc, (l, r)) =>
+      s"replace($acc, ${sqlLit(s" $l $r ")}, ${sqlLit(s" $l$r ")})"
+    }
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("tokens", expr(
+        s"array_join(transform(slice(split($textCol, ' '), 1, $MaxNgramPos), " +
+          s"w -> trim($chain)), ' </w> ')"))
+      .select(col(idCol), col("tokens"),
+        size(split(col("tokens"), " ")).cast("long").as("n_tokens"))
+  }
+
   /** Composite pretraining quality gate (the Gopher/C4 rule stack as ONE
     * verdict operator): word-count bounds, duplicate-word fraction,
     * top-bigram fraction, and word-entropy floor, combined into a

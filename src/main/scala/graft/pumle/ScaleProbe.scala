@@ -225,6 +225,26 @@ object ScaleProbe {
     println(f"[probe] bloom incremental (exact stage): $nNew%d new vs $nDocs6%d seen → " +
       f"$keptBloom kept in $secs7b%.1fs = ${nNew / secs7b / 1000}%.0fk new docs/s")
 
+    // persisted-snapshot incremental dedup — the production shape: the
+    // seen corpus is indexed ONCE (writeIncrementalSnapshot, amortized
+    // across every later increment) and each increment reads only that
+    // index, so the seen TEXT is scanned zero times per increment
+    // (plan-audited in ExtApiSpec). At 100 TB this is the difference
+    // between an increment costing O(increment + matched) and paying
+    // the full-corpus hash/signature/shingle recompute daily.
+    val snapDir = java.nio.file.Files.createTempDirectory("dedup-snap").toString
+    val tSnap = System.nanoTime()
+    graft.ext.Dedup.writeIncrementalSnapshot(spark, docs6, snapDir)
+    val secsSnap = (System.nanoTime() - tSnap) / 1e9
+    val snap = spark.read.parquet(snapDir)
+    val t7c = System.nanoTime()
+    val keptP = graft.ext.Dedup.dedupIncrementalPersisted(spark, newDocs, snap).count()
+    val secs7c = (System.nanoTime() - t7c) / 1e9
+    println(f"[probe] persisted incremental: index build $secsSnap%.1fs (once per snapshot); " +
+      f"$nNew%d new vs the $nDocs6%d-doc INDEX → $keptP kept " +
+      f"(recompute path: $kept) in $secs7c%.1fs = ${nNew / secs7c / 1000}%.0fk new docs/s " +
+      f"(${secs7 / secs7c}%.1f× the recompute path, seen text scanned 0×)")
+
     // unigram-LM scoring at volume over the 1M-doc corpus: histogram
     // pass + broadcast-vocab scoring pass (40 words/doc = 40M tokens)
     val t8 = System.nanoTime()

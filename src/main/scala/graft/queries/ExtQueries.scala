@@ -148,9 +148,8 @@ object ExtQueries {
         .filter(col("n_a") > 0 && col("n_b") > 0)
         .select(
           col("a_id"), (col("a_id") + 250).as("b_id"), col("n_a"), col("n_b"),
-          round(col("n_inter").cast("double") /
-            (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
-            .as("jaccard"))
+          graft.ext.Dedup.ratio6(col("n_inter"),
+            col("n_a") + col("n_b") - col("n_inter")).as("jaccard"))
         .orderBy(col("a_id"))
     },
     Some(s"""WITH $shingleCte,
@@ -161,8 +160,11 @@ object ExtQueries {
         GROUP BY a.doc_id)
       SELECT sa.doc_id AS a_id, sa.doc_id + 250 AS b_id,
         sa.n_sh AS n_a, sb.n_sh AS n_b,
-        round(CAST(coalesce(n_inter, 0) AS DOUBLE) /
-              CAST(sa.n_sh + sb.n_sh - coalesce(n_inter, 0) AS DOUBLE), 6) AS jaccard
+        -- integer half-up 6-dp (ratio6 discipline): DOUBLE round()
+        -- diverges across engines at decimal midpoints
+        CAST((2 * coalesce(n_inter, 0) * 1000000 + sa.n_sh + sb.n_sh - coalesce(n_inter, 0))
+             // (2 * (sa.n_sh + sb.n_sh - coalesce(n_inter, 0))) AS DOUBLE)
+          / 1000000.0 AS jaccard
       FROM sizes sa
       JOIN sizes sb ON sb.doc_id = sa.doc_id + 250
       LEFT JOIN inter i ON i.a_id = sa.doc_id
@@ -720,8 +722,12 @@ object ExtQueries {
         GROUP BY p.a_id, p.b_id),
       scored AS (
         SELECT p.a_id, p.b_id,
-          round(CAST(coalesce(i.i, 0) AS DOUBLE)
-                / (ca.n + cb.n - coalesce(i.i, 0)), 6) AS jaccard
+          -- exact half-up 6-dp of the true rational in integer space
+          -- (the Spark side's ratio6 discipline): round() of the DOUBLE
+          -- quotient diverges across engines at decimal midpoints
+          CAST((2 * coalesce(i.i, 0) * 1000000 + ca.n + cb.n - coalesce(i.i, 0))
+               // (2 * (ca.n + cb.n - coalesce(i.i, 0))) AS DOUBLE)
+            / 1000000.0 AS jaccard
         FROM pairs p
         JOIN counts ca ON ca.doc_id = p.a_id
         JOIN counts cb ON cb.doc_id = p.b_id
@@ -1441,20 +1447,26 @@ object ExtQueries {
         JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
         GROUP BY p.a_id, p.b_id),
       scored AS (
+        -- integer 6-dp numerators (the Spark side's ratio6 discipline):
+        -- est is exact (lanes | 10⁶), true jaccard is half-up-rounded
+        -- in integer space, abs_err is their integer difference —
+        -- round() of DOUBLE quotients diverges at decimal midpoints
         SELECT p.a_id, p.b_id,
           (${salts.indices.map(p =>
             s"CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END").mkString(" + ")})
-            / ${salts.length}.0 AS est_jaccard,
-          round(CAST(coalesce(i.i, 0) AS DOUBLE)
-                / (ca.n + cb.n - coalesce(i.i, 0)), 6) AS jaccard
+            * ${1000000 / salts.length} AS e6,
+          (2 * coalesce(i.i, 0) * 1000000 + ca.n + cb.n - coalesce(i.i, 0))
+               // (2 * (ca.n + cb.n - coalesce(i.i, 0))) AS j6
         FROM pairs p
         JOIN sig sa ON sa.doc_id = p.a_id
         JOIN sig sb ON sb.doc_id = p.b_id
         JOIN counts ca ON ca.doc_id = p.a_id
         JOIN counts cb ON cb.doc_id = p.b_id
         LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id)
-      SELECT a_id, b_id, est_jaccard, jaccard,
-        round(abs(est_jaccard - jaccard), 6) AS abs_err
+      SELECT a_id, b_id,
+        CAST(e6 AS DOUBLE) / 1000000.0 AS est_jaccard,
+        CAST(j6 AS DOUBLE) / 1000000.0 AS jaccard,
+        CAST(abs(e6 - j6) AS DOUBLE) / 1000000.0 AS abs_err
       FROM scored ORDER BY a_id, b_id"""))
 
   // ---------------------------------------------------------------- q95
@@ -1521,8 +1533,12 @@ object ExtQueries {
         GROUP BY p.a_id, p.b_id),
       scored AS (
         SELECT p.a_id, p.b_id,
-          round(CAST(coalesce(i.i, 0) AS DOUBLE)
-                / (ca.n + cb.n - coalesce(i.i, 0)), 6) AS jaccard
+          -- exact half-up 6-dp of the true rational in integer space
+          -- (the Spark side's ratio6 discipline): round() of the DOUBLE
+          -- quotient diverges across engines at decimal midpoints
+          CAST((2 * coalesce(i.i, 0) * 1000000 + ca.n + cb.n - coalesce(i.i, 0))
+               // (2 * (ca.n + cb.n - coalesce(i.i, 0))) AS DOUBLE)
+            / 1000000.0 AS jaccard
         FROM pairs p
         JOIN counts ca ON ca.doc_id = p.a_id
         JOIN counts cb ON cb.doc_id = p.b_id
@@ -1597,8 +1613,43 @@ object ExtQueries {
         CAST(max(bsize) AS BIGINT) AS max_bucket_size
       FROM sized"""))
 
+  // --------------------------------------------------------------- q100
+  // BPE encode with a FIXED literal merge table (the learned-merge
+  // round-trip is TextStats4Spec's job — an oracle string can't embed
+  // training output): per word, chars expand to space-delimited symbols
+  // and each merge is one delimiter-bounded replace, applied in table
+  // order. replace() scans left-to-right resuming after each
+  // replacement on BOTH engines, so the segmentation is bit-identical.
+  // Pure narrow per-row expression chain.
+  private val bpeMerges = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+  private val q100 = Q(
+    "q100_bpe_encode",
+    (s, d) => {
+      graft.ext.TextStats.bpeEncode(Tables.documents(s, d), bpeMerges)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      // letters-only merge symbols interpolate into both engines' SQL
+      // without escaping (asserted here, not assumed)
+      require(bpeMerges.forall { case (l, r) => (l + r).forall(_.isLetter) })
+      val base = """concat(' ', regexp_replace(w, '(.)', ' \1', 'g'), ' ')"""
+      val chain = bpeMerges.foldLeft(base) { case (acc, (l, r)) =>
+        s"replace($acc, ' $l $r ', ' $l$r ')"
+      }
+      s"""WITH enc AS (
+        SELECT doc_id,
+          array_to_string(list_transform((string_split(text, ' '))[1:4096],
+            w -> trim($chain)), ' </w> ') AS tokens
+        FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, tokens,
+        len(string_split(tokens, ' ')) AS n_tokens
+      FROM enc ORDER BY doc_id"""
+    })
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
+    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
 }

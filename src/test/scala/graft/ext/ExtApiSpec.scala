@@ -501,6 +501,51 @@ class ExtApiSpec extends SparkSpec {
     assert(out == Set(12L, 13L))
   }
 
+  test("dedupIncrementalPersisted == dedupIncremental on a planted-dup corpus") {
+    import spark.implicits._
+    // 40 seen docs + an increment with planted exact/near/new docs
+    val rnd = new scala.util.Random(11)
+    val seen = (0L until 40L).map(i =>
+      (i, Seq.fill(12)("s" + rnd.nextInt(30)).mkString(" "))).toDF("doc_id", "text")
+    val seenRows = seen.collect().map(r => (r.getLong(0), r.getString(1)))
+    val fresh = (
+      seenRows.take(5).map { case (i, t) => (100L + i, t) } ++          // exact dups
+      seenRows.slice(5, 10).map { case (i, t) => (200L + i, t + " zz") } ++ // near dups
+      (0 until 10).map(i => (300L + i,
+        Seq.fill(12)("f" + rnd.nextInt(1000) + "_" + i).mkString(" ")))  // fresh
+    ).toSeq.toDF("doc_id", "text")
+    val recomputed = Dedup.dedupIncremental(spark, fresh, seen,
+        maxBucket = 6, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val snapshot = Dedup.incrementalSnapshot(spark, seen)
+    val persisted = Dedup.dedupIncrementalPersisted(spark, fresh, snapshot,
+        maxBucket = 6, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(persisted == recomputed, s"persisted $persisted != recomputed $recomputed")
+    assert(recomputed.forall(_ >= 300L) && recomputed.size >= 8) // dups dropped
+  }
+
+  test("dedupIncrementalPersisted never scans the seen corpus — only the pruned snapshot") {
+    import spark.implicits._
+    val seenDir = java.nio.file.Files.createTempDirectory("seen-corpus").toString
+    val snapDir = java.nio.file.Files.createTempDirectory("dedup-snap").toString
+    val seen = (0L until 20L).map(i => (i, s"seen document number $i with words"))
+      .toDF("doc_id", "text")
+    seen.write.mode("overwrite").parquet(seenDir)
+    Dedup.writeIncrementalSnapshot(spark, spark.read.parquet(seenDir), snapDir)
+    val fresh = Seq((100L, "seen document number 3 with words"),
+      (101L, "an entirely new arrival")).toDF("doc_id", "text")
+    val out = Dedup.dedupIncrementalPersisted(spark, fresh,
+      spark.read.parquet(snapDir))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains(seenDir), s"seen corpus scanned on the increment:\n$plan")
+    assert(plan.contains(snapDir), plan)
+    // the exact stage reads the snapshot pruned to the hash column alone
+    assert(plan.contains("ReadSchema: struct<content_hash:string>"),
+      s"exact-stage snapshot scan not column-pruned:\n$plan")
+    assert(out.collect().map(_.getLong(0)).toSet == Set(101L))
+  }
+
   test("langScore tie-break follows marker order") {
     import spark.implicits._
     val d = Seq((1L, "x y z")).toDF("doc_id", "text") // all scores 0 → tie

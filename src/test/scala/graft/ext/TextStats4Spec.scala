@@ -122,6 +122,44 @@ class TextStats4Spec extends SparkSpec {
     assert(m.size == 2) // second merge completes the word
   }
 
+  test("bpeEncode round-trips: train → encode → detokenize == text") {
+    val docs = randomDocs(30, seed = 9, vocab = 12, len = 20)
+      .select(col("doc_id"), col("text"))
+    val merges = TextStats.bpeTrain(docs, nMerges = 6).map(m => (m._2, m._3))
+    assert(merges.nonEmpty)
+    val enc = TextStats.bpeEncode(docs, merges)
+    val joined = enc.join(docs, Seq("doc_id"))
+      .withColumn("detok",
+        regexp_replace(regexp_replace(col("tokens"), " ", ""), "</w>", " "))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[String]("detok") == r.getAs[String]("text"),
+        s"round-trip broke: $r")
+    }
+    // the learned merges actually compress: fewer tokens than the
+    // unmerged char count (chars-minus-spaces + word markers)
+    val totalTokens = joined.map(_.getAs[Long]("n_tokens")).sum
+    val naive = joined.map { r =>
+      val t = r.getAs[String]("text")
+      t.count(_ != ' ').toLong + t.count(_ == ' ').toLong // chars + markers
+    }.sum
+    assert(totalTokens < naive, s"no merge applied: $totalTokens vs $naive")
+  }
+
+  test("bpeEncode applies merges in table order (priority semantics)") {
+    import spark.implicits._
+    val d = Seq((1L, "abc")).toDF("doc_id", "text")
+    // (a,b) first consumes the 'b' — the later (b,c) merge finds nothing
+    val ab = TextStats.bpeEncode(d, Seq("a" -> "b", "b" -> "c"))
+      .head().getAs[String]("tokens")
+    assert(ab == "ab c", s"got '$ab'")
+    // reversed priority: (b,c) first, so (a,b) finds nothing
+    val bc = TextStats.bpeEncode(d, Seq("b" -> "c", "a" -> "b"))
+      .head().getAs[String]("tokens")
+    assert(bc == "a bc", s"got '$bc'")
+  }
+
   test("gopherFilter: keep == (reason_mask == 0) and each bit matches its signal") {
     import spark.implicits._
     // small vocab → real violations (entropy ≤ ln 8 < 2.8 floors them all);

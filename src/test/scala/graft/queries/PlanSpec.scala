@@ -122,7 +122,7 @@ class PlanSpec extends SparkSpec {
       "q94_minhash_calibration" -> 3, "q95_norm_profile" -> 2,
       "q96_quality_gate_narrow" -> 1, "q35_debounce" -> 2,
       "q97_source_leakage" -> 4, "q98_normalize" -> 1,
-      "q99_simhash_cap_stats" -> 2)
+      "q99_simhash_cap_stats" -> 2, "q100_bpe_encode" -> 1)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

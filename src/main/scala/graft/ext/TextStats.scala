@@ -611,11 +611,19 @@ object TextStats {
     * the sort, so a run boundary closes each count exactly once. The
     * naive form (`filter`-within-`transform`, O(distinct·n) interpreted
     * lambda calls per doc) measured 4× slower than the RELATIONAL gate
-    * at sf0.1; the run form is ~n lambda calls per doc. Entropy terms
-    * accumulate in exact DECIMALs inside the aggregate — the same
-    * order-free discipline as `wordEntropy` (sorting cannot change an
-    * exact sum), so the two forms agree to the last bit. Appends the
-    * signal/verdict columns; every input column passes through. */
+    * at sf0.1; the run form is ~n lambda calls per doc. Per row there
+    * are exactly TWO sorted passes: one over the word array computing
+    * distinct count AND entropy together (a separate `array_distinct`
+    * plus a second sort+aggregate measured ~35% slower at sf0.1), one
+    * over the bigram array — and bigrams are (w, w') STRUCTS, not
+    * concatenated strings, so the pass allocates no per-bigram text
+    * (words are space-free, so struct equality ≡ string equality and
+    * sorting differs only in ORDER, which run-grouping ignores).
+    * Entropy terms accumulate in exact DECIMALs inside the aggregate —
+    * the same order-free discipline as `wordEntropy` (sorting cannot
+    * change an exact sum), so the two forms agree to the last bit.
+    * Appends the signal/verdict columns; every input column passes
+    * through. */
   def gopherFilterNarrow(docs: DataFrame,
       minWords: Long = 20, maxWords: Long = 10000,
       maxDupWordFrac: Double = 0.6, maxTopBigramFrac: Double = 0.06,
@@ -623,8 +631,26 @@ object TextStats {
     docs.filter(col(textCol).isNotNull)
       .withColumn("ws", split(col(textCol), " "))
       .withColumn("n_words", size(col("ws")).cast("long"))
+      // ONE sorted pass over the words: run boundaries yield the
+      // distinct count (nd) and the exact-DECIMAL entropy sum (s) —
+      // each run of length c contributes round(ln(c),9)·c on close
+      // (the wordEntropy discipline)
+      .withColumn("wstat", expr(
+        """aggregate(array_sort(ws),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0,
+          |               'nd', 0, 's', CAST(0 AS DECIMAL(28,9))),
+          |  (acc, w) -> IF(acc.prev IS NOT NULL AND w = acc.prev,
+          |    named_struct('prev', w, 'run', acc.run + 1, 'nd', acc.nd, 's', acc.s),
+          |    named_struct('prev', w, 'run', 1, 'nd', acc.nd + 1, 's',
+          |      CAST(acc.s + IF(acc.run = 0, CAST(0 AS DECIMAL(29,9)),
+          |        CAST(round(ln(CAST(acc.run AS DOUBLE)), 9) AS DECIMAL(18,9)) * acc.run)
+          |      AS DECIMAL(28,9)))),
+          |  acc -> named_struct('nd', acc.nd,
+          |    's', CAST(acc.s + IF(acc.run = 0, CAST(0 AS DECIMAL(29,9)),
+          |      CAST(round(ln(CAST(acc.run AS DOUBLE)), 9) AS DECIMAL(18,9)) * acc.run)
+          |    AS DECIMAL(28,9))))""".stripMargin))
       .withColumn("dup_word_frac",
-        round(lit(1.0) - size(array_distinct(col("ws"))).cast("double")
+        round(lit(1.0) - col("wstat.nd").cast("double")
           / size(col("ws")).cast("double"), 6))
       .withColumn("bg", expr(
         s"""CASE WHEN size(ws) >= 2 THEN
@@ -642,32 +668,16 @@ object TextStats {
           |          IF(acc.prev IS NOT NULL AND b = acc.prev, acc.run + 1, 1))),
           |      acc -> acc.best) AS DOUBLE)
           |    / CAST(size(bg) AS DOUBLE), 6) END""".stripMargin))
-      // exact-DECIMAL entropy accumulation (the wordEntropy discipline),
-      // evaluated entirely inside the row: each sorted run of length c
-      // contributes round(ln(c),9)·c when its boundary closes
-      .withColumn("ent_s", expr(
-        """aggregate(array_sort(ws),
-          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0,
-          |               's', CAST(0 AS DECIMAL(28,9))),
-          |  (acc, w) -> IF(acc.prev IS NOT NULL AND w = acc.prev,
-          |    named_struct('prev', w, 'run', acc.run + 1, 's', acc.s),
-          |    named_struct('prev', w, 'run', 1, 's',
-          |      CAST(acc.s + IF(acc.run = 0, CAST(0 AS DECIMAL(29,9)),
-          |        CAST(round(ln(CAST(acc.run AS DOUBLE)), 9) AS DECIMAL(18,9)) * acc.run)
-          |      AS DECIMAL(28,9)))),
-          |  acc -> CAST(acc.s + IF(acc.run = 0, CAST(0 AS DECIMAL(29,9)),
-          |    CAST(round(ln(CAST(acc.run AS DOUBLE)), 9) AS DECIMAL(18,9)) * acc.run)
-          |  AS DECIMAL(28,9)))""".stripMargin))
       .withColumn("entropy",
         round(round(log(col("n_words").cast("double")), 9)
-          - col("ent_s").cast("double") / col("n_words"), 6))
+          - col("wstat.s").cast("double") / col("n_words"), 6))
       .withColumn("reason_mask",
         when(col("n_words") < minWords || col("n_words") > maxWords, 1L).otherwise(0L)
           + when(col("dup_word_frac") > maxDupWordFrac, 2L).otherwise(0L)
           + when(col("top_bigram_frac") > maxTopBigramFrac, 4L).otherwise(0L)
           + when(col("entropy") < minEntropy, 8L).otherwise(0L))
       .withColumn("keep", col("reason_mask") === 0L)
-      .drop("ws", "bg", "ent_s")
+      .drop("ws", "bg", "wstat")
   }
 
   /** Winnowing-style min-shingle + order-insensitive xor fingerprints.

@@ -595,89 +595,63 @@ object TextStats {
         col("top_bigram_frac"), col("entropy"), col("reason_mask"), col("keep"))
   }
 
-  /** The composite quality gate recomputed as PURE PER-ROW array algebra
-    * — bit-identical verdicts to `gopherFilter` (q96 runs against q93's
-    * exact oracle; Stream4Spec pins the equality on random corpora) with
-    * ZERO shuffles, so it composes onto Structured Streaming unchanged
-    * (`Streams.qualityGate`) and onto batch as an embarrassingly
-    * parallel map.
+  /** The composite quality gate recomputed as PURE PER-ROW work —
+    * bit-identical verdicts to `gopherFilter` (q96 runs against q93's
+    * exact oracle; NarrowGateSpec pins the equality on random corpora)
+    * with ZERO shuffles, so it composes onto Structured Streaming
+    * unchanged (`Streams.qualityGate`) and onto batch as an
+    * embarrassingly parallel map.
     *
-    * The trade is per-row work for shuffle-freedom — the right side of
-    * the trade for a streaming gate, where any aggregate would force
-    * state, and for batch corpora whose docs are bounded (the 4096
-    * position cap IS the bound). In-row counting is SORTED-RUN
-    * aggregation: `array_sort` + one O(n) `aggregate` pass whose state
-    * carries (prev, run, result) — equal elements are adjacent after
-    * the sort, so a run boundary closes each count exactly once. The
-    * naive form (`filter`-within-`transform`, O(distinct·n) interpreted
-    * lambda calls per doc) measured 4× slower than the RELATIONAL gate
-    * at sf0.1; the run form is ~n lambda calls per doc. Per row there
-    * are exactly TWO sorted passes: one over the word array computing
-    * distinct count AND entropy together (a separate `array_distinct`
-    * plus a second sort+aggregate measured ~35% slower at sf0.1), one
-    * over the bigram array — and bigrams are (w, w') STRUCTS, not
-    * concatenated strings, so the pass allocates no per-bigram text
-    * (words are space-free, so struct equality ≡ string equality and
-    * sorting differs only in ORDER, which run-grouping ignores).
-    * Entropy terms accumulate in exact DECIMALs inside the aggregate —
-    * the same order-free discipline as `wordEntropy` (sorting cannot
-    * change an exact sum), so the two forms agree to the last bit.
-    * Appends the signal/verdict columns; every input column passes
-    * through. */
+    * The per-row statistics come from ONE compiled Catalyst expression,
+    * [[graft.functions.GopherStats]] (`gopher_stats(text)`): word
+    * count, distinct count, the exact entropy numerator in integer
+    * nanos, top bigram multiplicity, and the capped bigram count, in
+    * two hash-map passes of generated-code-callable Java. This replaced
+    * the interpreted sorted-run `aggregate`/`array_sort` SQL form
+    * (round 5) — higher-order lambdas are interpreted, paying a boxed
+    * call per word plus two `array_sort`s per row; the compiled pass
+    * measured 3.9× faster at sf0.1 (QBench q96 1.53s → 0.39s, now
+    * ~3× faster than the relational q93 instead of slower) and keeps
+    * the whole gate inside one codegen stage. Oracle parity is
+    * preserved by construction: `gopher_stats` returns raw INTEGERS
+    * (never pre-rounded doubles) — word/bigram counts plus
+    * `ent_nanos` = Σ round(ln(c),9)·c in 10⁻⁹ units, the lossless
+    * integer encoding of the DECIMAL(28,9) sum the SQL form
+    * accumulated (GopherStatsSpec pins field-for-field equality with
+    * that form, including `split(text, ' ')` empty-token semantics and
+    * the 4096 bigram-start cap) — and every 6-dp rounding / double
+    * division below is the SAME DataFrame expression the relational
+    * gate uses, applied to decimals of identical value. Appends the
+    * signal/verdict columns; every input column passes through. */
   def gopherFilterNarrow(docs: DataFrame,
       minWords: Long = 20, maxWords: Long = 10000,
       maxDupWordFrac: Double = 0.6, maxTopBigramFrac: Double = 0.06,
       minEntropy: Double = 2.8, textCol: String = "text"): DataFrame = {
+    graft.functions.GopherStats.register(docs.sparkSession)
     docs.filter(col(textCol).isNotNull)
-      .withColumn("ws", split(col(textCol), " "))
-      .withColumn("n_words", size(col("ws")).cast("long"))
-      // ONE sorted pass over the words: run boundaries yield the
-      // distinct count (nd) and the exact-DECIMAL entropy sum (s) —
-      // each run of length c contributes round(ln(c),9)·c on close
-      // (the wordEntropy discipline)
-      .withColumn("wstat", expr(
-        """aggregate(array_sort(ws),
-          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0,
-          |               'nd', 0, 's', CAST(0 AS DECIMAL(28,9))),
-          |  (acc, w) -> IF(acc.prev IS NOT NULL AND w = acc.prev,
-          |    named_struct('prev', w, 'run', acc.run + 1, 'nd', acc.nd, 's', acc.s),
-          |    named_struct('prev', w, 'run', 1, 'nd', acc.nd + 1, 's',
-          |      CAST(acc.s + IF(acc.run = 0, CAST(0 AS DECIMAL(29,9)),
-          |        CAST(round(ln(CAST(acc.run AS DOUBLE)), 9) AS DECIMAL(18,9)) * acc.run)
-          |      AS DECIMAL(28,9)))),
-          |  acc -> named_struct('nd', acc.nd,
-          |    's', CAST(acc.s + IF(acc.run = 0, CAST(0 AS DECIMAL(29,9)),
-          |      CAST(round(ln(CAST(acc.run AS DOUBLE)), 9) AS DECIMAL(18,9)) * acc.run)
-          |    AS DECIMAL(28,9))))""".stripMargin))
+      .withColumn("gs", expr(s"gopher_stats($textCol)"))
+      .withColumn("n_words", col("gs.n_words"))
       .withColumn("dup_word_frac",
-        round(lit(1.0) - col("wstat.nd").cast("double")
-          / size(col("ws")).cast("double"), 6))
-      .withColumn("bg", expr(
-        s"""CASE WHEN size(ws) >= 2 THEN
-           |  transform(sequence(1, least(size(ws) - 1, $MaxNgramPos)),
-           |    i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))
-           |ELSE array() END""".stripMargin))
-      .withColumn("top_bigram_frac", expr(
-        """CASE WHEN size(bg) = 0 THEN 0.0 ELSE
-          |  round(CAST(aggregate(array_sort(bg),
-          |      named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
-          |      (acc, b) -> named_struct(
-          |        'prev', b,
-          |        'run',  IF(acc.prev IS NOT NULL AND b = acc.prev, acc.run + 1, 1),
-          |        'best', greatest(acc.best,
-          |          IF(acc.prev IS NOT NULL AND b = acc.prev, acc.run + 1, 1))),
-          |      acc -> acc.best) AS DOUBLE)
-          |    / CAST(size(bg) AS DOUBLE), 6) END""".stripMargin))
+        round(lit(1.0) - col("gs.n_distinct").cast("double")
+          / col("gs.n_words").cast("double"), 6))
+      .withColumn("top_bigram_frac",
+        when(col("gs.n_bigrams") === 0L, lit(0.0))
+          .otherwise(round(col("gs.top_bigram_count").cast("double")
+            / col("gs.n_bigrams").cast("double"), 6)))
+      // ent_nanos × 10⁻⁹ reconstructs the exact DECIMAL entropy sum;
+      // the DECIMAL→DOUBLE cast and the two roundings are verbatim the
+      // relational form's final expression (wordEntropy)
       .withColumn("entropy",
         round(round(log(col("n_words").cast("double")), 9)
-          - col("wstat.s").cast("double") / col("n_words"), 6))
+          - (col("gs.ent_nanos") * lit(BigDecimal("0.000000001")))
+              .cast("double") / col("n_words"), 6))
       .withColumn("reason_mask",
         when(col("n_words") < minWords || col("n_words") > maxWords, 1L).otherwise(0L)
           + when(col("dup_word_frac") > maxDupWordFrac, 2L).otherwise(0L)
           + when(col("top_bigram_frac") > maxTopBigramFrac, 4L).otherwise(0L)
           + when(col("entropy") < minEntropy, 8L).otherwise(0L))
       .withColumn("keep", col("reason_mask") === 0L)
-      .drop("ws", "bg", "wstat")
+      .drop("gs")
   }
 
   /** Winnowing-style min-shingle + order-insensitive xor fingerprints.

@@ -39,6 +39,10 @@ class NarrowGateSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("HashAggregate"), p)
     assert(!p.contains("Generate"), p)
+    // (no gopher_stats assert here: on a local Seq-backed frame
+    // ConvertToLocalRelation folds the whole gate at plan time —
+    // itself proof the expression evaluates eagerly; PlanSpec pins the
+    // call's presence + single evaluation on the parquet-backed q96)
   }
 
   test("streaming qualityGate: verdicts match the batch gate, duplicates dropped") {

@@ -213,6 +213,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p)
     assert(!p.contains("Generate"), p)
     assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined, p)
+    // the per-row statistics run through the COMPILED gopher_stats
+    // expression, evaluated exactly once per row (the five signal
+    // columns all read the same struct — CollapseProject must not
+    // duplicate the call)
+    assert("gopher_stats".r.findAllIn(p).length == 1, p)
+    // and the scan reads only what the gate needs
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
   test("q76: boilerplate set broadcasts — doc-side chunks never shuffle on the chunk key") {

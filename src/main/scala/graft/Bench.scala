@@ -14,10 +14,7 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // Register custom functions ONCE — per-query re-registration emitted
     // a WARN per call in round 1, polluting the driver's stdout parse.
-    graft.functions.MinHash48.register(spark)
-    graft.functions.Dot64.register(spark)
-    graft.functions.SimHash16.register(spark)
-    graft.functions.XorFp48.register(spark)
+    graft.functions.Functions.registerAll(spark)
     // Warm up the JVM/codegen/parquet-footer paths so the first measured
     // query doesn't absorb session start-up cost.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -42,7 +39,32 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Calibration probe: a FIXED pure-CPU query (codegen'd range+sum,
+    // no IO, no shuffle beyond the final reduce) timed at the start,
+    // middle, and end of the suite. Identical work each time, so any
+    // dispersion across the three shots is the HOST's (steal/contention
+    // on a shared VM), not the suite's — the r3 q61 and r5 q92/q93
+    // "regressions" both vanished on re-run, and this makes that
+    // adjudication mechanical: bench_compare.py downgrades per-query
+    // flags measured under dispersion > 1.3x.
+    def calibrate(): Double = {
+      isolate()
+      val t0 = System.nanoTime()
+      // xxhash64 keeps the probe CPU-bound; % 1e6 bounds the running
+      // sum far below Long.Max (ANSI overflow is an error in Spark 4)
+      spark.range(2000000000L).selectExpr("sum(xxhash64(id) % 1000000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val calib = collection.mutable.ArrayBuffer[Double]()
+    // warm the probe's own codegen/JIT path once UNTIMED — without this
+    // the first shot systematically reads ~1.3x the later ones on a
+    // quiet host (compilation, not contention), flagging every run
+    // NOISY and defeating the adjudication
+    calibrate()
+    calib += calibrate()
+    val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == sorted.length / 2) calib += calibrate()
       val times = (1 to runs).map { _ =>
         // isolation (cache/storage cleanup of whatever ran before) happens
         // BEFORE the clock starts — the timing is the query alone, not the
@@ -59,11 +81,14 @@ object Bench {
       }
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
+    calib += calibrate()
+    val noise = calib.max / calib.min
+    val calibJson = calib.map(t => f"$t%.3f").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","calibration":$calibJson,"noise":${f"$noise%.3f"}}"""
     // Full per-query map goes to a known FILE: sbt wraps stdout in [info]
     // prefixes (broke round 1) and at 80 queries the full line overflows
     // the driver's stdout tail-capture window (broke round 4:
@@ -78,7 +103,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"runs":$runs,"sf":"$sfDir","full":"${outPath.toString}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"runs":$runs,"sf":"$sfDir","calibration":$calibJson,"noise":${f"$noise%.3f"},"full":"${outPath.toString}"}""")
     spark.stop()
   }
 }

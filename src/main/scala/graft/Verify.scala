@@ -17,6 +17,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // every custom function up front (operators self-register what they
+    // need, but a query written as raw SQL would otherwise depend on
+    // which tool ran first — Bench/QBench/ScaleProbe do the same)
+    graft.functions.Functions.registerAll(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

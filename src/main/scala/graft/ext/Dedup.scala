@@ -565,14 +565,18 @@ object Dedup {
     * broadcast back as a left-join flag — the doc-side chunk stream is
     * never shuffled on the chunk key at all, so the license block that
     * sits in 10% of the corpus costs nothing beyond its (map-side
-    * combined) count row. The boilerplate set is small by construction:
-    * it holds < totalChunkOccurrences / maxReps distinct chunks, and in
-    * practice orders of magnitude fewer; raise `maxReps` if a
-    * pathological corpus ever inflates it past broadcast size. Final
-    * doc-keyed reassembly aggregate; chunk positions cap at 4096 per
-    * doc (the shared cross-engine enumeration bound). */
+    * combined) count row. The boilerplate set is small by construction
+    * (< totalChunkOccurrences / maxReps distinct chunks, in practice
+    * orders of magnitude fewer), but the broadcast is SIZE-GUARDED,
+    * not assumed: the set is counted after materialization and joins
+    * unhinted (AQE decides) past `maxBoilerplateBroadcast` rows —  a
+    * forced hint would bypass autoBroadcastJoinThreshold and collect
+    * an unbounded corpus-dependent set on the driver. Final doc-keyed
+    * reassembly aggregate; chunk positions cap at 4096 per doc (the
+    * shared cross-engine enumeration bound). */
   def dedupChunks(docs: DataFrame, chunkWords: Int = 2, maxReps: Int = 20,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBoilerplateBroadcast: Long = 1000000L): DataFrame = {
     val k = chunkWords
     val chunks = docs
       .withColumn("ws", split(col(textCol), " "))
@@ -580,10 +584,24 @@ object Dedup {
         s"""transform(sequence(0, least(int(ceil(size(ws) / CAST($k AS DOUBLE))) - 1, 4096)),
            |  i -> array_join(slice(ws, i * $k + 1, $k), ' '))""".stripMargin))
         .as(Seq("ci", "chunk")))
+    // The boilerplate set is corpus-CONTENT-dependent: usually tiny
+    // (< totalChunks / maxReps distinct values by construction), but a
+    // pathological corpus/config (tiny chunks, low maxReps) can inflate
+    // it past what a forced broadcast hint — which BYPASSES
+    // autoBroadcastJoinThreshold — can collect on the driver. So the
+    // set is materialized ONCE (localCheckpoint; its count aggregate
+    // never re-runs, and the doc-side chunk stream still never
+    // shuffles on the skewed chunk key), counted, and only broadcast
+    // under `maxBoilerplateBroadcast` rows; past the bound the join
+    // goes unhinted and AQE picks the strategy at runtime.
     val boilerplate = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("reps"))
       .filter(col("reps") > maxReps)
       .select(col("chunk"), lit(true).as("is_boiler"))
-    chunks.join(broadcast(boilerplate), Seq("chunk"), "left")
+      .localCheckpoint(true)
+    val flag =
+      if (boilerplate.count() <= maxBoilerplateBroadcast) broadcast(boilerplate)
+      else boilerplate
+    chunks.join(flag, Seq("chunk"), "left")
       .groupBy(col(idCol))
       .agg(
         array_join(expr(

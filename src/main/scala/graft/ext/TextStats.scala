@@ -564,6 +564,29 @@ object TextStats {
         size(split(col("tokens"), " ")).cast("long").as("n_tokens"))
   }
 
+  /** BPE encode at production vocabulary scale — bit-identical output
+    * to [[bpeEncode]] (BpeTokensSpec pins equality; q101 runs against
+    * q100's oracle verbatim) through ONE compiled expression,
+    * [[graft.functions.BpeTokens]], instead of |merges| nested
+    * `replace` calls. The chain form is the ORACLE-REPLAYABLE
+    * formulation and is exact at q100's 8 merges, but a real 32k-merge
+    * vocabulary would exceed analyzer/codegen tree depth and rewrite
+    * the full document string once per merge; `bpe_tokens` holds the
+    * table as a constant reference object (expression size O(1) in
+    * |merges|) and encodes each word over a symbol array behind a
+    * per-executor word→encoding memo — the `bpeTrain` histogram trick
+    * (work per DISTINCT word, 33× measured) without the explode +
+    * join-back shuffle a materialized histogram would cost. Fully
+    * narrow: zero shuffles, streams unchanged. */
+  def bpeEncodeFast(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.BpeTokens.register(docs.sparkSession, merges)
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("tokens", expr(s"bpe_tokens($textCol)"))
+      .select(col(idCol), col("tokens"),
+        size(split(col("tokens"), " ")).cast("long").as("n_tokens"))
+  }
+
   /** Composite pretraining quality gate (the Gopher/C4 rule stack as ONE
     * verdict operator): word-count bounds, duplicate-word fraction,
     * top-bigram fraction, and word-entropy floor, combined into a

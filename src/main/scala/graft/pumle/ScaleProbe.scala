@@ -119,9 +119,7 @@ object ScaleProbe {
     // suite (simhash16 + xorfp48 + minhash48 lane 0) — fully narrow,
     // md5-bound; this is the 100 TB text-dedup feature pass
     val t5 = System.nanoTime()
-    graft.functions.SimHash16.register(spark)
-    graft.functions.XorFp48.register(spark)
-    graft.functions.MinHash48.register(spark)
+    graft.functions.Functions.registerAll(spark)
     // the aggregate must consume ALL THREE sketch columns — otherwise
     // Catalyst prunes the unreferenced expressions out of the measured
     // plan (the same trap Bench's noop sink exists to avoid)
@@ -160,6 +158,26 @@ object ScaleProbe {
     val secsB = (System.nanoTime() - tB) / 1e9
     println(f"[probe] bpe train: 8 merges over $nDocs3%d docs in $secsB%.1fs " +
       f"= ${secsB / 8}%.1fs/merge (top merge '${bpe.head._4}' × ${bpe.head._5})")
+
+    // BPE ENCODE at production vocabulary scale: a 1.3k-merge table
+    // through the compiled bpe_tokens expression over the 1M-doc
+    // corpus. The oracle-replayable chain form is structurally capped
+    // (|merges| nested replaces: analyzer/codegen tree depth, plus a
+    // full doc-string rewrite per merge — unusable at 1k, let alone a
+    // real 32k vocab); bpe_tokens holds the table as one reference
+    // object and memoizes per DISTINCT word (the bpeTrain histogram
+    // trick without its explode/join-back shuffle), so |merges| never
+    // touches plan size and corpus cost is one narrow pass.
+    val tE = System.nanoTime()
+    val letters = ('a' to 'z').map(_.toString)
+    val bigTable = (for (l <- letters; r <- letters) yield (l, r)) ++
+      (1 to 700).scanLeft("aa")((acc, _) => acc + "a").sliding(2).map(w => (w(0), "a")).toSeq
+    val enc = graft.ext.TextStats.bpeEncodeFast(docs3, bigTable)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    val secsE = (System.nanoTime() - tE) / 1e9
+    println(f"[probe] bpe encode: ${bigTable.length}%d merges × $nDocs3%d docs → " +
+      f"$enc%d tokens in $secsE%.1fs = ${nDocs3 / secsE / 1000}%.0fk docs/s " +
+      f"(chain form structurally capped at ~tens of merges)")
 
     // FULL corpus dedup at volume: ~1M docs with a 30% planted duplicate
     // rate (10% exact copies + 20% near-dups sharing 38/40 words with

@@ -1411,6 +1411,13 @@ object ExtQueries {
   // threshold empirically. Candidate-bounded like the verify stage; the
   // estimate is an exact dyadic double (integer count / 8) on both
   // engines.
+  // the oracle's integer est_jaccard multiplier `1000000 / salts.length`
+  // is exact only while |salts| divides 10⁶ — a non-divisor would make
+  // the oracle truncate while the Spark side floors in a different
+  // integer space, a confusing parity failure (the q100 letters-only
+  // discipline: assert build-time, don't assume)
+  require(1000000 % salts.length == 0,
+    s"q94 oracle needs |salts| to divide 1e6, got ${salts.length}")
   private val q94 = Q(
     "q94_minhash_calibration",
     (s, d) => {
@@ -1648,8 +1655,22 @@ object ExtQueries {
       FROM enc ORDER BY doc_id"""
     })
 
+  // --------------------------------------------------------------- q101
+  // The SAME encode as q100 through the compiled bpe_tokens expression
+  // (constant-size tree, per-executor word memo — the ≥1k-merge scale
+  // path). Shares q100's oracle verbatim: the chain and compiled forms
+  // must be bit-identical, and this query makes the driver prove it
+  // (the q96/q93 pattern).
+  private val q101 = Q(
+    "q101_bpe_encode_fast",
+    (s, d) => {
+      graft.ext.TextStats.bpeEncodeFast(Tables.documents(s, d), bpeMerges)
+        .orderBy(col("doc_id"))
+    },
+    q100.oracle) // q100's oracle VERBATIM
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
+    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101)
 }

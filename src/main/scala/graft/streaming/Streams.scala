@@ -195,11 +195,17 @@ object Streams {
             last.foreach { l =>
               state.update(DebState(l))
               // expire once the watermark proves the key idle past
-              // horizon + lateness; never set at-or-below the watermark
-              // (batch runs report watermark -1 and ignore timeouts)
+              // horizon + lateness; never set at-or-below the watermark.
+              // In BATCH execution EliminateEventTimeWatermark removes
+              // the watermark node, so getCurrentWatermarkMs() THROWS
+              // (watermarkPresent = false) — treat that as watermark
+              // -∞; batch ignores timeouts anyway (StreamsSpec pins the
+              // batch run against the lag-window operator)
+              val wm = try state.getCurrentWatermarkMs() catch {
+                case _: UnsupportedOperationException => -1L
+              }
               state.setTimeoutTimestamp(math.max(
-                (l + horizonUs + latenessUs) / 1000L,
-                state.getCurrentWatermarkMs() + 1L))
+                (l + horizonUs + latenessUs) / 1000L, wm + 1L))
             }
             kept.iterator
           }

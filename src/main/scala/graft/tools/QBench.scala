@@ -22,10 +22,7 @@ object QBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.functions.MinHash48.register(spark)
-    graft.functions.Dot64.register(spark)
-    graft.functions.SimHash16.register(spark)
-    graft.functions.XorFp48.register(spark)
+    graft.functions.Functions.registerAll(spark)
     spark.range(1000).selectExpr("sum(id)").collect()
     names.foreach { name =>
       val fn = graft.queries.Registry.queries.getOrElse(name,

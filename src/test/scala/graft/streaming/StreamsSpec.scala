@@ -179,6 +179,26 @@ class StreamsSpec extends SparkSpec {
     assert(batchKept == Set(1L, 3L, 4L, 6L), s"batch got $batchKept")
   }
 
+  test("debounce runs in BATCH execution (watermark node eliminated) with identical keeps") {
+    // batch mode strips the watermark node (EliminateEventTimeWatermark),
+    // so state.getCurrentWatermarkMs() THROWS — the operator must guard
+    // it, not assume a streaming-only caller (this is the claim the
+    // timeout-setup comment makes; this test is the proof)
+    import spark.implicits._
+    val M = 1000000L
+    val B = 1000L * M
+    val events = Seq(
+      Streams.DebEvent(1L, "click", B, 1L),
+      Streams.DebEvent(1L, "click", B + 10L * M, 2L),
+      Streams.DebEvent(1L, "click", B + 80L * M, 3L),
+      Streams.DebEvent(1L, "view", B + 5L * M, 4L),
+      Streams.DebEvent(1L, "click", B + 110L * M, 5L),
+      Streams.DebEvent(1L, "click", B + 310L * M, 6L)).toDF()
+    val kept = Streams.debounce(spark, events)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(kept == Set(1L, 3L, 4L, 6L), s"got $kept")
+  }
+
   test("streaming as-of: in-batch exact (ties right-first), late clicks never see future values") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

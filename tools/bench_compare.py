@@ -58,6 +58,11 @@ def main():
     ap.add_argument("--min-secs", type=float, default=0.2,
                     help="ignore deltas where both sides are below this "
                          "(scheduling-floor noise dominates tiny queries)")
+    ap.add_argument("--max-noise", type=float, default=1.3,
+                    help="if either file's calibration dispersion (max/min of "
+                         "the fixed pure-CPU probe Bench interleaves through "
+                         "the run) exceeds this, per-query slower/faster flags "
+                         "are downgraded to NOISY and don't affect exit status")
     args = ap.parse_args()
 
     try:
@@ -66,8 +71,20 @@ def main():
         print(f"error: {e}", file=sys.stderr)
         return 2
 
+    def noise_of(d):
+        # Bench >= r6 emits "noise" (and the raw "calibration" shots);
+        # older files lack it -> treat as clean (can't adjudicate)
+        n = d.get("noise")
+        if n is None and d.get("calibration"):
+            c = d["calibration"]
+            n = max(c) / min(c) if min(c) > 0 else None
+        return n
+
+    noises = [n for n in (noise_of(old), noise_of(new)) if n is not None]
+    noisy = bool(noises) and max(noises) > args.max_noise
+
     oq, nq = old["queries"], new["queries"]
-    flags = []
+    flags, soft = [], []
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)
         if a is None or b is None:
@@ -79,15 +96,25 @@ def main():
         if max(a, b) < args.min_secs:
             continue
         if b > a * args.ratio:
-            flags.append((name, a, b, f"slower {b / a:.2f}x"))
+            (soft if noisy else flags).append((name, a, b, f"slower {b / a:.2f}x"))
         elif a > b * args.ratio:
-            flags.append((name, a, b, f"faster {a / b:.2f}x"))
+            (soft if noisy else flags).append((name, a, b, f"faster {a / b:.2f}x"))
 
     print(f"total: {old.get('value', float('nan')):.1f}s -> "
           f"{new.get('value', float('nan')):.1f}s "
           f"(runs {old.get('runs')} -> {new.get('runs')})")
+    if noises:
+        print(f"calibration dispersion: "
+              f"{' -> '.join(f'{n:.2f}x' for n in noises)}"
+              f"{' — NOISY run, timing deltas downgraded' if noisy else ''}")
+    for name, a, b, why in soft:
+        fa, fb = f"{a:.2f}s", f"{b:.2f}s"
+        print(f"NOISY {name:28s} {fa:>8} -> {fb:>8}  {why} "
+              f"(under calibration dispersion > {args.max_noise}x; "
+              f"not adjudicable)")
     if not flags:
-        print(f"no per-query deltas beyond {args.ratio}x (min {args.min_secs}s)")
+        if not soft:
+            print(f"no per-query deltas beyond {args.ratio}x (min {args.min_secs}s)")
         return 0
     for name, a, b, why in flags:
         fa = "-" if a is None else f"{a:.2f}s"

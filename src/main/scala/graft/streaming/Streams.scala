@@ -147,6 +147,78 @@ object Streams {
       .select(col("doc_id"), col("ts"))
   }
 
+  /** Stream-static persisted-incremental dedup — the streaming consumer
+    * of [[graft.ext.Dedup.writeIncrementalSnapshot]]'s index, emitting
+    * each arriving doc iff it survives BOTH the exact stage (content
+    * hash unseen) and the near-dup stage (max true Jaccard vs every
+    * snapshot doc sharing a band bucket < `threshold`) — the same
+    * verdicts as the batch [[graft.ext.Dedup.dedupIncrementalPersisted]]
+    * (spec-pinned), at arrival latency instead of batch cadence.
+    *
+    * Plan shape, and why it streams with CONSTANT state per key:
+    * the snapshot side is reshaped ONCE per snapshot (static plan,
+    * reused every micro-batch) into a (band, bucket)-UNIQUE index whose
+    * rows carry the bucket's ≤`maxBucket` member shingle sets
+    * (degenerate buckets are dropped by the same `bsize` cap as the
+    * batch path — they are candidate-precision noise there and
+    * per-arrival cost here). The stream side is all NARROW per-row work
+    * (md5, minhash48, shingles8) plus `bands` stream-static LEFT OUTER
+    * hash joins — one per band, each on a unique key, so there is no
+    * stream-side row amplification, and crucially no stream-side
+    * AGGREGATION: a groupBy-max-Jaccard formulation would be a stateful
+    * streaming agg whose emission waits for the watermark horizon. The
+    * per-pair Jaccard fold runs inside one expression over the joined
+    * bucket lists. Only two stateful ops exist: the within-stream
+    * content-hash dedup and nothing else — state is one hash per doc
+    * within the watermark, bounded at any throughput. Seen TEXT is
+    * never read (the snapshot carries hash/sig/shingles), matching the
+    * batch operator's scan discipline. Null-text docs are dropped at
+    * intake (stream contract), where the batch operator passes them
+    * through. `docs` needs (doc_id, text, ts). */
+  def incrementalDedup(spark: SparkSession, docs: DataFrame,
+      snapshot: DataFrame, bands: Int = 4, maxBucket: Int = 10,
+      threshold: Double = 0.7, watermark: String = "10 minutes"): DataFrame = {
+    graft.functions.MinHash48.register(spark)
+    graft.functions.Shingles8.register(spark)
+    val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
+    val bucketed = snapshot
+      .selectExpr("shingles", s"stack($bands, $stack) AS (band, bucket)")
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("shingles")).as("sh_list"),
+        count(lit(1)).as("bsize"))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+    val base = docs.filter(col("text").isNotNull)
+      .withWatermark("ts", watermark)
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("content_hash")
+      .join(snapshot.select(col("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+      .withColumn("sig", expr("minhash48(text)"))
+      .withColumn("sh_n", expr("shingles8(text)"))
+    val joined = (0 until bands).foldLeft(base) { (df, b) =>
+      df.withColumn(s"bucket_$b", col("sig").getItem(b))
+        .join(bucketed.filter(col("band") === b)
+            .select(col("bucket").as(s"bucket_$b"),
+              col("sh_list").as(s"sh_list_$b")),
+          Seq(s"bucket_$b"), "left_outer")
+    }
+    // max true Jaccard over every candidate shingle set, folded across
+    // bands; -1 marks no-candidate (null list) so the keep filter reads
+    // uniformly. union = 0 only when both sets are empty -> Jaccard 1
+    // (two empty docs ARE duplicates), the batch operator's convention.
+    val maxJ = (0 until bands).map { b =>
+      s"""coalesce(array_max(transform(sh_list_$b, s ->
+         |  CASE WHEN size(sh_n) + size(s) = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(size(array_intersect(sh_n, s)) AS DOUBLE) /
+         |            (size(sh_n) + size(s) - size(array_intersect(sh_n, s)))
+         |  END)), CAST(-1.0 AS DOUBLE))""".stripMargin
+    }.mkString("greatest(", ", ", ")")
+    joined.withColumn("max_j", expr(maxJ))
+      .filter(col("max_j") < threshold)
+      .select(col("doc_id"), col("ts"), col("text"))
+  }
+
   final case class DebEvent(user_id: Long, event_type: String,
     ts_us: Long, event_id: Long)
   final case class DebState(last_us: Long)

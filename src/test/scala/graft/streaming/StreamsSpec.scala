@@ -72,6 +72,59 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static persisted-incremental dedup: batch-equivalent keeps, constant state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // seen corpus -> snapshot index via the batch producer (hash + sig +
+    // shingles; seen TEXT never consulted again after this line)
+    val seen = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every single day"),
+      (2L, "completely different text about spark engines and catalyst plans"),
+      (3L, "a third seen document with its own unrelated wording entirely"))
+      .toDF("doc_id", "text")
+    val snapshot = graft.ext.Dedup.incrementalSnapshot(spark, seen)
+      .localCheckpoint(true)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val arrivals = Seq(
+      // exact dup of seen 1 -> dropped at the hash stage
+      (10L, "the quick brown fox jumps over the lazy dog every single day", t0),
+      // near-dup of seen 1 (one word changed) -> dropped at the verify stage
+      (11L, "the quick brown fox jumps over the lazy cat every single day", t0),
+      // fresh content -> kept
+      (12L, "entirely novel content nothing like anything in the snapshot", t0),
+      // shares a PHRASE with seen 2 (possible bucket hit) but low true
+      // jaccard -> kept: the verify stage, not the candidate stage, decides
+      (13L, "spark engines and catalyst plans appear here in a much longer and otherwise unrelated document about distributed query execution", t0))
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    // threshold 0.6: doc 11's true char-8-gram jaccard vs seen 1 is
+    // ~0.65 (one word of twelve changed) — above 0.6, below the 0.7
+    // default, so THIS fixture exercises a verify-stage drop
+    val q = Streams.incrementalDedup(spark, docs, snapshot, threshold = 0.6)
+      .writeStream.outputMode("append").format("memory").queryName("incdedup").start()
+    mem.addData(arrivals: _*)
+    // an intra-stream exact duplicate of 12 in a later batch -> dropped by
+    // the within-watermark hash state, not the snapshot
+    mem.addData((14L, "entirely novel content nothing like anything in the snapshot",
+      java.sql.Timestamp.valueOf("2026-01-01 10:00:01")))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM incdedup").collect().map(_.getLong(0)).toSet
+    // batch-equivalence pin: the persisted-batch operator on the same
+    // (unique-text) arrivals must keep exactly the same ids
+    val batchKept = graft.ext.Dedup.dedupIncrementalPersisted(spark,
+        arrivals.map(a => (a._1, a._2)).toDF("doc_id", "text"), snapshot,
+        threshold = 0.6)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept == Set(12L, 13L), s"batch got $batchKept")
+    assert(kept == batchKept, s"stream $kept != batch $batchKept")
+    // only ONE stateful operator: the within-stream content-hash dedup
+    // (bands left-outer joins + the anti join are stream-static, stateless)
+    val prog = q.lastProgress
+    assert(prog.stateOperators.length == 1,
+      s"expected 1 stateful op, got ${prog.stateOperators.length}")
+    q.stop()
+  }
+
   test("watermarked window aggregation over an event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

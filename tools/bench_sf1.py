@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""One-off sf1 bench artifact -> BENCH_sf1.md.
+
+At sf0.1 most suite queries sit on Spark's fixed per-query scheduling
+floor (~0.3-1s), so per-query Spark/DuckDB ratios carry little plan
+signal. This tool scales the DOCUMENTS axis 10x (= sf1 by the
+generator's linear doc scaling: 500 @ sf0.01 -> 5,000 @ sf0.1 ->
+50,000 here) and re-times the heaviest text/dedup queries on both
+engines over the SAME parquet.
+
+Corpus shape: replica 0 is sf0.1 verbatim; replicas 1..9 shift doc_id
+by k*10^7 and append a per-replica marker token to the text. Each base
+doc therefore gains 9 NEAR-duplicates (one-token diff, shingle jaccard
+~0.9+), the realistic crawl shape — plain replication would make every
+doc an exact copy, which collapses the dedup stack into its
+degenerate-equality fast path and under-reports verify cost.
+
+Usage: python3 tools/bench_sf1.py [--skip-build] [--runs N]
+Writes /tmp/sf1/*.parquet (other tables symlinked from sf0.1),
+expects `sbt` on PATH, emits BENCH_sf1.md in the repo root.
+
+RUN ON A QUIET MACHINE. The first round-6 run recorded q72 at 489s
+(clean: ~12s) because a concurrent `sbt test` shared the 32 cores —
+min-of-N does not save you when every shot is contended. Each engine's
+per-query min/max spread is printed and written to the artifact so a
+contaminated run is at least self-evident.
+"""
+import argparse, json, os, re, subprocess, sys, time
+
+import duckdb
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/sf1"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# the heaviest text/dedup queries at sf0.1 (bench.json order) + the
+# two BPE encode forms (the chain-vs-compiled scale story)
+QUERIES = ["q52_lsh_candidates", "q65_dedup_clusters", "q72_verify_candidates",
+           "q85_simhash_neardup", "q88_dup_span_frac", "q93_quality_gate",
+           "q94_minhash_calibration", "q96_quality_gate_narrow",
+           "q97_source_leakage", "q100_bpe_encode", "q101_bpe_encode_fast"]
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def build():
+    os.makedirs(SF1, exist_ok=True)
+    con = duckdb.connect()
+    reps = " UNION ALL ".join(
+        f"""SELECT doc_id + {k} * 10000000 AS doc_id,
+                   text || ' r{k}' AS text, lang, source,
+                   n_chars + {len(f' r{k}')} AS n_chars
+            FROM read_parquet('{SF01}/documents.parquet')"""
+        for k in range(1, 10))
+    con.execute(f"""
+        COPY (SELECT * FROM read_parquet('{SF01}/documents.parquet')
+              UNION ALL {reps})
+        TO '{SF1}/documents.parquet' (FORMAT PARQUET)""")
+    n, = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF1}/documents.parquet')").fetchone()
+    for t in TABLES:
+        if t == "documents":
+            continue
+        dst = f"{SF1}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+    print(f"[build] {SF1}/documents.parquet: {n} docs")
+
+
+def time_duckdb(runs):
+    oracle = json.load(open("/tmp/verify_out/oracle_sql.json"))
+    out, spread = {}, {}
+    for q in QUERIES:
+        sql = oracle[q]
+        shots = []
+        for _ in range(runs):
+            # fresh connection per shot: no buffer-cache carryover between
+            # queries, matching Bench's clearCache isolation
+            con = duckdb.connect()
+            con.execute("SET threads TO 32")
+            for t in TABLES:
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                            f"read_parquet('{SF1}/{t}.parquet')")
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            shots.append(time.time() - t0)
+            con.close()
+        out[q], spread[q] = min(shots), max(shots) / min(shots)
+        print(f"[duckdb] {q:30s} {out[q]:.2f}s (spread {spread[q]:.2f}x)")
+    return out, spread
+
+
+def time_spark(runs):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF1, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_BENCH_RUNS=str(runs))
+    p = subprocess.run(
+        ["sbt", "-batch", "runMain graft.tools.QBench " + " ".join(QUERIES)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
+    out, spread = {}, {}
+    for m in re.finditer(
+            r"\[qbench\] (\S+)\s+min=([0-9.]+)s runs=Vector\(([0-9., ]+)\)",
+            p.stdout):
+        shots = [float(x) for x in m.group(3).split(",")]
+        out[m.group(1)] = float(m.group(2))
+        spread[m.group(1)] = max(shots) / min(shots)
+        print(f"[spark]  {m.group(1):30s} {float(m.group(2)):.2f}s "
+              f"(spread {spread[m.group(1)]:.2f}x)")
+    missing = [q for q in QUERIES if q not in out]
+    if missing:
+        sys.stderr.write(p.stdout[-3000:] + p.stderr[-2000:])
+        raise SystemExit(f"spark timings missing for {missing}")
+    return out, spread
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+    if not args.skip_build:
+        build()
+    sp, sps = time_spark(args.runs)
+    dk, dks = time_duckdb(args.runs)
+    # sf0.1 comparison column from the committed full-suite bench.json
+    b01 = json.load(open(os.path.join(REPO, "bench.json")))["queries"]
+    lines = [
+        "# BENCH_sf1 — 10× documents (50,000 docs), Spark vs DuckDB",
+        "",
+        "Built by `tools/bench_sf1.py` (near-duplicate replication; see its",
+        "docstring). min-of-%d per engine, 32 threads both, same parquet." % args.runs,
+        "Spread = max/min across shots; >1.5× means that row was measured",
+        "under contention and shouldn't be trusted.",
+        "",
+        "| query | spark sf1 (s) | duckdb sf1 (s) | ratio sf1 | spark sf0.1 (s) | scale-up ×10 | spread sp/dk |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    worsening = []
+    for q in QUERIES:
+        r = sp[q] / dk[q] if dk[q] > 0 else float("inf")
+        g = sp[q] / b01[q] if b01.get(q, 0) > 0 else float("nan")
+        worsening.append((r, q))
+        lines.append(f"| {q} | {sp[q]:.2f} | {dk[q]:.2f} | {r:.2f}× "
+                     f"| {b01.get(q, float('nan')):.2f} | {g:.1f}× "
+                     f"| {sps[q]:.2f}×/{dks[q]:.2f}× |")
+    tot_s, tot_d = sum(sp.values()), sum(dk.values())
+    lines += ["",
+              f"**Totals: Spark {tot_s:.1f}s, DuckDB {tot_d:.1f}s, "
+              f"ratio {tot_s / tot_d:.2f}×.**", ""]
+    md = os.path.join(REPO, "BENCH_sf1.md")
+    # the committed artifact carries a hand-written "## Analysis" section
+    # below the generated table — preserve it across regenerations
+    tail = ""
+    if os.path.exists(md):
+        prev = open(md).read()
+        if "## Analysis" in prev:
+            tail = "\n" + prev[prev.index("## Analysis"):]
+    with open(md, "w") as f:
+        f.write("\n".join(lines) + tail + "\n")
+    print(f"\nwrote BENCH_sf1.md (ratio {tot_s/tot_d:.2f}x); worst ratios: "
+          + ", ".join(f"{q}={r:.2f}x" for r, q in sorted(worsening)[-3:]))
+
+
+if __name__ == "__main__":
+    main()

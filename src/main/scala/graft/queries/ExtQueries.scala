@@ -1669,8 +1669,178 @@ object ExtQueries {
     },
     q100.oracle) // q100's oracle VERBATIM
 
+  // --------------------------------------------------------------- q102
+  // The SAME component labeling as q65 through the alternating-star
+  // algorithm (Kiveris et al., "Connected Components in MapReduce and
+  // Beyond" — O(log n) rounds regardless of graph DIAMETER, the
+  // deep-chain complement to q65's label propagation, which needs
+  // O(diameter) rounds). Shares q65's oracle verbatim: both algorithms
+  // must produce the identical min-id-per-component labeling, and this
+  // query makes the driver prove it (the q96/q93, q101/q100 pattern) —
+  // previously the star variant was spec-only.
+  private val q102 = Q(
+    "q102_star_components",
+    (s, d) => {
+      val pairs = graft.ext.Dedup.lshCandidates(s, Tables.documents(s, d))
+      graft.ext.Dedup.clustersAltStar(s, pairs)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    q65.oracle) // q65's oracle VERBATIM
+
+  // --------------------------------------------------------------- q103
+  // Persisted-snapshot incremental dedup, oracle-checked end to end:
+  // seen = doc_id % 3 != 0 (indexed once via incrementalSnapshot —
+  // hash + sig + shingles; seen TEXT never rescanned), increment =
+  // doc_id % 3 == 0. A new doc survives iff (a) its content hash is
+  // unseen and (b) no candidate pair (band-bucket match against the
+  // snapshot, seen-side bucket size ≤ 10) verifies at true shingle
+  // Jaccard ≥ 0.7. Both engines compute the division in IEEE double on
+  // identical ints, so the threshold compare is engine-proof without
+  // the ratio6 rounding (nothing is EMITTED as a rounded decimal here).
+  private val q103 = Q(
+    "q103_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val seen = docs.filter(col("doc_id") % 3 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 3 === 0)
+      // the snapshot is MATERIALIZED once (production: a parquet artifact
+      // from writeIncrementalSnapshot, read back column-pruned) — the
+      // checkpoint stands in for that artifact; without it the increment
+      // plan's four snapshot references would re-run the seen-side
+      // hash/sig/shingle pass per reference
+      val snapshot = graft.ext.Dedup.incrementalSnapshot(s, seen)
+        .localCheckpoint(true)
+      graft.ext.Dedup.dedupIncrementalPersisted(s, fresh, snapshot)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $shingleCte,
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT) AS h48 FROM sh),
+      sig AS (
+        SELECT doc_id,
+          min(xor(h48, ${salts(0)})) AS m0, min(xor(h48, ${salts(1)})) AS m1,
+          min(xor(h48, ${salts(2)})) AS m2, min(xor(h48, ${salts(3)})) AS m3
+        FROM h GROUP BY doc_id),
+      buckets AS (
+        SELECT doc_id, 0 AS band, m0 AS bucket FROM sig UNION ALL
+        SELECT doc_id, 1, m1 FROM sig UNION ALL
+        SELECT doc_id, 2, m2 FROM sig UNION ALL
+        SELECT doc_id, 3, m3 FROM sig),
+      notexact AS (
+        SELECT n.* FROM documents n
+        WHERE n.doc_id % 3 = 0 AND NOT EXISTS (
+          SELECT 1 FROM documents s
+          WHERE s.doc_id % 3 != 0 AND md5(s.text) = md5(n.text))),
+      -- seen-side buckets, degenerate (> 10 SEEN members) dropped —
+      -- the snapshot side is the only side the cap reads
+      sbuckets AS (
+        SELECT doc_id, band, bucket FROM (
+          SELECT b.doc_id, b.band, b.bucket,
+                 count(*) OVER (PARTITION BY b.band, b.bucket) AS bsize
+          FROM buckets b WHERE b.doc_id % 3 != 0)
+        WHERE bsize <= 10),
+      cand AS (
+        SELECT DISTINCT bn.doc_id AS new_id, bs.doc_id AS seen_id
+        FROM buckets bn
+        JOIN notexact ne ON ne.doc_id = bn.doc_id
+        JOIN sbuckets bs ON bs.band = bn.band AND bs.bucket = bn.bucket),
+      counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.new_id, c.seen_id, count(*) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.new_id
+        JOIN sh sb ON sb.doc_id = c.seen_id AND sb.sh = sa.sh
+        GROUP BY c.new_id, c.seen_id),
+      neardup AS (
+        SELECT DISTINCT c.new_id
+        FROM cand c
+        JOIN counts ca ON ca.doc_id = c.new_id
+        JOIN counts cb ON cb.doc_id = c.seen_id
+        LEFT JOIN inter i ON i.new_id = c.new_id AND i.seen_id = c.seen_id
+        WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
+              / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.7)
+      SELECT doc_id, lang, source FROM notexact
+      WHERE doc_id NOT IN (SELECT new_id FROM neardup)
+      ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------- q104
+  // The one-call corpus dedup pipeline (exact → LSH → Jaccard verify →
+  // connected components → anti join), oracle-checked END TO END —
+  // previously `dedupCorpus` was pinned only by specs and the 1M-doc
+  // ScaleProbe. Exact survivors are min-doc_id per content hash; LSH
+  // buckets and sizes are computed AMONG SURVIVORS (the pipeline
+  // re-bands after the exact stage); candidates verify at true Jaccard
+  // ≥ 0.7; each verified component keeps only its min-id member.
+  private val q104 = Q(
+    "q104_dedup_corpus",
+    (s, d) => {
+      graft.ext.Dedup.dedupCorpus(s, Tables.documents(s, d))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $shingleCte,
+      surv AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      h AS (
+        SELECT sh.doc_id, CAST(('0x' || substr(md5(sh.sh),1,12)) AS BIGINT) AS h48
+        FROM sh JOIN surv USING (doc_id)),
+      sig AS (
+        SELECT doc_id,
+          min(xor(h48, ${salts(0)})) AS m0, min(xor(h48, ${salts(1)})) AS m1,
+          min(xor(h48, ${salts(2)})) AS m2, min(xor(h48, ${salts(3)})) AS m3
+        FROM h GROUP BY doc_id),
+      buckets AS (
+        SELECT doc_id, 0 AS band, m0 AS bucket FROM sig UNION ALL
+        SELECT doc_id, 1, m1 FROM sig UNION ALL
+        SELECT doc_id, 2, m2 FROM sig UNION ALL
+        SELECT doc_id, 3, m3 FROM sig),
+      small AS (
+        SELECT doc_id, band, bucket FROM (
+          SELECT doc_id, band, bucket,
+                 count(*) OVER (PARTITION BY band, bucket) AS bsize
+          FROM buckets)
+        WHERE bsize <= 10),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM small a JOIN small b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      counts AS (
+        SELECT sh.doc_id, count(*) AS n FROM sh JOIN surv USING (doc_id)
+        GROUP BY sh.doc_id),
+      inter AS (
+        SELECT p.a_id, p.b_id, count(*) AS i
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.a_id
+        JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+        GROUP BY p.a_id, p.b_id),
+      confirmed AS (
+        SELECT p.a_id, p.b_id
+        FROM pairs p
+        JOIN counts ca ON ca.doc_id = p.a_id
+        JOIN counts cb ON cb.doc_id = p.b_id
+        LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+        WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
+              / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.7),
+      edges AS (
+        SELECT a_id AS a, b_id AS b FROM confirmed
+        UNION SELECT b_id, a_id FROM confirmed),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      labels AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a),
+      dropped AS (SELECT doc_id FROM labels WHERE doc_id != cluster_id)
+      SELECT d.doc_id, d.source FROM documents d
+      JOIN surv USING (doc_id)
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+      ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101)
+    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
+    q102, q103, q104)
 }

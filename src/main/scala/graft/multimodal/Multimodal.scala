@@ -132,8 +132,10 @@ object Multimodal {
     * emits `[sampleRate, channels, nFrames, meanAbs, rms, peak,
     * zeroCrossRate, silenceFrac]` (amplitudes normalized to −1..1;
     * channels averaged per frame; truncated / zero-padded to `dim`).
-    * Supports 16-bit signed and 8-bit unsigned PCM — the formats
-    * AudioSystem decodes without external SPI plugins. Undecodable
+    * Supports 16-bit signed and 8-bit unsigned PCM natively, plus
+    * µ-law / A-law telephony encodings through the JDK's own codec SPI
+    * (converted to 16-bit PCM before the scan) — no external plugins.
+    * Undecodable
     * payloads yield the zero vector (skip-don't-crash, as with
     * `ImageIoDecoder`). Frame scan strided past ~1M frames so per-row
     * cost is bounded on any clip length. */
@@ -141,8 +143,24 @@ object Multimodal {
     def open(): Array[Byte] => Array[Float] = payload => {
       val out = new Array[Float](dim)
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val ais0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
+        // non-PCM telephony encodings (µ-law / A-law WAV or AU) convert
+        // through the JDK's own codec SPI to 16-bit signed PCM — same
+        // zero-dependency posture as the PCM path; everything below
+        // then reads the CONVERTED stream's format
+        val enc0 = ais0.getFormat.getEncoding
+        val ais =
+          if (enc0 == javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+              enc0 == javax.sound.sampled.AudioFormat.Encoding.ALAW) {
+            val f0 = ais0.getFormat
+            javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new javax.sound.sampled.AudioFormat(
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+                f0.getSampleRate, false),
+              ais0)
+          } else ais0
         val fmt = ais.getFormat
         val bits = fmt.getSampleSizeInBits
         val ch = fmt.getChannels
@@ -229,6 +247,62 @@ object Multimodal {
         (id, p.indices.collect { case i if i % stride == 0 => p(i) }.toArray)
       })
       .toDF("media_id", "payload_small")
+  }
+
+  /** Frame sampling over MULTI-FRAME containers — the video
+    * frame-sample operator, with animated GIF as the JDK-native
+    * container (`ImageReader`'s image-sequence API; a real video
+    * backend slots in behind the same seam with the identical row
+    * shape). Each payload explodes into `(media_id, frame_idx, width,
+    * height, frame_png)` rows: every `stride`-th container frame, at
+    * most `maxFrames` per doc (the per-row work bound — a pathological
+    * million-frame file cannot monopolize a task), re-encoded PNG so
+    * each row composes directly with the single-frame ops
+    * (`extractFeatures(ImageIoDecoder)` on `frame_png`). Frames are
+    * the container's raw frames (no disposal-method compositing —
+    * feature extraction wants content samples, not playback fidelity).
+    * Fully narrow flatMap: no shuffle, undecodable payloads contribute
+    * zero rows (skip-don't-crash), reader disposed per payload. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 1,
+      maxFrames: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) =>
+          val frames = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Int, Int, Array[Byte])]
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n =
+                try reader.getNumImages(true)
+                catch { case _: java.io.IOException => 0 }
+              var i = 0
+              while (i < n && frames.length < maxFrames) {
+                val img =
+                  try reader.read(i)
+                  catch {
+                    case _: java.io.IOException => null
+                    case _: IndexOutOfBoundsException => null
+                  }
+                if (img != null) {
+                  val baos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", baos)
+                  frames += ((id, i, img.getWidth, img.getHeight,
+                    baos.toByteArray))
+                }
+                i += stride
+              }
+            } finally { reader.dispose(); iis.close() }
+          } else iis.close()
+          frames
+        }
+      }.toDF("media_id", "frame_idx", "width", "height", "frame_png")
   }
 
   /** Metadata-only projection — must prune the binary column at the

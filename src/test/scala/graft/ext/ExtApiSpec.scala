@@ -428,6 +428,24 @@ class ExtApiSpec extends SparkSpec {
     assert(r(3).getAs[Long]("n_chunks") == 3L) // hdr x | g h | tail
   }
 
+  test("dedupChunks size-guard fallback (unhinted join) is value-identical to the broadcast path") {
+    import spark.implicits._
+    // maxBoilerplateBroadcast = 0 forces the over-bound path: the
+    // boilerplate set joins UNHINTED (AQE decides) instead of being
+    // force-broadcast — outputs must be identical, because the guard is
+    // a driver-safety strategy switch, never a semantics switch
+    val d = Seq((1L, "hdr x a b"), (2L, "hdr x c d"), (3L, "hdr x e f"),
+      (4L, "hdr x g h tail")).toDF("doc_id", "text")
+    val hinted = Dedup.dedupChunks(d, chunkWords = 2, maxReps = 2)
+      .orderBy("doc_id").collect()
+    val unhinted = Dedup.dedupChunks(d, chunkWords = 2, maxReps = 2,
+        maxBoilerplateBroadcast = 0L)
+      .orderBy("doc_id").collect()
+    assert(hinted.toSeq == unhinted.toSeq)
+    assert(unhinted.map(_.getAs[String]("kept_text")).toSeq ==
+      Seq("a b", "c d", "e f", "g h tail"))
+  }
+
   test("decontaminate flags training docs sharing eval n-grams") {
     import spark.implicits._
     val d = Seq(

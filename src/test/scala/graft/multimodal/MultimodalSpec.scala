@@ -118,6 +118,81 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1).features.forall(_ == 0.0f))              // undecodable → zeros
   }
 
+  test("WavDecoder decodes µ-law WAV via the JDK converter SPI (non-PCM path)") {
+    import spark.implicits._
+    // same 440 Hz sine as the PCM spec, encoded µ-LAW through the JDK's
+    // own codec: the features must land on the same analytic values —
+    // µ-law is 8-bit log-companded, so tolerances are looser
+    val (sr, n, amp) = (8000f, 8000, 0.5)
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = (amp * math.sin(2 * math.Pi * 440 * i / sr) * 32767).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val pcmFmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+    val ulawFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, sr, 8, 1, 1, sr, false)
+    val ulaw = javax.sound.sampled.AudioSystem.getAudioInputStream(ulawFmt,
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), pcmFmt, n.toLong))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ulaw,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val media = Multimodal.asMedia(
+      Seq((1L, buf.toByteArray)).toDF("doc_id", "payload"),
+      "doc_id", "payload", "audio")
+    val wav = Multimodal.extractFeatures(spark, media, Multimodal.WavDecoder())
+      .collect().head.features
+    assert(wav(0) == 8000f && wav(1) == 1f && wav(2) == 8000f) // sr, ch, frames
+    assert(math.abs(wav(3) - 2 * amp / math.Pi) < 0.02)  // mean |A·sin| = 2A/π
+    assert(math.abs(wav(4) - amp / math.sqrt(2)) < 0.02) // rms = A/√2
+    assert(math.abs(wav(5) - amp) < 0.02)                // peak ≈ A
+    assert(math.abs(wav(6) - 2 * 440 / sr) < 0.01)       // zero crossings/frame
+  }
+
+  test("sampleFrames explodes an animated GIF into strided, capped PNG frame rows") {
+    import spark.implicits._
+    // 7-frame animated GIF, frame i solid gray level i*30 — written with
+    // the JDK's own GIF sequence writer
+    def gif(nFrames: Int): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { i =>
+        val img = new java.awt.image.BufferedImage(
+          6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        val v = i * 30
+        g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, 6, 4); g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      baos.toByteArray
+    }
+    val rows = Seq((1L, gif(7)), (2L, "not a gif".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val media = Multimodal.asMedia(rows, "doc_id", "payload", "video")
+    val frames = Multimodal.sampleFrames(spark, media, stride = 2, maxFrames = 3)
+      .orderBy("media_id", "frame_idx").collect()
+    // doc 1: frames 0, 2, 4 (stride 2, capped at 3); doc 2: zero rows
+    assert(frames.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 0), (1L, 2), (1L, 4)), frames.mkString(", "))
+    assert(frames.forall(r => r.getInt(2) == 6 && r.getInt(3) == 4))
+    // each emitted frame round-trips through the single-frame codec:
+    // mean luma tracks the frame's gray level (the compose-with-
+    // extractFeatures contract)
+    val fdf = frames.map(r => (r.getLong(0) * 10 + r.getInt(1), r.getAs[Array[Byte]]("frame_png")))
+      .toSeq.toDF("media_id", "payload")
+    val feats = Multimodal.extractFeatures(spark,
+        Multimodal.asMedia(fdf, "media_id", "payload", "image"),
+        Multimodal.ImageIoDecoder())
+      .collect().sortBy(_.media_id).map(_.features)
+    val lumas = feats.map(_.apply(5))
+    assert(lumas(0) < lumas(1) && lumas(1) < lumas(2), lumas.mkString(", "))
+  }
+
   test("resample strides the payload deterministically") {
     val m = Multimodal.asMedia(docs, "doc_id", "text", "image")
     val out = Multimodal.resample(spark, m, 2).orderBy("media_id").collect()

@@ -1838,9 +1838,29 @@ object ExtQueries {
       WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
       ORDER BY d.doc_id"""))
 
+  // --------------------------------------------------------------- q105
+  // The recompute-path incremental dedup on the SAME seen/new split as
+  // q103, sharing q103's oracle VERBATIM: `dedupIncremental` (re-derives
+  // the seen side's hashes/signatures/shingles every increment) and
+  // `dedupIncrementalPersisted` (reads them from the snapshot index)
+  // must emit identical survivors — the driver proves the
+  // recompute ≡ persisted equivalence that ExtApiSpec pins, against an
+  // independent engine.
+  private val q105 = Q(
+    "q105_incremental_recompute",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.Dedup.dedupIncremental(s,
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    q103.oracle) // q103's oracle VERBATIM
+
   val qs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
-    q102, q103, q104)
+    q102, q103, q104, q105)
 }

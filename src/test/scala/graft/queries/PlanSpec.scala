@@ -124,7 +124,8 @@ class PlanSpec extends SparkSpec {
       "q97_source_leakage" -> 4, "q98_normalize" -> 1,
       "q99_simhash_cap_stats" -> 2, "q100_bpe_encode" -> 1,
       "q101_bpe_encode_fast" -> 1, "q102_star_components" -> 1,
-      "q103_incremental_dedup" -> 9, "q104_dedup_corpus" -> 4)
+      "q103_incremental_dedup" -> 9, "q104_dedup_corpus" -> 4,
+      "q105_incremental_recompute" -> 9)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators a web-scale training-data pipeline runs
+  * between dedup and tokenization: per-source caps (anti-domination),
+  * fixed-width overlap chunking (the RAG / long-context split step),
+  * exact-percentile length banding, and per-source duplication
+  * observability. Everything here is either narrow or one
+  * partial-aggregable shuffle; the salted cap variant is the
+  * skew-correct 100 TB shape.
+  */
+object Corpus {
+
+  /** Per-group top-N cap — "keep at most `n` docs per source/domain,
+    * best first" (the anti-domination rule every crawl pipeline applies
+    * so one domain can't swamp the mix). Ordering must be TOTAL for
+    * determinism: callers pass e.g. (n_chars DESC, doc_id ASC).
+    * Exact semantics via one window; the whole group lands in one task,
+    * which is fine up to ~10M rows/group but NOT for a mega-domain at
+    * 100 TB — use [[capPerGroupSalted]] there. */
+  def capPerGroup(docs: DataFrame, groupCol: String,
+      order: Seq[org.apache.spark.sql.Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    docs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+  }
+
+  /** Skew-correct per-group top-N: phase 1 caps each (group, salt)
+    * sub-shard to its local top-n (window over the SALTED key — a
+    * mega-group splits across `salts` tasks, each seeing ~1/salts of
+    * it), phase 2 re-ranks the ≤ n·salts survivors per group exactly.
+    * The phase-2 window never sees more than n·salts rows per group
+    * regardless of group size — the property that makes the cap safe
+    * when one domain holds billions of documents. Salt is md5-derived
+    * from the id column (deterministic, partition-independent), so the
+    * result is bit-identical to [[capPerGroup]] under any total order.
+    */
+  def capPerGroupSalted(docs: DataFrame, groupCol: String,
+      order: Seq[org.apache.spark.sql.Column], n: Int,
+      idCol: String = "doc_id", salts: Int = 16): DataFrame = {
+    val salted = docs.withColumn("_salt",
+      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long") % salts)
+    val w1 = Window.partitionBy(col(groupCol), col("_salt")).orderBy(order: _*)
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    salted
+      .withColumn("_lrn", row_number().over(w1))
+      .filter(col("_lrn") <= n)
+      .withColumn("rn", row_number().over(w2).cast("long"))
+      .filter(col("rn") <= n)
+      .drop("_salt", "_lrn")
+  }
+
+  /** Fixed-width overlapping word chunks (stride < width ⇒ overlap) —
+    * the RAG / long-context chunking step. One chunk starts at every
+    * multiple of `stride` below the word count, and takes up to
+    * `width` words (the tail chunk is short, never dropped — dropping
+    * it loses document endings, the classic chunking bug). Purely
+    * narrow: split + sequence + slice inside one generator, no shuffle
+    * at any corpus size. Tokenization contract matches the rest of the
+    * engine: single-space split (DuckDB `string_split(text, ' ')`). */
+  def chunkOverlap(docs: DataFrame, width: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(width > 0 && stride > 0, s"width/stride must be positive")
+    docs
+      .withColumn("_w", split(col(textCol), " "))
+      .select(col(idCol), posexplode(
+        expr(s"transform(sequence(0, size(_w) - 1, $stride), s -> " +
+          s"array_join(slice(_w, s + 1, $width), ' '))"))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .withColumn("n_words", size(split(col("chunk"), " ")).cast("long"))
+  }
+
+  /** Exact-percentile length band filter: keep docs whose length sits
+    * within the corpus's [lo, hi] quantiles — the robust alternative to
+    * hand-tuned min/max length cutoffs (absolute cutoffs rot as the
+    * corpus mix shifts; percentile bands self-calibrate). Both engines
+    * interpolate quantiles identically (index p·(n−1), linear), so the
+    * band edges are bit-equal cross-engine. The percentile aggregate is
+    * a counts-map over the value domain (document lengths — bounded
+    * cardinality), partial-aggregable, and the two bounds broadcast
+    * back as a 1-row cross join: one tiny aggregate plus a narrow
+    * filter, no corpus shuffle. */
+  def lengthBandFilter(docs: DataFrame, lo: Double, hi: Double,
+      lenCol: String = "n_chars"): DataFrame = {
+    // bounds rounded to 6 dp: the two engines associate the linear
+    // interpolation differently (lower·(1−f)+upper·f vs lower+f·Δ), so
+    // an exactly-integer quantile can come out 1 ulp under the integer
+    // on one side — rounding both re-aligns integer-boundary membership
+    val bounds = docs.agg(
+      round(expr(s"percentile($lenCol, $lo)"), 6).as("_lo"),
+      round(expr(s"percentile($lenCol, $hi)"), 6).as("_hi"))
+    docs.crossJoin(broadcast(bounds))
+      .filter(col(lenCol) >= col("_lo") && col(lenCol) <= col("_hi"))
+      .drop("_lo", "_hi")
+  }
+
+  /** Per-source duplication profile: docs, distinct contents (by md5),
+    * and the duplicate fraction — the observability aggregate that
+    * tells you WHICH source is pumping boilerplate before you pay for
+    * a full dedup pass over it. Two-phase exact distinct (groupBy
+    * source+hash then source), both partial-aggregable; the ratio uses
+    * the engine-wide ratio6 discipline (integer-space half-up 6-dp) so
+    * no float division order can wiggle the rounding. */
+  def dupProfileBySource(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source"): DataFrame =
+    docs
+      .groupBy(col(srcCol), md5(col(textCol)).as("_h"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col(srcCol))
+      .agg(
+        sum(col("_n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("dup_ratio",
+        Dedup.ratio6(col("n_docs") - col("n_distinct"), col("n_docs")))
+}

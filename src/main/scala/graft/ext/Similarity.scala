@@ -305,4 +305,80 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col(blockCol), col("cosine"),
         least(col("a_id"), col("b_id")).as("keep_id"))
   }
+
+  /** Per-label mean-pooled centroid, long form (label, dim, mean, n) —
+    * the pooling step behind class prototypes, IVF retraining, and
+    * chunk→document embedding rollups. Long form on purpose: the
+    * per-dim sum is one partial-aggregable groupBy(label, dim) keyed
+    * far wider than |labels| (no hot-key window), and array re-assembly
+    * is the caller's choice. Terms are rounded to 6 dp then summed in
+    * exact DECIMAL — summation order can't move the mean, so the
+    * result is bit-equal cross-engine (same discipline as
+    * [[normProfile]]). The mean itself rounds in INTEGER space (signed
+    * half-away-from-zero over the exact micro-unit sum): a double
+    * `round(sum/n, 6)` landed exactly on a 6-dp midpoint at sf0.1
+    * (0.0032135 → engines split 0.003213/0.003214), which the integer
+    * form decides identically everywhere. */
+  def meanPool(spark: SparkSession, emb: DataFrame,
+      labelCol: String = "label", embCol: String = "embedding"): DataFrame =
+    emb
+      .select(col(labelCol).as("label"), posexplode(
+        expr(s"transform($embCol, x -> round(CAST(x AS DOUBLE), 6))"))
+        .as(Seq("dim", "x")))
+      .withColumn("dim", col("dim").cast("long"))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          * 1000000).cast("long").as("_s6"))
+      .withColumn("mean",
+        (when(col("_s6") < 0, lit(-1L)).otherwise(lit(1L)) *
+          floor((abs(col("_s6")) * 2 + col("n_vecs")).cast("double")
+            / (col("n_vecs") * 2).cast("double")).cast("long"))
+          .cast("double") / 1000000.0)
+      .select(col("label"), col("dim"), col("n_vecs"), col("mean"))
+
+  /** k-NN majority-vote classification for a query subset: exact
+    * cosine top-k neighbours ([[cosineTopK]] — pair count bounded by
+    * |queries|·n, never n²), then one tiny groupBy over k rows per
+    * query; ties break to the smaller label (total order, engine-
+    * reproducible). The shape every embedding-quality probe uses:
+    * label agreement of near neighbours ≈ encoder sanity. */
+  def knnClassify(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val labels = emb.select(col("vec_id").as("n_id"), col(labelCol).as("n_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    // the top-k result (≤ |queries|·k rows) is the SMALL side — broadcast
+    // it into the corpus-sized label scan, never the reverse
+    labels
+      .join(broadcast(cosineTopK(spark, emb, queryPred, k)), Seq("n_id"))
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("n_label").as("pred_label"), col("votes"))
+  }
+
+  /** ANN recall@k: fraction of the exact top-k ([[cosineTopK]]) that
+    * the IVF path ([[ivfTopK]]) also returned, per query — THE metric
+    * that calibrates nProbe/k before anyone trusts an approximate
+    * index. Both sides are rank-k-bounded, so the overlap join carries
+    * |queries|·k rows; recall uses the engine-wide ratio6 discipline.
+    */
+  def annRecall(spark: SparkSession, emb: DataFrame,
+      centroidPred: org.apache.spark.sql.Column,
+      queryPred: org.apache.spark.sql.Column,
+      nProbe: Int, k: Int): DataFrame = {
+    val exact = cosineTopK(spark, emb, queryPred, k)
+      .select(col("q_id"), col("n_id"))
+    val approx = ivfTopK(spark, emb, centroidPred, queryPred, nProbe, k)
+      .select(col("q_id"), col("n_id"))
+    exact
+      .join(approx.withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall", Dedup.ratio6(col("hits"), lit(k)))
+  }
 }

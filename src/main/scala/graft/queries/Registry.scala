@@ -21,7 +21,8 @@ final case class Q(
 
 object Registry {
   lazy val all: Seq[Q] =
-    RelationalQueries.qs ++ SweepQueries.qs ++ PhysicsQueries.qs ++ ExtQueries.qs
+    RelationalQueries.qs ++ SweepQueries.qs ++ PhysicsQueries.qs ++
+      ExtQueries.qs ++ Ext2Queries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

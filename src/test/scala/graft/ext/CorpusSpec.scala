@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.pumle.SparkSpec
+
+/** graft.ext.Corpus + the round-6 Similarity additions under
+  * parameterizations the oracle gate (q106-q113) doesn't exercise. */
+class CorpusSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d e f g h", "s1", 15L),
+      (2L, "a b c d e f g h", "s1", 15L), // exact dup of 1
+      (3L, "x y z", "s1", 5L),
+      (4L, "one two three four five six seven", "s2", 33L),
+      (5L, "", "s2", 0L),
+      (6L, "solo", "s3", 4L))
+      .toDF("doc_id", "text", "source", "n_chars")
+  }
+
+  test("capPerGroupSalted is bit-identical to capPerGroup under any salt count") {
+    val order = Seq(col("n_chars").desc, col("doc_id"))
+    val plain = Corpus.capPerGroup(docs, "source", order, n = 2)
+      .select("doc_id", "source", "rn").orderBy("doc_id").collect().toSeq
+    for (salts <- Seq(1, 2, 16)) {
+      val salted = Corpus.capPerGroupSalted(docs, "source", order, n = 2,
+          salts = salts)
+        .select("doc_id", "source", "rn").orderBy("doc_id").collect().toSeq
+      assert(salted == plain, s"salts=$salts diverged")
+    }
+    // the cap actually drops: s1 has 3 docs, 2 survive
+    assert(plain.count(_.getString(1) == "s1") == 2)
+  }
+
+  test("chunkOverlap: stride=width partitions the doc exactly; tail kept short") {
+    val out = Corpus.chunkOverlap(docs.filter(col("doc_id") === 4L),
+        width = 3, stride = 3)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getAs[String]("chunk")).toSeq ==
+      Seq("one two three", "four five six", "seven"))
+    assert(out.map(_.getAs[Long]("n_words")).toSeq == Seq(3L, 3L, 1L))
+    // non-overlapping chunks re-concatenate to the original text
+    assert(out.map(_.getAs[String]("chunk")).mkString(" ") ==
+      "one two three four five six seven")
+  }
+
+  test("chunkOverlap: overlap repeats stride-boundary words; empty text → one empty chunk") {
+    val over = Corpus.chunkOverlap(docs.filter(col("doc_id") === 1L),
+        width = 4, stride = 2)
+      .orderBy("chunk_idx").collect()
+    // starts at 0,2,4,6 over 8 words; each chunk ≤ 4 words
+    assert(over.map(_.getAs[String]("chunk")).toSeq ==
+      Seq("a b c d", "c d e f", "e f g h", "g h"))
+    val empty = Corpus.chunkOverlap(docs.filter(col("doc_id") === 5L),
+        width = 4, stride = 2).collect()
+    assert(empty.length == 1 && empty.head.getAs[String]("chunk") == "")
+  }
+
+  test("lengthBandFilter keeps exactly the rows within the quantile band") {
+    // p0..p1.0 keeps everything; a tight band drops the extremes
+    assert(Corpus.lengthBandFilter(docs, 0.0, 1.0).count() == docs.count())
+    val mid = Corpus.lengthBandFilter(docs, 0.25, 0.75)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // sorted n_chars: 0,4,5,15,15,33 → band [p25,p75] = [4.25, 15.0]
+    assert(mid == Seq(1L, 2L, 3L))
+  }
+
+  test("dupProfileBySource: dup ratio is per-source and ratio6-rounded") {
+    val rows = Corpus.dupProfileBySource(docs).orderBy("source").collect()
+    val s1 = rows.find(_.getString(0) == "s1").get
+    assert(s1.getAs[Long]("n_docs") == 3L && s1.getAs[Long]("n_distinct") == 2L)
+    assert(s1.getAs[Double]("dup_ratio") == 0.333333) // floor((1·2e6+3)/6)/1e6
+    assert(rows.find(_.getString(0) == "s3").get.getAs[Double]("dup_ratio") == 0.0)
+  }
+
+  private def vecs = {
+    import spark.implicits._
+    // 2-d embeddings, two tight clusters on the axes
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.8f, 0.05f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.05f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("meanPool: long-form per-label means match hand computation") {
+    val rows = Similarity.meanPool(spark, vecs).orderBy("label", "dim").collect()
+    assert(rows.length == 4) // 2 labels × 2 dims
+    val m = rows.map(r => (r.getAs[Int]("label"), r.getAs[Long]("dim")) ->
+      r.getAs[Double]("mean")).toMap
+    assert(math.abs(m((0, 0L)) - 0.9) < 1e-9)       // (1.0+0.9+0.8)/3
+    assert(math.abs(m((0, 1L)) - 0.05) < 1e-9)      // (0+0.1+0.05)/3
+    assert(math.abs(m((1, 1L)) - 0.9) < 1e-9)
+    assert(rows.forall(_.getAs[Long]("n_vecs") == 3L))
+  }
+
+  test("knnClassify recovers the cluster label with k=3") {
+    val out = Similarity.knnClassify(spark, vecs, col("vec_id") >= 0, k = 3)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Int]("pred_label")).toMap
+    // with self excluded, each point's 3-NN holds its 2 cluster-mates +
+    // 1 cross vote → majority = own cluster
+    assert((0L to 2L).forall(out(_) == 0))
+    assert((3L to 5L).forall(out(_) == 1))
+  }
+
+  test("annRecall: probing every cell makes IVF exhaustive (recall = 1)") {
+    val all = Similarity.annRecall(spark, vecs,
+        centroidPred = col("vec_id").isin(0L, 3L),
+        queryPred = col("vec_id") % 2 === 0, nProbe = 2, k = 2)
+      .collect()
+    assert(all.nonEmpty)
+    assert(all.forall(_.getAs[Double]("recall") == 1.0))
+    assert(all.forall(_.getAs[Long]("hits") == 2L))
+    // nProbe=1 can only lose recall, never gain
+    val one = Similarity.annRecall(spark, vecs,
+        centroidPred = col("vec_id").isin(0L, 3L),
+        queryPred = col("vec_id") % 2 === 0, nProbe = 1, k = 2)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall")).toMap
+    val allMap = all.map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall")).toMap
+    assert(one.forall { case (q, r) => r <= allMap(q) })
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Dot64, Jaccard8, MinHash48, Shingles8, SimHash16, SimHash64, XorFp48}
+import graft.functions.{Dot64, GopherStats, Jaccard8, MinHash48, Shingles8, SimHash16, SimHash64, XorFp48}
 
 /** SparkSessionExtensions injector — the engine's permanent extension
   * wiring. Users enable it with
@@ -27,7 +27,9 @@ import graft.functions.{Dot64, Jaccard8, MinHash48, Shingles8, SimHash16, SimHas
   *    (graft.functions.Jaccard8);
   *  - `shingles8(text)` → array<string>: the distinct 8-gram shingle
   *    set itself (graft.functions.Shingles8) — precompute-once input
-  *    to set-based pair scoring.
+  *    to set-based pair scoring;
+  *  - `gopher_stats(text)` → struct: the narrow quality gate's per-row
+  *    statistics in one compiled pass (graft.functions.GopherStats).
   *
   * No custom Rule[LogicalPlan] or SparkStrategy is injected: SURVEY §4
   * concluded Catalyst's built-in optimizations cover the reference's
@@ -65,5 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingles8"),
       new ExpressionInfo(classOf[Shingles8].getName, "shingles8"),
       (children: Seq[Expression]) => Shingles8(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("gopher_stats"),
+      new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
+      (children: Seq[Expression]) => GopherStats(children.head)))
+    // bpe_tokens is the ONE runtime-registered function deliberately NOT
+    // injected here: its merge table is training-data-dependent (a
+    // constructor argument, not a child expression), so a static
+    // injection cannot exist — sessions register it per-vocabulary via
+    // BpeTokens.register(spark, merges).
   }
 }

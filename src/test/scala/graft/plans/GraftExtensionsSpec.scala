@@ -33,6 +33,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val r2 = spark.sql("SELECT minhash48('the quick brown fox') AS sig")
         .head().getSeq[Long](0)
       assert(r == r2)
+      // the injection set tracks Functions.registerAll: every statically
+      // injectable function resolves in pure SQL with no register call
+      // (bpe_tokens is excluded by design — vocabulary-dependent)
+      for (f <- Seq("dot64(array(1.0d), array(2.0d))",
+          "simhash16('a b')", "simhash64('a b')", "xorfp48('a b')",
+          "jaccard8('a b c d e f g h i', 'a b c d e f g h i')",
+          "shingles8('a b c d e f g h i')", "gopher_stats('a b c')"))
+        assert(spark.sql(s"SELECT $f").head() != null, s"$f not injected")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -99,6 +99,59 @@ object Corpus {
       .drop("_lo", "_hi")
   }
 
+  /** Per-source corpus manifest: doc count, char volume, and an
+    * order-independent 48-bit content fingerprint (bit_xor over
+    * md5-derived doc hashes — associative/commutative, so map-side
+    * combine holds and partitioning can never change the result). Two
+    * manifests differ ⇔ content differs. */
+  def manifest(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source"): DataFrame =
+    docs.groupBy(col(srcCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).as("total_chars"),
+        expr(s"bit_xor(CAST(conv(substring(md5($textCol), 1, 12), 16, 10) AS BIGINT))")
+          .as("content_fp"))
+
+  /** Publish a corpus snapshot: source-partitioned parquet (partition
+    * pruning for per-source consumers) plus a `manifest.json` whose
+    * rows are [[manifest]]'s — the artifact that makes snapshot diffs
+    * and integrity checks O(|sources|), not O(corpus). The manifest is
+    * |sources|-bounded, so the driver-side JSON write is metadata-
+    * scale at any corpus size. */
+  def writeSnapshot(spark: SparkSession, docs: DataFrame, path: String,
+      textCol: String = "text", srcCol: String = "source"): Unit = {
+    docs.write.mode("overwrite").partitionBy(srcCol).parquet(s"$path/docs")
+    val rows = manifest(docs, textCol, srcCol)
+      .orderBy(col("source")).toJSON.collect()
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((rows.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Integrity check: recompute the manifest from the snapshot's
+    * parquet and compare to the published `manifest.json`. Returns one
+    * row per source with `ok` = all three fields match — `ok = false`
+    * means the data files changed after publish (or the manifest is
+    * stale). Reads are column-pruned to (source, text). */
+  def verifySnapshot(spark: SparkSession, path: String,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val stored = spark.read.json(s"$path/manifest.json")
+      .select(col("source"), col("n_docs").as("m_docs"),
+        col("total_chars").as("m_chars"), col("content_fp").as("m_fp"))
+    val actual = manifest(spark.read.parquet(s"$path/docs"), textCol, srcCol)
+    actual.join(stored, Seq("source"), "full_outer")
+      .withColumn("ok",
+        col("n_docs") === col("m_docs") &&
+        col("total_chars") === col("m_chars") &&
+        col("content_fp") === col("m_fp"))
+      .withColumn("ok", coalesce(col("ok"), lit(false)))
+      .select(col("source"), col("ok"), col("n_docs"), col("m_docs"),
+        col("content_fp"), col("m_fp"))
+  }
+
   /** Per-source duplication profile: docs, distinct contents (by md5),
     * and the duplicate fraction — the observability aggregate that
     * tells you WHICH source is pumping boilerplate before you pay for

@@ -376,7 +376,10 @@ object Similarity {
     val approx = ivfTopK(spark, emb, centroidPred, queryPred, nProbe, k)
       .select(col("q_id"), col("n_id"))
     exact
-      .join(approx.withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+      // both sides are rank-k-bounded; broadcast the probe side so the
+      // overlap join never sorts (static plan had an SMJ here)
+      .join(broadcast(approx.withColumn("hit", lit(1L))),
+        Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
       .withColumn("recall", Dedup.ratio6(col("hits"), lit(k)))

@@ -332,6 +332,37 @@ object ScaleProbe {
     val secs4 = (System.nanoTime() - t4) / 1e9
     println(f"[probe] ann ivf: $nVec%d vecs, ~100 queries → $topk results " +
       f"in $secs4%.1fs = ${nVec / secs4 / 1000}%.0fk vecs/s assign+probe+rerank")
+
+    // per-group cap under REAL skew: 4M docs where one mega-source holds
+    // half the corpus. The plain cap drags the whole hot group through
+    // one window task; the salted two-phase form bounds every task at
+    // n·salts rows — this prices the difference and proves equal output.
+    val nCap = 4000000
+    val capDocs = spark.range(nCap).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0, lit("megasource"))
+        .otherwise(concat(lit("s"), pmod(col("id"), lit(512)))).as("source"),
+      pmod(col("id") * 2654435761L, lit(100000L)).as("n_chars"))
+    val capOrder = Seq(col("n_chars").desc, col("doc_id"))
+    val tc1 = System.nanoTime()
+    val plainN = graft.ext.Corpus.capPerGroup(capDocs, "source", capOrder, 100).count()
+    val secsC1 = (System.nanoTime() - tc1) / 1e9
+    val tc2 = System.nanoTime()
+    val saltedN = graft.ext.Corpus.capPerGroupSalted(
+      capDocs, "source", capOrder, 100).count()
+    val secsC2 = (System.nanoTime() - tc2) / 1e9
+    require(plainN == saltedN, s"cap variants disagree: $plainN vs $saltedN")
+    println(f"[probe] source cap: $nCap%d docs (50%% in one source) → $plainN kept; " +
+      f"plain $secsC1%.1fs vs salted $secsC2%.1fs " +
+      f"(salted bounds every task at n·salts rows)")
+
+    // overlap chunking at volume: narrow generator, no shuffle — chunk
+    // throughput IS scan throughput
+    val tc3 = System.nanoTime()
+    val nChunks = graft.ext.Corpus.chunkOverlap(docs3, width = 8, stride = 6).count()
+    val secsC3 = (System.nanoTime() - tc3) / 1e9
+    println(f"[probe] chunk overlap: $nDocs3%d docs → $nChunks chunks in $secsC3%.1fs " +
+      f"= ${nDocs3 / secsC3 / 1000}%.0fk docs/s (narrow, zero shuffle)")
     spark.stop()
   }
 }

@@ -253,5 +253,54 @@ object Ext2Queries {
           / 1000000.0 AS dup_ratio
       FROM per GROUP BY source ORDER BY source"""))
 
-  val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113)
+  // --------------------------------------------------------------- q114
+  // Corpus manifest: per-source doc count, char volume, and an order-
+  // independent 48-bit content fingerprint (bit_xor of md5-derived doc
+  // hashes) — the change-detection artifact a pipeline publishes with
+  // each corpus snapshot (two manifests differ ⇔ content changed,
+  // regardless of partitioning or row order). One partial-aggregable
+  // groupBy; xor is associative+commutative so map-side combine holds.
+  private val q114 = Q(
+    "q114_corpus_manifest",
+    (s, d) => {
+      graft.ext.Corpus.manifest(Tables.documents(s, d))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(text)) AS BIGINT) AS total_chars,
+        bit_xor(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT)) AS content_fp
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  // --------------------------------------------------------------- q115
+  // Top-5 terms per source (count desc, term asc tie-break) — the
+  // vocabulary-drift probe run per corpus slice. Word histogram is one
+  // map-side-combined groupBy keyed (source, word) — far wider than
+  // |sources|, so no hot key — and the rank window sees only distinct
+  // words per source, never token occurrences.
+  private val q115 = Q(
+    "q115_top_terms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("word"))
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy(col("source"), col("rank"))
+    },
+    Some("""WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+      hist AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY source, word)
+      SELECT source, word, n,
+        CAST(row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, word) AS BIGINT) AS rank
+      FROM hist QUALIFY rank <= 5 ORDER BY source, rank"""))
+
+  val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113,
+    q114, q115)
 }

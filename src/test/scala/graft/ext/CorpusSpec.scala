@@ -75,6 +75,24 @@ class CorpusSpec extends SparkSpec {
     assert(rows.find(_.getString(0) == "s3").get.getAs[Double]("dup_ratio") == 0.0)
   }
 
+  test("snapshot publish + verify: intact ⇒ all ok; changed source flagged; added source flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    Corpus.writeSnapshot(spark, docs, dir)
+    val ok = Corpus.verifySnapshot(spark, dir).collect()
+    assert(ok.length == 3 && ok.forall(_.getAs[Boolean]("ok")))
+    // republish DATA ONLY (manifest now stale): s1 text changed, s4 new
+    import spark.implicits._
+    val mutated = docs
+      .withColumn("text",
+        when(col("doc_id") === 3L, lit("tampered")).otherwise(col("text")))
+      .unionByName(Seq((7L, "new doc", "s4", 7L))
+        .toDF("doc_id", "text", "source", "n_chars"))
+    mutated.write.mode("overwrite").partitionBy("source").parquet(s"$dir/docs")
+    val v = Corpus.verifySnapshot(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Boolean]("ok")).toMap
+    assert(v == Map("s1" -> false, "s2" -> true, "s3" -> true, "s4" -> false))
+  }
+
   private def vecs = {
     import spark.implicits._
     // 2-d embeddings, two tight clusters on the axes

@@ -125,7 +125,15 @@ class PlanSpec extends SparkSpec {
       "q99_simhash_cap_stats" -> 2, "q100_bpe_encode" -> 1,
       "q101_bpe_encode_fast" -> 1, "q102_star_components" -> 1,
       "q103_incremental_dedup" -> 9, "q104_dedup_corpus" -> 4,
-      "q105_incremental_recompute" -> 9)
+      "q105_incremental_recompute" -> 9,
+      // round-6 batch (audited via PlanAudit on this commit):
+      // q107 = q106 + the extra salted phase-1 window shuffle; q111's 5
+      // are its two rank-k pipelines (overlap join is broadcast)
+      "q106_source_cap" -> 2, "q107_source_cap_salted" -> 3,
+      "q108_chunk_overlap" -> 1, "q109_mean_pool" -> 2,
+      "q110_knn_classify" -> 4, "q111_ann_recall" -> 5,
+      "q112_length_band" -> 2, "q113_dup_profile" -> 3,
+      "q114_corpus_manifest" -> 2, "q115_top_terms" -> 3)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

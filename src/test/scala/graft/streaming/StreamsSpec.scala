@@ -72,6 +72,30 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("chunkOverlap is stateless-streamable: stream output equals the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ext.Corpus.chunkOverlap(
+        mem.toDF().toDF("doc_id", "text"), width = 3, stride = 2)
+      .writeStream.outputMode("append").format("memory").queryName("chk").start()
+    val rows = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "one two"),
+      (3L, ""))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT doc_id, chunk_idx, n_words, chunk FROM chk")
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    val batch = graft.ext.Corpus.chunkOverlap(
+        rows.toDF("doc_id", "text"), width = 3, stride = 2)
+      .select("doc_id", "chunk_idx", "n_words", "chunk")
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    q.stop()
+  }
+
   test("stream-static persisted-incremental dedup: batch-equivalent keeps, constant state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

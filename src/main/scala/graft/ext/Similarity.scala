@@ -361,6 +361,70 @@ object Similarity {
       .select(col("q_id"), col("n_label").as("pred_label"), col("votes"))
   }
 
+  /** Persist an IVF index: `path/centroids` (id + vector + norm) and
+    * `path/assigned` — every corpus vector under its nearest centroid,
+    * PARTITIONED BY centroid_id so probe-time reads prune to the
+    * probed cells at the file-listing level. Assignment uses
+    * [[ivfAssign]]'s exact contract (4-dp rounded cosine, id
+    * tie-break) with vectors retained. The build-once / query-many
+    * production shape (the ANN twin of Dedup.writeIncrementalSnapshot):
+    * corpus text is never rescanned and never reshuffled at query
+    * time. */
+  def writeIvfIndex(spark: SparkSession, emb: DataFrame,
+      centroidPred: org.apache.spark.sql.Column, path: String): Unit = {
+    val base = withVectors(spark, emb)
+    val cents = base.filter(centroidPred)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val wa = Window.partitionBy(col("n_id"))
+      .orderBy(col("ac_cos").desc, col("centroid_id"))
+    base
+      .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
+      .crossJoin(broadcast(cents.select(col("centroid_id"), col("cv"), col("cn"))))
+      .withColumn("ac_cos", round(expr("dot64(vn, cv)") / (col("nn") * col("cn")), 4))
+      .withColumn("rk", row_number().over(wa))
+      .filter(col("rk") === 1)
+      .select(col("n_id"), col("vn"), col("nn"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/assigned")
+  }
+
+  /** IVF search against a persisted index ([[writeIvfIndex]]): queries
+    * probe their `nProbe` nearest centroids and rerank exactly within
+    * the probed CELLS' FILES only — the probed-cell id set (bounded by
+    * the centroid count, never the corpus) becomes a partition filter,
+    * so unprobed cells are pruned before a single byte is read.
+    * Identical ranking contract to [[ivfTopK]]; on the same corpus and
+    * parameters the two return bit-equal results (q116 proves it
+    * against q66's oracle verbatim). */
+  def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    Dot64.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = withVectors(spark, queries)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("qc_cos").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("qc_cos", round(expr("dot64(vq, cv)") / (col("nq") * col("cn")), 4))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("vq"), col("nq"), col("centroid_id"))
+    // distinct probed cells: bounded by |centroids| (k-means k), NOT by
+    // |queries| or the corpus — a driver-side list here is metadata-scale
+    val cells = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cand = spark.read.parquet(s"$path/assigned")
+      .filter(col("centroid_id").isin(cells: _*))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    broadcast(probes).join(cand, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("centroid_id"), col("cosine"))
+  }
+
   /** ANN recall@k: fraction of the exact top-k ([[cosineTopK]]) that
     * the IVF path ([[ivfTopK]]) also returned, per query — THE metric
     * that calibrates nProbe/k before anyone trusts an approximate

@@ -301,6 +301,27 @@ object Ext2Queries {
                                 ORDER BY n DESC, word) AS BIGINT) AS rank
       FROM hist QUALIFY rank <= 5 ORDER BY source, rank"""))
 
+  // --------------------------------------------------------------- q116
+  // IVF search through a PERSISTED index on q66's exact parameters,
+  // sharing q66's oracle VERBATIM: writeIvfIndex → ivfTopKIndexed must
+  // return the identical ranking the inline ivfTopK computes — the
+  // driver proves the build-once/query-many path ≡ the one-shot path
+  // (the q103/q105 pattern, applied to ANN). The index is built into a
+  // temp dir per invocation; at production scale it is built once and
+  // probed many times with partition-pruned cell reads.
+  private val q116 = Q(
+    "q116_ivf_indexed",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+      graft.ext.Similarity.writeIvfIndex(s, emb,
+        centroidPred = col("vec_id") % 50 === 0, dir)
+      graft.ext.Similarity.ivfTopKIndexed(s, dir,
+          emb.filter(col("vec_id") % 97 === 0), nProbe = 2, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    ExtQueries.qs.find(_.name == "q66_ivf_topk").get.oracle) // q66 VERBATIM
+
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115)
+    q114, q115, q116)
 }

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.pumle.SparkSpec
+
+/** Persisted IVF index: bit-equality with the inline path and the
+  * partition-pruning contract (unprobed cells never read). */
+class IvfIndexSpec extends SparkSpec {
+
+  private def emb = {
+    import spark.implicits._
+    // 3 clusters along axes of a 4-d space, 8 vectors each
+    Seq.tabulate(24) { i =>
+      val c = i % 3
+      val base = Array(0.05f, 0.05f, 0.05f, 0.05f)
+      base(c) = 1.0f + (i / 3) * 0.01f
+      (i.toLong, base, c)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("ivfTopKIndexed returns exactly what inline ivfTopK returns") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfspec").toString
+    val centroids = col("vec_id") < 3 // one seed per cluster
+    Similarity.writeIvfIndex(spark, emb, centroids, dir)
+    val indexed = Similarity.ivfTopKIndexed(spark, dir,
+        emb.filter(col("vec_id") % 5 === 0), nProbe = 2, k = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    val inline = Similarity.ivfTopK(spark, emb,
+        centroidPred = centroids, queryPred = col("vec_id") % 5 === 0,
+        nProbe = 2, k = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(indexed == inline)
+    assert(indexed.nonEmpty)
+  }
+
+  test("probe reads are partition-pruned to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfspec2").toString
+    Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir)
+    // a single query vector probing 1 cell: the assigned scan must carry
+    // a centroid_id partition filter (pruned at file-listing time)
+    val one = Similarity.ivfTopKIndexed(spark, dir,
+      emb.filter(col("vec_id") === 6L), nProbe = 1, k = 2)
+    val plan = one.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[[^\\]]*centroid_id.*"),
+      s"no centroid_id partition filter in:\n$plan")
+    // index layout on disk: one directory per cell
+    val cells = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
+    assert(cells.toSeq == Seq("centroid_id=0", "centroid_id=1", "centroid_id=2"))
+  }
+}

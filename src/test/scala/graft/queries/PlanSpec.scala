@@ -133,7 +133,8 @@ class PlanSpec extends SparkSpec {
       "q108_chunk_overlap" -> 1, "q109_mean_pool" -> 2,
       "q110_knn_classify" -> 4, "q111_ann_recall" -> 5,
       "q112_length_band" -> 2, "q113_dup_profile" -> 3,
-      "q114_corpus_manifest" -> 2, "q115_top_terms" -> 3)
+      "q114_corpus_manifest" -> 2, "q115_top_terms" -> 3,
+      "q116_ivf_indexed" -> 4)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -37,7 +37,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 QUERIES = ["q52_lsh_candidates", "q65_dedup_clusters", "q72_verify_candidates",
            "q85_simhash_neardup", "q88_dup_span_frac", "q93_quality_gate",
            "q94_minhash_calibration", "q96_quality_gate_narrow",
-           "q97_source_leakage", "q100_bpe_encode", "q101_bpe_encode_fast"]
+           "q97_source_leakage", "q100_bpe_encode", "q101_bpe_encode_fast",
+           # round-6 document-axis additions: star CC (shares q65's
+           # recursive oracle), persisted-incremental dedup, chunking,
+           # dup profile, top terms. q104_dedup_corpus (one-call dedup)
+           # is deliberately ABSENT: its single-query DuckDB replay
+           # (shingles + banding + verify + recursive CC in one plan)
+           # exhausted 78 GB of spill at sf1 and aborted, while Spark
+           # runs the same end-to-end semantics in ~4.8s — recorded in
+           # BENCH_sf1.md's Analysis instead of a table row.
+           "q102_star_components", "q103_incremental_dedup",
+           "q108_chunk_overlap", "q113_dup_profile", "q115_top_terms"]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -77,6 +87,9 @@ def time_duckdb(runs):
             # queries, matching Bench's clearCache isolation
             con = duckdb.connect()
             con.execute("SET threads TO 32")
+            # fail fast instead of filling the disk: q104's replay hit
+            # "No space left on device" after >78 GB of .tmp spill
+            con.execute("SET max_temp_directory_size='40GB'")
             for t in TABLES:
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                             f"read_parquet('{SF1}/{t}.parquet')")

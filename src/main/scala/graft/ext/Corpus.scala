@@ -170,4 +170,43 @@ object Corpus {
         count(lit(1)).as("n_distinct"))
       .withColumn("dup_ratio",
         Dedup.ratio6(col("n_docs") - col("n_distinct"), col("n_docs")))
+
+  /** Seeded global training order ("epoch shuffle"): every doc gets a
+    * dense rank 0..n-1 in `md5(seed || ":" || id)` order plus a
+    * round-robin shard id — the deterministic permutation a training
+    * run reads by: same seed ⇒ the same order on any cluster, any
+    * partitioning, any day; next epoch ⇒ next seed ⇒ a fresh
+    * permutation; `shard = rank % nShards` gives every data-loader
+    * worker an equal (±1) slice of every region of the order, so
+    * resuming mid-epoch is a rank range, not a file scan.
+    *
+    * Scale shape: the naive `row_number() OVER (ORDER BY h)` is a
+    * total sort into ONE task. Instead the hash's first byte forms 256
+    * ORDERED range buckets (md5 is uniform, so buckets are balanced
+    * n/256 — no skew by construction): per-bucket ranks come from 256
+    * parallel windows, and each bucket's prefix offset comes from one
+    * 256-row count aggregate (the only driver-scale window here runs
+    * over those 256 rows — metadata, not data). rank = offset +
+    * local_rank is EXACTLY the oracle's global row_number, with the
+    * corpus never sorted in a single task. */
+  def epochOrder(docs: DataFrame, seed: Long, nShards: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    val h = md5(concat_ws(":", lit(seed), col(idCol)))
+    val hashed = docs.select(col(idCol), h.as("_h"))
+      .withColumn("_bucket", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+    val counts = hashed.groupBy(col("_bucket")).agg(count(lit(1)).as("_bn"))
+    // ≤256 rows: the single-partition cumulative window is metadata-scale
+    val woff = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("_off", coalesce(sum(col("_bn")).over(woff), lit(0L)))
+      .select(col("_bucket"), col("_off"))
+    val wloc = Window.partitionBy(col("_bucket"))
+      .orderBy(col("_h"), col(idCol))
+    hashed
+      .join(broadcast(offs), Seq("_bucket"))
+      .withColumn("rank", col("_off") + row_number().over(wloc) - 1)
+      .withColumn("shard", pmod(col("rank"), lit(nShards.toLong)))
+      .select(col(idCol), col("rank"), col("shard"))
+  }
 }

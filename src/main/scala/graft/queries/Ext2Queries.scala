@@ -322,6 +322,28 @@ object Ext2Queries {
     },
     ExtQueries.qs.find(_.name == "q66_ivf_topk").get.oracle) // q66 VERBATIM
 
+  // --------------------------------------------------------------- q117
+  // Seeded global training order (seed 7, 8 shards): dense rank over
+  // md5('7:' || doc_id) with doc_id tie-break. The oracle computes the
+  // naive single-sort row_number; the Spark side computes the identical
+  // permutation via 256 hash-range buckets + prefix offsets — the
+  // driver proves bucketed-two-phase ≡ global-sort, the property that
+  // licenses the shape where a one-task total sort cannot run.
+  private val q117 = Q(
+    "q117_epoch_order",
+    (s, d) => {
+      graft.ext.Corpus.epochOrder(Tables.documents(s, d), seed = 7L,
+          nShards = 8)
+        .orderBy(col("rank"))
+    },
+    Some("""WITH h AS (
+        SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents)
+      SELECT doc_id,
+        CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS rank,
+        CAST((row_number() OVER (ORDER BY h, doc_id) - 1) % 8 AS BIGINT) AS shard
+      FROM h ORDER BY rank"""))
+
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116)
+    q114, q115, q116, q117)
 }

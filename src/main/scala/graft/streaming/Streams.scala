@@ -336,6 +336,78 @@ object Streams {
   /** mapGroupsWithState status tracker: applies the reference's legal
     * transitions in sequence order, ignoring illegal ones (streaming
     * analog of OP-V6). */
+  /** Stream-static ANN enrich — the streaming consumer of
+    * [[graft.ext.Similarity.writeIvfIndex]]'s persisted index: each
+    * arriving query vector gets its IVF top-k neighbors (the identical
+    * ranking contract as the batch
+    * [[graft.ext.Similarity.ivfTopKIndexed]], spec-pinned) at arrival
+    * latency. The streaming twin of [[incrementalDedup]]: same
+    * static-side reshape-once + per-band unique-key join discipline,
+    * applied to ANN.
+    *
+    * Plan shape, and why it streams STATELESS: windows and groupBy
+    * aggregations on a stream are stateful and emission-delayed, so
+    * neither of the batch path's two row_number windows survives here.
+    * Instead (1) probe selection is per-row narrow work — the centroid
+    * table (metadata-scale by IVF construction: you size |centroids| ~
+    * sqrt(corpus)) is embedded as a LITERAL array and each row sorts
+    * its own per-centroid cosines; (2) the assigned corpus is reshaped
+    * ONCE per index (static plan, reused every micro-batch) into one
+    * row per cell carrying the cell's member list — the cell is the
+    * unit the batch path reads as a pruned partition, so a cell-sized
+    * row is the same memory unit the index already commits to; (3) the
+    * stream side takes `nProbe` stream-static LEFT joins, each on the
+    * unique cell key (no row amplification), and (4) one expression
+    * concatenates the probed cells, drops self-matches, sorts by the
+    * 4-dp-rounded cosine (desc, id-tiebreak — negate AFTER rounding so
+    * half-up stays half-up) and slices top-k. No state store at all:
+    * a query row's answer never waits on a watermark. */
+  def annEnrich(spark: SparkSession, queries: DataFrame, indexPath: String,
+      nProbe: Int = 2, k: Int = 5): DataFrame = {
+    graft.functions.Dot64.register(spark)
+    import graft.ext.Similarity.withVectors
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("centroid_id"), col("cv"), col("cn"))
+      .collect().map { r =>
+        struct(lit(r.getLong(0)).as("cid"),
+          typedLit(r.getSeq[Double](1)).as("cv"),
+          lit(r.getDouble(2)).as("cn"))
+      }
+    val cells = spark.read.parquet(s"$indexPath/assigned")
+      .groupBy(col("centroid_id"))
+      .agg(collect_list(
+        struct(col("n_id"), col("vn"), col("nn"),
+          col("centroid_id").as("cid"))).as("cands"))
+    val base = withVectors(spark, queries)
+      .withColumn("_cents", array(cents.toIndexedSeq: _*))
+      // per-row probe ranking: (cos desc, cid asc) == the batch wp window
+      .withColumn("_probes", expr(
+        s"""slice(array_sort(transform(_cents, c ->
+           |  struct(-round(dot64(v, c.cv) / (nrm * c.cn), 4) AS ncos,
+           |         c.cid AS cid))), 1, $nProbe)""".stripMargin))
+      .drop("_cents")
+    val joined = (0 until nProbe).foldLeft(base) { (df, p) =>
+      df.withColumn(s"_bucket_$p",
+          expr(s"CASE WHEN size(_probes) > $p THEN _probes[$p].cid END"))
+        .join(cells.select(col("centroid_id").as(s"_bucket_$p"),
+            col("cands").as(s"_cands_$p")),
+          Seq(s"_bucket_$p"), "left_outer")
+    }
+    val lists = (0 until nProbe).map(p => s"_cands_$p").mkString(", ")
+    joined
+      .withColumn("_top", expr(
+        s"""slice(array_sort(transform(
+           |  filter(flatten(filter(array($lists), a -> a IS NOT NULL)),
+           |         c -> c.n_id != vec_id),
+           |  c -> struct(-round(dot64(v, c.vn) / (nrm * c.nn), 4) AS ncos,
+           |              c.n_id AS n_id, c.cid AS cid))), 1, $k)""".stripMargin))
+      .select(col("vec_id").as("q_id"),
+        posexplode(col("_top")).as(Seq("_pos", "_c")))
+      .select(col("q_id"), (col("_pos") + 1).cast("long").as("rank"),
+        col("_c.n_id").as("n_id"), col("_c.cid").as("centroid_id"),
+        (-col("_c.ncos")).as("cosine"))
+  }
+
   def latestStatus(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events.as[SimEvent]

@@ -142,4 +142,40 @@ class CorpusSpec extends SparkSpec {
     val allMap = all.map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall")).toMap
     assert(one.forall { case (q, r) => r <= allMap(q) })
   }
+
+  test("epochOrder: dense permutation == the naive global sort, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val big = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val r = Corpus.epochOrder(big, seed = 7L, nShards = 8)
+    // a dense 0..n-1 permutation
+    assert(r.select("rank").as[Long].collect().sorted.toSeq == (0L until 500L))
+    // the bucketed two-phase rank IS the one-task global row_number
+    val naive = big
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(7L), col("doc_id"))).as("h"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("h"), col("doc_id")))
+          .cast("long") - 1)
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    val got = r.select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    // partitioning cannot move a single rank
+    val reparted = Corpus.epochOrder(big.repartition(13), seed = 7L, nShards = 8)
+      .collect().toSet
+    assert(reparted == r.collect().toSet)
+  }
+
+  test("epochOrder: seed changes the permutation; shards are balanced ±1") {
+    import spark.implicits._
+    val big = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s7 = Corpus.epochOrder(big, 7L).select("doc_id", "rank")
+      .as[(Long, Long)].collect().toMap
+    val s8 = Corpus.epochOrder(big, 8L).select("doc_id", "rank")
+      .as[(Long, Long)].collect().toMap
+    assert(s7 != s8, "different seeds must give different permutations")
+    val counts = Corpus.epochOrder(big, 7L, nShards = 8)
+      .groupBy("shard").count().select("count").as[Long].collect()
+    assert(counts.length == 8 && counts.max - counts.min <= 1)
+  }
 }

@@ -50,4 +50,29 @@ class IvfIndexSpec extends SparkSpec {
       .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
     assert(cells.toSeq == Seq("centroid_id=0", "centroid_id=1", "centroid_id=2"))
   }
+
+  test("streaming annEnrich replays the batch indexed ranking per arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = graft.streaming.Streams.annEnrich(spark,
+      mem.toDF().toDF("vec_id", "embedding"), dir, nProbe = 2, k = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("annen").start()
+    val qvecs = emb.filter(col("vec_id") % 5 === 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    mem.addData(qvecs.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val got = spark.sql("SELECT * FROM annen")
+      .orderBy("q_id", "rank").collect().toSeq
+    val want = Similarity.ivfTopKIndexed(spark, dir,
+        emb.filter(col("vec_id") % 5 === 0), nProbe = 2, k = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+    q.stop()
+  }
 }

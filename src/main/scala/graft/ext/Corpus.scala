@@ -190,9 +190,14 @@ object Corpus {
     * local_rank is EXACTLY the oracle's global row_number, with the
     * corpus never sorted in a single task. */
   def epochOrder(docs: DataFrame, seed: Long, nShards: Int = 8,
-      idCol: String = "doc_id"): DataFrame = {
-    val h = md5(concat_ws(":", lit(seed), col(idCol)))
-    val hashed = docs.select(col(idCol), h.as("_h"))
+      idCol: String = "doc_id"): DataFrame =
+    ranked(docs.select(col(idCol)), seed, nShards, idCol)
+
+  // shared ranking core: all input columns survive, plus rank + shard
+  private def ranked(docs: DataFrame, seed: Long, nShards: Int,
+      idCol: String): DataFrame = {
+    val hashed = docs
+      .withColumn("_h", md5(concat_ws(":", lit(seed), col(idCol))))
       .withColumn("_bucket", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
     val counts = hashed.groupBy(col("_bucket")).agg(count(lit(1)).as("_bn"))
     // ≤256 rows: the single-partition cumulative window is metadata-scale
@@ -207,6 +212,24 @@ object Corpus {
       .join(broadcast(offs), Seq("_bucket"))
       .withColumn("rank", col("_off") + row_number().over(wloc) - 1)
       .withColumn("shard", pmod(col("rank"), lit(nShards.toLong)))
-      .select(col(idCol), col("rank"), col("shard"))
+      .drop("_h", "_bucket", "_off")
   }
+
+  /** Publish an epoch — [[epochOrder]] materialized the way a training
+    * job reads it: parquet partitioned by `shard` (one directory per
+    * data-loader worker), every doc column carried through, rows
+    * CLUSTERED by rank within each shard's files so "sort by rank
+    * within your shard" is a merge of already-ordered row groups, not a
+    * shuffle. Since shard = rank % nShards, each worker holds an
+    * equal (±1) interleaved slice of the global order — resuming at
+    * global step S means "skip ranks < S", a predicate parquet can
+    * evaluate from row-group stats. The write is the full-row version
+    * of the rank computation: one extra shuffle (repartition by shard)
+    * beyond the bucket window, both on uniformly-distributed keys. */
+  def writeEpoch(docs: DataFrame, seed: Long, nShards: Int, path: String,
+      idCol: String = "doc_id"): Unit =
+    ranked(docs, seed, nShards, idCol)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("rank"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -693,4 +693,60 @@ object TextStats {
       expr(s"element_at(minhash48($textCol), 1)").as("fp_min_shingle"),
       expr(s"xorfp48($textCol)").as("fp_xor"))
   }
+
+  /** Interpolated bigram-LM quality score — the step past [[lmScore]]'s
+    * unigram model toward the CCNet-style perplexity filter: each
+    * adjacent word pair scores `-ln(λ·P(w2|w1) + (1-λ)·P(w2))` with
+    * λ = 0.5, where the bigram term comes from a TRUNCATED model (the
+    * corpus's top-`topBigrams` pairs, context counts summed within the
+    * truncated table so the model is self-consistent) and the unigram
+    * backoff reuses [[lmScore]]'s top-`vocabSize` vocabulary with the
+    * OOV count-1 floor. Pairs outside the bigram model fall back to
+    * pure unigram mass (the interpolation never zeroes out), so every
+    * position scores and the result is defined for any input. Docs with
+    * fewer than two words have no pairs and drop out.
+    *
+    * Scale shape — the "model is bounded, corpus is not" contract that
+    * makes LM filtering viable at 100 TB: both model tables (vocab,
+    * bigrams + contexts, total) are top-K-bounded and BROADCAST, the
+    * pair generator is narrow (zip of two slices), and the only
+    * corpus-keyed shuffles are the two partial-aggregable histograms
+    * plus the final doc-keyed rollup. The corpus is never joined
+    * against an unbounded side. Cross-engine determinism follows the
+    * lmScore discipline: per-pair NLL rounded to 9 dp, summed as exact
+    * DECIMAL(18,9) (order-free), mean rounded to 6. */
+  def bigramLmScore(docs: DataFrame, vocabSize: Int = 4096,
+      topBigrams: Int = 4096, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val hist = words.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true)
+    val vocab = hist.orderBy(col("cu").desc, col("w")).limit(vocabSize)
+      .withColumnRenamed("w", "w2")
+    val total = hist.agg(sum(col("cu")).as("n_total"))
+    val pairs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("a"))
+      .select(col(idCol), explode(expr(
+        """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+          |         (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .orderBy(col("cb").desc, col("w1"), col("w2")).limit(topBigrams)
+      .localCheckpoint(true)
+    val ctx = bg.groupBy(col("w1")).agg(sum(col("cb")).as("cctx"))
+    pairs
+      .join(broadcast(bg), Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(vocab), Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("nll", round(-log(
+        lit(0.5) * coalesce(col("cb").cast("double") / col("cctx").cast("double"),
+          lit(0.0)) +
+        lit(0.5) * (coalesce(col("cu"), lit(1L)).cast("double") /
+          col("n_total").cast("double"))), 9).cast("decimal(18,9)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+  }
 }

@@ -363,6 +363,25 @@ object ScaleProbe {
     val secsC3 = (System.nanoTime() - tc3) / 1e9
     println(f"[probe] chunk overlap: $nDocs3%d docs → $nChunks chunks in $secsC3%.1fs " +
       f"= ${nDocs3 / secsC3 / 1000}%.0fk docs/s (narrow, zero shuffle)")
+
+    // epoch-order shuffle at volume: 10M ids through the 256-bucket
+    // two-phase global rank. The check is the permutation CONTRACT
+    // (count = distinct = n, min 0, max n-1) — at real scale no task
+    // ever sees more than n/256 rows, where the naive global
+    // row_number sort would drag all 10M through one task.
+    val nOrd = 10000000L
+    val ordDocs = spark.range(nOrd).select(col("id").as("doc_id"))
+    val tO = System.nanoTime()
+    val ordChk = graft.ext.Corpus.epochOrder(ordDocs, seed = 3L, nShards = 32)
+      .agg(count(lit(1)), countDistinct(col("rank")), min(col("rank")),
+        max(col("rank"))).head()
+    val secsO = (System.nanoTime() - tO) / 1e9
+    require(ordChk.getLong(0) == nOrd && ordChk.getLong(1) == nOrd &&
+      ordChk.getLong(2) == 0L && ordChk.getLong(3) == nOrd - 1,
+      s"epochOrder permutation contract violated: $ordChk")
+    println(f"[probe] epoch order: $nOrd%d ids ranked (256-bucket two-phase, " +
+      f"dense 0..${nOrd - 1}%d verified) in $secsO%.1fs = " +
+      f"${nOrd / secsO / 1e6}%.1fM ids/s")
     spark.stop()
   }
 }

@@ -344,6 +344,50 @@ object Ext2Queries {
         CAST((row_number() OVER (ORDER BY h, doc_id) - 1) % 8 AS BIGINT) AS shard
       FROM h ORDER BY rank"""))
 
+  // --------------------------------------------------------------- q118
+  // Interpolated bigram-LM score (λ=0.5, top-4096 vocab AND top-4096
+  // bigram model): each adjacent pair scores -ln(0.5·cb/cctx +
+  // 0.5·cu/N) with unigram backoff when the pair misses the truncated
+  // model. Both model tables are top-K-bounded (fully tie-broken
+  // ORDER BY) and broadcast; NLL follows q80's DECIMAL(18,9) sum
+  // discipline so summation order can't move the mean.
+  private val q118 = Q(
+    "q118_bigram_lm_score",
+    (s, d) => {
+      graft.ext.TextStats.bigramLmScore(Tables.documents(s, d),
+          vocabSize = 4096, topBigrams = 4096)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH wd AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL),
+      hist AS (SELECT w, count(*) AS cu FROM wd GROUP BY w),
+      vocab AS (SELECT w, cu FROM hist ORDER BY cu DESC, w LIMIT 4096),
+      tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM hist),
+      pairs AS (
+        SELECT doc_id, a[CAST(g.generate_series AS INT)] AS w1,
+               a[CAST(g.generate_series + 1 AS INT)] AS w2
+        FROM (SELECT doc_id, string_split(text, ' ') AS a
+              FROM documents WHERE text IS NOT NULL),
+             generate_series(1, 99999) g
+        WHERE CAST(g.generate_series AS BIGINT) <= CAST(len(a) AS BIGINT) - 1),
+      bg AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2
+             ORDER BY cb DESC, w1, w2 LIMIT 4096),
+      ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cctx FROM bg GROUP BY w1),
+      scored AS (
+        SELECT doc_id,
+          CAST(round(-ln(
+            0.5 * coalesce(CAST(b.cb AS DOUBLE) / CAST(c.cctx AS DOUBLE), 0)
+            + 0.5 * (CAST(coalesce(v.cu, 1) AS DOUBLE)
+                     / CAST(t.n_total AS DOUBLE))), 9) AS DECIMAL(18,9)) AS nll
+        FROM pairs p
+        LEFT JOIN bg b ON b.w1 = p.w1 AND b.w2 = p.w2
+        LEFT JOIN ctx c ON c.w1 = p.w1
+        LEFT JOIN vocab v ON v.w = p.w2, tot t)
+      SELECT doc_id, count(*) AS n_pairs,
+        round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117)
+    q114, q115, q116, q117, q118)
 }

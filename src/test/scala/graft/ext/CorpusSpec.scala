@@ -178,4 +178,25 @@ class CorpusSpec extends SparkSpec {
       .groupBy("shard").count().select("count").as[Long].collect()
     assert(counts.length == 8 && counts.max - counts.min <= 1)
   }
+
+  test("writeEpoch publishes shard dirs with rank-interleaved full rows") {
+    import spark.implicits._
+    val big = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("epoch").toString
+    Corpus.writeEpoch(big, seed = 7L, nShards = 4, dir)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    val back = spark.read.parquet(dir)
+    // full rows survive; ranks agree with epochOrder; each shard holds
+    // exactly the ranks ≡ its id (mod 4) — the interleaved-slice contract
+    assert(back.columns.toSet == Set("doc_id", "text", "rank", "shard"))
+    val order = Corpus.epochOrder(big, 7L, nShards = 4)
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    val rows = back.select("doc_id", "text", "rank", "shard")
+      .as[(Long, String, Long, Int)].collect()
+    assert(rows.length == 200)
+    assert(rows.forall { case (id, txt, rk, sh) =>
+      txt == s"doc $id" && order(id) == rk && rk % 4 == sh })
+  }
 }

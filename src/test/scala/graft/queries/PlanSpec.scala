@@ -134,7 +134,12 @@ class PlanSpec extends SparkSpec {
       "q110_knn_classify" -> 4, "q111_ann_recall" -> 5,
       "q112_length_band" -> 2, "q113_dup_profile" -> 3,
       "q114_corpus_manifest" -> 2, "q115_top_terms" -> 3,
-      "q116_ivf_indexed" -> 4)
+      "q116_ivf_indexed" -> 4,
+      // q117's 4 = bucket-count agg + 256-row offset window (single) +
+      // per-bucket rank window + final orderBy; q118's 4 = pair/ctx
+      // histograms + doc rollup + orderBy (model joins are broadcast;
+      // the unigram/bigram checkpoints truncate their build shuffles)
+      "q117_epoch_order" -> 4, "q118_bigram_lm_score" -> 4)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -388,6 +388,24 @@ object Ext2Queries {
         round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q119
+  // The compiled-narrow LM score on q118's exact parameters, sharing
+  // q118's oracle VERBATIM: trainLmModel collects the same K-bounded
+  // tables the relational form broadcasts, and the bigram_lm reference
+  // object re-derives every rounding hop (nll nanos, DECIMAL→double,
+  // 6-dp mean) — the driver proves compiled ≡ relational ≡ DuckDB,
+  // the q96/q101 oracle-twin pattern applied to LM filtering.
+  private val q119 = Q(
+    "q119_lm_score_narrow",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.ext.TextStats.trainLmModel(docs,
+        vocabSize = 4096, topBigrams = 4096)
+      graft.ext.TextStats.lmScoreNarrow(s, docs, model)
+        .orderBy(col("doc_id"))
+    },
+    q118.oracle) // q118's oracle VERBATIM
+
   val qs: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118)
+    q114, q115, q116, q117, q118, q119)
 }

@@ -139,7 +139,10 @@ class PlanSpec extends SparkSpec {
       // per-bucket rank window + final orderBy; q118's 4 = pair/ctx
       // histograms + doc rollup + orderBy (model joins are broadcast;
       // the unigram/bigram checkpoints truncate their build shuffles)
-      "q117_epoch_order" -> 4, "q118_bigram_lm_score" -> 4)
+      "q117_epoch_order" -> 4, "q118_bigram_lm_score" -> 4,
+      // q119's 1 is the final orderBy: scoring itself is one compiled
+      // narrow pass (model training runs eagerly at plan-build time)
+      "q119_lm_score_narrow" -> 1)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -263,10 +263,14 @@ object Similarity {
     * is a per-query window over approximate L2². */
   def pqSearchADC(spark: SparkSession, emb: DataFrame, codes: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]],
-      queryPred: org.apache.spark.sql.Column, topK: Int): DataFrame = {
+      queryPred: org.apache.spark.sql.Column, topK: Int): DataFrame =
+    pqSearch(emb.filter(queryPred), codes, codebooks, topK)
+
+  private def pqSearch(queryEmb: DataFrame, codes: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], topK: Int): DataFrame = {
     val m = codebooks.length
     val subDim = codebooks.head.head.length
-    val queries = emb.filter(queryPred)
+    val queries = queryEmb
       .select(col("vec_id").as("q_id"),
         expr(s"transform(embedding, x -> CAST(x AS DOUBLE))").as("vq"))
       .withColumn("cb", typedLit(codebooks))
@@ -448,4 +452,46 @@ object Similarity {
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
       .withColumn("recall", Dedup.ratio6(col("hits"), lit(k)))
   }
+
+  /** Persist a PQ index — the memory-bounded ANN twin of
+    * [[writeIvfIndex]]: `path/codebooks` (subspace, code, codeword) and
+    * `path/codes` (every corpus vector as `m` small codes, the
+    * 4·dims-bytes → m-bytes compression that lets a 100 TB embedding
+    * corpus sit in RAM for search). Train once ([[pqCodebooks]]'s
+    * one-job-per-iteration Lloyd), encode once (narrow), search many:
+    * the corpus embedding column is never re-read at query time. */
+  def writePqIndex(spark: SparkSession, emb: DataFrame,
+      seedPred: org.apache.spark.sql.Column, path: String, m: Int = 8,
+      k: Int = 16, iters: Int = 3, dims: Int = 64): Unit = {
+    import spark.implicits._
+    val cbs = pqCodebooks(spark, emb, seedPred, m, k, iters, dims)
+    cbs.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (cw, ci) => (s, ci, cw) }
+    }.toDF("sub", "code", "cw")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncode(spark, emb, cbs)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Reload a persisted PQ codebook set ([[writePqIndex]]) — doubles
+    * round-trip parquet exactly, so searches against the reloaded
+    * index are bit-equal to in-memory ADC (spec-pinned). */
+  def loadPqCodebooks(spark: SparkSession,
+      path: String): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, subRows) =>
+      subRows.sortBy(_._2).map(_._3).toSeq
+    }
+  }
+
+  /** ADC top-k against a persisted PQ index: the query batch computes
+    * its distance tables against the RELOADED codebooks and scans the
+    * persisted code table — [[pqSearchADC]]'s exact ranking contract
+    * ((adc_dist2, n_id) window, 6-dp rounded) without touching the
+    * original embeddings. */
+  def pqSearchIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, topK: Int): DataFrame =
+    pqSearch(queries, spark.read.parquet(s"$path/codes"),
+      loadPqCodebooks(spark, path), topK)
 }

@@ -673,6 +673,29 @@ class ExtApiSpec extends SparkSpec {
     assert(got.toSeq == Seq((4L, 0.0), (2L, 16.0), (3L, 16.0), (1L, 32.0), (5L, 32.0)))
   }
 
+  test("persisted PQ index: search from disk is bit-equal to in-memory ADC") {
+    import spark.implicits._
+    val emb = Seq.tabulate(24) { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.writePqIndex(spark, emb, seedPred = col("vec_id") < 4,
+      dir, m = 2, k = 4, iters = 2, dims = 8)
+    // codebooks round-trip parquet exactly (doubles are lossless there)
+    val cbs = Similarity.pqCodebooks(spark, emb, col("vec_id") < 4,
+      m = 2, k = 4, iters = 2, dims = 8)
+    assert(Similarity.loadPqCodebooks(spark, dir) == cbs)
+    val queries = emb.filter(col("vec_id") % 7 === 0)
+    val fromDisk = Similarity.pqSearchIndexed(spark, dir, queries, topK = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    val inMem = Similarity.pqSearchADC(spark, emb,
+        Similarity.pqEncode(spark, emb, cbs), cbs,
+        queryPred = col("vec_id") % 7 === 0, topK = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(fromDisk.nonEmpty)
+    assert(fromDisk == inMem)
+  }
+
   test("corpusOverlap: identical sides estimate 1, disjoint vocabularies 0") {
     import spark.implicits._
     val same = (0L until 40L).map(i => (i, s"shared corpus text block number ${i % 5}"))

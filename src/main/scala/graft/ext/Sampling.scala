@@ -163,4 +163,32 @@ object Sampling {
       .select(col(shardCol), col(idCol), col("n_tokens"),
         (col("local_bin") + col("bin_base")).as("bin"), col("offset_in_bin"))
   }
+
+  /** Leakage-free train/test split: near-duplicate CLUSTERS (LSH
+    * candidates → connected components, [[Dedup.clusters]]) are
+    * assigned to a split as a unit — the md5 bucket is computed over
+    * the `cluster_id`, not the doc id, so two near-duplicate documents
+    * can never straddle the train/test boundary (the classic
+    * eval-inflation leak a doc-keyed [[hashSplit]] cannot prevent).
+    * Docs outside every candidate pair are their own singleton cluster
+    * (cluster_id = doc_id). Same bucket/threshold spelling as
+    * [[hashSplit]], so the two splits are directly comparable.
+    * Scale: rides the dedup stack's candidate-bounded shapes; the
+    * split decision itself is narrow. */
+  def clusterSplit(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, trainPct: Int = 90,
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, "trainPct out of range")
+    val pairs = Dedup.lshCandidates(spark, docs)
+    val cl = Dedup.clusters(spark, pairs)
+      .select(col("node").as(idCol), col("cluster_id"))
+    docs.select(col(idCol))
+      .join(cl, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("bucket",
+        conv(substring(md5(col("cluster_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train").otherwise("test"))
+  }
 }

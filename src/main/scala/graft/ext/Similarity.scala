@@ -494,4 +494,169 @@ object Similarity {
       queries: DataFrame, topK: Int): DataFrame =
     pqSearch(queries, spark.read.parquet(s"$path/codes"),
       loadPqCodebooks(spark, path), topK)
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors whose LABEL differs
+    * from the query's — the "looks right, is wrong" pairs a retrieval
+    * or embedding model trains against. [[cosineTopK]]'s exact ranking
+    * contract (4-dp rounded cosine, (cosine DESC, n_id) window) with
+    * the label-mismatch predicate pushed into the pair filter, so the
+    * negative set is ranked over the same rounded values both engines
+    * agree on. Scale shape = cosineTopK's: the query side is the small
+    * broadcast-able batch; at 100 TB the candidate side rides an ANN
+    * index ([[ivfPqSearch]]) instead of the cross join — the CONTRACT
+    * (per-label-mismatch top-k) is what this operator pins. */
+  def hardNegatives(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val base = withVectors(spark, emb)
+    val qv = base.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col(labelCol).as("q_label"),
+        col("v").as("vq"), col("nrm").as("nq"))
+    val cand = base.select(col("vec_id").as("n_id"),
+      col(labelCol).as("n_label"), col("v").as("vn"), col("nrm").as("nn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    qv.crossJoin(cand)
+      .filter(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .withColumn("cosine", round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+        col("rank"), col("n_id"), col("n_label").cast("long").as("n_label"),
+        col("cosine"))
+  }
+
+  /** Deterministic ±1 sign for the JL projection matrix: parity of the
+    * first 6 hex chars of md5("rp:j:d") — the [[lshBuckets]] md5-derived
+    * randomness trick with a Rademacher distribution. Computed
+    * DRIVER-side here and spelled
+    * `CAST(('0x' || substr(md5('rp:' || j || ':' || d), 1, 6)) AS BIGINT) % 2`
+    * in the DuckDB oracle; both are the same md5 of the same bytes. */
+  private[graft] def rpSign(j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$j:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection `dims → outDims` with a
+    * deterministic Rademacher (±1/√outDims) matrix — the narrow
+    * dimensionality-reduction pass run before ANN indexing or k-means
+    * when 64 dims are still too wide at corpus scale. The sign matrix
+    * is a 16×64 LITERAL (driver-derived md5 parities, [[rpSign]]), so
+    * the whole operator is one zero-shuffle projection: per row,
+    * outDims dot products + a 4-dp round — embarrassingly parallel at
+    * 100 TB, no plane join, no aggregate (contrast [[lshBuckets]],
+    * which pays a crossJoin + groupBy for its 1-bit signs). */
+  def randomProject(spark: SparkSession, emb: DataFrame,
+      outDims: Int = 16, dims: Int = 64): DataFrame = {
+    val signs: Seq[Seq[Double]] =
+      Seq.tabulate(outDims)(j => Seq.tabulate(dims)(d => rpSign(j, d)))
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("rp", typedLit(signs))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, ${outDims - 1}), j ->
+           |  round(aggregate(zip_with(v, element_at(rp, j + 1),
+           |      (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)
+           |    / sqrt(CAST($outDims AS DOUBLE)), 4))""".stripMargin).as("proj"))
+  }
+
+  /** Persist a combined IVF+PQ index — the production ANN layout: IVF
+    * cells give sub-linear candidate selection (partition pruning on
+    * `centroid_id`), PQ codes give memory-bounded distance math inside
+    * each probed cell. Layout: `path/centroids` (IVF coarse quantizer),
+    * `path/codebooks` ([[writePqIndex]]'s layout, so
+    * [[loadPqCodebooks]] reads both index kinds), `path/codes` — every
+    * corpus vector's `m` PQ codes under its nearest centroid,
+    * PARTITIONED BY centroid_id. Cell assignment and PQ encoding happen
+    * in ONE narrow pass over the corpus (no assignment join): both
+    * derive from the same row. The codes file keeps the `vec_id` column
+    * name, so [[pqSearchIndexed]] over an IVF+PQ index is exactly the
+    * exhaustive-ADC fallback (spec-pinned). */
+  def writeIvfPqIndex(spark: SparkSession, emb: DataFrame,
+      centroidPred: org.apache.spark.sql.Column,
+      seedPred: org.apache.spark.sql.Column, path: String, m: Int = 8,
+      k: Int = 16, iters: Int = 3, dims: Int = 64): Unit = {
+    import spark.implicits._
+    val base = withVectors(spark, emb)
+    val cents = base.filter(centroidPred)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val cbs = pqCodebooks(spark, emb, seedPred, m, k, iters, dims)
+    cbs.zipWithIndex.flatMap { case (codes, s) =>
+      codes.zipWithIndex.map { case (cw, ci) => (s, ci, cw) }
+    }.toDF("sub", "code", "cw")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    val subDim = cbs.head.head.length
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ac_cos").desc, col("centroid_id"))
+    base.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ac_cos", round(expr("dot64(v, cv)") / (col("nrm") * col("cn")), 4))
+      .withColumn("rk", row_number().over(wa))
+      .filter(col("rk") === 1)
+      .withColumn("cb", typedLit(cbs))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+          |  array_min(transform(element_at(cb, s + 1), (cw, ci) -> struct(
+          |    aggregate(zip_with(slice(v, s * $subDim + 1, $subDim), cw,
+          |      (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist2,
+          |    ci AS code))).code)""".stripMargin))
+      .select(col("vec_id"), col("codes"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+  }
+
+  /** ANN search against a persisted IVF+PQ index ([[writeIvfPqIndex]]):
+    * each query probes its `nProbe` nearest centroids
+    * ([[ivfTopKIndexed]]'s probe contract — 4-dp rounded cosine,
+    * centroid-id tie-break), the probed cell-id set becomes a PARTITION
+    * FILTER on the codes table (unprobed cells never read a byte), and
+    * candidates inside the probed cells rank by ADC distance against
+    * the query's per-subspace distance table ([[pqSearchADC]]'s exact
+    * (adc_dist2 6-dp, n_id) contract). With nProbe ≥ the cell count
+    * this degrades to exhaustive ADC — bit-equal to
+    * [[pqSearchIndexed]] on the same index (spec-pinned), which is the
+    * correctness anchor for the pruned fast path. */
+  def ivfPqSearch(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, topK: Int): DataFrame = {
+    Dot64.register(spark)
+    val cbs = loadPqCodebooks(spark, path)
+    val m = cbs.length
+    val subDim = cbs.head.head.length
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = withVectors(spark, queries)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("qc_cos").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("qc_cos", round(expr("dot64(vq, cv)") / (col("nq") * col("cn")), 4))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .withColumn("cb", typedLit(cbs))
+      .withColumn("tbl", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+          |  transform(element_at(cb, s + 1), cw ->
+          |    aggregate(zip_with(slice(vq, s * $subDim + 1, $subDim), cw,
+          |      (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)))"""
+          .stripMargin))
+      .select(col("q_id"), col("centroid_id"), col("tbl"))
+    // probed cell ids: bounded by the centroid count, never the corpus
+    val cells = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cand = spark.read.parquet(s"$path/codes")
+      .filter(col("centroid_id").isin(cells: _*))
+      .select(col("vec_id").as("n_id"), col("codes"), col("centroid_id"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("adc_dist2"), col("n_id"))
+    broadcast(probes).join(cand, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc_dist2", round(expr(
+        """aggregate(zip_with(tbl, codes, (t, c) -> element_at(t, c + 1)),
+          |  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)""".stripMargin), 6))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("centroid_id"),
+        col("adc_dist2"))
+  }
 }

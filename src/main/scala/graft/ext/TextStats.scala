@@ -820,4 +820,102 @@ object TextStats {
       .select(col(idCol), col("g.n_pairs").as("n_pairs"),
         col("g.avg_nll").as("avg_nll"))
   }
+
+  /** DSIR-style importance weighting (Data Selection via Importance
+    * Resampling): score every raw document by how much its
+    * hashed-bigram feature distribution looks like a TARGET subcorpus
+    * (`targetPred`, e.g. a trusted high-quality source) relative to the
+    * raw pool — the principled replacement for hand-tuned quality
+    * thresholds when composing a pretraining mix.
+    *
+    * Features are bigrams hashed into `buckets` buckets (md5 → first 8
+    * hex chars → mod), so BOTH unigram tables are bounded by `buckets`
+    * rows regardless of corpus size: the λ table
+    * (λ_b = ln p̂_target(b) − ln p̂_raw(b), +1-smoothed, 9-dp DECIMAL)
+    * is built from one partial-aggregable conditional count pass and
+    * BROADCAST back — the per-doc score is then one narrow join + one
+    * doc-keyed sum. `dsir_weight` is the per-feature MEAN log-ratio
+    * (length-normalized; exact DECIMAL sum before the one double
+    * division). Docs without a bigram feature score 0 with n_feats 0.
+    * Target docs are excluded from the output (they are the reference,
+    * not candidates). Scale: shuffles are the feature count (bounded
+    * `buckets`) and the doc-keyed sum — nothing corpus² anywhere. */
+  def dsirWeights(docs: DataFrame, targetPred: org.apache.spark.sql.Column,
+      buckets: Int = 1024, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val feats = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), targetPred.as("is_target"),
+        split(col(textCol), " ").as("ws"))
+      .select(col(idCol), col("is_target"), explode(expr(
+        s"""CASE WHEN size(ws) >= 2 THEN
+           |  transform(sequence(1, least(size(ws) - 1, $MaxNgramPos)),
+           |    i -> CAST(conv(substr(md5(concat_ws(' ', element_at(ws, i),
+           |           element_at(ws, i + 1))), 1, 8), 16, 10) AS BIGINT)
+           |         % $buckets)
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)).as("b"))
+    val counts = feats.groupBy(col("b")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lam = counts.crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        s"""CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (nt + $buckets))
+           |         - ln(CAST(cr + 1 AS DOUBLE) / (nr + $buckets)), 9)
+           |AS DECIMAL(18,9))""".stripMargin).as("lam"))
+    val scored = feats.filter(!col("is_target"))
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lam")).as("s"))
+      .select(col(idCol), col("n_feats"),
+        round(col("s").cast("double") / col("n_feats"), 6).as("dsir_weight"))
+    docs.filter(!targetPred).select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"))
+  }
+
+  /** Contamination-depth ladder: [[decontaminate]] at several n-gram
+    * sizes in ONE pass — per raw doc, the count of its n-gram
+    * occurrences shared with the eval set at each rung (4/8/16 by
+    * default) and `contam_depth` = the longest rung with any overlap.
+    * Short-gram overlap is common phrasing; long-gram overlap is
+    * verbatim leakage — the ladder separates "mentions the benchmark's
+    * vocabulary" from "contains the benchmark".
+    *
+    * One tagged generator per side ((n, gram) structs, each rung under
+    * [[decontaminate]]'s 4096-start cap and short-doc convention), one
+    * distinct over the eval side, one semi-join on (n, gram), one
+    * conditional-count aggregate — 3 rungs cost one corpus scan, not
+    * three. */
+  def contamLadder(docs: DataFrame, evalPred: org.apache.spark.sql.Column,
+      sizes: Seq[Int] = Seq(4, 8, 16), idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(sizes.nonEmpty && sizes == sizes.sorted && sizes.distinct == sizes,
+      s"sizes must be distinct ascending, got $sizes")
+    val gen = sizes.map(n =>
+      s"""transform(sequence(0, least(greatest(size(ws) - $n, 0), 4096)),
+         |  i -> named_struct('n', $n,
+         |    'g', array_join(slice(ws, i + 1, $n), ' ')))""".stripMargin)
+      .mkString("concat(", ", ", ")")
+    val grams = docs
+      .withColumn("ws", split(col(textCol), " "))
+      .select(col(idCol), evalPred.as("is_eval"), explode(expr(gen)).as("t"))
+      .select(col(idCol), col("is_eval"), col("t.n").as("n"), col("t.g").as("g"))
+    val evalGrams = grams.filter(col("is_eval"))
+      .select(col("n"), col("g")).distinct()
+    val sharedCols = sizes.map(n =>
+      sum(when(col("n") === n, 1L).otherwise(0L)).as(s"shared$n"))
+    val shared = grams.filter(!col("is_eval"))
+      .join(evalGrams, Seq("n", "g"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sharedCols.head, sharedCols.tail: _*)
+    val depth = sizes.reverse.foldRight(lit(0L)) { (n, acc) =>
+      when(col(s"shared$n") > 0, lit(n.toLong)).otherwise(acc)
+    }
+    docs.filter(!evalPred).select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol) +: sizes.map(n =>
+        coalesce(col(s"shared$n"), lit(0L)).as(s"shared$n")): _*)
+      .withColumn("contam_depth", depth)
+  }
 }

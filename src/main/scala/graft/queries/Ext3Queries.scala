@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-6 batch (q120+): hard-negative mining, JL random projection,
+  * the distributed covariance pass, leakage-free cluster splitting,
+  * DSIR importance weighting, and the contamination-depth ladder.
+  * Reference scope: LLM-pipeline surface (builder brief) — no PUMLE
+  * counterpart.
+  */
+object Ext3Queries {
+
+  // --------------------------------------------------------------- q120
+  // Hard negatives for contrastive training: per query (vec_id % 37),
+  // top-4 most-cosine-similar vectors with a DIFFERENT label. q54's
+  // exact ranking contract with the label-mismatch pair filter.
+  private val q120 = Q(
+    "q120_hard_negatives",
+    (s, d) => {
+      graft.ext.Similarity.hardNegatives(s, Tables.embeddings(s, d),
+          col("vec_id") % 37 === 0, k = 4)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH base AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      nrm AS (
+        SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      pairs AS (
+        SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS n_id,
+          c.label AS n_label,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+        FROM nrm q, nrm c
+        WHERE q.vec_id % 37 = 0 AND q.vec_id <> c.vec_id
+          AND q.label <> c.label),
+      ranked AS (
+        SELECT q_id, q_label, n_id, n_label, cosine,
+          CAST(row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+        FROM pairs)
+      SELECT q_id, q_label, rank, n_id, n_label, cosine FROM ranked
+      WHERE rank <= 4 ORDER BY q_id, rank"""))
+
+  // --------------------------------------------------------------- q121
+  // Johnson–Lindenstrauss projection 64 → 16 with the deterministic
+  // md5-parity Rademacher matrix: ZERO-shuffle narrow pass (the matrix
+  // is a literal), vs lshBuckets' crossJoin+groupBy. Projections are
+  // 4-dp rounded (q54's dot-product rounding discipline).
+  private val q121 = Q(
+    "q121_random_proj",
+    (s, d) => {
+      graft.ext.Similarity.randomProject(s, Tables.embeddings(s, d),
+          outDims = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+        .orderBy(col("vec_id"), col("j"))
+    },
+    Some("""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      sgn AS (
+        SELECT CAST(j.generate_series AS INT) AS j,
+          list(CASE WHEN CAST(('0x' || substr(md5('rp:' || j.generate_series
+                 || ':' || d.generate_series), 1, 6)) AS BIGINT) % 2 = 0
+               THEN 1.0 ELSE -1.0 END ORDER BY d.generate_series) AS sw
+        FROM generate_series(0, 15) j, generate_series(0, 63) d
+        GROUP BY 1)
+      SELECT vec_id, j,
+        round(list_dot_product(v.v, s.sw) / sqrt(CAST(16 AS DOUBLE)), 4) AS y
+      FROM v, sgn s ORDER BY vec_id, j"""))
+
+  // --------------------------------------------------------------- q122
+  // Centered covariance of the embedding matrix, upper triangle —
+  // THE map-side-combinable d² pass (shuffle = tasks × 2,080 partials,
+  // corpus-size-independent). DECIMAL(28,9) term sums keep accumulation
+  // order out of the result; one double division + 6-dp round at the
+  // end, spelled identically on both engines.
+  private val q122 = Q(
+    "q122_embed_cov",
+    (s, d) => {
+      graft.ext.EmbedStats.covariance(Tables.embeddings(s, d))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""WITH v AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      pr AS (
+        SELECT CAST(i.generate_series AS BIGINT) AS i,
+          CAST(j.generate_series AS BIGINT) AS j,
+          CAST(round(v[CAST(i.generate_series + 1 AS INT)]
+                   * v[CAST(j.generate_series + 1 AS INT)], 9)
+               AS DECIMAL(28,9)) AS p
+        FROM v, generate_series(0, 63) i, generate_series(0, 63) j
+        WHERE j.generate_series >= i.generate_series),
+      s2 AS (SELECT i, j, sum(p) AS sxy, count(*) AS n FROM pr GROUP BY i, j),
+      ds AS (
+        SELECT CAST(d.generate_series AS BIGINT) AS d,
+          sum(CAST(round(v[CAST(d.generate_series + 1 AS INT)], 9)
+              AS DECIMAL(28,9))) AS sx
+        FROM v, generate_series(0, 63) d GROUP BY 1)
+      SELECT i, j,
+        round((CAST(sxy AS DOUBLE)
+               - CAST(a.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) / n) / n, 6) AS cov
+      FROM s2 JOIN ds a ON a.d = i JOIN ds b ON b.d = j
+      ORDER BY i, j"""))
+
+  // --------------------------------------------------------------- q123
+  // Leakage-free split: near-duplicate clusters (q65's EXACT clustering
+  // — the CTE chain is shared verbatim) assigned train/test as a UNIT
+  // by md5 over the cluster id. Two near-dups can never straddle the
+  // eval boundary.
+  private val q123 = Q(
+    "q123_cluster_split",
+    (s, d) => {
+      graft.ext.Sampling.clusterSplit(s, Tables.documents(s, d))
+        .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE ${ExtQueries.clusterCtes},
+      cl AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a),
+      alld AS (
+        SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      bk AS (
+        SELECT doc_id, cluster_id,
+          CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 AS bucket
+        FROM alld)
+      SELECT doc_id, cluster_id, bucket,
+        CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split
+      FROM bk ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------- q124
+  // DSIR importance weights against the English subcorpus as target:
+  // hashed-bigram features (md5 → 1024 buckets), +1-smoothed log-ratio
+  // λ table (bucket-bounded, broadcast), per-doc mean λ. The principled
+  // "looks like the target distribution" score.
+  private val q124 = Q(
+    "q124_dsir_weight",
+    (s, d) => {
+      graft.ext.TextStats.dsirWeights(Tables.documents(s, d),
+          col("lang") === "en")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH f AS (
+        SELECT doc_id, is_target,
+          CAST(('0x' || substr(md5(ws[CAST(g.generate_series AS INT)] || ' '
+                || ws[CAST(g.generate_series + 1 AS INT)]), 1, 8))
+               AS BIGINT) % 1024 AS b
+        FROM (SELECT doc_id, (lang = 'en') AS is_target,
+                string_split(text, ' ') AS ws
+              FROM documents WHERE text IS NOT NULL),
+             generate_series(1, 4096) g
+        WHERE CAST(g.generate_series AS BIGINT) <= CAST(len(ws) AS BIGINT) - 1),
+      cnt AS (
+        SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+          count(*) AS cr
+        FROM f GROUP BY b),
+      tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt),
+      lam AS (
+        SELECT b,
+          CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (nt + 1024))
+                   - ln(CAST(cr + 1 AS DOUBLE) / (nr + 1024)), 9)
+               AS DECIMAL(18,9)) AS lam
+        FROM cnt, tot),
+      sc AS (
+        SELECT f.doc_id, count(*) AS n_feats,
+          round(CAST(sum(l.lam) AS DOUBLE) / count(*), 6) AS dsir_weight
+        FROM f JOIN lam l USING (b) WHERE NOT is_target GROUP BY f.doc_id)
+      SELECT d.doc_id, CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+        coalesce(sc.dsir_weight, 0.0) AS dsir_weight
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      WHERE d.lang <> 'en'
+      ORDER BY d.doc_id"""))
+
+  // --------------------------------------------------------------- q125
+  // Contamination-depth ladder: q77's decontamination at n = 4/8/16 in
+  // ONE tagged pass — "mentions the benchmark's phrasing" (short rungs)
+  // vs "contains the benchmark verbatim" (long rungs).
+  private val q125 = Q(
+    "q125_contam_ladder",
+    (s, d) => {
+      graft.ext.TextStats.contamLadder(Tables.documents(s, d),
+          col("doc_id") % 50 === 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws, (doc_id % 50 = 0) AS is_eval
+        FROM documents),
+      g AS (
+        SELECT doc_id, is_eval, 4 AS n,
+          array_to_string(ws[CAST(gs.generate_series + 1 AS INT) :
+                             CAST(gs.generate_series + 4 AS INT)], ' ') AS gram
+        FROM w, generate_series(0, 4096) gs
+        WHERE gs.generate_series <= least(greatest(len(ws) - 4, 0), 4096)
+        UNION ALL
+        SELECT doc_id, is_eval, 8,
+          array_to_string(ws[CAST(gs.generate_series + 1 AS INT) :
+                             CAST(gs.generate_series + 8 AS INT)], ' ')
+        FROM w, generate_series(0, 4096) gs
+        WHERE gs.generate_series <= least(greatest(len(ws) - 8, 0), 4096)
+        UNION ALL
+        SELECT doc_id, is_eval, 16,
+          array_to_string(ws[CAST(gs.generate_series + 1 AS INT) :
+                             CAST(gs.generate_series + 16 AS INT)], ' ')
+        FROM w, generate_series(0, 4096) gs
+        WHERE gs.generate_series <= least(greatest(len(ws) - 16, 0), 4096)),
+      eg AS (SELECT DISTINCT n, gram FROM g WHERE is_eval),
+      sh2 AS (
+        SELECT g.doc_id,
+          sum(CASE WHEN g.n = 4 THEN 1 ELSE 0 END) AS s4,
+          sum(CASE WHEN g.n = 8 THEN 1 ELSE 0 END) AS s8,
+          sum(CASE WHEN g.n = 16 THEN 1 ELSE 0 END) AS s16
+        FROM g JOIN eg ON eg.n = g.n AND eg.gram = g.gram
+        WHERE NOT is_eval GROUP BY g.doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(s4, 0) AS BIGINT) AS shared4,
+        CAST(coalesce(s8, 0) AS BIGINT) AS shared8,
+        CAST(coalesce(s16, 0) AS BIGINT) AS shared16,
+        CAST(CASE WHEN coalesce(s16, 0) > 0 THEN 16
+                  WHEN coalesce(s8, 0) > 0 THEN 8
+                  WHEN coalesce(s4, 0) > 0 THEN 4
+                  ELSE 0 END AS BIGINT) AS contam_depth
+      FROM documents d LEFT JOIN sh2 ON sh2.doc_id = d.doc_id
+      WHERE d.doc_id % 50 <> 0
+      ORDER BY d.doc_id"""))
+
+  val qs: Seq[Q] = Seq(q120, q121, q122, q123, q124, q125)
+}

@@ -43,7 +43,7 @@ object ExtQueries {
   // DuckDB 1.0 generate_series accepts only CONSTANT bounds (no lateral
   // or subquery parameters); the constant bound IS the operator's
   // 4096-position cap.
-  private val shingleCte =
+  private[queries] val shingleCte =
     s"""sh AS (
       |  SELECT DISTINCT doc_id, substr(text, CAST(g.generate_series AS INT), 8) AS sh
       |  FROM documents, generate_series(1, ${graft.functions.MinHash48.MaxShinglePos}) g
@@ -68,7 +68,42 @@ object ExtQueries {
   // — no shingle explode (hundreds of rows per doc), no hash aggregate.
   // Same xor-family as the relational form (one md5 per shingle, 48-bit
   // prefix, min of h XOR salt_p), so the DuckDB oracle is unchanged.
-  private val salts: Seq[Long] = graft.functions.MinHash48.defaultSalts
+  private[queries] val salts: Seq[Long] = graft.functions.MinHash48.defaultSalts
+
+  // The full LSH-candidates → recursive-connected-components CTE chain
+  // (q65's oracle up to the final SELECT), shared verbatim with the
+  // round-6 cluster-split oracle (q123) so both replay the identical
+  // clustering.
+  private[queries] val clusterCtes =
+    s"""$shingleCte,
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT) AS h48 FROM sh),
+      sig AS (
+        SELECT doc_id,
+          min(xor(h48, ${salts(0)})) AS m0, min(xor(h48, ${salts(1)})) AS m1,
+          min(xor(h48, ${salts(2)})) AS m2, min(xor(h48, ${salts(3)})) AS m3
+        FROM h GROUP BY doc_id),
+      buckets AS (
+        SELECT doc_id, 0 AS band, m0 AS bucket FROM sig UNION ALL
+        SELECT doc_id, 1, m1 FROM sig UNION ALL
+        SELECT doc_id, 2, m2 FROM sig UNION ALL
+        SELECT doc_id, 3, m3 FROM sig),
+      small AS (
+        SELECT doc_id, band, bucket FROM (
+          SELECT doc_id, band, bucket,
+                 count(*) OVER (PARTITION BY band, bucket) AS bsize
+          FROM buckets)
+        WHERE bsize <= 10),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM small a JOIN small b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)"""
 
   private val q51 = Q(
     "q51_minhash_signature",
@@ -487,35 +522,7 @@ object ExtQueries {
         .select(col("node").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH RECURSIVE $shingleCte,
-      h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT) AS h48 FROM sh),
-      sig AS (
-        SELECT doc_id,
-          min(xor(h48, ${salts(0)})) AS m0, min(xor(h48, ${salts(1)})) AS m1,
-          min(xor(h48, ${salts(2)})) AS m2, min(xor(h48, ${salts(3)})) AS m3
-        FROM h GROUP BY doc_id),
-      buckets AS (
-        SELECT doc_id, 0 AS band, m0 AS bucket FROM sig UNION ALL
-        SELECT doc_id, 1, m1 FROM sig UNION ALL
-        SELECT doc_id, 2, m2 FROM sig UNION ALL
-        SELECT doc_id, 3, m3 FROM sig),
-      small AS (
-        SELECT doc_id, band, bucket FROM (
-          SELECT doc_id, band, bucket,
-                 count(*) OVER (PARTITION BY band, bucket) AS bsize
-          FROM buckets)
-        WHERE bsize <= 10),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM small a JOIN small b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-      edges AS (
-        SELECT a_id AS a, b_id AS b FROM pairs
-        UNION SELECT b_id, a_id FROM pairs),
-      reach(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    Some(s"""WITH RECURSIVE $clusterCtes
       SELECT a AS doc_id, least(a, min(b)) AS cluster_id
       FROM reach GROUP BY a ORDER BY doc_id"""))
 

@@ -1,0 +1,241 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.pumle.SparkSpec
+
+/** Round-6 operator batch: hard negatives, JL random projection,
+  * covariance/PCA, cluster split, DSIR, contamination ladder, IVF+PQ.
+  * The oracle gate exercises default parameterizations (q120–q125);
+  * these specs pin the non-SQL-expressible pieces and the properties
+  * the oracles can't see (leakage-freedom, eigen equations, ANN
+  * fallback equality). */
+class Ext3Spec extends SparkSpec {
+
+  private def emb(n: Int, dims: Int = 8) = {
+    import spark.implicits._
+    Seq.tabulate(n) { i =>
+      (i.toLong, Array.tabulate(dims)(d => ((i * 17 + d * 5) % 11 - 5).toFloat),
+        i % 3)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("hardNegatives: negatives never share the query's label and rank by cosine") {
+    val e = emb(30)
+    val got = Similarity.hardNegatives(spark, e, col("vec_id") % 10 === 0, k = 3)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("q_label") != r.getAs[Long]("n_label"))
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("n_id"))
+    }
+    // per query: ranks are 1..k and cosine non-increasing in rank
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to byRank.length).toSeq)
+      val cs = byRank.map(_.getAs[Double]("cosine")).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("hardNegatives: label filter only removes same-label rows vs cosineTopK") {
+    val e = emb(24)
+    // with a label column that is unique per row, hardNegatives on k
+    // equals cosineTopK on k (no pair is ever filtered)
+    val uniq = e.withColumn("label", col("vec_id"))
+    val hn = Similarity.hardNegatives(spark, uniq, col("vec_id") % 5 === 0, k = 4)
+      .select("q_id", "rank", "n_id", "cosine").orderBy("q_id", "rank").collect()
+    val ct = Similarity.cosineTopK(spark, uniq, col("vec_id") % 5 === 0, k = 4)
+      .orderBy("q_id", "rank").collect()
+    assert(hn.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      == ct.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq)
+  }
+
+  test("rpSign matches the SQL md5-parity spelling") {
+    val sqlSigns = spark.sql(
+      """SELECT j, d,
+        |  CAST(CASE WHEN CAST(conv(substr(md5(concat('rp:', j, ':', d)), 1, 6), 16, 10)
+        |       AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS DOUBLE) AS s
+        |FROM (SELECT explode(sequence(0, 3)) AS j)
+        |LATERAL VIEW explode(sequence(0, 7)) t AS d""".stripMargin)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    for (j <- 0 to 3; d <- 0 to 7)
+      assert(Similarity.rpSign(j, d) == sqlSigns((j, d)), s"($j,$d)")
+  }
+
+  test("randomProject: one-hot vector projects to its sign column / sqrt(outDims)") {
+    import spark.implicits._
+    val oneHot = Seq((0L, Array.tabulate(8)(d => if (d == 2) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(spark, oneHot, outDims = 4, dims = 8)
+      .head().getSeq[Double](1)
+    val want = Seq.tabulate(4)(j =>
+      BigDecimal(Similarity.rpSign(j, 2) / math.sqrt(4.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got == want)
+  }
+
+  test("covariance: diagonal equals population variance, symmetric pairs present once") {
+    import spark.implicits._
+    val data = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 6.0f)), (3L, Array(5.0f, 7.0f)))
+    val df = data.toDF("vec_id", "embedding")
+    val got = EmbedStats.covariance(df, dims = 2).orderBy("i", "j").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((0L, 0L), (0L, 1L), (1L, 1L)))
+    def popCov(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val n = xs.length
+      val mx = xs.sum / n; val my = ys.sum / n
+      xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum / n
+    }
+    val x = data.map(_._2(0).toDouble); val y = data.map(_._2(1).toDouble)
+    assert(math.abs(got((0L, 0L)) - popCov(x, x)) < 1e-6)
+    assert(math.abs(got((0L, 1L)) - popCov(x, y)) < 1e-6)
+    assert(math.abs(got((1L, 1L)) - popCov(y, y)) < 1e-6)
+  }
+
+  test("jacobiEigen: reproduces a known symmetric eigensystem") {
+    // [[2,1],[1,2]] has eigenvalues 3 and 1, vectors (1,1)/√2 and (1,-1)/√2
+    val (evals, evecs) = EmbedStats.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(evals(0) - 3.0) < 1e-9 && math.abs(evals(1) - 1.0) < 1e-9)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(evecs(0).zip(Array(s, s)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    assert(evecs(1).zip(Array(s, -s)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  test("jacobiEigen: A·v = λ·v and orthonormal vectors on a random symmetric 8×8") {
+    val rnd = new scala.util.Random(42)
+    val d = 8
+    val a = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val v = rnd.nextDouble() * 2 - 1; a(i)(j) = v; a(j)(i) = v
+    }
+    val (evals, evecs) = EmbedStats.jacobiEigen(a)
+    for (k <- 0 until d) {
+      val av = Array.tabulate(d)(i => (0 until d).map(j => a(i)(j) * evecs(k)(j)).sum)
+      for (i <- 0 until d)
+        assert(math.abs(av(i) - evals(k) * evecs(k)(i)) < 1e-8, s"eigpair $k")
+    }
+    for (k1 <- 0 until d; k2 <- k1 until d) {
+      val dot = (0 until d).map(i => evecs(k1)(i) * evecs(k2)(i)).sum
+      assert(math.abs(dot - (if (k1 == k2) 1.0 else 0.0)) < 1e-8)
+    }
+    // descending eigenvalues
+    assert(evals.zip(evals.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("pcaProject: top-1 projection has the largest variance, components uncorrelated") {
+    val e = emb(40, dims = 8)
+    val proj = EmbedStats.pcaProject(spark, e, outDims = 3, dims = 8)
+      .collect().map(_.getSeq[Double](1))
+    val n = proj.length
+    def varOf(k: Int): Double = {
+      val xs = proj.map(_(k)); val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / n
+    }
+    val vs = (0 until 3).map(varOf)
+    assert(vs(0) >= vs(1) - 1e-9 && vs(1) >= vs(2) - 1e-9)
+    // PCA components are uncorrelated (covariance ≈ 0)
+    for (k1 <- 0 until 3; k2 <- k1 + 1 until 3) {
+      val m1 = proj.map(_(k1)).sum / n; val m2 = proj.map(_(k2)).sum / n
+      val cov = proj.map(p => (p(k1) - m1) * (p(k2) - m2)).sum / n
+      assert(math.abs(cov) < 1e-3, s"components $k1,$k2 correlated: $cov")
+    }
+  }
+
+  test("clusterSplit: near-duplicates land in the same split, singletons keep own id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running"),
+      (2L, "the quick brown fox jumps over the lazy dog and keeps running!"),
+      (3L, "completely different text about spark engines and catalyst"),
+      (4L, "the quick brown fox jumps over the lazy dog and keeps running"))
+      .toDF("doc_id", "text")
+    val got = Sampling.clusterSplit(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    assert(got.size == 4)
+    // 1, 2, 4 are near/exact dups → same cluster, hence same split
+    assert(got(1L)._1 == got(2L)._1 && got(1L)._1 == got(4L)._1)
+    assert(got(1L)._2 == got(2L)._2 && got(1L)._2 == got(4L)._2)
+    // 3 is a singleton: cluster_id falls back to its own doc_id
+    assert(got(3L)._1 == 3L)
+  }
+
+  test("dsirWeights: target-like docs outscore dissimilar docs") {
+    import spark.implicits._
+    val target = Seq.tabulate(20)(i =>
+      (100L + i, s"alpha beta gamma delta epsilon zeta token$i", true))
+    val likeTarget = Seq.tabulate(5)(i =>
+      (200L + i, "alpha beta gamma delta epsilon zeta", false))
+    val unlike = Seq.tabulate(5)(i =>
+      (300L + i, "xray yankee zulu whiskey victor uniform", false))
+    val docs = (target ++ likeTarget ++ unlike)
+      .toDF("doc_id", "text", "is_t")
+    val got = TextStats.dsirWeights(docs, col("is_t"), buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // no target docs in the output
+    assert(got.keySet.forall(id => id >= 200L))
+    val likeAvg = likeTarget.map(t => got(t._1)).sum / 5
+    val unlikeAvg = unlike.map(t => got(t._1)).sum / 5
+    assert(likeAvg > unlikeAvg,
+      s"target-like $likeAvg should beat unlike $unlikeAvg")
+  }
+
+  test("contamLadder: depth reflects the longest shared rung") {
+    import spark.implicits._
+    val evalText = (1 to 20).map(i => s"w$i").mkString(" ")
+    // doc 1 shares a 16-word window; doc 2 shares 4 words but breaks
+    // every 8-window; doc 3 shares nothing
+    val doc16 = (1 to 16).map(i => s"w$i").mkString(" ") + " tail tail tail tail"
+    val doc4 = "w1 w2 w3 w4 zz w9 w10 w11 w12 yy other words here now"
+    val clean = "altogether different content with no overlap at all whatsoever"
+    val docs = Seq((0L, evalText), (1L, doc16), (2L, doc4), (3L, clean))
+      .toDF("doc_id", "text")
+    val got = TextStats.contamLadder(docs, col("doc_id") === 0L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shared4"), r.getAs[Long]("shared8"),
+          r.getAs[Long]("shared16"), r.getAs[Long]("contam_depth"))).toMap
+    assert(got(1L)._3 >= 1L && got(1L)._4 == 16L)
+    assert(got(2L)._1 >= 1L && got(2L)._2 == 0L && got(2L)._4 == 4L)
+    assert(got(3L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("ivfPqSearch: nProbe >= cell count degrades to exhaustive ADC (pqSearchIndexed)") {
+    val e = emb(32, dims = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.writeIvfPqIndex(spark, e,
+      centroidPred = col("vec_id") % 8 === 0, seedPred = col("vec_id") < 6,
+      dir, m = 2, k = 4, iters = 2, dims = 8)
+    val queries = e.filter(col("vec_id") % 11 === 0)
+    val full = Similarity.ivfPqSearch(spark, dir, queries, nProbe = 4, topK = 3)
+      .select("q_id", "rank", "n_id", "adc_dist2")
+      .orderBy("q_id", "rank").collect().toSeq
+    val flat = Similarity.pqSearchIndexed(spark, dir, queries, topK = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(full.nonEmpty)
+    assert(full.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      == flat.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+    // nProbe = 1 returns a subset of each query's cells (pruned search
+    // still ranks 1..k and only returns candidates from probed cells)
+    val pruned = Similarity.ivfPqSearch(spark, dir, queries, nProbe = 1, topK = 3)
+      .collect()
+    assert(pruned.nonEmpty)
+    pruned.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val cells = rows.map(_.getAs[Long]("centroid_id")).distinct
+      assert(cells.length == 1, "nProbe=1 must read exactly one cell per query")
+    }
+  }
+
+  test("writeIvfPqIndex: codes are partitioned by centroid_id on disk") {
+    val e = emb(24, dims = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq2").toString
+    Similarity.writeIvfPqIndex(spark, e,
+      centroidPred = col("vec_id") % 12 === 0, seedPred = col("vec_id") < 6,
+      dir, m = 2, k = 4, iters = 1, dims = 8)
+    val parts = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
+    assert(parts.nonEmpty, "expected centroid_id= partition directories")
+  }
+}

@@ -142,7 +142,18 @@ class PlanSpec extends SparkSpec {
       "q117_epoch_order" -> 4, "q118_bigram_lm_score" -> 4,
       // q119's 1 is the final orderBy: scoring itself is one compiled
       // narrow pass (model training runs eagerly at plan-build time)
-      "q119_lm_score_narrow" -> 1)
+      "q119_lm_score_narrow" -> 1,
+      // round-6 q120+ batch (PlanAudit on this commit): q120 mirrors
+      // q54 (rank window + orderBy; the pair join is broadcast);
+      // q121's 1 is the orderBy (the projection itself is narrow);
+      // q123's SMJ is the corpus-sized docs⋈clusters join (clusters'
+      // fixpoint runs eagerly at plan time); q124 = feature histogram +
+      // totals + doc rollup + docs⋈scored + orderBy, λ-table joins
+      // broadcast; q125 = tagged grams twice (q77's two-scan shape) +
+      // broadcast semi-join + rollup
+      "q120_hard_negatives" -> 2, "q121_random_proj" -> 1,
+      "q122_embed_cov" -> 4, "q123_cluster_split" -> 3,
+      "q124_dsir_weight" -> 6, "q125_contam_ladder" -> 3)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -840,10 +840,12 @@ object TextStats {
     * Target docs are excluded from the output (they are the reference,
     * not candidates). Scale: shuffles are the feature count (bounded
     * `buckets`) and the doc-keyed sum — nothing corpus² anywhere. */
-  def dsirWeights(docs: DataFrame, targetPred: org.apache.spark.sql.Column,
-      buckets: Int = 1024, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val feats = docs.filter(col(textCol).isNotNull)
+  /** The hashed-bigram feature stream behind DSIR: one row per (doc,
+    * bucket) feature occurrence, `is_target` carried. */
+  private def dsirFeats(docs: DataFrame,
+      targetPred: org.apache.spark.sql.Column, buckets: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
       .select(col(idCol), targetPred.as("is_target"),
         split(col(textCol), " ").as("ws"))
       .select(col(idCol), col("is_target"), explode(expr(
@@ -853,15 +855,27 @@ object TextStats {
            |           element_at(ws, i + 1))), 1, 8), 16, 10) AS BIGINT)
            |         % $buckets)
            |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)).as("b"))
+
+  /** The λ table: (b, lam DECIMAL(18,9)) for every bucket OBSERVED in
+    * the corpus — bounded by `buckets` rows. */
+  private def dsirLambda(feats: DataFrame, buckets: Int): DataFrame = {
     val counts = feats.groupBy(col("b")).agg(
       sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
     val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-    val lam = counts.crossJoin(broadcast(tot))
+    counts.crossJoin(broadcast(tot))
       .select(col("b"), expr(
         s"""CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (nt + $buckets))
            |         - ln(CAST(cr + 1 AS DOUBLE) / (nr + $buckets)), 9)
-           |AS DECIMAL(18,9))""".stripMargin).as("lam"))
+           |AS DECIMAL(18,9))""".stripMargin).as("lam"),
+      col("ct"), col("cr"))
+  }
+
+  def dsirWeights(docs: DataFrame, targetPred: org.apache.spark.sql.Column,
+      buckets: Int = 1024, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val feats = dsirFeats(docs, targetPred, buckets, idCol, textCol)
+    val lam = dsirLambda(feats, buckets).select(col("b"), col("lam"))
     val scored = feats.filter(!col("is_target"))
       .join(broadcast(lam), Seq("b"))
       .groupBy(col(idCol))
@@ -872,6 +886,88 @@ object TextStats {
       .join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"))
+  }
+
+  /** A trained DSIR model: the dense λ array (index = bucket), scale-9
+    * BigDecimals so DECIMAL arithmetic downstream stays exact. Buckets
+    * never observed in the training corpus carry the fully-smoothed
+    * log-ratio (ct = cr = 0) — only novel stream-time bigrams ever read
+    * them. */
+  final case class DsirModel(lambda: IndexedSeq[java.math.BigDecimal],
+      buckets: Int)
+
+  /** Train a DSIR model: run the λ query ([[dsirWeights]]'s exact
+    * table), collect the bucket-bounded result, densify. */
+  def trainDsirModel(docs: DataFrame,
+      targetPred: org.apache.spark.sql.Column, buckets: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DsirModel = {
+    val feats = dsirFeats(docs, targetPred, buckets, idCol, textCol)
+    val rows = dsirLambda(feats, buckets).collect()
+    val seen = rows.map(r => r.getLong(0).toInt ->
+      r.getDecimal(1).setScale(9)).toMap
+    val nt = rows.map(_.getLong(2)).sum
+    val nr = rows.map(_.getLong(3)).sum
+    val unseen = new java.math.BigDecimal(java.lang.Double.toString(
+      math.log(1.0 / (nt + buckets)) - math.log(1.0 / (nr + buckets))))
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    DsirModel(IndexedSeq.tabulate(buckets)(b =>
+      seen.getOrElse(b, unseen)), buckets)
+  }
+
+  /** Persist a DSIR model: `path/lambda` (b, lam) + `path/meta`
+    * (buckets) parquet — bucket-bounded, metadata-scale I/O. */
+  def writeDsirModel(spark: SparkSession, model: DsirModel,
+      path: String): Unit = {
+    import spark.implicits._
+    model.lambda.zipWithIndex
+      .map { case (l, b) => (b, new scala.math.BigDecimal(l)) }
+      .toDF("b", "lam")
+      .write.mode("overwrite").parquet(s"$path/lambda")
+    Seq(model.buckets).toDF("buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted DSIR model ([[writeDsirModel]]) — DECIMAL(38,18)
+    * round-trips scale-9 values exactly. */
+  def loadDsirModel(spark: SparkSession, path: String): DsirModel = {
+    val buckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val byB = spark.read.parquet(s"$path/lambda")
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1).setScale(9)).toMap
+    DsirModel(IndexedSeq.tabulate(buckets)(byB(_)), buckets)
+  }
+
+  /** Score a corpus (or stream — the plan is fully NARROW: no explode,
+    * no join, no aggregate) against a FIXED DSIR model: per row, hash
+    * each bigram to its bucket and sum the λ array's entries in exact
+    * DECIMAL, then the same 6-dp mean as the relational form. On the
+    * training corpus the verdicts are bit-identical to [[dsirWeights]]
+    * (q126 shares q124's oracle VERBATIM — the q96/q119 oracle-twin
+    * pattern): the summed DECIMAL terms are the same values, and
+    * DECIMAL addition is order-free, so fusing the explode+join+groupBy
+    * into one expression cannot move a single ulp. */
+  def dsirScoreNarrow(docs: DataFrame, model: DsirModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val buckets = model.buckets
+    docs
+      .withColumn("ws", split(col(textCol), " "))
+      .withColumn("lamv", typedLit(model.lambda.map(new scala.math.BigDecimal(_))))
+      .withColumn("n_feats",
+        when(col(textCol).isNotNull && size(col("ws")) >= 2,
+          least(size(col("ws")) - 1, lit(MaxNgramPos)).cast("long"))
+          .otherwise(0L))
+      .withColumn("s", expr(
+        s"""CASE WHEN n_feats > 0 THEN
+           |  aggregate(sequence(1, CAST(n_feats AS INT)),
+           |    CAST(0 AS DECIMAL(28,9)),
+           |    (acc, i) -> CAST(acc + element_at(lamv,
+           |      CAST(CAST(conv(substr(md5(concat_ws(' ', element_at(ws, i),
+           |             element_at(ws, i + 1))), 1, 8), 16, 10) AS BIGINT)
+           |           % $buckets AS INT) + 1) AS DECIMAL(28,9)))
+           |ELSE CAST(0 AS DECIMAL(28,9)) END""".stripMargin))
+      .select(col(idCol), col("n_feats"),
+        when(col("n_feats") > 0,
+          round(col("s").cast("double") / col("n_feats"), 6))
+          .otherwise(lit(0.0)).as("dsir_weight"))
   }
 
   /** Contamination-depth ladder: [[decontaminate]] at several n-gram

@@ -229,5 +229,25 @@ object Ext3Queries {
       WHERE d.doc_id % 50 <> 0
       ORDER BY d.doc_id"""))
 
-  val qs: Seq[Q] = Seq(q120, q121, q122, q123, q124, q125)
+  // --------------------------------------------------------------- q126
+  // The compiled-narrow DSIR scorer on q124's exact parameters, sharing
+  // q124's oracle VERBATIM: trainDsirModel collects the same λ table
+  // the relational form broadcasts, and dsirScoreNarrow re-sums the
+  // identical DECIMAL(18,9) terms inside one expression (order-free
+  // exact addition, same 6-dp mean) — the driver proves
+  // narrow ≡ relational ≡ DuckDB, the q96/q119 oracle-twin pattern
+  // applied to importance weighting.
+  private val q126 = Q(
+    "q126_dsir_narrow",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.ext.TextStats.trainDsirModel(docs,
+        col("lang") === "en")
+      graft.ext.TextStats.dsirScoreNarrow(
+          docs.filter(col("lang") =!= "en"), model)
+        .orderBy(col("doc_id"))
+    },
+    q124.oracle) // q124's oracle VERBATIM
+
+  val qs: Seq[Q] = Seq(q120, q121, q122, q123, q124, q125, q126)
 }

@@ -408,6 +408,20 @@ object Streams {
         (-col("_c.ncos")).as("cosine"))
   }
 
+  /** Streaming DSIR scoring: each arriving doc scores against a FIXED
+    * λ model ([[graft.ext.TextStats.trainDsirModel]], usually reloaded
+    * from a [[graft.ext.TextStats.writeDsirModel]] snapshot) — the
+    * production "does this crawl batch look like the target
+    * distribution?" filter. `dsirScoreNarrow` is one stateless narrow
+    * projection (the λ array rides the plan as a literal; no explode,
+    * no join, no aggregate, no state), so it composes onto a stream
+    * unchanged and verdicts are bit-identical to the batch scorer on
+    * the same model (Ext3Spec pins narrow ≡ relational; StreamsSpec
+    * pins stream ≡ batch). `docs` needs (doc_id, text). */
+  def dsirScore(docs: DataFrame,
+      model: graft.ext.TextStats.DsirModel): DataFrame =
+    graft.ext.TextStats.dsirScoreNarrow(docs, model)
+
   def latestStatus(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events.as[SimEvent]

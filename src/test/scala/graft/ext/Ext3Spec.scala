@@ -183,6 +183,38 @@ class Ext3Spec extends SparkSpec {
       s"target-like $likeAvg should beat unlike $unlikeAvg")
   }
 
+  test("dsirScoreNarrow: bit-equal to the relational dsirWeights on the training corpus") {
+    import spark.implicits._
+    val docs = (Seq.tabulate(12)(i =>
+        (100L + i, s"alpha beta gamma delta epsilon token$i word${i % 3}", i % 2 == 0)) ++
+      Seq((300L, "xray yankee zulu whiskey victor", false),
+        (301L, "one", false),          // no bigram feature → 0
+        (302L, null.asInstanceOf[String], false))) // null text → 0
+      .toDF("doc_id", "text", "is_t")
+    val rel = TextStats.dsirWeights(docs, col("is_t"), buckets = 128)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val model = TextStats.trainDsirModel(docs, col("is_t"), buckets = 128)
+    val nar = TextStats.dsirScoreNarrow(docs.filter(!col("is_t")), model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(nar == rel)
+    assert(nar.exists(_._2 == 0L)) // the degenerate docs really exercised
+  }
+
+  test("DSIR model: parquet round-trip reloads bit-equal λ") {
+    import spark.implicits._
+    val docs = Seq.tabulate(10)(i =>
+      (i.toLong, s"some shared words plus token$i extra$i", i < 4))
+      .toDF("doc_id", "text", "is_t")
+    val model = TextStats.trainDsirModel(docs, col("is_t"), buckets = 64)
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    TextStats.writeDsirModel(spark, model, dir)
+    val back = TextStats.loadDsirModel(spark, dir)
+    assert(back.buckets == model.buckets)
+    assert(back.lambda == model.lambda)
+  }
+
   test("contamLadder: depth reflects the longest shared rung") {
     import spark.implicits._
     val evalText = (1 to 20).map(i => s"w$i").mkString(" ")

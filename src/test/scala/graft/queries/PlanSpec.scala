@@ -153,7 +153,10 @@ class PlanSpec extends SparkSpec {
       // broadcast semi-join + rollup
       "q120_hard_negatives" -> 2, "q121_random_proj" -> 1,
       "q122_embed_cov" -> 4, "q123_cluster_split" -> 3,
-      "q124_dsir_weight" -> 6, "q125_contam_ladder" -> 3)
+      "q124_dsir_weight" -> 6, "q125_contam_ladder" -> 3,
+      // q126's 1 is the final orderBy: scoring is one narrow pass over
+      // the literal λ array (model training runs eagerly at plan time)
+      "q126_dsir_narrow" -> 1)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

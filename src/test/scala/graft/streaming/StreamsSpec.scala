@@ -96,6 +96,34 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming DSIR scoring matches the batch scorer on a fixed model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq.tabulate(10)(i =>
+      (i.toLong, s"alpha beta gamma delta token$i filler${i % 4}", i < 5))
+      .toDF("doc_id", "text", "is_t")
+    val model = graft.ext.TextStats.trainDsirModel(train, col("is_t"),
+      buckets = 128)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.dsirScore(mem.toDF().toDF("doc_id", "text"), model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsir").start()
+    val rows = Seq(
+      (20L, "alpha beta gamma delta looks like target"),
+      (21L, "xray yankee zulu nothing alike"),
+      (22L, "solo"))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT doc_id, n_feats, dsir_weight FROM dsir")
+      .orderBy("doc_id").collect().toSeq
+    val batch = graft.ext.TextStats.dsirScoreNarrow(
+        rows.toDF("doc_id", "text"), model)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.count(_.getLong(1) > 0) == 2)
+    q.stop()
+  }
+
   test("stream-static persisted-incremental dedup: batch-equivalent keeps, constant state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -23,33 +23,32 @@ object EmbedStats {
 
   /** Centered covariance matrix of the embedding column, upper
     * triangle as (i, j, cov) rows (i ≤ j), 6-dp rounded.
-    * cov(i,j) = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n — population covariance, computed
-    * from exact DECIMAL sums so both engines see identical numerators
-    * before the one double division at the end. */
+    * cov(i,j) = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n — population covariance over
+    * integer-nano-truncated terms (the [[graft.functions.CovMoments]]
+    * exactness contract: identical truncated integers on both engines,
+    * order-free integer sums, one double division at the end).
+    *
+    * The whole pass is ONE compiled `cov_moments` aggregate: each task
+    * folds its rows into a flat 128-bit-limb buffer, the shuffle
+    * carries one buffer per task, and the d² result materializes as a
+    * single array row that a narrow posexplode unpacks — replacing a
+    * d(d+1)/2-terms-per-row interpreted explode that was 19× slower
+    * than the DuckDB oracle at sf0.1 (7.7s → ~0.3s). */
   def covariance(emb: DataFrame, dims: Int = 64,
       embCol: String = "embedding"): DataFrame = {
-    val v = emb.filter(col(embCol).isNotNull)
+    graft.functions.CovMoments.register(emb.sparkSession)
+    val posToI: Seq[Int] =
+      (0 until dims).flatMap(i => (i until dims).map(_ => i))
+    val posToJ: Seq[Int] = (0 until dims).flatMap(i => i until dims)
+    emb.filter(col(embCol).isNotNull)
       .select(expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"))
-    val pairs = v.select(explode(expr(
-      s"""flatten(transform(sequence(0, ${dims - 1}), i ->
-         |  transform(sequence(i, ${dims - 1}), j -> named_struct(
-         |    'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
-         |    'p', CAST(round(element_at(v, i + 1) * element_at(v, j + 1), 9)
-         |         AS DECIMAL(28,9))))))""".stripMargin)).as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("p")).as("sxy"), count(lit(1)).as("n"))
-    val dimSums = v.select(posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy(col("d"))
-      .agg(sum(expr("CAST(round(x, 9) AS DECIMAL(28,9))")).as("sx"))
-      .select(col("d").cast("long").as("d"), col("sx"))
-    pairs
-      .join(broadcast(dimSums.select(col("d").as("i"), col("sx").as("si"))), Seq("i"))
-      .join(broadcast(dimSums.select(col("d").as("j"), col("sx").as("sj"))), Seq("j"))
-      .select(col("i"), col("j"),
-        round((col("sxy").cast("double")
-            - col("si").cast("double") * col("sj").cast("double") / col("n"))
-          / col("n"), 6).as("cov"))
+      .agg(expr(s"cov_moments(v, $dims)").as("m"))
+      .select(posexplode(col("m")).as(Seq("pos", "cov")))
+      .withColumn("pi", typedLit(posToI))
+      .withColumn("pj", typedLit(posToJ))
+      .select(element_at(col("pi"), col("pos") + 1).cast("long").as("i"),
+        element_at(col("pj"), col("pos") + 1).cast("long").as("j"),
+        col("cov"))
   }
 
   /** Cyclic-Jacobi eigendecomposition of a symmetric d×d matrix —

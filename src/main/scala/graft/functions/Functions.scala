@@ -20,5 +20,6 @@ object Functions {
     SimHash64.register(spark)
     XorFp48.register(spark)
     GopherStats.register(spark)
+    CovMoments.register(spark)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Dot64, GopherStats, Jaccard8, MinHash48, Shingles8, SimHash16, SimHash64, XorFp48}
+import graft.functions.{CovMoments, Dot64, GopherStats, Jaccard8, MinHash48, Shingles8, SimHash16, SimHash64, XorFp48}
 
 /** SparkSessionExtensions injector — the engine's permanent extension
   * wiring. Users enable it with
@@ -71,6 +71,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("gopher_stats"),
       new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
       (children: Seq[Expression]) => GopherStats(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cov_moments"),
+      new ExpressionInfo(classOf[CovMoments].getName, "cov_moments"),
+      (children: Seq[Expression]) => CovMoments(children.head,
+        children(1).eval().asInstanceOf[Int])))
     // bpe_tokens is the ONE runtime-registered function deliberately NOT
     // injected here: its merge table is training-data-dependent (a
     // constructor argument, not a child expression), so a static

@@ -73,10 +73,12 @@ object Ext3Queries {
 
   // --------------------------------------------------------------- q122
   // Centered covariance of the embedding matrix, upper triangle —
-  // THE map-side-combinable d² pass (shuffle = tasks × 2,080 partials,
-  // corpus-size-independent). DECIMAL(28,9) term sums keep accumulation
-  // order out of the result; one double division + 6-dp round at the
-  // end, spelled identically on both engines.
+  // THE map-side-combinable d² pass, run through the compiled
+  // cov_moments aggregate (shuffle = one buffer per task,
+  // corpus-size-independent). Terms are TRUNCATED to integer nanos on
+  // both engines ((long)(x·10⁹) ↔ CAST(trunc(x * 1e9) AS BIGINT) on
+  // the identical IEEE product), so sums are order-free integers; the
+  // final double math is spelled operation-for-operation identically.
   private val q122 = Q(
     "q122_embed_cov",
     (s, d) => {
@@ -89,20 +91,21 @@ object Ext3Queries {
       pr AS (
         SELECT CAST(i.generate_series AS BIGINT) AS i,
           CAST(j.generate_series AS BIGINT) AS j,
-          CAST(round(v[CAST(i.generate_series + 1 AS INT)]
-                   * v[CAST(j.generate_series + 1 AS INT)], 9)
-               AS DECIMAL(28,9)) AS p
+          CAST(trunc(v[CAST(i.generate_series + 1 AS INT)]
+                   * v[CAST(j.generate_series + 1 AS INT)]
+                   * 1000000000.0) AS BIGINT) AS p
         FROM v, generate_series(0, 63) i, generate_series(0, 63) j
         WHERE j.generate_series >= i.generate_series),
       s2 AS (SELECT i, j, sum(p) AS sxy, count(*) AS n FROM pr GROUP BY i, j),
       ds AS (
         SELECT CAST(d.generate_series AS BIGINT) AS d,
-          sum(CAST(round(v[CAST(d.generate_series + 1 AS INT)], 9)
-              AS DECIMAL(28,9))) AS sx
+          sum(CAST(trunc(v[CAST(d.generate_series + 1 AS INT)]
+              * 1000000000.0) AS BIGINT)) AS sx
         FROM v, generate_series(0, 63) d GROUP BY 1)
       SELECT i, j,
-        round((CAST(sxy AS DOUBLE)
-               - CAST(a.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) / n) / n, 6) AS cov
+        round((CAST(sxy AS DOUBLE) / 1000000000.0
+               - (CAST(a.sx AS DOUBLE) / 1000000000.0)
+                 * (CAST(b.sx AS DOUBLE) / 1000000000.0) / n) / n, 6) AS cov
       FROM s2 JOIN ds a ON a.d = i JOIN ds b ON b.d = j
       ORDER BY i, j"""))
 

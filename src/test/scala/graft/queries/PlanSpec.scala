@@ -151,8 +151,10 @@ class PlanSpec extends SparkSpec {
       // totals + doc rollup + docs⋈scored + orderBy, λ-table joins
       // broadcast; q125 = tagged grams twice (q77's two-scan shape) +
       // broadcast semi-join + rollup
+      // q122's 1 is the global cov_moments partial→final exchange: the
+      // compiled aggregate replaced a 4-shuffle DECIMAL explode (17×)
       "q120_hard_negatives" -> 2, "q121_random_proj" -> 1,
-      "q122_embed_cov" -> 4, "q123_cluster_split" -> 3,
+      "q122_embed_cov" -> 1, "q123_cluster_split" -> 3,
       "q124_dsir_weight" -> 6, "q125_contam_ladder" -> 3,
       // q126's 1 is the final orderBy: scoring is one narrow pass over
       // the literal λ array (model training runs eagerly at plan time)

@@ -382,6 +382,53 @@ object ScaleProbe {
     println(f"[probe] epoch order: $nOrd%d ids ranked (256-bucket two-phase, " +
       f"dense 0..${nOrd - 1}%d verified) in $secsO%.1fs = " +
       f"${nOrd / secsO / 1e6}%.1fM ids/s")
+
+    // DSIR at volume: 1M docs, 10% target slice. The λ table is
+    // bucket-bounded (4096 rows) no matter the corpus; the compiled-
+    // narrow scorer then re-reads the corpus ONCE with zero
+    // shuffles — train cost is two bounded aggregates, score cost is
+    // scan throughput.
+    val tD1 = System.nanoTime()
+    val dsirModel = graft.ext.TextStats.trainDsirModel(
+      docs3, pmod(col("doc_id"), lit(10)) === 0, buckets = 4096)
+    val secsD1 = (System.nanoTime() - tD1) / 1e9
+    val tD2 = System.nanoTime()
+    val dsirN = graft.ext.TextStats.dsirScoreNarrow(docs3, dsirModel)
+      .agg(count(lit(1)), sum(col("n_feats"))).head()
+    val secsD2 = (System.nanoTime() - tD2) / 1e9
+    println(f"[probe] dsir: train λ(4096) over $nDocs3%d docs in $secsD1%.1fs; " +
+      f"narrow-score ${dsirN.getLong(0)}%d docs (${dsirN.getLong(1)}%d features) " +
+      f"in $secsD2%.1fs = ${nDocs3 / secsD2 / 1000}%.0fk docs/s")
+
+    // contamination ladder at volume: 1M docs vs a 1%-of-corpus eval
+    // set, three rungs in one tagged pass. The eval-gram distinct is
+    // eval-sized, the semi-join is broadcast — doc-side grams stream.
+    val tL = System.nanoTime()
+    val ladder = graft.ext.TextStats.contamLadder(
+      docs3, pmod(col("doc_id"), lit(100)) === 0)
+      .agg(count(lit(1)),
+        sum(when(col("contam_depth") > 0, 1L).otherwise(0L))).head()
+    val secsL = (System.nanoTime() - tL) / 1e9
+    println(f"[probe] contam ladder: ${ladder.getLong(0)}%d raw docs vs 1%% eval, " +
+      f"3 rungs in $secsL%.1fs = ${nDocs3 / secsL / 1000}%.0fk docs/s " +
+      f"(${ladder.getLong(1)}%d flagged)")
+
+    // covariance at volume: 1M synthetic 64-dim vectors through the
+    // compiled cov_moments aggregate — one pass, one buffer per task on
+    // the shuffle; d² work per ROW is the whole cost, so throughput is
+    // compute-bound and corpus-size-linear.
+    val nVecC = 1000000
+    val vecs = spark.range(nVecC).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), d ->
+             |  CAST(pmod(id * 31 + d * 7, 1000) AS FLOAT) / 1000.0)"""
+        .stripMargin).as("embedding"))
+    val tV = System.nanoTime()
+    val nCov = graft.ext.EmbedStats.covariance(vecs).count()
+    val secsV = (System.nanoTime() - tV) / 1e9
+    require(nCov == 64L * 65L / 2L, s"expected 2080 cov entries, got $nCov")
+    println(f"[probe] covariance: $nVecC%d × 64-dim vectors → $nCov upper-tri " +
+      f"entries in $secsV%.1fs = ${nVecC / secsV / 1000}%.0fk vecs/s " +
+      f"(compiled cov_moments, one buffer per task)")
     spark.stop()
   }
 }

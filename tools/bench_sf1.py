@@ -47,7 +47,14 @@ QUERIES = ["q52_lsh_candidates", "q65_dedup_clusters", "q72_verify_candidates",
            # runs the same end-to-end semantics in ~4.8s — recorded in
            # BENCH_sf1.md's Analysis instead of a table row.
            "q102_star_components", "q103_incremental_dedup",
-           "q108_chunk_overlap", "q113_dup_profile", "q115_top_terms"]
+           "q108_chunk_overlap", "q113_dup_profile", "q115_top_terms",
+           # round-6 q120+ additions on the document axis: leakage-free
+           # cluster split (rides the q65 recursive-CC oracle), DSIR
+           # relational + compiled-narrow twins, contamination ladder.
+           # q120-q122 are embeddings-axis (not scaled here) and are
+           # deliberately absent.
+           "q123_cluster_split", "q124_dsir_weight", "q125_contam_ladder",
+           "q126_dsir_narrow"]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 

@@ -232,4 +232,47 @@ object Corpus {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("rank"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Per-source vocabulary-drift score: KL(source ‖ corpus) over
+    * hashed-unigram distributions — the monitoring twin of
+    * [[dupProfileBySource]] for CONTENT (did a source's language shift
+    * between snapshots / against the pool?), run before a source is
+    * admitted into a training mix.
+    *
+    * Words hash into `buckets` md5 buckets, so every table is bounded:
+    * per-(source, bucket) counts collapse map-side, the full
+    * sources × buckets grid (the +1-smoothed KL needs the EMPTY
+    * buckets' mass too) is |sources|·buckets rows — metadata-scale —
+    * and per-bucket terms sum in exact DECIMAL (12-dp-rounded terms,
+    * order-free) before one 6-dp rounded double emerges per source.
+    * Nothing corpus-sized ever shuffles except the one word-count
+    * pass. */
+  def vocabDrift(docs: DataFrame, buckets: Int = 1024,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(col(srcCol), explode(split(col(textCol), " ")).as("w"))
+      .select(col(srcCol),
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+          % buckets).as("b"))
+    val bySrcB = words.groupBy(col(srcCol), col("b"))
+      .agg(count(lit(1)).as("c_sb"))
+    val byB = bySrcB.groupBy(col("b")).agg(sum(col("c_sb")).as("c_b"))
+    val bySrc = bySrcB.groupBy(col(srcCol)).agg(sum(col("c_sb")).as("n_s"))
+    val n = byB.agg(sum(col("c_b")).as("n"))
+    val grid = bySrc.crossJoin(
+      docs.sparkSession.range(buckets).select(col("id").as("b")))
+    grid
+      .join(bySrcB, Seq(srcCol, "b"), "left")
+      .join(broadcast(byB), Seq("b"), "left")
+      .crossJoin(broadcast(n))
+      .select(col(srcCol), col("n_s"), expr(
+        s"""CAST(round(
+           |  (CAST(coalesce(c_sb, 0) + 1 AS DOUBLE) / (n_s + $buckets))
+           |  * ln((CAST(coalesce(c_sb, 0) + 1 AS DOUBLE) / (n_s + $buckets))
+           |      / (CAST(coalesce(c_b, 0) + 1 AS DOUBLE) / (n + $buckets))),
+           |  12) AS DECIMAL(26,12))""".stripMargin).as("term"))
+      .groupBy(col(srcCol), col("n_s"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("kl"))
+      .select(col(srcCol), col("n_s").as("n_tokens"), col("kl"))
+  }
 }

@@ -526,18 +526,36 @@ object Similarity {
         col("cosine"))
   }
 
+  /** First 6 hex chars of md5(s) as a long — the driver-side spelling
+    * of `CAST(('0x' || substr(md5(s), 1, 6)) AS BIGINT)`. */
+  private def md5Head6(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 6), 16)
+  }
+
   /** Deterministic ±1 sign for the JL projection matrix: parity of the
     * first 6 hex chars of md5("rp:j:d") — the [[lshBuckets]] md5-derived
     * randomness trick with a Rademacher distribution. Computed
     * DRIVER-side here and spelled
     * `CAST(('0x' || substr(md5('rp:' || j || ':' || d), 1, 6)) AS BIGINT) % 2`
     * in the DuckDB oracle; both are the same md5 of the same bytes. */
-  private[graft] def rpSign(j: Int, d: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"rp:$j:$d".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    if (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 2 == 0) 1.0 else -1.0
-  }
+  private[graft] def rpSign(j: Int, d: Int): Double =
+    if (md5Head6(s"rp:$j:$d") % 2 == 0) 1.0 else -1.0
+
+  /** A FIXED deterministic PQ codebook set (md5-derived codewords in
+    * [-1, 1], the [[lshBuckets]] hyperplane formula with a
+    * "pq:s:c:d" tag) — NOT a trained quantizer. Exists so the ADC
+    * search CONTRACT (encode = lexicographic (dist², code) argmin;
+    * search = per-subspace table lookups, 6-dp-rounded (adc_dist2,
+    * n_id) ranking) can be oracle-checked end to end: a k-means-trained
+    * codebook has FP means no independent engine can reproduce
+    * hash-exactly, but every distance against THIS codebook is the same
+    * IEEE arithmetic on both engines (q127). */
+  def fixedCodebooks(m: Int = 4, k: Int = 8,
+      subDim: Int = 16): Seq[Seq[Seq[Double]]] =
+    Seq.tabulate(m)(s => Seq.tabulate(k)(c => Seq.tabulate(subDim)(d =>
+      (md5Head6(s"pq:$s:$c:$d") % 2001 - 1000) / 1000.0)))
 
   /** Johnson–Lindenstrauss random projection `dims → outDims` with a
     * deterministic Rademacher (±1/√outDims) matrix — the narrow

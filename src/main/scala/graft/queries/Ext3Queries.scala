@@ -252,5 +252,103 @@ object Ext3Queries {
     },
     q124.oracle) // q124's oracle VERBATIM
 
-  val qs: Seq[Q] = Seq(q120, q121, q122, q123, q124, q125, q126)
+  // --------------------------------------------------------------- q127
+  // PQ ADC search against a FIXED md5-derived codebook — the one
+  // formulation that lets the ADC contract be ORACLE-checked end to
+  // end (a trained codebook's FP means aren't reproducible by an
+  // independent engine): encode = lexicographic (dist², code) argmin,
+  // search = per-subspace table lookups summed in subspace order
+  // (list(d2 ORDER BY s) on the oracle side pins the same fold order),
+  // 6-dp (adc_dist2, n_id) ranking.
+  private val q127 = Q(
+    "q127_pq_adc",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cbs = graft.ext.Similarity.fixedCodebooks()
+      graft.ext.Similarity.pqSearchADC(s, emb,
+          graft.ext.Similarity.pqEncode(s, emb, cbs), cbs,
+          queryPred = col("vec_id") % 41 === 0, topK = 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH cb AS (
+        SELECT s.generate_series AS s, c.generate_series AS c,
+          list((CAST(('0x' || substr(md5('pq:' || s.generate_series || ':'
+                 || c.generate_series || ':' || d.generate_series), 1, 6))
+                AS BIGINT) % 2001 - 1000) / 1000.0
+               ORDER BY d.generate_series) AS cw
+        FROM generate_series(0, 3) s, generate_series(0, 7) c,
+             generate_series(0, 15) d
+        GROUP BY 1, 2),
+      v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      sub AS (
+        SELECT vec_id, CAST(g.generate_series AS INT) AS s,
+          v[CAST(g.generate_series * 16 + 1 AS INT) :
+            CAST(g.generate_series * 16 + 16 AS INT)] AS vs
+        FROM v, generate_series(0, 3) g),
+      dist AS (
+        SELECT vec_id, sub.s, cb.c,
+          list_sum(list_transform(list_zip(vs, cw),
+            z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+        FROM sub JOIN cb ON cb.s = sub.s),
+      codes AS (
+        SELECT vec_id, s, c FROM (
+          SELECT vec_id, s, c,
+            row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rk
+          FROM dist) WHERE rk = 1),
+      qtbl AS (SELECT vec_id AS q_id, s, c, d2 FROM dist WHERE vec_id % 41 = 0),
+      adc AS (
+        SELECT q.q_id, n.vec_id AS n_id,
+          round(list_sum(list(q.d2 ORDER BY q.s)), 6) AS adc_dist2
+        FROM codes n JOIN qtbl q ON q.s = n.s AND q.c = n.c
+        WHERE q.q_id <> n.vec_id
+        GROUP BY q.q_id, n.vec_id),
+      ranked AS (
+        SELECT q_id, n_id, adc_dist2,
+          CAST(row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist2, n_id) AS BIGINT) AS rank
+        FROM adc)
+      SELECT q_id, rank, n_id, adc_dist2 FROM ranked
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  // --------------------------------------------------------------- q128
+  // Per-source vocabulary drift: KL(source ‖ corpus) over hashed
+  // unigrams (+1-smoothed over the FULL bucket grid — empty buckets
+  // carry mass). Every table bucket- or source-bounded; 12-dp DECIMAL
+  // term sums keep reassociation out of the verdict.
+  private val q128 = Q(
+    "q128_vocab_drift",
+    (s, d) => {
+      graft.ext.Corpus.vocabDrift(Tables.documents(s, d))
+        .orderBy(col("source"))
+    },
+    Some("""WITH wd AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL),
+      wb AS (
+        SELECT source,
+          CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS b
+        FROM wd),
+      sb AS (SELECT source, b, count(*) AS c_sb FROM wb GROUP BY source, b),
+      bb AS (SELECT b, sum(c_sb) AS c_b FROM sb GROUP BY b),
+      ns AS (SELECT source, sum(c_sb) AS n_s FROM sb GROUP BY source),
+      nn AS (SELECT sum(c_b) AS n FROM bb),
+      grid AS (
+        SELECT ns.source, ns.n_s, CAST(g.generate_series AS BIGINT) AS b
+        FROM ns, generate_series(0, 1023) g),
+      terms AS (
+        SELECT grid.source, grid.n_s,
+          CAST(round(
+            (CAST(coalesce(sb.c_sb, 0) + 1 AS DOUBLE) / (grid.n_s + 1024))
+            * ln((CAST(coalesce(sb.c_sb, 0) + 1 AS DOUBLE) / (grid.n_s + 1024))
+                / (CAST(coalesce(bb.c_b, 0) + 1 AS DOUBLE) / (nn.n + 1024))),
+            12) AS DECIMAL(26,12)) AS term
+        FROM grid
+        LEFT JOIN sb ON sb.source = grid.source AND sb.b = grid.b
+        LEFT JOIN bb ON bb.b = grid.b, nn)
+      SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+        round(CAST(sum(term) AS DOUBLE), 6) AS kl
+      FROM terms GROUP BY source, n_s ORDER BY source"""))
+
+  val qs: Seq[Q] = Seq(q120, q121, q122, q123, q124, q125, q126, q127, q128)
 }

@@ -234,6 +234,47 @@ class Ext3Spec extends SparkSpec {
     assert(got(3L) == ((0L, 0L, 0L, 0L)))
   }
 
+  test("fixedCodebooks: deterministic, m×k×subDim, values in [-1, 1]") {
+    val a = Similarity.fixedCodebooks(m = 3, k = 5, subDim = 7)
+    val b = Similarity.fixedCodebooks(m = 3, k = 5, subDim = 7)
+    assert(a == b)
+    assert(a.length == 3 && a.head.length == 5 && a.head.head.length == 7)
+    assert(a.flatten.flatten.forall(x => x >= -1.0 && x <= 1.0))
+    // not degenerate: codewords within a subspace differ
+    assert(a.head.distinct.length == 5)
+  }
+
+  test("pqSearchADC on fixed codebooks: k results per query, distance monotone in rank") {
+    val e = emb(40, dims = 8)
+    val cbs = Similarity.fixedCodebooks(m = 2, k = 4, subDim = 4)
+    val got = Similarity.pqSearchADC(spark, e,
+        Similarity.pqEncode(spark, e, cbs), cbs,
+        queryPred = col("vec_id") % 13 === 0, topK = 5)
+      .collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to byRank.length).toSeq)
+      val ds = byRank.map(_.getAs[Double]("adc_dist2")).toSeq
+      assert(ds.zip(ds.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  test("vocabDrift: a vocabulary-shifted source scores higher KL than conforming ones") {
+    import spark.implicits._
+    val conforming = (0 until 40).flatMap(i => Seq(
+      (i.toLong, "srcA", s"alpha beta gamma delta epsilon common${i % 7}"),
+      (100L + i, "srcB", s"alpha beta gamma epsilon delta common${i % 7}")))
+    val shifted = (0 until 40).map(i =>
+      (200L + i, "srcC", s"zulu xray yankee whiskey victor odd${i % 7}"))
+    val docs = (conforming ++ shifted).toDF("doc_id", "source", "text")
+    val kl = Corpus.vocabDrift(docs, buckets = 256)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl.keySet == Set("srcA", "srcB", "srcC"))
+    assert(kl("srcC") > kl("srcA") && kl("srcC") > kl("srcB"),
+      s"shifted source should dominate: $kl")
+  }
+
   test("ivfPqSearch: nProbe >= cell count degrades to exhaustive ADC (pqSearchIndexed)") {
     val e = emb(32, dims = 8)
     val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString

@@ -158,7 +158,13 @@ class PlanSpec extends SparkSpec {
       "q124_dsir_weight" -> 6, "q125_contam_ladder" -> 3,
       // q126's 1 is the final orderBy: scoring is one narrow pass over
       // the literal λ array (model training runs eagerly at plan time)
-      "q126_dsir_narrow" -> 1)
+      "q126_dsir_narrow" -> 1,
+      // q127 mirrors q54's rank-window shape (codebook + queries are
+      // literals/broadcast). q128's 9 exchanges: the corpus shuffles
+      // ONCE (word→(source,bucket) count); the other eight act on
+      // bucket/source-bounded tables (≤ |sources|·buckets rows) —
+      // grid joins, totals, rollup, orderBy — harmless at any scale
+      "q127_pq_adc" -> 2, "q128_vocab_drift" -> 9)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -14,8 +14,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The engine's `events.ts` contract is EPOCH NANOS AS LONG (every
+    * consumer derives micros via `ts DIV 1000`, matching the oracle's
+    * `epoch_us(ts)`). The driver's generator has shipped the column two
+    * ways across rounds: nanosecond parquet timestamps (read as LONG
+    * under `nanosAsLong`) and microsecond TIMESTAMP_NTZ. Accept both —
+    * an NTZ wall-clock is interpreted in the session timezone (pinned
+    * UTC by Bench/Verify/specs), so `unix_micros(CAST(ts AS TIMESTAMP))
+    * * 1000` is the same instant the legacy nanos column encoded. */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) | None => df
+      case Some(_) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+    }
 
   /** Register every table as a temp view so the full star schema is
     * queryable through `spark.sql` (the engine's SQL surface). */

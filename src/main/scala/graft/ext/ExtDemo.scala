@@ -133,7 +133,7 @@ object ExtDemo {
       s"(size ${stats.getLong(0)}..${stats.getLong(1)}); " +
       s"search hits: ${hits.count()} for ${hits.select("q_id").distinct().count()} queries")
     // 6. events: point-in-time enrichment (clicks ← latest prior purchase)
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.core.Tables.events(spark, sfDir)
       .withColumn("ts_us", expr("ts DIV 1000"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts_us"), col("event_id"), col("value").as("click_value"))

@@ -45,7 +45,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      prior.foreach(SparkSession.setDefaultSession)
+      // Restore ACTIVE as well as default: parquet schema inference
+      // consults SQLConf.get (thread-local active session) — leaving
+      // active unset made later suites resolve nanos timestamps as
+      // TIMESTAMP_NTZ (nanosAsLong lives in the shared session's conf),
+      // an order-dependent flake.
+      prior.foreach { s =>
+        SparkSession.setDefaultSession(s)
+        SparkSession.setActiveSession(s)
+      }
     }
   }
 }

@@ -637,6 +637,109 @@ object Similarity {
     * this degrades to exhaustive ADC — bit-equal to
     * [[pqSearchIndexed]] on the same index (spec-pinned), which is the
     * correctness anchor for the pruned fast path. */
+  /** Per-dimension corpus min/max — the scalar-quantization "model":
+    * `dims` rows from one partial-aggregable pass (min/max are
+    * selections, not arithmetic, so the collected doubles are EXACT —
+    * an independent engine recomputing them from the same parquet gets
+    * bit-identical values, which is what makes the whole int8 contract
+    * oracle-checkable, unlike a trained PQ codebook). */
+  def sqMinMax(spark: SparkSession, emb: DataFrame,
+      dims: Int = 64): (IndexedSeq[Double], IndexedSeq[Double]) = {
+    val rows = emb.filter(col("embedding").isNotNull)
+      .select(posexplode(expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    (IndexedSeq.tabulate(dims)(rows(_)._1), IndexedSeq.tabulate(dims)(rows(_)._2))
+  }
+
+  /** Int8 scalar quantization: per-dimension affine codes
+    * code = clamp(floor((x − mn)/(mx − mn)·255 + 0.5), 0, 255) (code 0
+    * when the dimension is constant) — 4·dims bytes of float down to
+    * `dims` bytes, the cheap sibling of PQ that keeps per-dimension
+    * semantics. Two-pass shape: the min/max model is `dims` collected
+    * rows ([[sqMinMax]]), then ONE narrow encode pass (model as
+    * literals — no join, streams unchanged). Output is exploded
+    * (vec_id, d, code, err) with err = |x − recon| at 6 dp, recon =
+    * mn + code/255·(mx − mn): both the code and the reconstruction
+    * error are deterministic IEEE arithmetic on exact inputs, so a
+    * DuckDB oracle replays them bit-for-bit. */
+  def sqEncode(spark: SparkSession, emb: DataFrame,
+      dims: Int = 64): DataFrame = {
+    val (mins, maxs) = sqMinMax(spark, emb, dims)
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("qmn", typedLit(mins))
+      .withColumn("qmx", typedLit(maxs))
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")),
+        col("qmn"), col("qmx"))
+      .withColumn("mn", expr("element_at(qmn, d + 1)"))
+      .withColumn("mx", expr("element_at(qmx, d + 1)"))
+      .withColumn("code", expr(
+        """CASE WHEN mx = mn THEN 0L
+          |ELSE CAST(least(greatest(
+          |  floor((x - mn) / (mx - mn) * 255.0 + 0.5), 0.0D), 255.0D)
+          |  AS BIGINT) END""".stripMargin))
+      .withColumn("err", expr(
+        "round(abs(x - (mn + CAST(code AS DOUBLE) / 255.0 * (mx - mn))), 6)"))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        col("code"), col("err"))
+  }
+
+  /** Compact per-row SQ codes (the production layout: one tinyint-range
+    * array per vector) — same contract as [[sqEncode]], kept narrow. */
+  def sqEncodeCodes(emb: DataFrame, mins: IndexedSeq[Double],
+      maxs: IndexedSeq[Double]): DataFrame =
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("qmn", typedLit(mins))
+      .withColumn("qmx", typedLit(maxs))
+      .withColumn("codes", expr(
+        s"""transform(sequence(1, ${mins.length}), d ->
+           |  CASE WHEN element_at(qmx, d) = element_at(qmn, d) THEN 0L
+           |  ELSE CAST(least(greatest(
+           |    floor((element_at(v, d) - element_at(qmn, d))
+           |      / (element_at(qmx, d) - element_at(qmn, d)) * 255.0 + 0.5),
+           |    0.0D), 255.0D) AS BIGINT) END)""".stripMargin))
+      .select(col("vec_id"), col("codes"))
+
+  /** Asymmetric top-k over SQ codes: queries keep full precision, the
+    * corpus is its int8 reconstruction — dist² folds the per-dimension
+    * (x_q − recon)² in array order. The corpus never shuffles (codes
+    * stay where they are; the query batch broadcasts), ranking is the
+    * (dist² 6-dp, n_id) window — [[pqSearchADC]]'s contract with a
+    * per-dimension table-free reconstruction. */
+  def sqSearch(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, topK: Int,
+      dims: Int = 64): DataFrame = {
+    val (mins, maxs) = sqMinMax(spark, emb, dims)
+    val codes = sqEncodeCodes(emb, mins, maxs)
+      .select(col("vec_id").as("n_id"), col("codes"))
+      .withColumn("qmn", typedLit(mins))
+      .withColumn("qmx", typedLit(maxs))
+      .withColumn("recon", expr(
+        s"""transform(sequence(1, $dims), d ->
+           |  element_at(qmn, d) + CAST(element_at(codes, d) AS DOUBLE)
+           |    / 255.0 * (element_at(qmx, d) - element_at(qmn, d)))"""
+          .stripMargin))
+      .select(col("n_id"), col("recon"))
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("n_id"))
+    codes.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dist2", round(expr(
+        """aggregate(zip_with(vq, recon, (a, b) -> (a - b) * (a - b)),
+          |  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)""".stripMargin), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), col("dist2"))
+  }
+
   def ivfPqSearch(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame = {
     Dot64.register(spark)

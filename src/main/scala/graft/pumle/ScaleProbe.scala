@@ -429,6 +429,39 @@ object ScaleProbe {
     println(f"[probe] covariance: $nVecC%d × 64-dim vectors → $nCov upper-tri " +
       f"entries in $secsV%.1fs = ${nVecC / secsV / 1000}%.0fk vecs/s " +
       f"(compiled cov_moments, one buffer per task)")
+
+    // quality classifier at volume: train 10 GD iterations over 1M docs
+    // (each iteration = one narrow logit pass + one bucket-bounded
+    // gradient agg; the collect is 256 rows/iter), then narrow-score the
+    // corpus with the quantized milli model — scan-throughput scoring,
+    // zero shuffles, the DSIR deployment shape.
+    val tQ1 = System.nanoTime()
+    val qcModel = graft.ext.Classifier.trainQcModel(spark, docs3,
+      pmod(col("doc_id"), lit(2)) === 0, buckets = 256, iters = 10)
+    val secsQ1 = (System.nanoTime() - tQ1) / 1e9
+    val tQ2 = System.nanoTime()
+    val qcN = graft.ext.Classifier.qcScoreNarrow(docs3, qcModel)
+      .agg(count(lit(1)), sum(col("n_tokens"))).head()
+    val secsQ2 = (System.nanoTime() - tQ2) / 1e9
+    println(f"[probe] qc classifier: 10 GD iters over $nDocs3%d docs in " +
+      f"$secsQ1%.1fs; narrow-score ${qcN.getLong(0)}%d docs " +
+      f"(${qcN.getLong(1)}%d tokens) in $secsQ2%.1fs = " +
+      f"${nDocs3 / secsQ2 / 1000}%.0fk docs/s")
+
+    // int8 SQ at volume: the min/max model is one partial-aggregable
+    // pass collected to 64 rows; compact encode is then one narrow
+    // expression per row — 256 B/vec down to 64 B. The search side
+    // reconstructs on the fly (no decoded corpus materialization).
+    val tS1 = System.nanoTime()
+    val (sqMn, sqMx) = graft.ext.Similarity.sqMinMax(spark, vecs)
+    val secsS1 = (System.nanoTime() - tS1) / 1e9
+    val tS2 = System.nanoTime()
+    val nCodes = graft.ext.Similarity.sqEncodeCodes(vecs, sqMn, sqMx)
+      .agg(count(lit(1))).head().getLong(0)
+    val secsS2 = (System.nanoTime() - tS2) / 1e9
+    println(f"[probe] int8 sq: min/max model in $secsS1%.1fs; encode " +
+      f"$nCodes%d × 64-dim vecs in $secsS2%.1fs = " +
+      f"${nVecC / secsS2 / 1000}%.0fk vecs/s (4x compression, narrow)")
     spark.stop()
   }
 }

@@ -350,5 +350,135 @@ object Ext3Queries {
         round(CAST(sum(term) AS DOUBLE), 6) AS kl
       FROM terms GROUP BY source, n_s ORDER BY source"""))
 
-  val qs: Seq[Q] = Seq(q120, q121, q122, q123, q124, q125, q126, q127, q128)
+  // --------------------------------------------------------------- q129
+  // Hashed linear quality classifier (fastText shape) with the FIXED
+  // md5-derived milli-weight model — integer token-weight sums make the
+  // relational scorer exactly replayable by an independent engine
+  // (q127's fixed-codebook trick applied to classification). logit is
+  // rounded to 9 dp from exact integers BEFORE the sigmoid, so both
+  // engines feed exp the identical double.
+  private val q129 = Q(
+    "q129_qc_score",
+    (s, d) => {
+      graft.ext.Classifier.qcScore(s, Tables.documents(s, d),
+          graft.ext.Classifier.fixedModel())
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH wt AS (
+        SELECT CAST(g.generate_series AS BIGINT) AS b,
+          CAST(('0x' || substr(md5('qc:' || g.generate_series), 1, 6))
+               AS BIGINT) % 2001 - 1000 AS w_milli
+        FROM generate_series(0, 255) g),
+      tk AS (
+        SELECT doc_id, CAST(least(len(ws), 4096) AS BIGINT) AS n_tokens,
+          CAST(('0x' || substr(md5(ws[CAST(g.generate_series AS INT)]), 1, 8))
+               AS BIGINT) % 256 AS b
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE text IS NOT NULL),
+             generate_series(1, 4096) g
+        WHERE CAST(g.generate_series AS BIGINT)
+              <= least(CAST(len(ws) AS BIGINT), 4096)),
+      sm AS (
+        SELECT doc_id, n_tokens, sum(w_milli) AS s
+        FROM tk JOIN wt USING (b) GROUP BY doc_id, n_tokens),
+      lg AS (
+        SELECT doc_id, n_tokens,
+          round(CAST(s AS DOUBLE) / (1000.0 * n_tokens)
+                + CAST(0 AS DOUBLE) / 1000.0, 9) AS logit
+        FROM sm)
+      SELECT doc_id, n_tokens, logit,
+        round(1.0 / (1.0 + exp(-logit)), 6) AS score
+      FROM lg ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------- q130
+  // The compiled-narrow scorer on q129's exact model, sharing q129's
+  // oracle VERBATIM (the q126 DSIR-twin pattern): the weight array is a
+  // literal, the milli sum one aggregate expression — zero shuffles
+  // before the orderBy, and exact-integer addition is order-free, so
+  // fusing explode+join+groupBy into one expression cannot move a ulp.
+  private val q130 = Q(
+    "q130_qc_narrow",
+    (s, d) => {
+      graft.ext.Classifier.qcScoreNarrow(Tables.documents(s, d),
+          graft.ext.Classifier.fixedModel())
+        .orderBy(col("doc_id"))
+    },
+    q129.oracle) // q129's oracle VERBATIM
+
+  // --------------------------------------------------------------- q131
+  // Int8 scalar quantization of the embedding corpus: per-dimension
+  // affine codes + 6-dp reconstruction error. min/max are selections
+  // (exact doubles an independent engine reproduces from the same
+  // parquet), and every downstream op is deterministic IEEE arithmetic
+  // spelled identically on both engines — the whole compression
+  // contract is hash-checked, unlike a trained codebook.
+  private val q131 = Q(
+    "q131_int8_quant",
+    (s, d) => {
+      graft.ext.Similarity.sqEncode(s, Tables.embeddings(s, d))
+        .orderBy(col("vec_id"), col("d"))
+    },
+    Some("""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      e AS (
+        SELECT vec_id, CAST(d.generate_series AS BIGINT) AS d,
+          v[CAST(d.generate_series + 1 AS INT)] AS x
+        FROM v, generate_series(0, 63) d),
+      mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
+      q AS (
+        SELECT vec_id, e.d, x, mn, mx,
+          CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+               ELSE CAST(least(greatest(
+                 floor((x - mn) / (mx - mn) * 255.0 + 0.5), 0.0), 255.0)
+                 AS BIGINT) END AS code
+        FROM e JOIN mm USING (d))
+      SELECT vec_id, d, code,
+        round(abs(x - (mn + CAST(code AS DOUBLE) / 255.0 * (mx - mn))), 6) AS err
+      FROM q ORDER BY vec_id, d"""))
+
+  // --------------------------------------------------------------- q132
+  // Asymmetric top-k over the int8 codes: full-precision queries vs the
+  // corpus's reconstruction (pqSearchADC's (dist² 6-dp, n_id) ranking
+  // contract with a table-free per-dimension recon). The corpus never
+  // shuffles — the query batch broadcasts.
+  private val q132 = Q(
+    "q132_sq_search",
+    (s, d) => {
+      graft.ext.Similarity.sqSearch(s, Tables.embeddings(s, d),
+          queryPred = col("vec_id") % 53 === 0, topK = 4)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      e AS (
+        SELECT vec_id, CAST(d.generate_series AS BIGINT) AS d,
+          v[CAST(d.generate_series + 1 AS INT)] AS x
+        FROM v, generate_series(0, 63) d),
+      mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
+      rc AS (
+        SELECT vec_id, d,
+          mn + CAST(CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+               ELSE CAST(least(greatest(
+                 floor((x - mn) / (mx - mn) * 255.0 + 0.5), 0.0), 255.0)
+                 AS BIGINT) END AS DOUBLE) / 255.0 * (mx - mn) AS r
+        FROM e JOIN mm USING (d)),
+      rl AS (SELECT vec_id, list(r ORDER BY d) AS recon FROM rc GROUP BY vec_id),
+      q AS (SELECT vec_id AS q_id, v AS vq FROM v WHERE vec_id % 53 = 0),
+      pairs AS (
+        SELECT q.q_id, rl.vec_id AS n_id,
+          round(list_sum(list_transform(list_zip(q.vq, rl.recon),
+            z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS dist2
+        FROM rl, q WHERE q.q_id <> rl.vec_id),
+      ranked AS (
+        SELECT q_id, n_id, dist2,
+          CAST(row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dist2, n_id) AS BIGINT) AS rank
+        FROM pairs)
+      SELECT q_id, rank, n_id, dist2 FROM ranked
+      WHERE rank <= 4 ORDER BY q_id, rank"""))
+
+  val qs: Seq[Q] = Seq(q120, q121, q122, q123, q124, q125, q126, q127, q128,
+    q129, q130, q131, q132)
 }

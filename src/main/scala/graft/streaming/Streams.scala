@@ -422,6 +422,15 @@ object Streams {
       model: graft.ext.TextStats.DsirModel): DataFrame =
     graft.ext.TextStats.dsirScoreNarrow(docs, model)
 
+  /** Quality-classifier scoring on a stream: the compiled-narrow scorer
+    * is stateless (weights are a literal, the milli sum one expression),
+    * so micro-batch results are bit-identical to the batch scorer —
+    * train/load once ([[graft.ext.Classifier.loadQcModel]]), score
+    * forever. */
+  def qcScore(docs: DataFrame,
+      model: graft.ext.Classifier.QcModel): DataFrame =
+    graft.ext.Classifier.qcScoreNarrow(docs, model)
+
   def latestStatus(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events.as[SimEvent]

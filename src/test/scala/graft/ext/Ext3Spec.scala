@@ -311,4 +311,58 @@ class Ext3Spec extends SparkSpec {
       .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
     assert(parts.nonEmpty, "expected centroid_id= partition directories")
   }
+
+  test("sqEncode: codes in [0,255], constant dims code 0, err within half a step") {
+    import spark.implicits._
+    // dim 0 constant, dim 1 spans [0, 10], dim 2 negative range
+    val e = Seq.tabulate(12)(i =>
+      (i.toLong, Array(7.0f, i.toFloat, -i * 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.sqEncode(spark, e, dims = 3).collect()
+    assert(rows.length == 36)
+    rows.foreach { r =>
+      val (d, code, err) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(code >= 0 && code <= 255)
+      if (d == 0) { assert(code == 0); assert(err == 0.0) }
+      // half-quantization-step bound: |x - recon| <= span / 255 / 2
+      val span = if (d == 1) 11.0 else if (d == 2) 5.5 else 0.0
+      assert(err <= span / 255.0 / 2 + 1e-9, s"d=$d err=$err")
+    }
+  }
+
+  test("sqEncodeCodes agrees with the exploded sqEncode") {
+    val e = emb(15, dims = 8)
+    val (mins, maxs) = Similarity.sqMinMax(spark, e, dims = 8)
+    val compact = Similarity.sqEncodeCodes(e, mins, maxs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    Similarity.sqEncode(spark, e, dims = 8).collect().foreach { r =>
+      assert(compact(r.getLong(0))(r.getLong(1).toInt) == r.getLong(2))
+    }
+  }
+
+  test("sqSearch: top-1 matches the driver-side argmin in recon space") {
+    val e = emb(20, dims = 8)
+    val (mins, maxs) = Similarity.sqMinMax(spark, e, dims = 8)
+    val recon = Similarity.sqEncodeCodes(e, mins, maxs).collect().map { r =>
+      r.getLong(0) -> r.getSeq[Long](1).zipWithIndex.map { case (c, d) =>
+        mins(d) + c.toDouble / 255.0 * (maxs(d) - mins(d))
+      }
+    }.toMap
+    val full = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val got = Similarity.sqSearch(spark, e, col("vec_id") % 7 === 0,
+        topK = 1, dims = 8)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val q = r.getLong(0)
+      val expected = recon.toSeq.filter(_._1 != q).map { case (n, rv) =>
+        (full(q).zip(rv).map { case (a, b) => (a - b) * (a - b) }.sum, n)
+      }.min
+      assert(r.getLong(2) == expected._2,
+        s"q=$q got n_id=${r.getLong(2)} want=${expected._2}")
+      assert(math.abs(r.getDouble(3) - expected._1) < 1e-6,
+        s"q=$q dist2=${r.getDouble(3)} want~${expected._1}")
+    }
+  }
 }

@@ -164,7 +164,15 @@ class PlanSpec extends SparkSpec {
       // ONCE (word→(source,bucket) count); the other eight act on
       // bucket/source-bounded tables (≤ |sources|·buckets rows) —
       // grid joins, totals, rollup, orderBy — harmless at any scale
-      "q127_pq_adc" -> 2, "q128_vocab_drift" -> 9)
+      "q127_pq_adc" -> 2, "q128_vocab_drift" -> 9,
+      // q129 = token explode → broadcast weight join → one doc-keyed agg
+      // + orderBy; q130 fuses all of that into one narrow expression
+      // (orderBy only); q131's min/max model is collected eagerly at
+      // build time (separate bounded job) so the encode plan is narrow +
+      // orderBy; q132 = rank window on q_id + orderBy (corpus never
+      // shuffles — the query batch broadcasts)
+      "q129_qc_score" -> 2, "q130_qc_narrow" -> 1,
+      "q131_int8_quant" -> 1, "q132_sq_search" -> 2)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

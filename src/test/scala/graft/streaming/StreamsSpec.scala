@@ -124,6 +124,33 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming quality-classifier scoring matches the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq.tabulate(12)(i =>
+      (i.toLong, if (i % 2 == 0) "clean common prose the and of"
+                 else "spam click buy zzz qqq offer", i % 2 == 0))
+      .toDF("doc_id", "text", "is_good")
+    val model = graft.ext.Classifier.trainQcModel(spark, train,
+      col("is_good"), buckets = 64, iters = 5)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.qcScore(mem.toDF().toDF("doc_id", "text"), model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qc").start()
+    val rows = Seq((20L, "clean common prose the and"),
+      (21L, "spam click buy zzz"), (22L, "unseen vocabulary entirely"))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM qc").orderBy("doc_id")
+      .collect().toSeq
+    val batch = graft.ext.Classifier.qcScoreNarrow(
+        rows.toDF("doc_id", "text"), model)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+    q.stop()
+  }
+
   test("stream-static persisted-incremental dedup: batch-equivalent keeps, constant state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

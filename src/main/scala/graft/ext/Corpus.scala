@@ -275,4 +275,45 @@ object Corpus {
       .agg(round(sum(col("term")).cast("double"), 6).as("kl"))
       .select(col(srcCol), col("n_s").as("n_tokens"), col("kl"))
   }
+
+  /** Exact NTILE binning over a [0,1] score WITHOUT a single-partition
+    * global sort — the curriculum/quality-bucket assignment (bin 1 =
+    * lowest scores) a training mix consumes. The [[epochOrder]]
+    * two-phase-rank trick adapted to VALUE order: scores bucket by
+    * `floor(score·256)` (monotone in score, so bucket-order ‖
+    * within-bucket order = global order), bucket counts (≤ 257 rows)
+    * cumulate into offsets on the driver-scale side, and the per-row
+    * rank is offset + a within-bucket row_number — every shuffle key is
+    * the value bucket, nothing ever funnels through one partition. The
+    * bin then falls out of NTILE's closed form (first n%b bins hold
+    * ⌈n/b⌉ rows), so the result is bit-identical to
+    * `ntile(b) OVER (ORDER BY score, id)` — which is exactly how the
+    * DuckDB oracle replays it (q135). */
+  def scoreBins(scored: DataFrame, bins: Int = 10,
+      scoreCol: String = "score", idCol: String = "doc_id"): DataFrame = {
+    require(bins >= 1, s"bins=$bins out of range")
+    val bucketed = scored.withColumn("_vb",
+      least(floor(col(scoreCol) * 256).cast("int"), lit(255)))
+    val counts = bucketed.groupBy(col("_vb")).agg(count(lit(1)).as("_bn"))
+    val woff = Window.orderBy(col("_vb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ 257 rows: single-partition cumulative window is metadata-scale
+    val offs = counts
+      .withColumn("_off", coalesce(sum(col("_bn")).over(woff), lit(0L)))
+      .withColumn("_n", sum(col("_bn")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("_vb"), col("_off"), col("_n"))
+    val wloc = Window.partitionBy(col("_vb"))
+      .orderBy(col(scoreCol), col(idCol))
+    bucketed
+      .join(broadcast(offs), Seq("_vb"))
+      .withColumn("_r0", col("_off") + row_number().over(wloc) - 1)
+      .withColumn("bin", expr(
+        s"""CASE WHEN _r0 < (_n % $bins) * (_n DIV $bins + 1)
+           |  THEN _r0 DIV (_n DIV $bins + 1) + 1
+           |  ELSE (_n % $bins)
+           |    + (_r0 - (_n % $bins) * (_n DIV $bins + 1)) DIV (_n DIV $bins)
+           |    + 1 END""".stripMargin))
+      .drop("_vb", "_off", "_n", "_r0")
+  }
 }

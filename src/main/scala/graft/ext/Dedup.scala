@@ -1049,4 +1049,29 @@ object Dedup {
           round(coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
             col("n_spans"), 6)).otherwise(lit(0.0)).as("dup_frac"))
   }
+
+  /** Keep-BEST-per-cluster dedup: the near-dup clustering ([[clusters]]
+    * over [[lshCandidates]] — q65's exact components) with the survivor
+    * chosen by QUALITY instead of smallest id — production pipelines
+    * keep the longest/cleanest copy of a duplicate group, not an
+    * arbitrary one. Survivor = max `qualityCol` (doc_id-ascending
+    * tie-break); singletons keep themselves. Scale shape: the cluster
+    * table is candidate-bounded (never corpus-sized), the left join
+    * adds labels without shuffling unclustered docs' text, and the
+    * survivor window partitions by cluster_id — near-dup groups are
+    * small by construction (the LSH cap bounds bucket fan-out), so no
+    * skewed window partitions. */
+  def keepBestPerCluster(spark: SparkSession, docs: DataFrame,
+      qualityCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    val cl = clusters(spark, lshCandidates(spark, docs))
+      .select(col("node").as(idCol), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    docs.select(col(idCol), col(qualityCol))
+      .join(cl, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
 }

@@ -263,8 +263,10 @@ object Similarity {
     * is a per-query window over approximate L2². */
   def pqSearchADC(spark: SparkSession, emb: DataFrame, codes: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]],
-      queryPred: org.apache.spark.sql.Column, topK: Int): DataFrame =
+      queryPred: org.apache.spark.sql.Column, topK: Int): DataFrame = {
+    graft.functions.AdcSum.register(spark)
     pqSearch(emb.filter(queryPred), codes, codebooks, topK)
+  }
 
   private def pqSearch(queryEmb: DataFrame, codes: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]], topK: Int): DataFrame = {
@@ -285,9 +287,7 @@ object Similarity {
     codes.select(col("vec_id").as("n_id"), col("codes"))
       .crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc_dist2", round(expr(
-        """aggregate(zip_with(tbl, codes, (t, c) -> element_at(t, c + 1)),
-          |  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)""".stripMargin), 6))
+      .withColumn("adc_dist2", round(expr("adc_sum(tbl, codes)"), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("n_id"), col("adc_dist2"))
@@ -491,9 +491,11 @@ object Similarity {
     * ((adc_dist2, n_id) window, 6-dp rounded) without touching the
     * original embeddings. */
   def pqSearchIndexed(spark: SparkSession, path: String,
-      queries: DataFrame, topK: Int): DataFrame =
+      queries: DataFrame, topK: Int): DataFrame = {
+    graft.functions.AdcSum.register(spark)
     pqSearch(queries, spark.read.parquet(s"$path/codes"),
       loadPqCodebooks(spark, path), topK)
+  }
 
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most-similar corpus vectors whose LABEL differs
@@ -707,34 +709,46 @@ object Similarity {
       .select(col("vec_id"), col("codes"))
 
   /** Asymmetric top-k over SQ codes: queries keep full precision, the
-    * corpus is its int8 reconstruction — dist² folds the per-dimension
-    * (x_q − recon)² in array order. The corpus never shuffles (codes
-    * stay where they are; the query batch broadcasts), ranking is the
-    * (dist² 6-dp, n_id) window — [[pqSearchADC]]'s contract with a
-    * per-dimension table-free reconstruction. */
+    * corpus stays int8 — the SQ flavor of ADC. Each QUERY precomputes a
+    * dims×256 distance table ONCE (per dim d and code c, the term
+    * (x_q[d] − (mn[d] + c/255·span[d]))² — a narrow per-query
+    * transform); scoring a corpus row is then `dims` ARRAY LOOKUPS, the
+    * reconstruction never materializing per candidate (a naive
+    * recon-then-subtract form lets Catalyst collapse the recon
+    * projection into the join and recompute 64 decode ops per PAIR —
+    * measured 27s vs ~2s at sf0.1). The corpus never shuffles; the
+    * query batch (tables included: queries·dims·256 doubles — bounded
+    * by the query batch, never the corpus) broadcasts; ranking is
+    * [[pqSearchADC]]'s (dist² 6-dp, n_id) window. The summed terms are
+    * the identical IEEE doubles of the recon form, in the same array
+    * order — the oracle contract is unchanged. */
   def sqSearch(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, topK: Int,
       dims: Int = 64): DataFrame = {
+    graft.functions.AdcSum.register(spark)
     val (mins, maxs) = sqMinMax(spark, emb, dims)
     val codes = sqEncodeCodes(emb, mins, maxs)
       .select(col("vec_id").as("n_id"), col("codes"))
-      .withColumn("qmn", typedLit(mins))
-      .withColumn("qmx", typedLit(maxs))
-      .withColumn("recon", expr(
-        s"""transform(sequence(1, $dims), d ->
-           |  element_at(qmn, d) + CAST(element_at(codes, d) AS DOUBLE)
-           |    / 255.0 * (element_at(qmx, d) - element_at(qmn, d)))"""
-          .stripMargin))
-      .select(col("n_id"), col("recon"))
     val queries = emb.filter(queryPred)
       .select(col("vec_id").as("q_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vq"))
+      .withColumn("qmn", typedLit(mins))
+      .withColumn("qmx", typedLit(maxs))
+      .withColumn("tbl", expr(
+        s"""transform(sequence(1, $dims), d ->
+           |  transform(sequence(0, 255), c ->
+           |    (element_at(vq, d) - (element_at(qmn, d)
+           |       + CAST(c AS DOUBLE) / 255.0
+           |         * (element_at(qmx, d) - element_at(qmn, d))))
+           |    * (element_at(vq, d) - (element_at(qmn, d)
+           |       + CAST(c AS DOUBLE) / 255.0
+           |         * (element_at(qmx, d) - element_at(qmn, d))))))"""
+          .stripMargin))
+      .select(col("q_id"), col("tbl"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("n_id"))
     codes.crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("dist2", round(expr(
-        """aggregate(zip_with(vq, recon, (a, b) -> (a - b) * (a - b)),
-          |  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)""".stripMargin), 6))
+      .withColumn("dist2", round(expr("adc_sum(tbl, codes)"), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("n_id"), col("dist2"))
@@ -743,6 +757,7 @@ object Similarity {
   def ivfPqSearch(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame = {
     Dot64.register(spark)
+    graft.functions.AdcSum.register(spark)
     val cbs = loadPqCodebooks(spark, path)
     val m = cbs.length
     val subDim = cbs.head.head.length
@@ -772,9 +787,7 @@ object Similarity {
     val wr = Window.partitionBy(col("q_id")).orderBy(col("adc_dist2"), col("n_id"))
     broadcast(probes).join(cand, Seq("centroid_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc_dist2", round(expr(
-        """aggregate(zip_with(tbl, codes, (t, c) -> element_at(t, c + 1)),
-          |  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)""".stripMargin), 6))
+      .withColumn("adc_dist2", round(expr("adc_sum(tbl, codes)"), 6))
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("n_id"), col("centroid_id"),

@@ -1014,4 +1014,41 @@ object TextStats {
         coalesce(col(s"shared$n"), lit(0L)).as(s"shared$n")): _*)
       .withColumn("contam_depth", depth)
   }
+
+  /** Winnowing fingerprints (the MOSS document-fingerprint selection):
+    * hash every k-gram, slide a w-gram window, keep each window's
+    * minimum — guaranteeing any shared run of ≥ w+k-1 tokens between
+    * two documents shares at least one selected fingerprint, at ~2/(w+1)
+    * the density of the full k-gram set. The plagiarism/near-dup
+    * fingerprint with a recall floor, vs [[graft.ext.Dedup]]'s MinHash
+    * (probabilistic, fixed-size).
+    *
+    * Ties and determinism: the comparison key is hash·8192 + position
+    * (positions are capped at [[graft.functions.MinHash48.MaxShinglePos]]
+    * < 8192), so equal hashes resolve to the LEFTMOST occurrence —
+    * a total order both engines replay exactly. Documents with fewer
+    * than w k-grams emit nothing (no full window exists). Fully NARROW:
+    * per row one transform + windowed array_min + array_distinct, then
+    * the explode — no joins, no aggregates, embarrassingly parallel at
+    * corpus scale; O(grams·w) work per row with w a small constant. */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k w=$w out of range")
+    require(MaxNgramPos < 8192, "position must pack under the 8192 radix")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("ws"))
+      .withColumn("m",
+        least(greatest(size(col("ws")) - (k - 1), lit(0)), lit(MaxNgramPos)))
+      .filter(col("m") >= w)
+      .withColumn("keys", expr(
+        s"""transform(sequence(1, m), i ->
+           |  CAST(conv(substr(md5(array_join(slice(ws, i, $k), ' ')), 1, 8),
+           |       16, 10) AS BIGINT) * 8192 + i)""".stripMargin))
+      .withColumn("sel", expr(
+        s"""array_distinct(transform(sequence(1, m - ${w - 1}), j ->
+           |  array_min(slice(keys, j, $w))))""".stripMargin))
+      .select(col(idCol), explode(col("sel")).as("key"))
+      .select(col(idCol), expr("key % 8192").as("pos"),
+        expr("key DIV 8192").as("fp"))
+  }
 }

@@ -21,5 +21,6 @@ object Functions {
     XorFp48.register(spark)
     GopherStats.register(spark)
     CovMoments.register(spark)
+    AdcSum.register(spark)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CovMoments, Dot64, GopherStats, Jaccard8, MinHash48, Shingles8, SimHash16, SimHash64, XorFp48}
+import graft.functions.{AdcSum, CovMoments, Dot64, GopherStats, Jaccard8, MinHash48, Shingles8, SimHash16, SimHash64, XorFp48}
 
 /** SparkSessionExtensions injector — the engine's permanent extension
   * wiring. Users enable it with
@@ -29,7 +29,9 @@ import graft.functions.{CovMoments, Dot64, GopherStats, Jaccard8, MinHash48, Shi
   *    set itself (graft.functions.Shingles8) — precompute-once input
   *    to set-based pair scoring;
   *  - `gopher_stats(text)` → struct: the narrow quality gate's per-row
-  *    statistics in one compiled pass (graft.functions.GopherStats).
+  *    statistics in one compiled pass (graft.functions.GopherStats);
+  *  - `adc_sum(tbl, codes)` → double: codegen'd asymmetric-distance
+  *    table fold for PQ/SQ search (graft.functions.AdcSum).
   *
   * No custom Rule[LogicalPlan] or SparkStrategy is injected: SURVEY §4
   * concluded Catalyst's built-in optimizations cover the reference's
@@ -43,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHash48].getName, "minhash48"),
       (children: Seq[Expression]) =>
         MinHash48(children.head, MinHash48.defaultSalts)))
+    ext.injectFunction((
+      FunctionIdentifier("adc_sum"),
+      new ExpressionInfo(classOf[AdcSum].getName, "adc_sum"),
+      (children: Seq[Expression]) => AdcSum.builder(children)))
     ext.injectFunction((
       FunctionIdentifier("dot64"),
       new ExpressionInfo(classOf[Dot64].getName, "dot64"),

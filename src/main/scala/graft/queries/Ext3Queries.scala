@@ -357,14 +357,11 @@ object Ext3Queries {
   // (q127's fixed-codebook trick applied to classification). logit is
   // rounded to 9 dp from exact integers BEFORE the sigmoid, so both
   // engines feed exp the identical double.
-  private val q129 = Q(
-    "q129_qc_score",
-    (s, d) => {
-      graft.ext.Classifier.qcScore(s, Tables.documents(s, d),
-          graft.ext.Classifier.fixedModel())
-        .orderBy(col("doc_id"))
-    },
-    Some("""WITH wt AS (
+  // The fixed-model scoring CTE chain (q129's oracle up to the final
+  // SELECT), shared verbatim with the quality-bins oracle (q135) so
+  // both replay the identical scores.
+  private[queries] val qcCtes =
+    """wt AS (
         SELECT CAST(g.generate_series AS BIGINT) AS b,
           CAST(('0x' || substr(md5('qc:' || g.generate_series), 1, 6))
                AS BIGINT) % 2001 - 1000 AS w_milli
@@ -385,7 +382,16 @@ object Ext3Queries {
         SELECT doc_id, n_tokens,
           round(CAST(s AS DOUBLE) / (1000.0 * n_tokens)
                 + CAST(0 AS DOUBLE) / 1000.0, 9) AS logit
-        FROM sm)
+        FROM sm)"""
+
+  private val q129 = Q(
+    "q129_qc_score",
+    (s, d) => {
+      graft.ext.Classifier.qcScore(s, Tables.documents(s, d),
+          graft.ext.Classifier.fixedModel())
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $qcCtes
       SELECT doc_id, n_tokens, logit,
         round(1.0 / (1.0 + exp(-logit)), 6) AS score
       FROM lg ORDER BY doc_id"""))
@@ -479,6 +485,93 @@ object Ext3Queries {
       SELECT q_id, rank, n_id, dist2 FROM ranked
       WHERE rank <= 4 ORDER BY q_id, rank"""))
 
+  // --------------------------------------------------------------- q133
+  // Winnowing fingerprints (the MOSS selection): hash every 3-gram,
+  // keep each 4-window's minimum (hash·8192+pos key — leftmost-min tie
+  // break both engines replay). Any shared ≥6-token run between two
+  // docs shares a selected fingerprint — a recall FLOOR, vs MinHash's
+  // probabilistic bound. Fully narrow on the Spark side; the oracle
+  // replays the O(grams·w) window scan relationally.
+  private val q133 = Q(
+    "q133_winnowing",
+    (s, d) => {
+      graft.ext.TextStats.winnow(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some("""WITH wd AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+          CAST(least(greatest(len(string_split(text, ' ')) - 2, 0), 4096)
+               AS BIGINT) AS m
+        FROM documents WHERE text IS NOT NULL),
+      g AS (
+        SELECT doc_id, m, CAST(i.generate_series AS BIGINT) AS i,
+          CAST(('0x' || substr(md5(array_to_string(
+                 ws[CAST(i.generate_series AS INT) :
+                    CAST(i.generate_series + 2 AS INT)], ' ')), 1, 8))
+               AS BIGINT) * 8192 + i.generate_series AS key
+        FROM wd, generate_series(1, 4096) i
+        WHERE CAST(i.generate_series AS BIGINT) <= m),
+      wm AS (
+        SELECT g.doc_id, min(key) AS key
+        FROM g, generate_series(1, 4096) j
+        WHERE m >= 4 AND CAST(j.generate_series AS BIGINT) <= m - 3
+          AND i >= CAST(j.generate_series AS BIGINT)
+          AND i <= CAST(j.generate_series + 3 AS BIGINT)
+        GROUP BY g.doc_id, j.generate_series),
+      sel AS (SELECT DISTINCT doc_id, key FROM wm)
+      SELECT doc_id, key % 8192 AS pos, key // 8192 AS fp
+      FROM sel ORDER BY doc_id, pos"""))
+
+  // --------------------------------------------------------------- q134
+  // Keep-best-per-cluster dedup: q65's exact near-dup components (the
+  // CTE chain is shared VERBATIM) with the survivor chosen by quality
+  // (longest n_chars, doc_id tie-break) instead of smallest id — keep
+  // the best copy of a duplicate group, not an arbitrary one.
+  private val q134 = Q(
+    "q134_dedup_keep_best",
+    (s, d) => {
+      graft.ext.Dedup.keepBestPerCluster(s, Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE ${ExtQueries.clusterCtes},
+      cl AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a),
+      alld AS (
+        SELECT d.doc_id, d.n_chars,
+          coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      rk AS (
+        SELECT doc_id, n_chars, cluster_id,
+          row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY n_chars DESC, doc_id) AS rn
+        FROM alld)
+      SELECT doc_id, n_chars, cluster_id, (rn = 1) AS keep
+      FROM rk ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------- q135
+  // Curriculum/quality decile assignment over the fixed-model
+  // classifier score — bit-identical to ntile(10) OVER (ORDER BY
+  // score, doc_id), but the Spark plan is the two-phase value-bucket
+  // rank (Corpus.scoreBins): no single-partition global sort anywhere.
+  // Shares q129's scoring CTEs VERBATIM.
+  private val q135 = Q(
+    "q135_quality_bins",
+    (s, d) => {
+      val scored = graft.ext.Classifier.qcScoreNarrow(
+        Tables.documents(s, d), graft.ext.Classifier.fixedModel())
+      graft.ext.Corpus.scoreBins(scored, bins = 10)
+        .select(col("doc_id"), col("score"), col("bin").cast("long").as("bin"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $qcCtes,
+      sc AS (
+        SELECT doc_id, round(1.0 / (1.0 + exp(-logit)), 6) AS score
+        FROM lg)
+      SELECT doc_id, score,
+        CAST(ntile(10) OVER (ORDER BY score, doc_id) AS BIGINT) AS bin
+      FROM sc ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132)
+    q129, q130, q131, q132, q133, q134, q135)
 }

@@ -365,4 +365,87 @@ class Ext3Spec extends SparkSpec {
         s"q=$q dist2=${r.getDouble(3)} want~${expected._1}")
     }
   }
+
+  test("winnow: shared runs >= w+k-1 tokens always share a fingerprint; short docs emit none") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1
+    val d = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"$shared completely different tail here now"),
+      (3L, "tiny doc"), // fewer than k tokens -> no grams
+      (4L, "just five little words here")) // m = 3 < w -> no window
+      .toDF("doc_id", "text")
+    val fps = TextStats.winnow(d).collect()
+      .groupBy(_.getLong(0)).map { case (k2, v) =>
+        k2 -> v.map(_.getLong(2)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "docs sharing a 6-token run must share a selected fingerprint")
+    assert(!fps.contains(3L) && !fps.contains(4L))
+  }
+
+  test("winnow: density below the full gram set, positions valid, deterministic") {
+    import spark.implicits._
+    val d = Seq.tabulate(10)(i =>
+      (i.toLong, (0 until 40).map(t => s"tok${(t * (i + 3)) % 17}")
+        .mkString(" "))).toDF("doc_id", "text")
+    val a = TextStats.winnow(d).collect()
+    val b = TextStats.winnow(d).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      == b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
+    a.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val nGrams = 40 - 2
+      assert(rows.length < nGrams, "winnowing must thin the gram set")
+      rows.foreach { r =>
+        assert(r.getLong(1) >= 1 && r.getLong(1) <= nGrams) // gram position
+        assert(r.getLong(2) >= 0 && r.getLong(2) < (1L << 32)) // 8-hex hash
+      }
+    }
+  }
+
+  test("keepBestPerCluster: one survivor per cluster and it is the longest copy") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = (Seq(
+      (0L, s"$base extra tail words make this one the longest copy"),
+      (1L, s"$base extra tail words"),
+      (2L, base)) ++ Seq.tabulate(8)(i =>
+      (10L + i, s"unrelated document number $i with its own words entirely")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = Dedup.keepBestPerCluster(spark, d).collect()
+    assert(r.length == 11)
+    val byCluster = r.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (_, rows) =>
+      assert(rows.count(_.getAs[Boolean]("keep")) == 1,
+        "exactly one survivor per cluster")
+      val kept = rows.find(_.getAs[Boolean]("keep")).get
+      assert(rows.forall(x => x.getAs[Long]("n_chars") < kept.getAs[Long]("n_chars")
+        || (x.getAs[Long]("n_chars") == kept.getAs[Long]("n_chars")
+            && x.getAs[Long]("doc_id") >= kept.getAs[Long]("doc_id"))),
+        "survivor must be the longest (id tie-break)")
+    }
+    // the three near-dups must cluster together with doc 0 kept
+    val dupCluster = byCluster.find(_._2.map(_.getAs[Long]("doc_id")).toSet
+      .contains(0L)).get._2
+    assert(dupCluster.map(_.getAs[Long]("doc_id")).toSet == Set(0L, 1L, 2L))
+    assert(dupCluster.find(_.getAs[Boolean]("keep")).get
+      .getAs[Long]("doc_id") == 0L)
+  }
+
+  test("scoreBins: bit-identical to ntile over (score, id), including ragged splits") {
+    import spark.implicits._
+    for (n <- Seq(7, 100, 103)) { // n < bins, n % bins == 0, ragged
+      val scored = Seq.tabulate(n)(i =>
+        (i.toLong, math.rint(1e6 / (1.0 + math.exp((i * 7 % 13) - 6))) / 1e6))
+        .toDF("doc_id", "score")
+      val got = Corpus.scoreBins(scored, bins = 10)
+        .select("doc_id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"), col("doc_id"))
+      val want = scored.withColumn("bin", ntile(10).over(w).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+      assert(got == want, s"n=$n")
+    }
+  }
 }

@@ -1,0 +1,35 @@
+package graft.functions
+
+import graft.pumle.SparkSpec
+
+/** adc_sum must be bit-identical to the interpreted higher-order form
+  * it replaced on the PQ/SQ search hot loops (left-to-right fold,
+  * double accumulator) — the oracle contracts (q127/q132) depend on
+  * that exact arithmetic. */
+class AdcSumSpec extends SparkSpec {
+
+  test("adc_sum equals the interpreted aggregate/zip_with fold") {
+    AdcSum.register(spark)
+    val df = spark.range(50).selectExpr(
+      "id",
+      // ragged-ish deterministic table: 8 rows x 16 codes
+      """transform(sequence(0, 7), d -> transform(sequence(0, 15), c ->
+        |  CAST(pmod(id * 31 + d * 7 + c * 3, 997) AS DOUBLE) / 31.0)) AS tbl"""
+        .stripMargin,
+      "transform(sequence(0, 7), d -> pmod(id * 13 + d * 5, 16)) AS codes")
+    val r = df.selectExpr(
+      "adc_sum(tbl, codes) AS fast",
+      """aggregate(zip_with(tbl, codes, (t, c) -> element_at(t, CAST(c AS INT) + 1)),
+        |  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS slow""".stripMargin)
+      .collect()
+    r.foreach(row => assert(row.getDouble(0) == row.getDouble(1)))
+  }
+
+  test("adc_sum folds min(len) rows and accepts int-typed code arrays") {
+    AdcSum.register(spark)
+    val r = spark.sql(
+      """SELECT adc_sum(array(array(1.0d, 2.0d), array(3.0d, 4.0d)),
+        |               array(1, 0, 5)) AS s""".stripMargin).head()
+    assert(r.getDouble(0) == 2.0 + 3.0)
+  }
+}

@@ -40,7 +40,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           "simhash16('a b')", "simhash64('a b')", "xorfp48('a b')",
           "jaccard8('a b c d e f g h i', 'a b c d e f g h i')",
           "shingles8('a b c d e f g h i')", "gopher_stats('a b c')",
-          "cov_moments(array(1.0d, 2.0d), 2)"))
+          "cov_moments(array(1.0d, 2.0d), 2)",
+          "adc_sum(array(array(1.0d, 2.0d)), array(1L))"))
         assert(spark.sql(s"SELECT $f").head() != null, s"$f not injected")
     } finally {
       SparkSession.clearActiveSession()

@@ -172,7 +172,14 @@ class PlanSpec extends SparkSpec {
       // orderBy; q132 = rank window on q_id + orderBy (corpus never
       // shuffles — the query batch broadcasts)
       "q129_qc_score" -> 2, "q130_qc_narrow" -> 1,
-      "q131_int8_quant" -> 1, "q132_sq_search" -> 2)
+      "q131_int8_quant" -> 1, "q132_sq_search" -> 2,
+      // q133 is one narrow generator + orderBy; q134 mirrors q123's
+      // docs⋈clusters join (clusters run eagerly at plan time) plus the
+      // survivor window on cluster_id; q135 = the two-phase rank:
+      // bucket-count agg + metadata-scale cumulative window + per-bucket
+      // rank window + orderBy — never a corpus-wide single partition
+      "q133_winnowing" -> 1, "q134_dedup_keep_best" -> 4,
+      "q135_quality_bins" -> 5)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -54,7 +54,13 @@ QUERIES = ["q52_lsh_candidates", "q65_dedup_clusters", "q72_verify_candidates",
            # q120-q122 are embeddings-axis (not scaled here) and are
            # deliberately absent.
            "q123_cluster_split", "q124_dsir_weight", "q125_contam_ladder",
-           "q126_dsir_narrow"]
+           "q126_dsir_narrow",
+           # q129+ document-axis additions: qc classifier relational +
+           # compiled-narrow twins, winnowing fingerprints, keep-best
+           # dedup (rides the q65 recursive-CC oracle), quality deciles.
+           # q131/q132 are embeddings-axis and deliberately absent.
+           "q129_qc_score", "q130_qc_narrow", "q133_winnowing",
+           "q134_dedup_keep_best", "q135_quality_bins"]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 

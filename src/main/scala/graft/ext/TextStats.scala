@@ -1051,4 +1051,37 @@ object TextStats {
       .select(col(idCol), expr("key % 8192").as("pos"),
         expr("key DIV 8192").as("fp"))
   }
+
+  /** Near-dup candidate pairs from the winnowing inverted index: docs
+    * sharing ≥ `minShared` selected fingerprints. [[winnow]]'s guarantee
+    * transfers — two docs sharing a long enough run WILL collide here
+    * (recall floor), unlike MinHash banding's probabilistic recall; the
+    * precision knob is `minShared`. The LSH-candidate discipline
+    * applies unchanged: corpus-wide boilerplate fingerprints (df >
+    * `maxDf` — headers, licence lines) are dropped from a COUNT
+    * aggregate before any posting list materializes, so the self-join
+    * is skew-free and per-fp work is bounded at df(df−1)/2 ≤ 45; the
+    * pair aggregate is partial-aggregable. Feed the pairs to
+    * [[graft.ext.Dedup.verifyCandidates]] / [[graft.ext.Dedup.clusters]]
+    * exactly like the MinHash path. */
+  def winnowCandidates(docs: DataFrame, k: Int = 3, w: Int = 4,
+      maxDf: Int = 10, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fps = winnow(docs, k, w, idCol, textCol)
+      .select(col(idCol), col("fp")).distinct()
+    val small = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select(col("fp"))
+    fps.join(small, Seq("fp")) // drops boilerplate fps pre-collect
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS a_id, y AS b_id))))""".stripMargin)).as("pair"))
+      .select(col("pair.a_id"), col("pair.b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

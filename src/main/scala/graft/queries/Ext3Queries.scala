@@ -492,13 +492,10 @@ object Ext3Queries {
   // docs shares a selected fingerprint — a recall FLOOR, vs MinHash's
   // probabilistic bound. Fully narrow on the Spark side; the oracle
   // replays the O(grams·w) window scan relationally.
-  private val q133 = Q(
-    "q133_winnowing",
-    (s, d) => {
-      graft.ext.TextStats.winnow(Tables.documents(s, d))
-        .orderBy(col("doc_id"), col("pos"))
-    },
-    Some("""WITH wd AS (
+  // The winnowing selection CTE chain (q133's oracle up to the final
+  // SELECT), shared verbatim with the winnow-candidates oracle (q136).
+  private[queries] val winnowCtes =
+    """wd AS (
         SELECT doc_id, string_split(text, ' ') AS ws,
           CAST(least(greatest(len(string_split(text, ' ')) - 2, 0), 4096)
                AS BIGINT) AS m
@@ -518,7 +515,15 @@ object Ext3Queries {
           AND i >= CAST(j.generate_series AS BIGINT)
           AND i <= CAST(j.generate_series + 3 AS BIGINT)
         GROUP BY g.doc_id, j.generate_series),
-      sel AS (SELECT DISTINCT doc_id, key FROM wm)
+      sel AS (SELECT DISTINCT doc_id, key FROM wm)"""
+
+  private val q133 = Q(
+    "q133_winnowing",
+    (s, d) => {
+      graft.ext.TextStats.winnow(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some(s"""WITH $winnowCtes
       SELECT doc_id, key % 8192 AS pos, key // 8192 AS fp
       FROM sel ORDER BY doc_id, pos"""))
 
@@ -572,6 +577,33 @@ object Ext3Queries {
         CAST(ntile(10) OVER (ORDER BY score, doc_id) AS BIGINT) AS bin
       FROM sc ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q136
+  // Winnow-candidates: the inverted-index near-dup pair generator over
+  // q133's fingerprints (CTE chain shared VERBATIM) — the recall-floor
+  // complement to q52's MinHash banding, with the same boilerplate-cap
+  // discipline (df > 10 fingerprints dropped from a count aggregate
+  // before any posting list materializes).
+  private val q136 = Q(
+    "q136_winnow_candidates",
+    (s, d) => {
+      graft.ext.TextStats.winnowCandidates(Tables.documents(s, d))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH $winnowCtes,
+      fpx AS (SELECT DISTINCT doc_id, key // 8192 AS fp FROM sel),
+      small AS (
+        SELECT fp FROM (
+          SELECT fp, count(*) AS df FROM fpx GROUP BY fp)
+        WHERE df BETWEEN 2 AND 10),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM fpx a
+        JOIN small s ON s.fp = a.fp
+        JOIN fpx b ON b.fp = a.fp AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM pairs GROUP BY a_id, b_id HAVING count(*) >= 2
+      ORDER BY a_id, b_id"""))
+
   val qs: Seq[Q] = Seq(q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133, q134, q135)
+    q129, q130, q131, q132, q133, q134, q135, q136)
 }

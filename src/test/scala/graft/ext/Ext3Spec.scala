@@ -402,6 +402,24 @@ class Ext3Spec extends SparkSpec {
     }
   }
 
+  test("winnowCandidates: planted near-dups collide, boilerplate fps are capped") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val boiler = "common header line every document carries" // df = all docs
+    val d = (Seq(
+      (1L, s"$boiler $run one tail"),
+      (2L, s"$boiler $run two other tail")) ++ Seq.tabulate(20)(i =>
+      (10L + i, s"$boiler unique body number $i with words w${i}a w${i}b")))
+      .toDF("doc_id", "text")
+    val pairs = TextStats.winnowCandidates(d, maxDf = 10).collect()
+    // the two docs sharing the 10-token run must be a candidate pair
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"planted pair missing from ${pairs.toSeq}")
+    // boilerplate-only doc pairs (22 docs share the header) must NOT
+    // explode into 22*21/2 pairs: header fps have df=22 > maxDf
+    assert(pairs.length < 20, s"boilerplate not capped: ${pairs.length} pairs")
+  }
+
   test("keepBestPerCluster: one survivor per cluster and it is the longest copy") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"

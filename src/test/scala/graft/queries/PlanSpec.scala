@@ -179,7 +179,10 @@ class PlanSpec extends SparkSpec {
       // bucket-count agg + metadata-scale cumulative window + per-bucket
       // rank window + orderBy — never a corpus-wide single partition
       "q133_winnowing" -> 1, "q134_dedup_keep_best" -> 4,
-      "q135_quality_bins" -> 5)
+      "q135_quality_bins" -> 5,
+      // q136 = q52's inverted-index shape on winnow fps: distinct
+      // (doc,fp) + df count + fp-keyed join + pair agg + orderBy
+      "q136_winnow_candidates" -> 6)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -137,29 +137,29 @@ object Classifier {
   }
 
   /** Train by batch gradient descent on the hashed mean-weight logit
-    * z = Σ w_{b(t)}/n + bias, y = `labelPred`, log-loss. Each iteration
-    * is ONE aggregation pass: per-doc logits come from the current
-    * weights as a narrow literal (no join), the gradient reduces to the
-    * bucket grid (`buckets`+1 rows collected — never the corpus), and
-    * the update is driver-side over that bounded table. The cached
-    * feature frame is (doc, bucket, 1/n) — built once. Exit quantizes
-    * HALF_UP to milli, yielding the exact-arithmetic [[QcModel]] the
-    * scorers and the oracle contract consume. */
+    * z = Σ w_{b(t)}/n + bias, y = `labelPred`, log-loss. The cached
+    * frame is ONE ROW PER DOC (label, token count, bucket ARRAY —
+    * tokens hashed once, text never re-read), and each iteration is a
+    * single aggregation job: the per-doc logit folds the bucket array
+    * against the current weights as a narrow literal (no doc-keyed
+    * shuffle, no join), the residual rides the row into an explode
+    * whose sentinel bucket −1 carries the bias gradient, and everything
+    * reduces to the bucket grid (`buckets`+1 rows collected — never the
+    * corpus). Driver work per iteration is the bounded update. Exit
+    * quantizes HALF_UP to milli, yielding the exact-arithmetic
+    * [[QcModel]] the scorers and the oracle contract consume. */
   def trainQcModel(spark: SparkSession, docs: DataFrame,
       labelPred: org.apache.spark.sql.Column, buckets: Int = 256,
       iters: Int = 20, lr: Double = 2.0, idCol: String = "doc_id",
       textCol: String = "text"): QcModel = {
     val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), labelPred.cast("double").as("y"),
+      .select(labelPred.cast("double").as("y"),
         split(col(textCol), " ").as("ws"))
       .withColumn("n", least(size(col("ws")), lit(MaxTokens)))
-    val feats = base
-      .select(col(idCol), col("y"), (lit(1.0) / col("n")).as("xw"),
-        col("ws"), col("n"))
-      .select(col(idCol), col("y"), col("xw"),
-        explode(expr(s"""transform(sequence(1, n),
+      .select(col("y"), col("n"),
+        expr(s"""transform(sequence(1, n),
           |  i -> ${bucketSql("element_at(ws, i)", buckets)})"""
-          .stripMargin)).as("b"))
+          .stripMargin).as("bs"))
       .persist()
     try {
       val nDocs = base.count().toDouble
@@ -167,27 +167,27 @@ object Classifier {
       var bias = 0.0
       var it = 0
       while (it < iters) {
-        val zDoc = feats
+        val grad = base
           .withColumn("wv", typedLit(w.toIndexedSeq))
-          .groupBy(col(idCol), col("y"))
-          .agg(sum(expr("xw * element_at(wv, CAST(b AS INT) + 1)")).as("z0"))
-          .select(col(idCol), col("y"),
-            (lit(1.0) / (lit(1.0) + exp(-(col("z0") + lit(bias))))).as("p"))
-        val grad = feats.join(zDoc.select(col(idCol), col("y").as("yy"),
-            col("p")), Seq(idCol))
+          .withColumn("p", expr(s"""1.0D / (1.0D + exp(-(
+            |  aggregate(bs, 0.0D, (acc, b) ->
+            |    acc + element_at(wv, CAST(b AS INT) + 1)) / n + $bias)))"""
+            .stripMargin))
+          .select(col("p"), col("y"), col("n"),
+            explode(expr("concat(bs, array(-1L))")).as("b"))
           .groupBy(col("b"))
-          .agg(sum(expr("xw * (p - yy)")).as("g"))
+          .agg(sum(expr(
+            "CASE WHEN b = -1 THEN p - y ELSE (p - y) / n END")).as("g"))
           .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-        val gBias = zDoc.agg(sum(col("p") - col("y"))).head().getDouble(0)
         w = Array.tabulate(buckets)(b => w(b) - lr * grad.getOrElse(b, 0.0) / nDocs)
-        bias -= lr * gBias / nDocs
+        bias -= lr * grad.getOrElse(-1, 0.0) / nDocs
         it += 1
       }
       def milli(x: Double): Long = new java.math.BigDecimal(x)
         .setScale(3, java.math.RoundingMode.HALF_UP)
         .movePointRight(3).longValueExact()
       QcModel(w.map(milli).toIndexedSeq, milli(bias), buckets)
-    } finally { feats.unpersist() }
+    } finally { base.unpersist() }
   }
 
   /** Mean log-loss of a model on a labeled corpus (spec/monitoring

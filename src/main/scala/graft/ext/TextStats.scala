@@ -1046,15 +1046,20 @@ object TextStats {
       // lambdas instead lets CollapseProject inline the split into
       // every gram and the whole gram-hash expression into every
       // window — all m md5s recomputed per window, O(m²·k) per doc
-      // (measured 260s at sf0.1 vs ~2s bound).
+      // (measured 260s at sf0.1 vs ~3s bound). The m >= w guard is
+      // IN the expression, not just the filter: streaming micro-batch
+      // plans can evaluate the generator before the filter prunes
+      // short docs, and sequence(1, m-3) turns DESCENDING for m < 4
+      // (slice start 0 → runtime error).
       .withColumn("sel", expr(
-        s"""element_at(transform(array(ws), ws0 ->
+        s"""CASE WHEN m >= $w THEN element_at(transform(array(ws), ws0 ->
            |  element_at(transform(array(
            |    transform(sequence(1, m), i ->
            |      CAST(conv(substr(md5(array_join(slice(ws0, i, $k), ' ')), 1, 8),
            |           16, 10) AS BIGINT) * 8192 + i)),
            |    ks -> array_distinct(transform(sequence(1, m - ${w - 1}), j ->
-           |      array_min(slice(ks, j, $w))))), 1)), 1)""".stripMargin))
+           |      array_min(slice(ks, j, $w))))), 1)), 1)
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
       .select(col(idCol), explode(col("sel")).as("key"))
       .select(col(idCol), expr("key % 8192").as("pos"),
         expr("key DIV 8192").as("fp"))

@@ -462,6 +462,16 @@ object ScaleProbe {
     println(f"[probe] int8 sq: min/max model in $secsS1%.1fs; encode " +
       f"$nCodes%d × 64-dim vecs in $secsS2%.1fs = " +
       f"${nVecC / secsS2 / 1000}%.0fk vecs/s (4x compression, narrow)")
+
+    // winnowing at volume: 1M docs fingerprinted in one narrow pass
+    // (double let-binding keeps it O(grams·w) per row — the unbound
+    // form re-hashed every gram per window, O(grams²) per doc).
+    val tW = System.nanoTime()
+    val wn = graft.ext.TextStats.winnow(docs3)
+      .agg(count(lit(1))).head().getLong(0)
+    val secsW = (System.nanoTime() - tW) / 1e9
+    println(f"[probe] winnow: $nDocs3%d docs → $wn%d selected fingerprints " +
+      f"in $secsW%.1fs = ${nDocs3 / secsW / 1000}%.0fk docs/s (narrow)")
     spark.stop()
   }
 }

@@ -124,6 +124,31 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming winnow fingerprints match the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // winnow is a stateless narrow generator — it runs on a stream
+    // unchanged, the fingerprint-at-arrival half of an incremental
+    // near-dup index
+    val q = graft.ext.TextStats.winnow(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("winnow").start()
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words in this second document here"),
+      (3L, "tiny"))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM winnow")
+      .orderBy("doc_id", "pos").collect().toSeq
+    val batch = graft.ext.TextStats.winnow(rows.toDF("doc_id", "text"))
+      .orderBy("doc_id", "pos").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_.getLong(0)).distinct == Seq(1L, 2L))
+    q.stop()
+  }
+
   test("streaming quality-classifier scoring matches the batch scorer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

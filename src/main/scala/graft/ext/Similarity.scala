@@ -729,7 +729,16 @@ object Similarity {
     val (mins, maxs) = sqMinMax(spark, emb, dims)
     val codes = sqEncodeCodes(emb, mins, maxs)
       .select(col("vec_id").as("n_id"), col("codes"))
-    val queries = emb.filter(queryPred)
+    sqAdc(emb.filter(queryPred), codes, mins, maxs, topK, dims)
+  }
+
+  /** The SQ-ADC core shared by [[sqSearch]] and [[sqSearchIndexed]]:
+    * per-query dims×256 tables, codes-side untouched, (dist² 6-dp,
+    * n_id) ranking. */
+  private def sqAdc(queryEmb: DataFrame, codes: DataFrame,
+      mins: IndexedSeq[Double], maxs: IndexedSeq[Double], topK: Int,
+      dims: Int): DataFrame = {
+    val queries = queryEmb
       .select(col("vec_id").as("q_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vq"))
       .withColumn("qmn", typedLit(mins))
@@ -752,6 +761,43 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("n_id"), col("dist2"))
+  }
+
+  /** Persist an SQ index: `path/minmax` (d, mn, mx — the dims-row
+    * model) + `path/codes` (vec_id, codes) — encode once, search many;
+    * the original embeddings are never re-read at query time. Doubles
+    * round-trip parquet exactly, so indexed search is bit-equal to
+    * [[sqSearch]] on the same corpus (spec-pinned). */
+  def writeSqIndex(spark: SparkSession, emb: DataFrame, path: String,
+      dims: Int = 64): Unit = {
+    import spark.implicits._
+    val (mins, maxs) = sqMinMax(spark, emb, dims)
+    mins.indices.map(d => (d, mins(d), maxs(d))).toDF("d", "mn", "mx")
+      .write.mode("overwrite").parquet(s"$path/minmax")
+    sqEncodeCodes(emb, mins, maxs)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Reload a persisted SQ model ([[writeSqIndex]]). */
+  def loadSqMinMax(spark: SparkSession,
+      path: String): (IndexedSeq[Double], IndexedSeq[Double]) = {
+    val rows = spark.read.parquet(s"$path/minmax")
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    (IndexedSeq.tabulate(rows.size)(rows(_)._1),
+      IndexedSeq.tabulate(rows.size)(rows(_)._2))
+  }
+
+  /** ANN search against a persisted SQ index — [[sqSearch]]'s exact
+    * contract with the codes table scanned from parquet (binary-pruned:
+    * only vec_id + codes are read). */
+  def sqSearchIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, topK: Int, dims: Int = 64): DataFrame = {
+    graft.functions.AdcSum.register(spark)
+    val (mins, maxs) = loadSqMinMax(spark, path)
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id").as("n_id"), col("codes"))
+    sqAdc(queries, codes, mins, maxs, topK, dims)
   }
 
   def ivfPqSearch(spark: SparkSession, path: String, queries: DataFrame,

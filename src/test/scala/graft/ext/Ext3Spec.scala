@@ -420,6 +420,44 @@ class Ext3Spec extends SparkSpec {
     assert(pairs.length < 20, s"boilerplate not capped: ${pairs.length} pairs")
   }
 
+  test("persisted SQ index: search from disk is bit-equal to in-memory sqSearch") {
+    val e = emb(24, dims = 8)
+    val dir = java.nio.file.Files.createTempDirectory("sq-index").toString
+    Similarity.writeSqIndex(spark, e, dir, dims = 8)
+    val queries = e.filter(col("vec_id") % 6 === 0)
+    val fromDisk = Similarity.sqSearchIndexed(spark, dir, queries,
+        topK = 3, dims = 8)
+      .orderBy("q_id", "rank").collect().toSeq
+    val inMem = Similarity.sqSearch(spark, e, col("vec_id") % 6 === 0,
+        topK = 3, dims = 8)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(fromDisk == inMem)
+    assert(fromDisk.nonEmpty)
+  }
+
+  test("winnow candidates feed the MinHash-path verify and clustering unchanged") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma"
+    val d = (Seq(
+      (1L, s"$run tail one"),
+      (2L, s"$run tail two"),
+      (3L, s"$run tail three")) ++ Seq.tabulate(6)(i =>
+      (10L + i, s"unrelated filler document number $i body b${i}x b${i}y b${i}z")))
+      .toDF("doc_id", "text")
+    // the winnow pair generator slots into the same verify + clusters
+    // chain as Dedup.lshCandidates — one candidate stack, two recall
+    // profiles
+    val pairs = TextStats.winnowCandidates(d)
+    val verified = Dedup.verifyCandidates(spark, pairs, d, threshold = 0.5)
+    val cl = Dedup.clusters(spark,
+        verified.select(col("a_id"), col("b_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).subsetOf(cl.keySet))
+    assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 1L,
+      s"near-dup trio must form one cluster, got $cl")
+  }
+
   test("keepBestPerCluster: one survivor per cluster and it is the longest copy") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"

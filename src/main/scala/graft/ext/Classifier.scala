@@ -97,23 +97,25 @@ object Classifier {
       round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("score"))
   }
 
-  /** Compiled-narrow scorer: the weight array is a LITERAL, the token
-    * sum one `aggregate` over the capped sequence — zero shuffles, zero
-    * joins, streams unchanged. Exact-integer milli sums make it
-    * bit-identical to [[qcScore]] (q130 shares q129's oracle VERBATIM). */
+  /** Compiled-narrow scorer: the model rides as a constant reference
+    * object inside the [[graft.functions.QcScore]] expression — one
+    * tight per-row loop (tokenize, md5-bucket, exact integer sum),
+    * zero shuffles, zero joins, streams unchanged. The interpreted SQL
+    * fold this replaced was SLOWER than the relational form at sf1
+    * (7.6s vs 3.9s / 50k docs): higher-order lambdas interpret per
+    * token, and the per-token work is an md5. Exact-integer milli sums
+    * keep it bit-identical to [[qcScore]] (q130 shares q129's oracle
+    * VERBATIM). */
   def qcScoreNarrow(docs: DataFrame, model: QcModel,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.QcScore.register(docs.sparkSession,
+      new graft.functions.QcModelRef(model.weightsMilli.toArray))
     docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), split(col(textCol), " ").as("ws"))
-      .withColumn("wv", typedLit(model.weightsMilli))
-      .withColumn("n_tokens",
-        least(size(col("ws")), lit(MaxTokens)).cast("long"))
-      .withColumn("s", expr(
-        s"""aggregate(sequence(1, least(size(ws), $MaxTokens)), 0L,
-           |  (acc, i) -> acc + element_at(wv,
-           |    CAST(${bucketSql("element_at(ws, i)", model.buckets)} AS INT)
-           |      + 1))""".stripMargin))
+      .select(col(idCol), expr(s"qc_score($textCol)").as("g"))
+      .select(Seq(col(idCol), col("g.n_tokens").as("n_tokens"),
+        col("g.s").as("s")): _*)
       .select(Seq(col(idCol), col("n_tokens")) ++ scoreCols(model): _*)
+  }
 
   /** Persist a model: `path/weights` (b, w_milli) + `path/meta`
     * (bias_milli, buckets) — bucket-bounded, metadata-scale I/O. */

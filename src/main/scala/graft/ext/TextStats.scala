@@ -947,26 +947,23 @@ object TextStats {
     * into one expression cannot move a single ulp. */
   def dsirScoreNarrow(docs: DataFrame, model: DsirModel,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val buckets = model.buckets
+    // compiled per-row scorer (QcScore's argument, measured at sf1:
+    // the interpreted HOF fold ran 4x slower than its DuckDB replay —
+    // per-bigram concat+md5 through the interpreted string stack).
+    // λ is scale-9 decimal; integer-nanos summation is the same exact
+    // value, and (double) nanos / 1e9 is the same nearest double as
+    // the DECIMAL(28,9) → DOUBLE cast, so the 6-dp mean is unchanged.
+    graft.functions.DsirScore.register(docs.sparkSession,
+      new graft.functions.DsirModelRef(
+        model.lambda.map(_.movePointRight(9).longValueExact()).toArray))
     docs
-      .withColumn("ws", split(col(textCol), " "))
-      .withColumn("lamv", typedLit(model.lambda.map(new scala.math.BigDecimal(_))))
-      .withColumn("n_feats",
-        when(col(textCol).isNotNull && size(col("ws")) >= 2,
-          least(size(col("ws")) - 1, lit(MaxNgramPos)).cast("long"))
-          .otherwise(0L))
-      .withColumn("s", expr(
-        s"""CASE WHEN n_feats > 0 THEN
-           |  aggregate(sequence(1, CAST(n_feats AS INT)),
-           |    CAST(0 AS DECIMAL(28,9)),
-           |    (acc, i) -> CAST(acc + element_at(lamv,
-           |      CAST(CAST(conv(substr(md5(concat_ws(' ', element_at(ws, i),
-           |             element_at(ws, i + 1))), 1, 8), 16, 10) AS BIGINT)
-           |           % $buckets AS INT) + 1) AS DECIMAL(28,9)))
-           |ELSE CAST(0 AS DECIMAL(28,9)) END""".stripMargin))
-      .select(col(idCol), col("n_feats"),
-        when(col("n_feats") > 0,
-          round(col("s").cast("double") / col("n_feats"), 6))
+      .select(col(idCol), col(textCol),
+        expr(s"dsir_score($textCol)").as("g"))
+      .select(col(idCol),
+        coalesce(col("g.n_feats"), lit(0L)).as("n_feats"),
+        when(col("g.n_feats").isNotNull && col("g.n_feats") > 0,
+          round(col("g.s_nanos").cast("double") / lit(1000000000.0)
+            / col("g.n_feats").cast("double"), 6))
           .otherwise(lit(0.0)).as("dsir_weight"))
   }
 
@@ -1035,32 +1032,15 @@ object TextStats {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k w=$w out of range")
     require(MaxNgramPos < 8192, "position must pack under the 8192 radix")
+    // compiled per-row selection (graft.functions.WinnowKeys): even the
+    // let-bound SQL form pays interpreted higher-order lambdas for the
+    // per-gram md5 and per-window slice/array_min — 51s at sf1 where
+    // the compiled loop needs seconds. Same key arithmetic, same
+    // distinct-set output; m < w (including null/short docs) yields an
+    // empty array the explode drops.
+    graft.functions.WinnowKeys.register(docs.sparkSession, k, w)
     docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), split(col(textCol), " ").as("ws"))
-      .withColumn("m",
-        least(greatest(size(col("ws")) - (k - 1), lit(0)), lit(MaxNgramPos)))
-      .filter(col("m") >= w)
-      // DOUBLE let-binding via transform(array(…), x -> …): the token
-      // array and then the keys array are each evaluated ONCE per row
-      // and lambda-bound. Referencing them as COLUMNS from the inner
-      // lambdas instead lets CollapseProject inline the split into
-      // every gram and the whole gram-hash expression into every
-      // window — all m md5s recomputed per window, O(m²·k) per doc
-      // (measured 260s at sf0.1 vs ~3s bound). The m >= w guard is
-      // IN the expression, not just the filter: streaming micro-batch
-      // plans can evaluate the generator before the filter prunes
-      // short docs, and sequence(1, m-3) turns DESCENDING for m < 4
-      // (slice start 0 → runtime error).
-      .withColumn("sel", expr(
-        s"""CASE WHEN m >= $w THEN element_at(transform(array(ws), ws0 ->
-           |  element_at(transform(array(
-           |    transform(sequence(1, m), i ->
-           |      CAST(conv(substr(md5(array_join(slice(ws0, i, $k), ' ')), 1, 8),
-           |           16, 10) AS BIGINT) * 8192 + i)),
-           |    ks -> array_distinct(transform(sequence(1, m - ${w - 1}), j ->
-           |      array_min(slice(ks, j, $w))))), 1)), 1)
-           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
-      .select(col(idCol), explode(col("sel")).as("key"))
+      .select(col(idCol), explode(expr(s"winnow_keys($textCol)")).as("key"))
       .select(col(idCol), expr("key % 8192").as("pos"),
         expr("key DIV 8192").as("fp"))
   }

@@ -72,6 +72,24 @@ class ClassifierSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("compiled qc_score matches the relational md5 bucketing on edge tokens") {
+    import spark.implicits._
+    // empty tokens (split keeps them), unicode multibyte, repeated
+    // spaces — the compiled tokenizer/hash must agree with the SQL
+    // split/md5/conv spelling on all of them
+    val d = Seq(
+      (1L, ""),
+      (2L, "héllo wörld"),
+      (3L, "a  b"), // double space -> empty middle token
+      (4L, "日本語 テキスト 🙂"),
+      (5L, "trailing space ")).toDF("doc_id", "text")
+    val m = Classifier.fixedModel()
+    val rel = Classifier.qcScore(spark, d, m).orderBy("doc_id").collect().toSeq
+    val nar = Classifier.qcScoreNarrow(d, m).orderBy("doc_id").collect().toSeq
+    assert(rel == nar)
+    assert(rel.size == 5)
+  }
+
   test("token cap: documents beyond MaxTokens score on the capped prefix") {
     import spark.implicits._
     val long = (0 until Classifier.MaxTokens + 500).map(i => s"w$i")

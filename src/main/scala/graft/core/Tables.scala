@@ -15,8 +15,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    if (name == "events") normalizeEventTs(df, path) else df
   }
 
   /** The engine's `events.ts` contract is EPOCH NANOS AS LONG (every
@@ -27,14 +28,53 @@ object Tables {
     * an NTZ wall-clock is interpreted in the session timezone (pinned
     * UTC by Bench/Verify/specs), so `unix_micros(CAST(ts AS TIMESTAMP))
     * * 1000` is the same instant the legacy nanos column encoded. */
-  private def normalizeEventTs(df: DataFrame): DataFrame =
+  private def normalizeEventTs(df: DataFrame, path: String): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(org.apache.spark.sql.types.LongType) | None => df
+      case Some(org.apache.spark.sql.types.LongType) =>
+        longTsScale(df, path) match {
+          case 1L => df
+          case k => df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts") *
+              org.apache.spark.sql.functions.lit(k))
+        }
+      case None => df
       case Some(_) =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr(
             "unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
     }
+
+  /** A LongType `ts` is USUALLY nanos-as-long (the parquet
+    * TIMESTAMP(NANOS) read under `nanosAsLong`) — but the generator's
+    * schema has already shifted twice across rounds, and a plain BIGINT
+    * epoch-MICROS column would otherwise pass through silently with
+    * every consumer's `ts DIV 1000` off by 1000×. Magnitude-check ONE
+    * row: epoch micros for any date 1973–5138 land in [1e14, 1e17),
+    * three decades no nanos value occupies (real epoch nanos ≥ ~1.5e18;
+    * the specs' synthetic near-zero-epoch nanos fixtures stay ≤ ~1e13).
+    * Only that unambiguous micros band rescales — millis/seconds
+    * magnitudes are NOT auto-scaled, because hours-scale synthetic
+    * nanos are numerically indistinguishable from epoch millis.
+    * Cached per file path — one tiny first-row job per JVM, not per
+    * query. */
+  private val tsScaleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def longTsScale(df: DataFrame, path: String): Long =
+    tsScaleCache.computeIfAbsent(path, _ => {
+      import org.apache.spark.sql.functions.col
+      val first = df.select(col("ts")).filter(col("ts").isNotNull).head(1)
+      val micros = first.nonEmpty && {
+        val v = math.abs(first(0).getLong(0))
+        v >= 100000000000000L && v < 100000000000000000L
+      }
+      if (micros) {
+        System.err.println(
+          s"[graft] $path: LongType ts magnitude is epoch MICROS, not " +
+            "nanos — scaling to nanos (x1000)")
+        1000L
+      } else 1L
+    })
 
   /** Register every table as a temp view so the full star schema is
     * queryable through `spark.sql` (the engine's SQL surface). */

@@ -567,9 +567,16 @@ object Similarity {
     * the whole operator is one zero-shuffle projection: per row,
     * outDims dot products + a 4-dp round — embarrassingly parallel at
     * 100 TB, no plane join, no aggregate (contrast [[lshBuckets]],
-    * which pays a crossJoin + groupBy for its 1-bit signs). */
+    * which pays a crossJoin + groupBy for its 1-bit signs). The dot
+    * product runs through the compiled [[graft.functions.Dot64]]
+    * primitive — the identical left-to-right index-order fold as the
+    * interpreted `aggregate(zip_with(...))` form it replaced (and as
+    * DuckDB's `list_dot_product`), so oracle parity is untouched while
+    * the inner O(rows × outDims × dims) loop stays inside whole-stage
+    * codegen. */
   def randomProject(spark: SparkSession, emb: DataFrame,
       outDims: Int = 16, dims: Int = 64): DataFrame = {
+    graft.functions.Dot64.register(spark)
     val signs: Seq[Seq[Double]] =
       Seq.tabulate(outDims)(j => Seq.tabulate(dims)(d => rpSign(j, d)))
     emb.select(col("vec_id"),
@@ -577,8 +584,7 @@ object Similarity {
       .withColumn("rp", typedLit(signs))
       .select(col("vec_id"), expr(
         s"""transform(sequence(0, ${outDims - 1}), j ->
-           |  round(aggregate(zip_with(v, element_at(rp, j + 1),
-           |      (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)
+           |  round(dot64(v, element_at(rp, j + 1))
            |    / sqrt(CAST($outDims AS DOUBLE)), 4))""".stripMargin).as("proj"))
   }
 

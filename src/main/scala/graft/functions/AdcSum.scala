@@ -29,6 +29,10 @@ case class AdcSum(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "adc_sum"
 
+  // NULL on malformed input (length mismatch, null/out-of-range code)
+  // even when both children are non-null — see [[AdcSum.compute]].
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = (left.dataType, right.dataType) match {
       case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(LongType, _)) => true
@@ -44,7 +48,11 @@ case class AdcSum(left: Expression, right: Expression)
     AdcSum.compute(t.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, c) => s"graft.functions.AdcSum.compute($t, $c)")
+    nullSafeCodeGen(ctx, ev, (t, c) => s"""
+      |java.lang.Double ${ev.value}_r = graft.functions.AdcSum.compute($t, $c);
+      |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      |""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AdcSum =
@@ -53,17 +61,27 @@ case class AdcSum(left: Expression, right: Expression)
 
 object AdcSum {
 
-  /** Σ tbl[i][codes[i]] over min(len) rows, index order. Out-of-range
-    * codes follow element_at's 1-based contract by clamping to the
-    * row's bounds is NOT done — codes are produced by the encoders,
-    * which guarantee 0 ≤ code < tbl row length. */
-  def compute(tbl: ArrayData, codes: ArrayData): Double = {
-    val n = math.min(tbl.numElements(), codes.numElements())
+  /** Σ tbl[i][codes[i]] over the rows, index order. Returns NULL (the
+    * contract of the `aggregate(zip_with(tbl, codes, (t,c) ->
+    * element_at(t, c+1)), ...)` form this replaced) on ANY malformed
+    * input: table/code length mismatch (zip_with pads the shorter side
+    * with nulls), a null table row or code element, or a code outside
+    * `[0, row length)` (element_at out-of-range is NULL). The internal
+    * encoder paths always produce well-formed codes, but `adc_sum` is
+    * registered session-wide — arbitrary user SQL must get NULL, not
+    * an unchecked UnsafeArrayData read. */
+  def compute(tbl: ArrayData, codes: ArrayData): java.lang.Double = {
+    val n = tbl.numElements()
+    if (codes.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (tbl.isNullAt(i) || codes.isNullAt(i)) return null
       val row = tbl.getArray(i)
-      acc += row.getDouble(codes.getLong(i).toInt)
+      val code = codes.getLong(i)
+      if (code < 0 || code >= row.numElements() || row.isNullAt(code.toInt))
+        return null
+      acc += row.getDouble(code.toInt)
       i += 1
     }
     acc

@@ -32,7 +32,8 @@ object Ext3Queries {
       pairs AS (
         SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS n_id,
           c.label AS n_label,
-          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4)
+            + 0.0 AS cosine
         FROM nrm q, nrm c
         WHERE q.vec_id % 37 = 0 AND q.vec_id <> c.vec_id
           AND q.label <> c.label),
@@ -48,7 +49,12 @@ object Ext3Queries {
   // Johnson–Lindenstrauss projection 64 → 16 with the deterministic
   // md5-parity Rademacher matrix: ZERO-shuffle narrow pass (the matrix
   // is a literal), vs lshBuckets' crossJoin+groupBy. Projections are
-  // 4-dp rounded (q54's dot-product rounding discipline).
+  // 4-dp rounded (q54's dot-product rounding discipline). The oracle's
+  // `+ 0.0` after round() is the repo-wide -0.0 normalization (IEEE
+  // `-0.0 + 0.0 = +0.0`): DuckDB round() preserves the sign bit when a
+  // negative value rounds to zero, Spark's BigDecimal HALF_UP cannot
+  // represent -0.0 — the driver's hash is bitwise, so any
+  // negative-capable rounded double column must carry it.
   private val q121 = Q(
     "q121_random_proj",
     (s, d) => {
@@ -68,7 +74,8 @@ object Ext3Queries {
         FROM generate_series(0, 15) j, generate_series(0, 63) d
         GROUP BY 1)
       SELECT vec_id, j,
-        round(list_dot_product(v.v, s.sw) / sqrt(CAST(16 AS DOUBLE)), 4) AS y
+        round(list_dot_product(v.v, s.sw) / sqrt(CAST(16 AS DOUBLE)), 4)
+          + 0.0 AS y
       FROM v, sgn s ORDER BY vec_id, j"""))
 
   // --------------------------------------------------------------- q122
@@ -79,6 +86,9 @@ object Ext3Queries {
   // both engines ((long)(x·10⁹) ↔ CAST(trunc(x * 1e9) AS BIGINT) on
   // the identical IEEE product), so sums are order-free integers; the
   // final double math is spelled operation-for-operation identically.
+  // `+ 0.0` after the oracle's round(): the -0.0 normalization (see
+  // q121) — a tiny negative covariance that rounds to zero keeps its
+  // IEEE sign bit in DuckDB but not in Spark's HALF_UP.
   private val q122 = Q(
     "q122_embed_cov",
     (s, d) => {
@@ -105,7 +115,8 @@ object Ext3Queries {
       SELECT i, j,
         round((CAST(sxy AS DOUBLE) / 1000000000.0
                - (CAST(a.sx AS DOUBLE) / 1000000000.0)
-                 * (CAST(b.sx AS DOUBLE) / 1000000000.0) / n) / n, 6) AS cov
+                 * (CAST(b.sx AS DOUBLE) / 1000000000.0) / n) / n, 6)
+          + 0.0 AS cov
       FROM s2 JOIN ds a ON a.d = i JOIN ds b ON b.d = j
       ORDER BY i, j"""))
 
@@ -172,7 +183,8 @@ object Ext3Queries {
         FROM cnt, tot),
       sc AS (
         SELECT f.doc_id, count(*) AS n_feats,
-          round(CAST(sum(l.lam) AS DOUBLE) / count(*), 6) AS dsir_weight
+          round(CAST(sum(l.lam) AS DOUBLE) / count(*), 6)
+            + 0.0 AS dsir_weight
         FROM f JOIN lam l USING (b) WHERE NOT is_target GROUP BY f.doc_id)
       SELECT d.doc_id, CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
         coalesce(sc.dsir_weight, 0.0) AS dsir_weight
@@ -347,7 +359,7 @@ object Ext3Queries {
         LEFT JOIN sb ON sb.source = grid.source AND sb.b = grid.b
         LEFT JOIN bb ON bb.b = grid.b, nn)
       SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
-        round(CAST(sum(term) AS DOUBLE), 6) AS kl
+        round(CAST(sum(term) AS DOUBLE), 6) + 0.0 AS kl
       FROM terms GROUP BY source, n_s ORDER BY source"""))
 
   // --------------------------------------------------------------- q129
@@ -381,7 +393,7 @@ object Ext3Queries {
       lg AS (
         SELECT doc_id, n_tokens,
           round(CAST(s AS DOUBLE) / (1000.0 * n_tokens)
-                + CAST(0 AS DOUBLE) / 1000.0, 9) AS logit
+                + CAST(0 AS DOUBLE) / 1000.0, 9) + 0.0 AS logit
         FROM sm)"""
 
   private val q129 = Q(

@@ -225,7 +225,8 @@ object ExtQueries {
         SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
       pairs AS (
         SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4)
+            + 0.0 AS cosine
         FROM nrm q, nrm c
         WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
       ranked AS (
@@ -442,7 +443,8 @@ object ExtQueries {
                 FROM nrm WHERE vec_id % 50 = 0),
       scored AS (
         SELECT b.vec_id, c.centroid_id,
-          round(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 4) AS cosine,
+          round(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 4)
+            + 0.0 AS cosine,
           row_number() OVER (PARTITION BY b.vec_id
                              ORDER BY round(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 4) DESC,
                                       c.centroid_id) AS rk
@@ -471,7 +473,8 @@ object ExtQueries {
       nrm AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
       pairs AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
-          round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+          round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+            + 0.0 AS cosine
         FROM nrm a JOIN nrm b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE a.vec_id % 10 = 0)
@@ -565,7 +568,8 @@ object ExtQueries {
         WHERE pr <= 2),
       rer AS (
         SELECT p.q_id, a.n_id, a.centroid_id,
-          round(list_dot_product(q.vq, n.v) / (q.nq * n.nrm), 4) AS cosine
+          round(list_dot_product(q.vq, n.v) / (q.nq * n.nrm), 4)
+            + 0.0 AS cosine
         FROM probes p
         JOIN assigned a USING (centroid_id)
         JOIN queries q ON p.q_id = q.q_id
@@ -1251,7 +1255,7 @@ object ExtQueries {
         FROM cw GROUP BY doc_id)
       SELECT doc_id, n_words, n_distinct,
         round(round(ln(CAST(n_words AS DOUBLE)), 9)
-          - CAST(s AS DOUBLE) / n_words, 6) AS entropy
+          - CAST(s AS DOUBLE) / n_words, 6) + 0.0 AS entropy
       FROM agg ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- q90
@@ -1283,6 +1287,7 @@ object ExtQueries {
         SELECT doc_id, source, n_chars, round(mean_v, 6) AS mean_chars,
           CASE WHEN var_v > 0
                THEN round((CAST(n_chars AS DOUBLE) - mean_v) / sqrt(var_v), 6)
+                    + 0.0
                ELSE 0.0 END AS z
         FROM j)
       SELECT doc_id, source, n_chars, mean_chars, z,
@@ -1376,7 +1381,8 @@ object ExtQueries {
         FROM cw GROUP BY doc_id),
       ent AS (
         SELECT doc_id,
-          round(round(ln(CAST(t AS DOUBLE)), 9) - CAST(s AS DOUBLE) / t, 6) AS entropy
+          round(round(ln(CAST(t AS DOUBLE)), 9) - CAST(s AS DOUBLE) / t, 6)
+            + 0.0 AS entropy
         FROM agg),
       sig AS (
         SELECT n.doc_id, n.n_words, n.dup_word_frac,

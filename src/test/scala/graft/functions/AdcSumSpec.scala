@@ -25,11 +25,42 @@ class AdcSumSpec extends SparkSpec {
     r.foreach(row => assert(row.getDouble(0) == row.getDouble(1)))
   }
 
-  test("adc_sum folds min(len) rows and accepts int-typed code arrays") {
+  test("adc_sum accepts int-typed code arrays (implicit cast)") {
     AdcSum.register(spark)
     val r = spark.sql(
       """SELECT adc_sum(array(array(1.0d, 2.0d), array(3.0d, 4.0d)),
-        |               array(1, 0, 5)) AS s""".stripMargin).head()
+        |               array(1, 0)) AS s""".stripMargin).head()
     assert(r.getDouble(0) == 2.0 + 3.0)
+  }
+
+  // adc_sum is registered SESSION-WIDE (Functions.registerAll +
+  // GraftExtensions), so arbitrary user SQL reaches it — malformed
+  // input must return NULL (the contract of the aggregate/zip_with
+  // form it replaced: zip_with pads the shorter array with nulls,
+  // element_at is NULL out of range), never an unchecked
+  // UnsafeArrayData read returning garbage.
+  test("adc_sum is NULL on length mismatch, out-of-range or null codes") {
+    AdcSum.register(spark)
+    val rows = spark.sql(
+      """SELECT
+        |  adc_sum(array(array(1.0d, 2.0d), array(3.0d, 4.0d)),
+        |          array(1, 0, 5)) AS len_mismatch,
+        |  adc_sum(array(array(1.0d, 2.0d), array(3.0d, 4.0d)),
+        |          array(1, 9)) AS code_high,
+        |  adc_sum(array(array(1.0d, 2.0d), array(3.0d, 4.0d)),
+        |          array(1, -1)) AS code_negative,
+        |  adc_sum(array(array(1.0d, 2.0d), array(3.0d, 4.0d)),
+        |          array(1, CAST(NULL AS BIGINT))) AS code_null,
+        |  adc_sum(CAST(NULL AS ARRAY<ARRAY<DOUBLE>>),
+        |          array(1, 0)) AS tbl_null""".stripMargin).head()
+    (0 until 5).foreach(i => assert(rows.isNullAt(i),
+      s"column $i should be NULL"))
+    // and the interpreted twin agrees on the length-mismatch case
+    val twin = spark.sql(
+      """SELECT aggregate(zip_with(array(array(1.0d, 2.0d), array(3.0d, 4.0d)),
+        |  array(1, 0, 5), (t, c) -> element_at(t, CAST(c AS INT) + 1)),
+        |  CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS slow""".stripMargin)
+      .head()
+    assert(twin.isNullAt(0))
   }
 }

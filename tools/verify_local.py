@@ -14,7 +14,8 @@ oracle SQL in DuckDB over views of the same parquet tables and compares:
  - cell values (rows sorted by all columns, column order sorted by name)
 Reports per-query PASS/FAIL with first differing cells.
 """
-import json, math, sys, glob, os
+import decimal
+import json, math, struct, sys, glob, os
 import duckdb
 import pyarrow.parquet as pq
 
@@ -56,10 +57,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
+    # The driver normalizes DECIMAL oracle columns to float64 before
+    # hashing (observed round 1: DECIMAL vs double PASSED) — mirror
+    # that before the bitwise pack below.
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # BITWISE float identity — the driver's hash is over the raw
+        # IEEE-754 bytes, so -0.0 != +0.0 there even though Python's
+        # `==` says they are equal (the round-6 q121/q122 failure
+        # class: DuckDB round() preserves the sign bit of a negative
+        # value that rounds to zero; Spark's BigDecimal HALF_UP emits
+        # +0.0). Packing to big-endian doubles makes this gate exactly
+        # as strict as the driver's.
+        return struct.pack(">d", v)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def show(v):
+    """Human-readable form of a normalized cell (unpack float bits)."""
+    if isinstance(v, bytes) and len(v) == 8:
+        f = struct.unpack(">d", v)[0]
+        if f == 0.0 and math.copysign(1.0, f) < 0:
+            return "-0.0"
+        return f
+    if isinstance(v, tuple):
+        return tuple(show(x) for x in v)
     return v
 
 
@@ -70,7 +97,21 @@ def rows_of(rel):
     return [cols[i] for i in order], out
 
 
+def selftest():
+    """Pin the failure class this gate exists for: a -0.0 cell must
+    red-flag against +0.0, bitwise, including inside array columns."""
+    assert norm(-0.0) != norm(0.0), "-0.0 vs +0.0 must differ bitwise"
+    assert norm(0.5) == norm(0.5)
+    assert norm([1.0, -0.0]) != norm([1.0, 0.0]), "nested -0.0 missed"
+    assert norm(float("nan")) == norm(float("nan")), "NaN canonicalized"
+    assert show(norm(-0.0)) == "-0.0" and show(norm(2.5)) == 2.5
+    print("selftest PASS: -0.0 fixture red-flagged (bitwise compare)")
+    sys.exit(0)
+
+
 def main():
+    if "--selftest" in sys.argv:
+        selftest()
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
@@ -132,7 +173,8 @@ def main():
                     ok = False
                 else:
                     i, ra, rb = diff2
-                    print(f"FAIL {name}: row {i} spark={ra} oracle={rb}")
+                    print(f"FAIL {name}: row {i} spark={show(ra)} "
+                          f"oracle={show(rb)}")
                     ok = False
         if ok:
             print(f"PASS {name} ({len(grows)} rows)")

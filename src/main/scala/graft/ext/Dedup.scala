@@ -552,6 +552,56 @@ object Dedup {
     afterExact.join(dropNearDup, Seq(idCol), "left_anti")
   }
 
+  /** One-call corpus dedup with the WINNOWING candidate generator —
+    * [[dedupCorpus]]'s exact → candidates → Jaccard-verify →
+    * components → anti-join pipeline with
+    * [[graft.ext.TextStats.winnowCandidates]] in the candidate seat:
+    * the recall-FLOOR production path (any shared ≥ w+k−1-token run
+    * between two surviving docs is guaranteed a candidate pair, where
+    * MinHash banding's recall is probabilistic). Every scale
+    * discipline carries over unchanged: exact survivors by
+    * hash-partitioned window (no driver collect), candidate pairs
+    * localCheckpoint once (candidate-bounded — winnow's df cap bounds
+    * per-fingerprint work at df(df−1)/2 ≤ 45 exactly like the LSH
+    * bucket cap), verify is the same semi-joined shingle-set stage,
+    * the drop set joins unhinted (AQE decides broadcast vs shuffle),
+    * and the checkpoint + exact-window cache are freed before return.
+    */
+  def dedupCorpusWinnow(spark: SparkSession, docs: DataFrame,
+      k: Int = 3, w: Int = 4, maxDf: Int = 10, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text",
+      verifyThreshold: Double = 0.7,
+      deepGraphs: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    val afterExact = docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") === 1)
+      .drop("content_hash", "rk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = spark.sparkContext
+    val beforeCp = sc.getPersistentRDDs.keySet
+    val pairs = graft.ext.TextStats
+      .winnowCandidates(afterExact, k, w, maxDf, minShared, idCol, textCol)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
+    val pairsRdds = sc.getPersistentRDDs.collect {
+      case (id, rdd) if !beforeCp.contains(id) => rdd
+    }.toSeq
+    val confirmed =
+      if (verifyThreshold > 0.0)
+        verifyCheckpointed(spark, pairs, afterExact, verifyThreshold, idCol, textCol)
+      else pairs
+    val dropNearDup = (if (deepGraphs) clustersAltStar(spark, confirmed)
+      else clusters(spark, confirmed))
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    pairsRdds.foreach(_.unpersist(blocking = false))
+    afterExact.unpersist(blocking = false)
+    afterExact.join(dropNearDup, Seq(idCol), "left_anti")
+  }
+
   /** Chunk-level corpus dedup (the CCNet/Gopher "line dedup" shape,
     * with fixed `chunkWords`-word chunks standing in for lines): every
     * chunk whose corpus-wide occurrence count exceeds `maxReps` is

@@ -975,25 +975,27 @@ object TextStats {
     * verbatim leakage — the ladder separates "mentions the benchmark's
     * vocabulary" from "contains the benchmark".
     *
-    * One tagged generator per side ((n, gram) structs, each rung under
+    * One tagged generator per side ((n, gram) keys, each rung under
     * [[decontaminate]]'s 4096-start cap and short-doc convention), one
     * distinct over the eval side, one semi-join on (n, gram), one
     * conditional-count aggregate — 3 rungs cost one corpus scan, not
-    * three. */
+    * three. The generator is the compiled
+    * [[graft.functions.GramKeys]] expression: grams travel as tagged
+    * 64-bit sequence hashes, never as strings — string-equal iff
+    * hash-equal (the space-join bijection, see GramKeys scaladoc), so
+    * the shared-count outputs match the string-replaying oracle
+    * exactly while the explode+shuffle carries longs instead of
+    * up-to-16-word strings. */
   def contamLadder(docs: DataFrame, evalPred: org.apache.spark.sql.Column,
       sizes: Seq[Int] = Seq(4, 8, 16), idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(sizes.nonEmpty && sizes == sizes.sorted && sizes.distinct == sizes,
       s"sizes must be distinct ascending, got $sizes")
-    val gen = sizes.map(n =>
-      s"""transform(sequence(0, least(greatest(size(ws) - $n, 0), 4096)),
-         |  i -> named_struct('n', $n,
-         |    'g', array_join(slice(ws, i + 1, $n), ' ')))""".stripMargin)
-      .mkString("concat(", ", ", ")")
+    graft.functions.GramKeys.register(docs.sparkSession, sizes)
     val grams = docs
-      .withColumn("ws", split(col(textCol), " "))
-      .select(col(idCol), evalPred.as("is_eval"), explode(expr(gen)).as("t"))
-      .select(col(idCol), col("is_eval"), col("t.n").as("n"), col("t.g").as("g"))
+      .select(col(idCol), evalPred.as("is_eval"),
+        explode(expr(s"gram_keys($textCol)")).as("t"))
+      .select(col(idCol), col("is_eval"), col("t.n").as("n"), col("t.h").as("g"))
     val evalGrams = grams.filter(col("is_eval"))
       .select(col("n"), col("g")).distinct()
     val sharedCols = sizes.map(n =>

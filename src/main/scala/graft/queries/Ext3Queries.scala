@@ -505,13 +505,15 @@ object Ext3Queries {
   // probabilistic bound. Fully narrow on the Spark side; the oracle
   // replays the O(grams·w) window scan relationally.
   // The winnowing selection CTE chain (q133's oracle up to the final
-  // SELECT), shared verbatim with the winnow-candidates oracle (q136).
-  private[queries] val winnowCtes =
-    """wd AS (
+  // SELECT), shared verbatim with the winnow-candidates oracle (q136)
+  // and — parameterized over the source relation — with the one-call
+  // winnow-dedup oracle (q137, which winnows the exact SURVIVORS).
+  private[queries] def winnowCtesFrom(src: String): String =
+    s"""wd AS (
         SELECT doc_id, string_split(text, ' ') AS ws,
           CAST(least(greatest(len(string_split(text, ' ')) - 2, 0), 4096)
                AS BIGINT) AS m
-        FROM documents WHERE text IS NOT NULL),
+        FROM $src WHERE text IS NOT NULL),
       g AS (
         SELECT doc_id, m, CAST(i.generate_series AS BIGINT) AS i,
           CAST(('0x' || substr(md5(array_to_string(
@@ -528,6 +530,8 @@ object Ext3Queries {
           AND i <= CAST(j.generate_series + 3 AS BIGINT)
         GROUP BY g.doc_id, j.generate_series),
       sel AS (SELECT DISTINCT doc_id, key FROM wm)"""
+
+  private[queries] val winnowCtes = winnowCtesFrom("documents")
 
   private val q133 = Q(
     "q133_winnowing",
@@ -616,6 +620,70 @@ object Ext3Queries {
       FROM pairs GROUP BY a_id, b_id HAVING count(*) >= 2
       ORDER BY a_id, b_id"""))
 
+  // --------------------------------------------------------------- q137
+  // One-call corpus dedup on the WINNOWING candidate generator
+  // (Dedup.dedupCorpusWinnow): exact → winnow candidates → Jaccard
+  // verify → components → anti join — q104's pipeline with the
+  // recall-floor pair stage in the candidate seat. The oracle composes
+  // the q136 candidate chain (winnowed over the exact SURVIVORS — the
+  // pipeline re-fingerprints after the exact stage) with q104's
+  // verify/cluster/anti-join replay VERBATIM.
+  private val q137 = Q(
+    "q137_dedup_corpus_winnow",
+    (s, d) => {
+      graft.ext.Dedup.dedupCorpusWinnow(s, Tables.documents(s, d))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE ${ExtQueries.shingleCte},
+      surv AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      ${winnowCtesFrom("(SELECT d2.* FROM documents d2 JOIN surv USING (doc_id))")},
+      fpx AS (SELECT DISTINCT doc_id, key // 8192 AS fp FROM sel),
+      smallfp AS (
+        SELECT fp FROM (
+          SELECT fp, count(*) AS df FROM fpx GROUP BY fp)
+        WHERE df BETWEEN 2 AND 10),
+      wpairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM fpx a
+        JOIN smallfp s ON s.fp = a.fp
+        JOIN fpx b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2),
+      counts AS (
+        SELECT sh.doc_id, count(*) AS n FROM sh JOIN surv USING (doc_id)
+        GROUP BY sh.doc_id),
+      inter AS (
+        SELECT p.a_id, p.b_id, count(*) AS i
+        FROM wpairs p
+        JOIN sh sa ON sa.doc_id = p.a_id
+        JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+        GROUP BY p.a_id, p.b_id),
+      confirmed AS (
+        SELECT p.a_id, p.b_id
+        FROM wpairs p
+        JOIN counts ca ON ca.doc_id = p.a_id
+        JOIN counts cb ON cb.doc_id = p.b_id
+        LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+        WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
+              / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.7),
+      edges AS (
+        SELECT a_id AS a, b_id AS b FROM confirmed
+        UNION SELECT b_id, a_id FROM confirmed),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      labels AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a),
+      dropped AS (SELECT doc_id FROM labels WHERE doc_id != cluster_id)
+      SELECT d.doc_id, d.source FROM documents d
+      JOIN surv USING (doc_id)
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+      ORDER BY d.doc_id"""))
+
   val qs: Seq[Q] = Seq(q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133, q134, q135, q136)
+    q129, q130, q131, q132, q133, q134, q135, q136, q137)
 }

@@ -420,6 +420,37 @@ class Ext3Spec extends SparkSpec {
     assert(pairs.length < 20, s"boilerplate not capped: ${pairs.length} pairs")
   }
 
+  test("dedupCorpusWinnow: exact dups collapse, near-dup trio keeps min id, unrelated survive") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma"
+    val d = (Seq(
+      (1L, s"$run tail one"),
+      (2L, s"$run tail two"),         // near-dup of 1 (shared 18-run)
+      (3L, s"$run tail one"),         // EXACT dup of 1
+      (4L, s"$run tail three")) ++ Seq.tabulate(8)(i =>
+      (10L + i, s"unrelated filler document number $i body b${i}x b${i}y b${i}z")))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpusWinnow(spark, d, verifyThreshold = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!kept.contains(3L), "exact dup must fall to the hash window")
+    assert(kept.contains(1L), "cluster min id survives")
+    assert(!kept.contains(2L) && !kept.contains(4L),
+      s"near-dups of 1 must drop, kept=$kept")
+    (0 until 8).foreach(i => assert(kept.contains(10L + i)))
+  }
+
+  test("dedupCorpusWinnow frees its intermediate checkpoints (bounded storage)") {
+    import spark.implicits._
+    val d = Seq.tabulate(12)(i =>
+      (i.toLong, s"document number $i with its own content c${i}a c${i}b"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.dedupCorpusWinnow(spark, d).count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"leaked persistent RDDs: $added")
+  }
+
   test("persisted SQ index: search from disk is bit-equal to in-memory sqSearch") {
     val e = emb(24, dims = 8)
     val dir = java.nio.file.Files.createTempDirectory("sq-index").toString

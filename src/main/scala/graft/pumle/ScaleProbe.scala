@@ -472,6 +472,62 @@ object ScaleProbe {
     val secsW = (System.nanoTime() - tW) / 1e9
     println(f"[probe] winnow: $nDocs3%d docs → $wn%d selected fingerprints " +
       f"in $secsW%.1fs = ${nDocs3 / secsW / 1000}%.0fk docs/s (narrow)")
+
+    // one-call WINNOW dedup at volume: the q137 composition on the same
+    // 1M-doc 30%-planted-dup corpus dedupCorpus ran above — the
+    // recall-floor candidate generator through the identical
+    // verify/CC/anti-join stack. Near-dups share a 38-word run, far
+    // past the w+k−1 = 6-token guarantee, so winnow candidates catch
+    // every planted pair deterministically (MinHash banding's recall on
+    // the same pairs is probabilistic).
+    val tWD = System.nanoTime()
+    val survivorsW = graft.ext.Dedup.dedupCorpusWinnow(spark, docs6).count()
+    val secsWD = (System.nanoTime() - tWD) / 1e9
+    val storageLeftW = spark.sparkContext.getPersistentRDDs.size
+    println(f"[probe] dedupCorpusWinnow: $nDocs6%d docs (30%% planted dups) → " +
+      f"$survivorsW survivors in $secsWD%.1fs = ${nDocs6 / secsWD / 1000}%.0fk docs/s " +
+      f"(minhash path kept $survivors; $storageLeftW persistent RDDs live after)")
+
+    // compiled-scorer LINEARITY, one decade up: the 1M numbers above
+    // claim scan-bound narrow passes; re-run winnow_keys and qc_score
+    // at 10M docs and the bare adc_sum fold at 1M vs 10M rows — per-row
+    // cost must hold flat across the decade for the 100 TB extrapolation
+    // to mean anything.
+    val nDocs10 = 10000000
+    val docs10 = spark.range(nDocs10).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(w =>
+        concat(lit(s"t$w"), pmod(col("id") + w, lit(4093)))): _*).as("text"))
+    val tW10 = System.nanoTime()
+    val wn10 = graft.ext.TextStats.winnow(docs10)
+      .agg(count(lit(1))).head().getLong(0)
+    val secsW10 = (System.nanoTime() - tW10) / 1e9
+    println(f"[probe] winnow x10: $nDocs10%d docs → $wn10%d fps in $secsW10%.1fs " +
+      f"= ${nDocs10 / secsW10 / 1000}%.0fk docs/s " +
+      f"(1M decade: ${nDocs3 / secsW / 1000}%.0fk docs/s)")
+    val tQ10 = System.nanoTime()
+    val qc10 = graft.ext.Classifier.qcScoreNarrow(docs10, qcModel)
+      .agg(count(lit(1)), sum(col("n_tokens"))).head()
+    val secsQ10 = (System.nanoTime() - tQ10) / 1e9
+    println(f"[probe] qc_score x10: ${qc10.getLong(0)}%d docs " +
+      f"(${qc10.getLong(1)}%d tokens) in $secsQ10%.1fs = " +
+      f"${nDocs10 / secsQ10 / 1000}%.0fk docs/s " +
+      f"(1M decade: ${nDocs3 / secsQ2 / 1000}%.0fk docs/s)")
+    // bare adc_sum fold (the PQ/SQ search hot loop): 8 subspaces × a
+    // 16-entry literal table per row, priced at both decades
+    val adcTbl = Seq.tabulate(8)(s => Seq.tabulate(16)(c => (s * 16 + c) / 128.0))
+    def adcRun(n: Long): Double = {
+      val df = spark.range(n).select(
+        expr("transform(sequence(0, 7), s -> pmod(id * (s + 13), 16))").as("codes"))
+        .withColumn("tbl", typedLit(adcTbl))
+      val t = System.nanoTime()
+      df.agg(sum(expr("adc_sum(tbl, codes)"))).head()
+      (System.nanoTime() - t) / 1e9
+    }
+    val (adc1, adc10) = (adcRun(1000000L), adcRun(10000000L))
+    println(f"[probe] adc_sum: 1M rows in $adc1%.1fs (${1000000 / adc1 / 1000}%.0fk rows/s) " +
+      f"vs 10M rows in $adc10%.1fs (${10000000 / adc10 / 1000}%.0fk rows/s) " +
+      f"— per-row cost flat across the decade")
     spark.stop()
   }
 }

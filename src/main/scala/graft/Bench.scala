@@ -63,39 +63,58 @@ object Bench {
       }.min
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val calib = collection.mutable.ArrayBuffer[Double]()
-    // warm the probe's own codegen/JIT path once UNTIMED — without this
-    // the first shot systematically reads ~1.3x the later ones on a
-    // quiet host (compilation, not contention), flagging every run
-    // NOISY and defeating the adjudication
-    calibrate()
-    calib += calibrate()
-    val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == sorted.length / 2) calib += calibrate()
-      val times = (1 to runs).map { _ =>
-        // isolation (cache/storage cleanup of whatever ran before) happens
-        // BEFORE the clock starts — the timing is the query alone, not the
-        // previous query's teardown (e.g. q65's checkpoint unpersists)
-        isolate()
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-          }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    def runSuite(): (Seq[(String, Double)], Seq[Double]) = {
+      val calib = collection.mutable.ArrayBuffer[Double]()
+      // warm the probe's own codegen/JIT path once UNTIMED — without this
+      // the first shot systematically reads ~1.3x the later ones on a
+      // quiet host (compilation, not contention), flagging every run
+      // NOISY and defeating the adjudication
+      calibrate()
+      calib += calibrate()
+      val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
+        if (i == sorted.length / 2) calib += calibrate()
+        val times = (1 to runs).map { _ =>
+          // isolation (cache/storage cleanup of whatever ran before) happens
+          // BEFORE the clock starts — the timing is the query alone, not the
+          // previous query's teardown (e.g. q65's checkpoint unpersists)
+          isolate()
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+            }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      calib += calibrate()
+      (results, calib.toSeq)
     }
-    calib += calibrate()
-    val noise = calib.max / calib.min
+    def dispersion(calib: Seq[Double]): Double = calib.max / calib.min
+    // A run whose calibration probe disperses >1.3x was measured under
+    // host contention (steal/neighbor noise on a shared VM) — its
+    // per-query numbers adjudicate nothing (r5 q92/q93, r6 driver run).
+    // Rather than ship a known-contaminated artifact, re-run the whole
+    // suite ONCE and keep whichever run's probe dispersed less; both
+    // dispersions are recorded so a double-noisy round is self-evident.
+    val first = runSuite()
+    val attempts =
+      if (dispersion(first._2) > 1.3) {
+        System.err.println(
+          f"[bench] calibration dispersion ${dispersion(first._2)}%.3f > 1.3 — re-running suite once")
+        Seq(first, runSuite())
+      } else Seq(first)
+    val (results, calib) = attempts.minBy(a => dispersion(a._2))
+    val noise = dispersion(calib)
+    val allNoise = attempts.map(a => f"${dispersion(a._2)}%.3f").mkString("[", ",", "]")
     val calibJson = calib.map(t => f"$t%.3f").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","calibration":$calibJson,"noise":${f"$noise%.3f"}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","calibration":$calibJson,"noise":${f"$noise%.3f"},"attempt_noise":$allNoise}"""
     // Full per-query map goes to a known FILE: sbt wraps stdout in [info]
     // prefixes (broke round 1) and at 80 queries the full line overflows
     // the driver's stdout tail-capture window (broke round 4:
@@ -110,7 +129,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"runs":$runs,"sf":"$sfDir","calibration":$calibJson,"noise":${f"$noise%.3f"},"full":"${outPath.toString}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"runs":$runs,"sf":"$sfDir","calibration":$calibJson,"noise":${f"$noise%.3f"},"attempt_noise":$allNoise,"full":"${outPath.toString}"}""")
     spark.stop()
   }
 }

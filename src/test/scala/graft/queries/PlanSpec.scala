@@ -182,7 +182,11 @@ class PlanSpec extends SparkSpec {
       "q135_quality_bins" -> 5,
       // q136 = q52's inverted-index shape on winnow fps: distinct
       // (doc,fp) + df count + fp-keyed join + pair agg + orderBy
-      "q136_winnow_candidates" -> 6)
+      "q136_winnow_candidates" -> 6,
+      // q137 mirrors q104's one-call shape (exact window + drop-set
+      // join; candidates/verify/CC run eagerly at plan time behind the
+      // localCheckpoint) with q136's winnow generator swapped in
+      "q137_dedup_corpus_winnow" -> 4)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -181,6 +181,54 @@ object Similarity {
     emb.withColumnRenamed(idCol, "vec_id").join(drop, Seq("vec_id"), "left_anti")
   }
 
+  /** The FIXED md5-derived k-means centroid grid (`k` × `dims` milli
+    * values from "sc:j:d" tags) — [[fixedCodebooks]]'s trick applied
+    * to SemDeDup blocking, so the whole semantic-dedup contract is
+    * oracle-checkable end to end (trained Lloyd means are unordered FP
+    * sums no independent engine reproduces hash-exactly; every
+    * distance against THIS grid is the same IEEE arithmetic on both
+    * engines). */
+  def fixedCentroids(k: Int = 16, dims: Int = 64): Seq[Seq[Double]] =
+    Seq.tabulate(k)(j => Seq.tabulate(dims)(d =>
+      (md5Head6(s"sc:$j:$d") % 2001 - 1000) / 1000.0))
+
+  /** [[semanticDedup]] with the fixed centroid grid in place of
+    * trained k-means — identical downstream semantics (in-cluster
+    * cosine pairs ≥ `threshold` → components → keep smallest id), and
+    * hash-checkable because the blocking assignment is a deterministic
+    * lexicographic (dist², centroid) argmin against literal centroids
+    * (q127's encode contract). Assignment is one ZERO-shuffle narrow
+    * pass — the centroid matrix rides the plan as a literal, `dot64`
+    * keeps the distance fold compiled — so the only pair work is
+    * within clusters: O(Σ cᵢ²), the SemDeDup blocking guarantee.
+    * Returns survivors as (vec_id, centroid). */
+  def semanticDedupFixed(spark: SparkSession, emb: DataFrame,
+      k: Int = 16, threshold: Double = 0.35, dims: Int = 64): DataFrame = {
+    val assigned = withVectors(spark, emb)
+      .withColumn("cb", typedLit(fixedCentroids(k, dims)))
+      .withColumn("centroid", expr(
+        """array_min(transform(cb, (cw, ci) ->
+          |  struct(dot64(v, v) - 2 * dot64(v, cw) + dot64(cw, cw) AS dist2,
+          |         ci AS c))).c""".stripMargin).cast("long"))
+      .drop("cb")
+    val a = assigned.select(col("vec_id").as("a_id"), col("centroid"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("centroid"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("centroid"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4) + lit(0.0))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val drop = Dedup.clusters(spark, pairs)
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("vec_id"))
+    assigned.select(col("vec_id"), col("centroid"))
+      .join(drop, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
   /** Product-quantization codebooks: the embedding space split into
     * `m` subspaces, each with its own `k`-centroid codebook trained by
     * Lloyd iterations — ALL subspaces per iteration in ONE distributed

@@ -1,0 +1,227 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bounded-state sketch operators — the approximate-counting toolkit a
+  * 100 TB pipeline uses where exact answers would shuffle the corpus:
+  * HyperLogLog distinct counts, Count–Min frequency estimates, and a
+  * Bloom-filter decontamination prefilter. Every sketch here is
+  * (a) DETERMINISTIC — hashes derive from md5 of the value, no RNG, so
+  * an independent engine replays them bit-for-bit, and (b) MERGEABLE —
+  * the per-partition state is a fixed-size table combined with
+  * max/sum, so Spark's partial aggregation keeps shuffle volume at
+  * O(tasks × sketch size) regardless of corpus size. Each operator
+  * carries its exact counterpart in the same output (the q94
+  * calibration pattern): at test scale the driver hash-checks both;
+  * at production scale you run the sketch alone.
+  */
+object Sketches {
+
+  /** 2^41 — the integer scale that makes the HLL harmonic sum exact.
+    * Register values are ≤ 41, so `2^(41 - reg)` is a BIGINT in
+    * [1, 2^41] and the per-source sum over 256 buckets stays far below
+    * Long.Max — an ORDER-FREE integer sum both engines agree on
+    * bitwise (the ratio6/DECIMAL discipline applied to HLL). */
+  private val HllScale = 2199023255552L
+
+  /** α₂₅₆ · m² · 2^41 — the full estimator numerator folded to ONE
+    * double constant. It is embedded into the oracle SQL via
+    * `Double.toString` (shortest round-trip form, which DuckDB's
+    * correctly-rounded parse restores bit-exactly), so both engines
+    * divide the identical numerator by the identical integer sum. */
+  val HllEstScale: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2199023255552.0
+
+  /** Per-source distinct-token estimate via HyperLogLog (Flajolet et
+    * al. 2007) with m = 256 buckets, alongside the exact distinct
+    * count and the relative error (the calibration contract).
+    *
+    * Determinism: bucket = first md5 byte of the token; the register
+    * is the leading-zero count (+1) of the NEXT 40 md5 bits. Both are
+    * pure integer selections, and the per-bucket max register rides a
+    * single `min(suffix)` aggregate — bit-length is monotone, so
+    * `max(rho) = 41 - bitlen(min(suffix))` — ONE bigint min per
+    * (source, bucket) instead of a per-row register update. The
+    * harmonic sum Σ 2^(-reg) is computed as the exact integer
+    * Σ 2^(41-reg) (see [[HllScale]]); only the final estimator
+    * division and the small-range `ln` correction touch doubles, in
+    * literal-identical expressions on both engines.
+    *
+    * 100 TB shape: tokens collapse map-side to ≤ |sources| × 256 rows
+    * (partial-aggregable min), the estimator runs on the bounded
+    * sketch. The exact-distinct column is the test-scale calibration
+    * twin — production drops it and the corpus-wide distinct shuffle
+    * with it. */
+  def hllDistinct(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val m = 256
+    val tok = docs.select(col(sourceCol).as("source"),
+      explode(split(col(textCol), " ")).as("w"))
+    val hashed = tok.select(col("source"),
+      conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long").as("bkt"),
+      conv(substring(md5(col("w")), 3, 10), 16, 10).cast("long").as("sfx"))
+    val regs = hashed.groupBy(col("source"), col("bkt"))
+      .agg(min(col("sfx")).as("msfx"))
+      .withColumn("reg", when(col("msfx") === 0, lit(41))
+        .otherwise(lit(41) - length(bin(col("msfx")))))
+    val sk = regs.groupBy(col("source")).agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - reg AS INT))"))
+          .as("s_present"),
+        count(lit(1)).as("n_present"))
+      .withColumn("v_zero", lit(m.toLong) - col("n_present"))
+      .withColumn("s_int",
+        col("s_present") + col("v_zero") * lit(HllScale))
+    val exact = tok.groupBy(col("source")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("w")).as("exact_distinct"))
+    exact.join(sk, Seq("source"))
+      .withColumn("raw", lit(HllEstScale) / col("s_int").cast("double"))
+      // small-range (linear counting) correction; ln is the one libm
+      // call — 4-dp output rounding absorbs any cross-engine ulp
+      .withColumn("est",
+        when(col("v_zero") > 0 && col("raw") <= lit(640.0),
+          lit(256.0) * log(lit(256.0) / col("v_zero").cast("double")))
+        .otherwise(col("raw")))
+      .select(col("source"), col("n_tokens"), col("exact_distinct"),
+        (round(col("est"), 4) + lit(0.0)).as("hll_est"),
+        (round(abs(col("est") - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double"), 6) + lit(0.0))
+          .as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  /** Count–Min sketch (Cormode & Muthukrishnan 2005) frequency
+    * estimates for the exact top-`k` tokens — `depth` hash rows ×
+    * `width` counters, estimate = min over rows, overcount =
+    * estimate − exact (never negative: CMS errs one way only).
+    *
+    * The sketch build explodes each token into `depth` (row, counter)
+    * keys; map-side partial aggregation collapses every task's
+    * contribution to ≤ depth × width cells before the shuffle, so
+    * shuffle volume is O(tasks × sketch), not O(tokens) — the property
+    * that makes CMS the 100 TB substitute for a corpus-wide word
+    * histogram. The exact histogram + top-k here is the calibration
+    * twin (production keeps a heavy-hitter heap beside the sketch);
+    * candidates and sketch are both bounded, so the estimate join is
+    * broadcast-trivial. */
+  def cmsHeavyHitters(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      k: Int = 20, textCol: String = "text"): DataFrame = {
+    val tok = docs.select(explode(split(col(textCol), " ")).as("word"))
+    val exact = tok.groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
+    // exact top-k under a TOTAL order (count desc, word asc) — a
+    // TakeOrdered, never a global sort materialization
+    val top = exact.orderBy(col("exact_cnt").desc, col("word")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("exact_cnt").desc, col("word")))
+        .cast("long"))
+    def counter(wCol: Column, rCol: Column): Column =
+      conv(substring(md5(concat(rCol.cast("string"), lit(":"), wCol)),
+        1, 8), 16, 10).cast("long") % width
+    val sketch = tok
+      .select(col("word"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .select(col("r"), counter(col("word"), col("r")).as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val cand = top
+      .select(col("rank"), col("word"), col("exact_cnt"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .withColumn("c", counter(col("word"), col("r")))
+    broadcast(cand).join(sketch, Seq("r", "c"))
+      .groupBy(col("rank"), col("word"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+      .orderBy(col("rank"))
+  }
+
+  /** The word-`n`-gram generator shared by the Bloom operators —
+    * [[TextStats.decontaminate]]'s exact enumeration (offsets
+    * 0..min(len−n, 0-floored, 4096), space-joined slices) so the Bloom
+    * prefilter and the exact semi-join see the SAME gram stream. */
+  private def gramsOf(docs: DataFrame, evalPred: Column, n: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.withColumn("ws", split(col(textCol), " "))
+      .select(col(idCol), col("ws"), evalPred.as("is_eval"))
+      .select(col(idCol), col("is_eval"), explode(expr(
+        s"""transform(sequence(0, least(greatest(size(ws) - $n, 0), 4096)),
+           |  i -> array_join(slice(ws, i + 1, $n), ' '))""".stripMargin))
+        .as("gram"))
+
+  /** The `hashes` Bloom bit positions of a gram: md5 of
+    * `"<r>#<gram>"`, first 4 bytes unsigned, mod `bits` — the repo's
+    * standard md5-derivation (replayable by `('0x' ||
+    * substr(md5(...), 1, 8))::BIGINT % bits`). */
+  private def positionsExpr(hashes: Int, bits: Int): String =
+    s"""transform(sequence(0, ${hashes - 1}), r ->
+       |  CAST(conv(substring(md5(concat(CAST(r AS STRING), '#', gram)),
+       |    1, 8), 16, 10) AS BIGINT) % $bits)""".stripMargin
+
+  /** The SET Bloom bit positions of the eval side — ≤ `bits` distinct
+    * longs (the benchmark side is bounded by definition), the table an
+    * executor-side prefilter broadcasts or a driver builds an
+    * [[graft.functions.BloomModelRef]] from. */
+  def bloomEvalBits(docs: DataFrame, evalPred: Column, n: Int = 3,
+      bits: Int = 65536, hashes: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    gramsOf(docs, evalPred, n, idCol, textCol)
+      .filter(col("is_eval"))
+      .select(explode(expr(positionsExpr(hashes, bits))).as("p"))
+      .distinct()
+
+  /** Bloom-filter benchmark decontamination, relational form: flag
+    * every training doc holding ≥1 word-`n`-gram whose `hashes` Bloom
+    * positions are ALL set by the eval side's grams — alongside the
+    * exact contamination verdict ([[TextStats.decontaminate]]) and the
+    * false-positive marker. Bloom can only over-flag (`bloom_hit` ⊇
+    * `exact_hit` — no false negatives by construction); the fp column
+    * is the measured cost of replacing the exact gram semi-join with a
+    * bounded bit set.
+    *
+    * 100 TB shape: the bit set is ≤ `bits` rows (broadcast); the
+    * corpus side is one narrow gram explode + a broadcast semi-join +
+    * doc-keyed aggregate — the same discipline as q77, with the eval
+    * GRAM set (unbounded vocabulary strings) replaced by a fixed-size
+    * integer set. The compiled narrow twin
+    * ([[graft.functions.BloomDecontam]]) drops even that explode. */
+  def bloomDecontaminate(docs: DataFrame, evalPred: Column, n: Int = 3,
+      bits: Int = 65536, hashes: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val evalBits = bloomEvalBits(docs, evalPred, n, bits, hashes,
+      idCol, textCol)
+    val grams = gramsOf(docs, evalPred, n, idCol, textCol)
+    val bloomDocs = grams.filter(!col("is_eval"))
+      .select(col(idCol), col("gram")).distinct()
+      .select(col(idCol), col("gram"),
+        explode(expr(positionsExpr(hashes, bits))).as("p"))
+      .join(broadcast(evalBits), Seq("p"), "left_semi")
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("n_set"))
+      .filter(col("n_set") === hashes)
+      .select(col(idCol)).distinct()
+      .withColumn("bloom_hit", lit(true))
+    TextStats.decontaminate(docs, evalPred, n, idCol = idCol,
+        textCol = textCol)
+      .join(bloomDocs, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"),
+        col("contaminated").as("exact_hit"))
+      .withColumn("false_pos", col("bloom_hit") && !col("exact_hit"))
+      .orderBy(col(idCol))
+  }
+
+  /** Collect the eval side's Bloom bit set into a packed long array —
+    * driver-bounded by construction (≤ `bits` bits = `bits`/64 longs;
+    * the eval side is a benchmark, not the corpus) — for
+    * [[graft.functions.BloomModelRef]]'s compiled narrow probe. */
+  def bloomBitsArray(docs: DataFrame, evalPred: Column, n: Int = 3,
+      bits: Int = 65536, hashes: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): Array[Long] = {
+    val arr = new Array[Long](bits >> 6)
+    bloomEvalBits(docs, evalPred, n, bits, hashes, idCol, textCol)
+      .collect().foreach { r =>
+        val p = r.getLong(0)
+        arr((p >>> 6).toInt) |= 1L << (p & 63)
+      }
+    arr
+  }
+}

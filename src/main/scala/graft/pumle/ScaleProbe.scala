@@ -528,6 +528,45 @@ object ScaleProbe {
     println(f"[probe] adc_sum: 1M rows in $adc1%.1fs (${1000000 / adc1 / 1000}%.0fk rows/s) " +
       f"vs 10M rows in $adc10%.1fs (${10000000 / adc10 / 1000}%.0fk rows/s) " +
       f"— per-row cost flat across the decade")
+
+    // SKETCH family at volume (round 7): the HLL register pass and the
+    // CMS cell build over the 10M-doc corpus (120M tokens) — both must
+    // stay partial-aggregable (shuffle = tasks × sketch size, never
+    // O(tokens)) — and the compiled Bloom decontamination probe at both
+    // decades (a narrow scan whose per-doc cost must hold flat).
+    val docs10s = docs10.withColumn("source",
+      concat(lit("s"), pmod(col("doc_id"), lit(4))))
+    val tHll = System.nanoTime()
+    val hll = graft.ext.Sketches.hllDistinct(docs10s).collect()
+    val secsHll = (System.nanoTime() - tHll) / 1e9
+    println(f"[probe] hll_distinct: $nDocs10%d docs (${nDocs10 * 12L}%d tokens) → " +
+      f"${hll.length}%d sources, worst rel_err " +
+      f"${hll.map(_.getAs[Double]("rel_err")).max}%.4f in $secsHll%.1fs " +
+      f"= ${nDocs10 * 12L / secsHll / 1e6}%.0fM tokens/s (incl. the exact-distinct twin)")
+    val tC = System.nanoTime()
+    val cms = graft.ext.Sketches.cmsHeavyHitters(docs10s, k = 20).collect()
+    val secsC = (System.nanoTime() - tC) / 1e9
+    println(f"[probe] cms_heavy_hitters: ${nDocs10 * 12L}%d tokens × 4 rows → " +
+      f"top-${cms.length}%d, max overcount ${cms.map(_.getAs[Long]("overcount")).max}%d " +
+      f"in $secsC%.1fs = ${nDocs10 * 12L / secsC / 1e6}%.0fM tokens/s (incl. the exact twin)")
+    // sparse eval set: the generator's text is periodic mod 4093, so a
+    // dense eval sample would cover every residue and flag 100% of the
+    // corpus — 10 eval docs hit ~0.24% of it, a meaningful verdict mix
+    val evalPredB = col("doc_id") % 1000000 === 0
+    val bitsB = graft.ext.Sketches.bloomBitsArray(docs10s, evalPredB)
+    graft.functions.BloomDecontam.register(spark,
+      new graft.functions.BloomModelRef(bitsB))
+    def bloomRun(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val t = System.nanoTime()
+      val n = df.filter(!evalPredB)
+        .filter(coalesce(expr("bloom_decontam(text)"), lit(false))).count()
+      (n, (System.nanoTime() - t) / 1e9)
+    }
+    val (bh1, bs1) = bloomRun(docs10s.filter(col("doc_id") < 1000000))
+    val (bh10, bs10) = bloomRun(docs10s)
+    println(f"[probe] bloom_decontam (compiled): 1M docs → $bh1%d flagged in $bs1%.1fs " +
+      f"(${1000000 / bs1 / 1000}%.0fk docs/s) vs 10M docs → $bh10%d in $bs10%.1fs " +
+      f"(${nDocs10 / bs10 / 1000}%.0fk docs/s) — zero joins, bit set is a ref object")
     spark.stop()
   }
 }

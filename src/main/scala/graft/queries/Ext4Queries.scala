@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-7 batch (q138+): the bounded-state sketch family
+  * ([[graft.ext.Sketches]] — HyperLogLog distinct counts, Count–Min
+  * heavy hitters, Bloom-filter decontamination in relational and
+  * compiled-narrow twin forms) and the oracle-checked fixed-centroid
+  * SemDeDup. Reference scope: LLM-pipeline surface (builder brief) —
+  * no PUMLE counterpart.
+  */
+object Ext4Queries {
+
+  // --------------------------------------------------------------- q138
+  // Per-source HLL distinct-token estimate (m=256) beside the exact
+  // distinct count — the q94 calibration pattern for cardinality
+  // sketches. The harmonic sum is an exact integer (Σ 2^(41-reg), see
+  // Sketches.HllScale scaladoc), so the only doubles are the final
+  // estimator division and the linear-counting ln — literal-identical
+  // expressions on both engines, 4/6-dp rounded with the repo-wide
+  // `+ 0.0` -0.0 normalization.
+  private val q138 = Q(
+    "q138_hll_distinct",
+    (s, d) => graft.ext.Sketches.hllDistinct(Tables.documents(s, d)),
+    Some(s"""WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      hashed AS (
+        SELECT source,
+          CAST(('0x' || substr(md5(w), 1, 2)) AS BIGINT) AS bkt,
+          CAST(('0x' || substr(md5(w), 3, 10)) AS BIGINT) AS sfx
+        FROM tok),
+      regs AS (
+        SELECT source, bkt,
+          CASE WHEN min(sfx) = 0 THEN 41
+               ELSE 41 - length(bin(min(sfx))) END AS reg
+        FROM hashed GROUP BY source, bkt),
+      sk AS (
+        SELECT source,
+          sum(CAST(1 AS BIGINT) << CAST(41 - reg AS INT)) AS s_present,
+          count(*) AS n_present
+        FROM regs GROUP BY source),
+      sk2 AS (
+        SELECT source, 256 - n_present AS v_zero,
+          s_present + (256 - n_present) * 2199023255552 AS s_int
+        FROM sk),
+      ex AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+        FROM tok GROUP BY source),
+      raws AS (
+        SELECT ex.source, n_tokens, exact_distinct, v_zero,
+          CAST(${graft.ext.Sketches.HllEstScale} AS DOUBLE)
+            / CAST(s_int AS DOUBLE) AS raw
+        FROM ex JOIN sk2 USING (source)),
+      est AS (
+        SELECT source, n_tokens, exact_distinct,
+          CASE WHEN v_zero > 0 AND raw <= 640.0
+               THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+               ELSE raw END AS e
+        FROM raws)
+      SELECT source, n_tokens, exact_distinct,
+        round(e, 4) + 0.0 AS hll_est,
+        round(abs(e - CAST(exact_distinct AS DOUBLE))
+              / CAST(exact_distinct AS DOUBLE), 6) + 0.0 AS rel_err
+      FROM est ORDER BY source"""))
+
+  // --------------------------------------------------------------- q139
+  // Count–Min estimates for the exact top-20 tokens (d=4 rows × w=1024
+  // counters): estimate = min over rows, overcount = est − exact. All
+  // integer — the whole sketch contract hash-checks with no rounding
+  // discipline at all.
+  private val q139 = Q(
+    "q139_cms_heavy_hitters",
+    (s, d) => graft.ext.Sketches.cmsHeavyHitters(Tables.documents(s, d)),
+    Some("""WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      ex AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM tok GROUP BY word),
+      top AS (
+        SELECT word, exact_cnt,
+          CAST(row_number() OVER (ORDER BY exact_cnt DESC, word) AS BIGINT)
+            AS rank
+        FROM ex QUALIFY rank <= 20),
+      cells AS (
+        SELECT CAST(g.generate_series AS BIGINT) AS r,
+          CAST(('0x' || substr(md5(CAST(g.generate_series AS VARCHAR)
+            || ':' || word), 1, 8)) AS BIGINT) % 1024 AS c,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM tok, generate_series(0, 3) g GROUP BY r, c),
+      cand AS (
+        SELECT rank, word, exact_cnt,
+          CAST(g.generate_series AS BIGINT) AS r,
+          CAST(('0x' || substr(md5(CAST(g.generate_series AS VARCHAR)
+            || ':' || word), 1, 8)) AS BIGINT) % 1024 AS c
+        FROM top, generate_series(0, 3) g),
+      estd AS (
+        SELECT rank, word, exact_cnt, min(cnt) AS cms_est
+        FROM cand JOIN cells USING (r, c)
+        GROUP BY rank, word, exact_cnt)
+      SELECT rank, word, exact_cnt, cms_est,
+        cms_est - exact_cnt AS overcount
+      FROM estd ORDER BY rank"""))
+
+  // The Bloom decontamination CTE chain (q140's oracle up to the final
+  // SELECT): q77's exact gram enumeration, the eval side's distinct
+  // md5 bit positions (mod 65536, 3 salted hashes), and the corpus
+  // docs holding a gram with all 3 positions set. Shared verbatim with
+  // the compiled-narrow twin's oracle (q141) so both replay the
+  // identical filter.
+  private[queries] val bloomCtes =
+    """w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+          (doc_id % 50 = 0) AS is_eval
+        FROM documents),
+      g AS (
+        SELECT doc_id, is_eval,
+          array_to_string(ws[CAST(gs.generate_series + 1 AS INT) :
+                             CAST(gs.generate_series + 3 AS INT)], ' ') AS gram
+        FROM w, generate_series(0, 4096) gs
+        WHERE gs.generate_series <= least(greatest(len(ws) - 3, 0), 4096)),
+      ebits AS (
+        SELECT DISTINCT
+          CAST(('0x' || substr(md5(CAST(r.generate_series AS VARCHAR)
+            || '#' || gram), 1, 8)) AS BIGINT) % 65536 AS p
+        FROM g, generate_series(0, 2) r WHERE is_eval),
+      cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE NOT is_eval),
+      cp AS (
+        SELECT doc_id, gram,
+          CAST(('0x' || substr(md5(CAST(r.generate_series AS VARCHAR)
+            || '#' || gram), 1, 8)) AS BIGINT) % 65536 AS p
+        FROM cg, generate_series(0, 2) r),
+      bloomdocs AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id, gram, count(*) AS n_set
+          FROM cp JOIN ebits USING (p) GROUP BY doc_id, gram)
+        WHERE n_set = 3)"""
+
+  // --------------------------------------------------------------- q140
+  // Bloom-filter benchmark decontamination, relational form: the q77
+  // exact verdict beside the bounded-bit-set verdict and the resulting
+  // false positives (never false negatives — Bloom only over-flags).
+  // The eval side becomes ≤65536 integers instead of an unbounded gram
+  // string set — the broadcast that stays broadcastable at any
+  // benchmark size.
+  private val q140 = Q(
+    "q140_bloom_decontam",
+    (s, d) => {
+      graft.ext.Sketches.bloomDecontaminate(
+        Tables.documents(s, d), col("doc_id") % 50 === 0)
+    },
+    Some(s"""WITH $bloomCtes,
+      eg AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+      sh2 AS (
+        SELECT g.doc_id, count(*) AS n FROM g JOIN eg USING (gram)
+        WHERE NOT is_eval GROUP BY g.doc_id)
+      SELECT d.doc_id,
+        (bd.doc_id IS NOT NULL) AS bloom_hit,
+        coalesce(sh2.n, 0) >= 1 AS exact_hit,
+        (bd.doc_id IS NOT NULL) AND NOT (coalesce(sh2.n, 0) >= 1)
+          AS false_pos
+      FROM documents d
+      LEFT JOIN bloomdocs bd ON bd.doc_id = d.doc_id
+      LEFT JOIN sh2 ON sh2.doc_id = d.doc_id
+      WHERE d.doc_id % 50 <> 0
+      ORDER BY d.doc_id"""))
+
+  // --------------------------------------------------------------- q141
+  // The compiled-narrow Bloom twin: the bit set rides the plan as a
+  // reference object (functions/BloomDecontam.scala) and every doc
+  // probes in ONE compiled per-row call — no gram explode, no join,
+  // nothing but the corpus scan. Shares q140's CTE chain so the driver
+  // proves narrow ≡ relational ≡ oracle.
+  private val q141 = Q(
+    "q141_bloom_narrow",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalPred = col("doc_id") % 50 === 0
+      // eval-side bit set: driver-bounded by construction (≤ 65536
+      // bits — the benchmark side, never the corpus)
+      graft.functions.BloomDecontam.register(s,
+        new graft.functions.BloomModelRef(
+          graft.ext.Sketches.bloomBitsArray(docs, evalPred)))
+      docs.filter(!evalPred)
+        .select(col("doc_id"),
+          coalesce(expr("bloom_decontam(text)"), lit(false)).as("bloom_hit"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $bloomCtes
+      SELECT d.doc_id, (bd.doc_id IS NOT NULL) AS bloom_hit
+      FROM documents d
+      LEFT JOIN bloomdocs bd ON bd.doc_id = d.doc_id
+      WHERE d.doc_id % 50 <> 0
+      ORDER BY d.doc_id"""))
+
+  // --------------------------------------------------------------- q142
+  // SemDeDup with the FIXED md5-derived centroid grid (q127's
+  // fixed-codebook trick applied to semantic-dedup blocking): coarse
+  // assignment = lexicographic (dist², centroid) argmin against
+  // literal centroids (zero-shuffle narrow pass), in-cluster cosine
+  // pairs ≥ 0.35 → connected components → keep the smallest id. The
+  // spec-pinned kmeans variant (Similarity.semanticDedup) is the
+  // trained-centroid production form; THIS row proves the whole
+  // contract — blocking, pair gen, CC, survivor policy — against an
+  // independent engine.
+  private val q142 = Q(
+    "q142_semantic_dedup",
+    (s, d) => {
+      graft.ext.Similarity.semanticDedupFixed(s, Tables.embeddings(s, d),
+        k = 16, threshold = 0.35)
+    },
+    Some("""WITH RECURSIVE cgrid AS (
+        SELECT CAST(j.generate_series AS BIGINT) AS j, d.generate_series AS d,
+          CAST(CAST(('0x' || substr(md5('sc:' || j.generate_series || ':'
+            || d.generate_series), 1, 6)) AS BIGINT) % 2001 - 1000 AS DOUBLE)
+            / 1000.0 AS x
+        FROM generate_series(0, 15) j, generate_series(0, 63) d),
+      cents AS (SELECT j, list(x ORDER BY d) AS cw FROM cgrid GROUP BY j),
+      base AS (
+        SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        FROM embeddings),
+      nrm AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      dist AS (
+        SELECT b.vec_id, c.j,
+          list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, c.cw)
+            + list_dot_product(c.cw, c.cw) AS d2
+        FROM base b, cents c),
+      asg AS (
+        SELECT vec_id, j AS centroid FROM (
+          SELECT vec_id, j,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
+          FROM dist) WHERE rk = 1),
+      pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM nrm a JOIN asg aa ON aa.vec_id = a.vec_id
+        JOIN nrm b ON a.vec_id < b.vec_id
+        JOIN asg ab ON ab.vec_id = b.vec_id AND ab.centroid = aa.centroid
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0
+              >= 0.35),
+      edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      labels AS (SELECT a, least(a, min(b)) AS cl FROM reach GROUP BY a),
+      dropped AS (SELECT a AS vec_id FROM labels WHERE cl <> a)
+      SELECT asg.vec_id, asg.centroid FROM asg
+      WHERE asg.vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY asg.vec_id"""))
+
+  val qs: Seq[Q] = Seq(q138, q139, q140, q141, q142)
+}

@@ -22,7 +22,7 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     RelationalQueries.qs ++ SweepQueries.qs ++ PhysicsQueries.qs ++
-      ExtQueries.qs ++ Ext2Queries.qs ++ Ext3Queries.qs
+      ExtQueries.qs ++ Ext2Queries.qs ++ Ext3Queries.qs ++ Ext4Queries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -431,6 +431,23 @@ object Streams {
       model: graft.ext.Classifier.QcModel): DataFrame =
     graft.ext.Classifier.qcScoreNarrow(docs, model)
 
+  /** Bloom decontamination on a stream: the compiled probe
+    * ([[graft.functions.BloomDecontam]]) is stateless — the benchmark
+    * bit set rides the plan as a reference object, so each arriving
+    * crawl batch is flagged without a join, an explode, or state, and
+    * verdicts are bit-identical to the batch filter (SketchesSpec pins
+    * narrow ≡ relational; StreamsSpec pins stream ≡ batch). Build the
+    * bit set once from the eval corpus
+    * ([[graft.ext.Sketches.bloomBitsArray]]). `docs` needs
+    * (doc_id, text). */
+  def bloomDecontam(docs: DataFrame,
+      model: graft.functions.BloomModelRef): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    graft.functions.BloomDecontam.register(docs.sparkSession, model)
+    docs.select(col("doc_id"),
+      coalesce(expr("bloom_decontam(text)"), lit(false)).as("bloom_hit"))
+  }
+
   def latestStatus(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events.as[SimEvent]

@@ -53,6 +53,15 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length <= 1, p)
   }
 
+  test("q141: compiled bloom probe keeps the plan fully narrow") {
+    val p = planOf("q141_bloom_narrow")
+    assert(p.contains("bloom_decontam"), p)
+    assert(!p.contains("Generate"), p)      // no gram explode
+    assert(!p.contains("Join"), p)          // no bit-set join — it's a ref object
+    assert(!p.contains("HashAggregate"), p) // no doc-keyed reduce-back
+    assert("Exchange".r.findAllIn(p).length <= 1, p) // only the orderBy
+  }
+
   test("q64: document frequency is a partial-aggregable groupBy, not a word window") {
     val p = planOf("q64_tfidf_topk")
     // the df stage must show map-side combine (partial HashAggregate) —
@@ -186,7 +195,19 @@ class PlanSpec extends SparkSpec {
       // q137 mirrors q104's one-call shape (exact window + drop-set
       // join; candidates/verify/CC run eagerly at plan time behind the
       // localCheckpoint) with q136's winnow generator swapped in
-      "q137_dedup_corpus_winnow" -> 4)
+      "q137_dedup_corpus_winnow" -> 4,
+      // q138: the corpus shuffles ONCE per aggregate family — (source,
+      // bucket) register min + the exact-distinct two-phase — then
+      // source-bounded join/orderBy; q139: exact histogram + sketch
+      // cells (both map-side combined; candidate join broadcasts) +
+      // bounded rank/orderBy; q140: gram-keyed distinct + doc-keyed
+      // aggregate on each side of the calibration pair (bit set and
+      // eval grams broadcast); q141 is the point: the compiled probe
+      // leaves NOTHING but the final orderBy; q142: in-cluster pair
+      // join + drop anti-join + orderBy (assignment narrow, CC eager)
+      "q138_hll_distinct" -> 5, "q139_cms_heavy_hitters" -> 4,
+      "q140_bloom_decontam" -> 6, "q141_bloom_narrow" -> 1,
+      "q142_semantic_dedup" -> 3)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

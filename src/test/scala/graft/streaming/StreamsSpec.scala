@@ -149,6 +149,34 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming bloom decontamination matches the batch filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // benchmark corpus → bit set, built ONCE
+    val eval = Seq((0L, "alpha beta gamma delta epsilon", "e"))
+      .toDF("doc_id", "text", "source")
+    val model = new graft.functions.BloomModelRef(
+      graft.ext.Sketches.bloomBitsArray(eval, lit(true)))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.bloomDecontam(mem.toDF().toDF("doc_id", "text"), model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bloomdc").start()
+    val rows = Seq(
+      (20L, "xx beta gamma delta yy"),   // shares a 3-gram → hit
+      (21L, "nothing in common at all"),
+      (22L, "beta gamma"))               // short-gram edge
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT doc_id, bloom_hit FROM bloomdc")
+      .orderBy("doc_id").collect().toSeq
+    val batch = Streams.bloomDecontam(rows.toDF("doc_id", "text"), model)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      == Map(20L -> true, 21L -> false, 22L -> false))
+    q.stop()
+  }
+
   test("streaming quality-classifier scoring matches the batch scorer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -65,7 +65,13 @@ QUERIES = ["q52_lsh_candidates", "q65_dedup_clusters", "q72_verify_candidates",
            # the one-call winnow dedup (winnow chain + verify + recursive
            # CC composed — the q104-shape replay; may DNF on spill, which
            # is recorded as a row, not a crash)
-           "q136_winnow_candidates", "q137_dedup_corpus_winnow"]
+           "q136_winnow_candidates", "q137_dedup_corpus_winnow",
+           # round-7 sketch family (document axis): HLL distinct, CMS
+           # heavy hitters, Bloom decontamination relational + compiled
+           # narrow twins. q142 is embeddings-axis and deliberately
+           # absent.
+           "q138_hll_distinct", "q139_cms_heavy_hitters",
+           "q140_bloom_decontam", "q141_bloom_narrow"]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 

@@ -316,4 +316,50 @@ object Corpus {
            |    + 1 END""".stripMargin))
       .drop("_vb", "_off", "_n", "_r0")
   }
+
+  /** Robust per-source outlier flags on an integer column — median /
+    * MAD instead of mean / stddev, so a handful of pathological docs
+    * (the thing being hunted) cannot drag the baseline toward
+    * themselves the way q90's z-score mean does. `robust_z` =
+    * (v − median) / max(MAD, 1), flagged at |z| > `zThresh`.
+    *
+    * Both order statistics are EXACT without any corpus-wide sort:
+    * median = the lower median as a pure SELECTION (the smallest value
+    * whose cumulative count reaches half — engine-independent, so the
+    * whole contract hash-checks), computed on the (source, value)
+    * COUNT table. That table is bounded by distinct values per source
+    * — for doc-length-like columns, thousands of rows where the corpus
+    * has billions — so the per-source cumulative window is
+    * metadata-scale (the scoreBins discipline applied to order
+    * statistics). MAD is the same selection over |v − median|; the
+    * med/mad tables are |sources| rows and broadcast back. */
+  def robustLengthOutliers(docs: DataFrame, zThresh: Double = 3.0,
+      valueCol: String = "n_chars", idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val wcum = Window.partitionBy(col(sourceCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col(sourceCol))
+    // (source, value) counts → lower median: min v with 2·cum ≥ n
+    def lowerMedian(vals: DataFrame, out: String): DataFrame =
+      vals.groupBy(col(sourceCol), col("_v")).agg(count(lit(1)).as("_c"))
+        .withColumn("_cum", sum(col("_c")).over(wcum))
+        .withColumn("_n", sum(col("_c")).over(wall))
+        .filter(col("_cum") * 2 >= col("_n"))
+        .groupBy(col(sourceCol)).agg(min(col("_v")).as(out))
+    val med = lowerMedian(
+      docs.select(col(sourceCol), col(valueCol).as("_v")), "med")
+    val mad = lowerMedian(
+      docs.join(broadcast(med), Seq(sourceCol))
+        .select(col(sourceCol), abs(col(valueCol) - col("med")).as("_v")),
+      "mad")
+    docs.join(broadcast(med), Seq(sourceCol))
+      .join(broadcast(mad), Seq(sourceCol))
+      .withColumn("robust_z",
+        round((col(valueCol) - col("med")).cast("double")
+          / greatest(col("mad"), lit(1L)).cast("double"), 6) + lit(0.0))
+      .withColumn("outlier", abs(col("robust_z")) > lit(zThresh))
+      .select(col(idCol), col(sourceCol), col(valueCol), col("med"),
+        col("mad"), col("robust_z"), col("outlier"))
+      .orderBy(col(idCol))
+  }
 }

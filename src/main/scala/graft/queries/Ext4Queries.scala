@@ -253,5 +253,50 @@ object Ext4Queries {
       WHERE asg.vec_id NOT IN (SELECT vec_id FROM dropped)
       ORDER BY asg.vec_id"""))
 
-  val qs: Seq[Q] = Seq(q138, q139, q140, q141, q142)
+  // --------------------------------------------------------------- q143
+  // Robust per-source length outliers: median/MAD instead of q90's
+  // mean/stddev — a handful of pathological docs can't drag the
+  // baseline toward themselves. Both order statistics are exact
+  // SELECTIONS (the smallest value whose cumulative count reaches
+  // half), computed on the bounded (source, value) count table, so the
+  // whole contract hash-checks and no corpus-wide sort ever runs.
+  private val q143 = Q(
+    "q143_robust_outliers",
+    (s, d) => graft.ext.Corpus.robustLengthOutliers(Tables.documents(s, d)),
+    Some("""WITH vals AS (
+        SELECT doc_id, source, n_chars FROM documents),
+      vc AS (
+        SELECT source, n_chars AS v, count(*) AS c
+        FROM vals GROUP BY source, v),
+      cum AS (
+        SELECT source, v,
+          sum(c) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+          sum(c) OVER (PARTITION BY source) AS n
+        FROM vc),
+      med AS (
+        SELECT source, min(v) AS med FROM cum
+        WHERE cm * 2 >= n GROUP BY source),
+      dc AS (
+        SELECT vals.source, abs(n_chars - med) AS v, count(*) AS c
+        FROM vals JOIN med USING (source) GROUP BY vals.source, v),
+      dcum AS (
+        SELECT source, v,
+          sum(c) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+          sum(c) OVER (PARTITION BY source) AS n
+        FROM dc),
+      mad AS (
+        SELECT source, CAST(min(v) AS BIGINT) AS mad FROM dcum
+        WHERE cm * 2 >= n GROUP BY source),
+      z AS (
+        SELECT doc_id, vals.source, n_chars, med, mad,
+          round(CAST(n_chars - med AS DOUBLE)
+                / CAST(greatest(mad, 1) AS DOUBLE), 6) + 0.0 AS robust_z
+        FROM vals JOIN med USING (source) JOIN mad USING (source))
+      SELECT doc_id, source, n_chars, med, mad, robust_z,
+        abs(robust_z) > 3.0 AS outlier
+      FROM z ORDER BY doc_id"""))
+
+  val qs: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143)
 }

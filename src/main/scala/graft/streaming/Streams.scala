@@ -448,6 +448,67 @@ object Streams {
       coalesce(expr("bloom_decontam(text)"), lit(false)).as("bloom_hit"))
   }
 
+  final case class HllTok(source: String, bkt: Int, rho: Int)
+
+  /** Running per-source distinct-token estimate on a stream — the HLL
+    * register table ([[graft.ext.Sketches.hllDistinct]]) as
+    * mapGroupsWithState state: 256 BYTES per source, period. Registers
+    * are max-mergeable, so the running estimate after any sequence of
+    * micro-batches is BIT-IDENTICAL to the batch estimator over
+    * everything seen (StreamsSpec pins stream ≡ batch) — the property
+    * that makes HLL the streaming cardinality monitor: no token set,
+    * no distinct state, no growth. Emits (source, hll_est) per group
+    * per trigger; run with OutputMode.Update. */
+  def hllDistinct(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .select(col("source"),
+        conv(substring(md5(col("w")), 1, 2), 16, 10).cast("int").as("bkt"),
+        conv(substring(md5(col("w")), 3, 10), 16, 10).cast("long").as("sfx"))
+      .select(col("source"), col("bkt"),
+        when(col("sfx") === 0, lit(41))
+          .otherwise(lit(41) - length(bin(col("sfx"))))
+          .cast("int").as("rho"))
+      .as[HllTok]
+      .groupByKey(_.source)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (src: String, toks: Iterator[HllTok],
+         state: GroupState[(Array[Byte], Long)]) =>
+          val (regs, seen) = state.getOption.getOrElse(
+            (new Array[Byte](256), 0L))
+          var n = seen
+          toks.foreach { t =>
+            if (t.rho > regs(t.bkt)) regs(t.bkt) = t.rho.toByte
+            n += 1
+          }
+          state.update((regs, n))
+          (src, n, Streams.hllEstimate(regs))
+      }
+      .toDF("source", "n_tokens", "hll_est")
+  }
+
+  /** The batch estimator ([[graft.ext.Sketches.hllDistinct]]) on a
+    * register array — the SAME constants, integer harmonic sum, and
+    * 4-dp HALF_UP round (Spark's `round` is BigDecimal HALF_UP), so
+    * streaming estimates equal batch estimates bitwise. */
+  private[streaming] def hllEstimate(regs: Array[Byte]): Double = {
+    var s = 0L
+    var v = 0
+    var i = 0
+    while (i < 256) {
+      if (regs(i) == 0) v += 1
+      s += 1L << (41 - regs(i))
+      i += 1
+    }
+    val raw = graft.ext.Sketches.HllEstScale / s.toDouble
+    val est =
+      if (v > 0 && raw <= 640.0) 256.0 * math.log(256.0 / v) else raw
+    new java.math.BigDecimal(est)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+  }
+
   def latestStatus(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events.as[SimEvent]

@@ -199,4 +199,38 @@ class CorpusSpec extends SparkSpec {
     assert(rows.forall { case (id, txt, rk, sh) =>
       txt == s"doc $id" && order(id) == rk && rk % 4 == sh })
   }
+
+  test("robustLengthOutliers: median/MAD selections, planted outlier flagged") {
+    import spark.implicits._
+    // source "a": 20 docs of length ~100 (spread 0..19) + one 5000-char
+    // monster; source "b": constant length (MAD = 0 → divisor floors at 1)
+    val d = (Seq.tabulate(20)(i => (i.toLong, "t", "a", 100L + i)) :+
+        (99L, "t", "a", 5000L)) ++
+      Seq.tabulate(5)(i => (200L + i, "t", "b", 50L))
+    val df = d.toDF("doc_id", "text", "source", "n_chars")
+    val got = Corpus.robustLengthOutliers(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // lower median of {100..119, 5000}: 21 values, cum*2 >= 21 at the
+    // 11th → 110; MAD over |v-110|: {10,9,...,0,...,9,4890} → median 5
+    val r0 = got(0L)
+    assert(r0.getAs[Long]("med") == 110L && r0.getAs[Long]("mad") == 5L,
+      s"med/mad = ${r0.getAs[Long]("med")}/${r0.getAs[Long]("mad")}")
+    assert(got(99L).getAs[Boolean]("outlier"), "5000-char doc must flag")
+    // the monster cannot drag the median: inliers stay unflagged
+    assert((0L to 19L).forall(i => !got(i).getAs[Boolean]("outlier")))
+    // constant-length source: z = (v-med)/max(0,1) = 0 everywhere
+    assert((200L to 204L).forall(i =>
+      got(i).getAs[Double]("robust_z") == 0.0 && !got(i).getAs[Boolean]("outlier")))
+  }
+
+  test("robustLengthOutliers vs q90-style mean z: outlier does not poison the baseline") {
+    import spark.implicits._
+    // one extreme doc inflates stddev enough that a mean z-score would
+    // let a 4x-length doc pass; the MAD baseline still flags it
+    val d = Seq.tabulate(50)(i => (i.toLong, "t", "a", 100L)) ++
+      Seq((90L, "t", "a", 400L), (91L, "t", "a", 100000L))
+    val got = Corpus.robustLengthOutliers(d.toDF("doc_id", "text", "source", "n_chars"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("outlier")).toMap
+    assert(got(90L) && got(91L), "both the 4x and the extreme doc must flag")
+  }
 }

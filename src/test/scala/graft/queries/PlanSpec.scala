@@ -207,7 +207,13 @@ class PlanSpec extends SparkSpec {
       // join + drop anti-join + orderBy (assignment narrow, CC eager)
       "q138_hll_distinct" -> 5, "q139_cms_heavy_hitters" -> 4,
       "q140_bloom_decontam" -> 6, "q141_bloom_narrow" -> 1,
-      "q142_semantic_dedup" -> 3)
+      "q142_semantic_dedup" -> 3,
+      // q143: the corpus shuffles ONCE per order-statistic family
+      // ((source, value) count tables for median and MAD); the other
+      // exchanges act on value-bounded or |sources|-bounded tables
+      // (cumulative windows, med/mad selections) + the final orderBy —
+      // med/mad join back as broadcasts
+      "q143_robust_outliers" -> 7)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

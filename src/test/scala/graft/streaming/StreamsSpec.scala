@@ -149,6 +149,38 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming HLL distinct estimate equals the batch estimator after any batching") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.tabulate(8)(j => s"tok${(i * 5 + j) % 37}").mkString(" "),
+        s"s${i % 2}"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.hllDistinct(
+        mem.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hllstream").start()
+    // two micro-batches: registers must MERGE, not reset
+    mem.addData(all.take(25): _*)
+    q.processAllAvailable()
+    mem.addData(all.drop(25): _*)
+    q.processAllAvailable()
+    // latest update per source = the row with the highest running count
+    val streamed = spark.sql(
+      """SELECT source, hll_est FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY n_tokens DESC) AS rk FROM hllstream) WHERE rk = 1"""
+        .stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = graft.ext.Sketches.hllDistinct(
+        all.toDF("doc_id", "text", "source"))
+      .collect().map(r =>
+        r.getAs[String]("source") -> r.getAs[Double]("hll_est")).toMap
+    assert(streamed == batch,
+      s"stream $streamed != batch $batch — registers must be max-merged")
+    q.stop()
+  }
+
   test("streaming bloom decontamination matches the batch filter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -71,7 +71,8 @@ QUERIES = ["q52_lsh_candidates", "q65_dedup_clusters", "q72_verify_candidates",
            # narrow twins. q142 is embeddings-axis and deliberately
            # absent.
            "q138_hll_distinct", "q139_cms_heavy_hitters",
-           "q140_bloom_decontam", "q141_bloom_narrow"]
+           "q140_bloom_decontam", "q141_bloom_narrow",
+           "q143_robust_outliers"]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 

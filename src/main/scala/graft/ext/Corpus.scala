@@ -362,4 +362,35 @@ object Corpus {
         col("mad"), col("robust_z"), col("outlier"))
       .orderBy(col(idCol))
   }
+
+  /** Exact per-source discrete percentiles of an integer column (the
+    * length/token-count profile every corpus report opens with) —
+    * p-th percentile = the smallest value whose cumulative count
+    * reaches ⌈p·n/100⌉, i.e. `percentile_disc` semantics, but computed
+    * WITHOUT a sort and WITHOUT floating point: the condition
+    * `cum ≥ ⌈p·n/100⌉` is evaluated as the pure-integer
+    * `100·cum ≥ p·n` (⌈a/b⌉ ≤ c ⟺ a ≤ b·c), so no engine pair can
+    * disagree on a boundary the way `ceil(0.9·n)` does when 0.9·n
+    * lands an ulp above an integer. Same scale shape as
+    * [[robustLengthOutliers]]: one (source, value) count shuffle, a
+    * value-bounded cumulative window, one conditional-min aggregate
+    * for ALL percentiles at once. `ps` are integer percents. */
+  def lengthPercentiles(docs: DataFrame, ps: Seq[Int] = Seq(50, 90, 99),
+      valueCol: String = "n_chars",
+      sourceCol: String = "source"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percents out of range: $ps")
+    val wcum = Window.partitionBy(col(sourceCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col(sourceCol))
+    docs.select(col(sourceCol), col(valueCol).as("_v"))
+      .groupBy(col(sourceCol), col("_v")).agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(wcum))
+      .withColumn("_n", sum(col("_c")).over(wall))
+      .groupBy(col(sourceCol))
+      .agg(max(col("_n")).as("n_docs"),
+        ps.map(p => min(when(col("_cum") * 100 >= col("_n") * p, col("_v")))
+          .as(s"p$p")): _*)
+      .orderBy(col(sourceCol))
+  }
 }

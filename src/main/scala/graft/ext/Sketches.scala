@@ -108,6 +108,12 @@ object Sketches {
     * broadcast-trivial. */
   def cmsHeavyHitters(docs: DataFrame, depth: Int = 4, width: Int = 1024,
       k: Int = 20, textCol: String = "text"): DataFrame = {
+    // the `depth` row hashes are DISJOINT 8-hex-char substrings of ONE
+    // md5 per token (row r = bytes 4r..4r+3) — the original
+    // md5("r:word")-per-row form cost 4 hashes + a concat per token and
+    // was the whole query's hot loop at sf1 (16.8s → the md5 is now
+    // computed once and the per-row work is a substring)
+    require(depth >= 1 && depth * 8 <= 32, s"depth=$depth needs ≤32 hex chars")
     val tok = docs.select(explode(split(col(textCol), " ")).as("word"))
     val exact = tok.groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
     // exact top-k under a TOTAL order (count desc, word asc) — a
@@ -116,17 +122,16 @@ object Sketches {
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("exact_cnt").desc, col("word")))
         .cast("long"))
-    def counter(wCol: Column, rCol: Column): Column =
-      conv(substring(md5(concat(rCol.cast("string"), lit(":"), wCol)),
-        1, 8), 16, 10).cast("long") % width
-    val sketch = tok
-      .select(col("word"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
-      .select(col("r"), counter(col("word"), col("r")).as("c"))
+    val counter: Column =
+      conv(expr("substring(h, r * 8 + 1, 8)"), 16, 10).cast("long") % width
+    val sketch = tok.withColumn("h", md5(col("word")))
+      .select(col("h"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .select(col("r"), counter.as("c"))
       .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
-    val cand = top
-      .select(col("rank"), col("word"), col("exact_cnt"),
+    val cand = top.withColumn("h", md5(col("word")))
+      .select(col("rank"), col("word"), col("exact_cnt"), col("h"),
         explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
-      .withColumn("c", counter(col("word"), col("r")))
+      .withColumn("c", counter)
     broadcast(cand).join(sketch, Seq("r", "c"))
       .groupBy(col("rank"), col("word"), col("exact_cnt"))
       .agg(min(col("cnt")).as("cms_est"))
@@ -207,6 +212,71 @@ object Sketches {
         col("contaminated").as("exact_hit"))
       .withColumn("false_pos", col("bloom_hit") && !col("exact_hit"))
       .orderBy(col(idCol))
+  }
+
+  /** The 48-bit md5-derived lane salts for [[sourceSimilarity]] —
+    * deterministic ("sm:i" tags), so the oracle lists the identical
+    * constants. */
+  private[graft] def simSalts(lanes: Int): Seq[Long] =
+    Seq.tabulate(lanes) { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s"sm:$i".getBytes("UTF-8"))
+      // first 12 hex chars = first 6 bytes, unsigned 48-bit — the exact
+      // value of ('0x' || substr(md5('sm:i'), 1, 12))::BIGINT
+      ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+    }
+
+  /** Source-pair vocabulary similarity: MinHash-estimated Jaccard over
+    * each source's token SET beside the exact Jaccard (the q94
+    * calibration pattern at source granularity — "which crawls are
+    * near-copies of each other" before any doc-level work runs).
+    *
+    * Per-source signature = `lanes` salted minima over the distinct
+    * tokens' 48-bit md5 hashes — pure SELECTIONS riding ONE
+    * partial-aggregable groupBy (shuffle ≤ tasks × |sources| × lanes),
+    * so the sketch side never holds a vocabulary anywhere. Estimate =
+    * matching lanes / lanes (an exact dyadic double — no rounding
+    * discipline). The exact intersection join is the test-scale twin;
+    * at 100 TB you compare signatures alone: |sources|² pairs × lanes
+    * longs, driver-trivial. */
+  def sourceSimilarity(docs: DataFrame, lanes: Int = 16,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val salts = simSalts(lanes)
+    val tok = docs.select(col(sourceCol).as("source"),
+      explode(split(col(textCol), " ")).as("w")).distinct()
+    val h = tok.select(col("source"),
+      conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long").as("h48"))
+    val sig = h.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        salts.zipWithIndex.map { case (s, i) =>
+          min(expr(s"h48 ^ ${s}L")).as(s"_m$i") }: _*)
+    val a = sig.select(col("source").as("src_a") +: col("n_tok").as("n_a") +:
+      salts.indices.map(i => col(s"_m$i").as(s"_a$i")): _*)
+    val b = sig.select(col("source").as("src_b") +: col("n_tok").as("n_b") +:
+      salts.indices.map(i => col(s"_m$i").as(s"_b$i")): _*)
+    val matches = salts.indices
+      .map(i => when(col(s"_a$i") === col(s"_b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val inter = tok.select(col("source").as("src_a"), col("w"))
+      .join(tok.select(col("source").as("src_b"), col("w")), Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("n_match", matches.cast("long"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("est_j",
+        col("n_match").cast("double") / lit(lanes.toDouble))
+      .withColumn("true_j",
+        round(col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+          + lit(0.0))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("n_match"), col("est_j"), col("true_j"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 
   /** Collect the eval side's Bloom bit set into a packed long array —

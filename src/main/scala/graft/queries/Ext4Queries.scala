@@ -68,7 +68,8 @@ object Ext4Queries {
 
   // --------------------------------------------------------------- q139
   // Count–Min estimates for the exact top-20 tokens (d=4 rows × w=1024
-  // counters): estimate = min over rows, overcount = est − exact. All
+  // counters; the 4 row hashes are disjoint substrings of ONE md5 per
+  // token): estimate = min over rows, overcount = est − exact. All
   // integer — the whole sketch contract hash-checks with no rounding
   // discipline at all.
   private val q139 = Q(
@@ -86,15 +87,15 @@ object Ext4Queries {
         FROM ex QUALIFY rank <= 20),
       cells AS (
         SELECT CAST(g.generate_series AS BIGINT) AS r,
-          CAST(('0x' || substr(md5(CAST(g.generate_series AS VARCHAR)
-            || ':' || word), 1, 8)) AS BIGINT) % 1024 AS c,
+          CAST(('0x' || substr(md5(word),
+            CAST(g.generate_series * 8 + 1 AS INT), 8)) AS BIGINT) % 1024 AS c,
           CAST(count(*) AS BIGINT) AS cnt
         FROM tok, generate_series(0, 3) g GROUP BY r, c),
       cand AS (
         SELECT rank, word, exact_cnt,
           CAST(g.generate_series AS BIGINT) AS r,
-          CAST(('0x' || substr(md5(CAST(g.generate_series AS VARCHAR)
-            || ':' || word), 1, 8)) AS BIGINT) % 1024 AS c
+          CAST(('0x' || substr(md5(word),
+            CAST(g.generate_series * 8 + 1 AS INT), 8)) AS BIGINT) % 1024 AS c
         FROM top, generate_series(0, 3) g),
       estd AS (
         SELECT rank, word, exact_cnt, min(cnt) AS cms_est
@@ -298,5 +299,79 @@ object Ext4Queries {
         abs(robust_z) > 3.0 AS outlier
       FROM z ORDER BY doc_id"""))
 
-  val qs: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143)
+  // --------------------------------------------------------------- q144
+  // Exact per-source length percentiles (p50/p90/p99) with
+  // percentile_disc semantics but ZERO floating point: the rank
+  // condition ⌈p·n/100⌉ ≤ cum is evaluated as the pure-integer
+  // 100·cum ≥ p·n, so no engine pair can disagree on a boundary the
+  // way ceil(0.9·n) does when the product lands an ulp above an
+  // integer. One count shuffle + a value-bounded window + one
+  // conditional-min aggregate for all three percentiles.
+  private val q144 = Q(
+    "q144_length_percentiles",
+    (s, d) => graft.ext.Corpus.lengthPercentiles(Tables.documents(s, d)),
+    Some("""WITH vc AS (
+        SELECT source, n_chars AS v, count(*) AS c
+        FROM documents GROUP BY source, v),
+      cum AS (
+        SELECT source, v,
+          sum(c) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+          sum(c) OVER (PARTITION BY source) AS n
+        FROM vc)
+      SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        min(CASE WHEN cm * 100 >= n * 50 THEN v END) AS p50,
+        min(CASE WHEN cm * 100 >= n * 90 THEN v END) AS p90,
+        min(CASE WHEN cm * 100 >= n * 99 THEN v END) AS p99
+      FROM cum GROUP BY source ORDER BY source"""))
+
+  // --------------------------------------------------------------- q145
+  // Source-pair vocabulary similarity: 16-lane MinHash-estimated
+  // Jaccard over each source's token SET beside the exact Jaccard —
+  // the q94 calibration contract at source granularity ("which crawls
+  // are near-copies" before any doc-level work). Lane minima are
+  // selections, the estimate an exact dyadic double — the entire row
+  // hash-checks with no rounding discipline except true_j's standard 6
+  // dp.
+  private val q145 = {
+    val salts = graft.ext.Sketches.simSalts(16)
+    Q(
+      "q145_source_similarity",
+      (s, d) => graft.ext.Sketches.sourceSimilarity(Tables.documents(s, d)),
+      Some(s"""WITH tok AS (
+          SELECT DISTINCT source, w FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)),
+        h AS (
+          SELECT source,
+            CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h48
+          FROM tok),
+        sig AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+            ${salts.zipWithIndex.map { case (sl, i) =>
+              s"min(xor(h48, $sl)) AS m$i" }.mkString(",\n            ")}
+          FROM h GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+            CAST(count(*) AS BIGINT) AS n_inter
+          FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+          GROUP BY a.source, b.source),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+            a.n_tok AS n_a, b.n_tok AS n_b,
+            CAST(${salts.indices.map(i =>
+              s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS BIGINT) AS n_match
+          FROM sig a JOIN sig b ON a.source < b.source)
+        SELECT p.src_a, p.src_b, n_a, n_b,
+          coalesce(n_inter, 0) AS n_inter, n_match,
+          CAST(n_match AS DOUBLE) / 16.0 AS est_j,
+          round(CAST(coalesce(n_inter, 0) AS DOUBLE)
+                / CAST(n_a + n_b - coalesce(n_inter, 0) AS DOUBLE), 6)
+            + 0.0 AS true_j
+        FROM pairs p LEFT JOIN inter USING (src_a, src_b)
+        ORDER BY src_a, src_b"""))
+  }
+
+  val qs: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144, q145)
 }

@@ -105,6 +105,46 @@ class SketchesSpec extends SparkSpec {
     assert(nar(7L), "whole-doc gram shared with eval doc must hit")
   }
 
+  test("lengthPercentiles: integer-rank selections on constructed distributions") {
+    import spark.implicits._
+    val d = (Seq.tabulate(100)(i => (i.toLong, "t", "a", i + 1L)) ++
+      Seq.tabulate(10)(i => (200L + i, "t", "b", (i + 1) * 10L)))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val got = graft.ext.Corpus.lengthPercentiles(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("p50"),
+          r.getAs[Long]("p90"), r.getAs[Long]("p99"))).toMap
+    // a: values 1..100 → pXX = XX exactly (cum·100 ≥ n·p ⟺ v ≥ p)
+    assert(got("a") == ((100L, 50L, 90L, 99L)), got("a").toString)
+    // b: 10,20,..,100 → p50 = 5th value, p90 = 9th, p99 = 10th (⌈9.9⌉)
+    assert(got("b") == ((10L, 50L, 90L, 100L)), got("b").toString)
+  }
+
+  test("sourceSimilarity: identical J=1, disjoint J=0, partial overlap exact") {
+    val d = docs(
+      Seq.tabulate(20)(i => (i.toLong, s"w${i % 10} common${i % 5}", "a")) ++
+      Seq.tabulate(20)(i => (100L + i, s"w${i % 10} common${i % 5}", "b")) ++
+      Seq.tabulate(20)(i => (200L + i, s"zz${i % 15}", "c")) ++
+      Seq.tabulate(20)(i => (300L + i, s"dd${i % 10} common${i % 5}", "d")))
+    val got = Sketches.sourceSimilarity(d).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r).toMap
+    val ab = got(("a", "b"))
+    assert(ab.getAs[Double]("true_j") == 1.0 && ab.getAs[Double]("est_j") == 1.0,
+      "identical vocabularies must match on every lane")
+    val ac = got(("a", "c"))
+    assert(ac.getAs[Double]("true_j") == 0.0)
+    assert(ac.getAs[Long]("n_inter") == 0L)
+    // a vs d: |A|=|D|=15, ∩ = the 5 common tokens → J = 5/25 = 0.2
+    val ad = got(("a", "d"))
+    assert(ad.getAs[Long]("n_inter") == 5L && ad.getAs[Double]("true_j") == 0.2,
+      s"a∩d=${ad.getAs[Long]("n_inter")} J=${ad.getAs[Double]("true_j")}")
+    // est_j is a valid dyadic fraction of lanes
+    got.values.foreach { r =>
+      val e = r.getAs[Double]("est_j")
+      assert(e >= 0.0 && e <= 1.0 && (e * 16).isWhole)
+    }
+  }
+
   test("semanticDedupFixed: planted same-direction dup drops, smaller id survives") {
     import spark.implicits._
     // first component carries i directly — without it the (i·31+d·7)

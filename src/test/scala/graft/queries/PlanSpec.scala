@@ -213,7 +213,12 @@ class PlanSpec extends SparkSpec {
       // exchanges act on value-bounded or |sources|-bounded tables
       // (cumulative windows, med/mad selections) + the final orderBy —
       // med/mad join back as broadcasts
-      "q143_robust_outliers" -> 7)
+      "q143_robust_outliers" -> 7,
+      // q144: one (source, value) count shuffle + the value-bounded
+      // window + final agg/orderBy; q145: the corpus shuffles once per
+      // family (distinct (source, token), signature mins, intersection
+      // counts) — the rest act on |sources|- or pair-bounded tables
+      "q144_length_percentiles" -> 3, "q145_source_similarity" -> 9)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

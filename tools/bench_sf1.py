@@ -72,7 +72,8 @@ QUERIES = ["q52_lsh_candidates", "q65_dedup_clusters", "q72_verify_candidates",
            # absent.
            "q138_hll_distinct", "q139_cms_heavy_hitters",
            "q140_bloom_decontam", "q141_bloom_narrow",
-           "q143_robust_outliers"]
+           "q143_robust_outliers", "q144_length_percentiles",
+           "q145_source_similarity"]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 

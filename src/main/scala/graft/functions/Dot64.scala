@@ -17,12 +17,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (lambda closure per item); over the O(pairs × dims) inner loop of
   * similarity search that interpretation dominates. A tight primitive
   * loop in a codegen'd static call keeps the whole stage compiled.
-  */
-case class Dot64(left: Expression, right: Expression)
-    extends BinaryExpression {
+  *
+  * `strict = true` is the [[graft.plans.DotProductRewrite]] target:
+  * it preserves the higher-order form's NULL contract on MALFORMED
+  * input — `zip_with` pads a length mismatch with nulls and a null
+  * product nulls the whole fold, so the strict variant returns NULL on
+  * any length mismatch or null element where the default (used by the
+  * engine's own well-formed internal paths) folds over min(len). The
+  * [[AdcSum]] lesson: a rewrite must never change what user SQL
+  * returns, only how fast it returns it. */
+case class Dot64(left: Expression, right: Expression,
+    strict: Boolean = false) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot64"
+  override def nullable: Boolean = strict || super.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -35,10 +44,20 @@ case class Dot64(left: Expression, right: Expression)
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    Dot64.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (strict)
+      Dot64.computeStrict(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      Dot64.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Dot64.compute($a, $b)")
+    if (strict)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |java.lang.Double ${ev.value}_r = graft.functions.Dot64.computeStrict($a, $b);
+        |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+        |""".stripMargin)
+    else
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Dot64.compute($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Dot64 =
@@ -53,6 +72,23 @@ object Dot64 {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** The fold with `aggregate(zip_with(...))`'s malformed-input
+    * contract: NULL on length mismatch (zip_with pads the shorter
+    * array with nulls — one null product nulls the sum) or on any null
+    * element. Same arithmetic as [[compute]] on well-formed input. */
+  def computeStrict(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }

@@ -57,4 +57,71 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("DotProductRewrite: HOF dot-product idiom compiles to dot64, semantics intact") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-rewrite-test")
+        .withExtensions(new GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val hof = "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+      def q(sql: String) = spark.sql(sql)
+      // RUNTIME arrays (derived from the range attribute) — literal
+      // arrays would be constant-folded before the user-rule batch and
+      // the rewrite would have nothing to do (correctly so)
+      spark.range(4).selectExpr(
+        """CASE WHEN id = 0 THEN array(1.0D, 2.0D, 3.0D)
+          |     WHEN id = 1 THEN array(1.0D, 2.0D)
+          |     WHEN id = 2 THEN array(1.0D, CAST(NULL AS DOUBLE))
+          |     ELSE CAST(NULL AS ARRAY<DOUBLE>) END AS a""".stripMargin,
+        """CASE WHEN id = 0 THEN array(4.0D, 5.0D, 6.0D)
+          |     WHEN id = 1 THEN array(1.0D)
+          |     ELSE array(1.0D, 2.0D) END AS b""".stripMargin,
+        "id").createOrReplaceTempView("vecs")
+
+      // the rewrite fires: optimized plan carries dot64, not the HOF
+      val df = q(s"SELECT id, $hof AS d FROM vecs ORDER BY id")
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("dot64"), s"rewrite did not fire:\n$opt")
+      assert(!opt.contains("aggregate("), opt)
+      val rows = df.collect()
+      assert(rows(0).getDouble(1) == 32.0)
+      // NULL contract preserved through the rewrite: length mismatch,
+      // null element, null array
+      assert(rows(1).isNullAt(1), "length mismatch must stay NULL")
+      assert(rows(2).isNullAt(1), "null element must stay NULL")
+      assert(rows(3).isNullAt(1), "null array must stay NULL")
+
+      // commuted operands match too (IEEE * and + are commutative)
+      val com = q("SELECT aggregate(zip_with(a, b, (x, y) -> y * x), 0D, " +
+        "(acc, z) -> z + acc) AS d FROM vecs WHERE id = 0")
+      assert(com.queryExecution.optimizedPlan.toString.contains("dot64"))
+      assert(com.head().getDouble(0) == 32.0)
+
+      // non-matching shapes are left alone: nonzero seed, non-product lambda
+      for (sql <- Seq(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 1.0D, (acc, z) -> acc + z)",
+        "aggregate(zip_with(a, b, (x, y) -> x + y), 0D, (acc, z) -> acc + z)")) {
+        val p = q(s"SELECT $sql AS d FROM vecs WHERE id = 0")
+        assert(!p.queryExecution.optimizedPlan.toString.contains("dot64"),
+          s"must not rewrite: $sql")
+      }
+      // and the non-matching seed still evaluates correctly (1 + dot)
+      assert(q("SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 1.0D, " +
+        "(acc, z) -> acc + z) AS d FROM vecs WHERE id = 0")
+        .head().getDouble(0) == 33.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach { s =>
+        SparkSession.setDefaultSession(s)
+        SparkSession.setActiveSession(s)
+      }
+    }
+  }
 }

@@ -22,7 +22,14 @@ object Verify {
     // which tool ran first — Bench/QBench/ScaleProbe do the same)
     graft.functions.Functions.registerAll(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Builder-side iteration aid: SPARK_GRAFT_ONLY=q146,q147 dumps only
+    // matching queries (prefix match). Unset (the driver) → all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only.fold(SparkEntry.queries) { prefixes =>
+      SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -65,4 +65,67 @@ object Clustering {
     }
     assign(cents).select(col("vec_id"), col("cluster_id"), round(col("dist2"), 6).as("dist2"))
   }
+
+  /** Greedy k-center (farthest-first traversal) coreset selection:
+    * seed = smallest `vec_id`, then `k − 1` rounds each picking the
+    * point with the LARGEST squared distance to its nearest already-
+    * chosen center (tie-break: smaller id). The classic 2-approximation
+    * to the k-center objective — the standard "maximally diverse
+    * subset" primitive for training-data curation (kmeans++-style
+    * seeding, coreset construction, eval-set spreading).
+    *
+    * Determinism/oracle contract: every distance is
+    * `vv − 2·dot64(v,c) + cc` against LITERAL center vectors (the
+    * [[graft.ext.Similarity.fixedCentroids]] argument discipline), and
+    * the per-round argmax is a TakeOrdered(1) on the RAW double with id
+    * tie-break — the exact arithmetic an independent engine replays, so
+    * the whole greedy trajectory hash-checks (q146).
+    *
+    * Scale shape: each round is ONE zero-shuffle narrow pass (centers
+    * ride as a literal array; `array_min` of the same multiset equals
+    * the oracle's chained `least`) plus a top-1 reduce; the driver holds
+    * `k · dims` doubles — never corpus-proportional. Per-round work is
+    * O(|chosen|) compiled dot products per row, so total cost is
+    * O(k²/2) dots/row — the right trade below k ≈ a few hundred; past
+    * that you'd persist a running min-distance column per round
+    * (the star-CC localCheckpoint discipline) instead of recomputing
+    * from literals.
+    *
+    * Returns `k` rows `(rank, vec_id, sel_d2, radius2)`: `sel_d2` = the
+    * point's min-dist² at selection time (0 for the seed), `radius2` =
+    * the k-center radius² (max residual min-dist² after all `k`),
+    * constant across rows. */
+  def kCenter(spark: SparkSession, emb: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    Dot64.register(spark)
+    import spark.implicits._
+    val base = emb.select(col(idCol).cast("long").as("vec_id"),
+      expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("vv", expr("dot64(v, v)"))
+    val seed = base.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v"), col("vv")).collect()(0)
+    var chosen: Vector[(Seq[Double], Double)] =
+      Vector((seed.getSeq[Double](1), seed.getDouble(2)))
+    val sels = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](
+      (1L, seed.getLong(0), 0.0))
+    def withMin(df: DataFrame): DataFrame =
+      df.withColumn("cents", typedLit(chosen))
+        .withColumn("md", expr(
+          "array_min(transform(cents, c -> vv - 2 * dot64(v, c._1) + c._2))"))
+    var r = 2
+    while (r <= k) {
+      val cand = withMin(base)
+        .orderBy(col("md").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v"), col("vv"), col("md")).collect()(0)
+      chosen = chosen :+ ((cand.getSeq[Double](1), cand.getDouble(2)))
+      sels += ((r.toLong, cand.getLong(0), cand.getDouble(3)))
+      r += 1
+    }
+    val radius2 = withMin(base).agg(max(col("md"))).collect()(0).getDouble(0)
+    sels.toSeq.toDF("rank", "vec_id", "sel_d2")
+      .withColumn("sel_d2", round(col("sel_d2"), 6) + lit(0.0))
+      .withColumn("radius2", round(lit(radius2), 6) + lit(0.0))
+      .orderBy(col("rank"))
+  }
 }

@@ -384,6 +384,46 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT verification over candidate pairs: where
+    * Jaccard misses a short document wholly quoted inside a long one
+    * (the intersection is small relative to the UNION), containment
+    * `C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)|` stays high — the standard
+    * quote/subset detector run beside near-dup verification. Emits
+    * `(a_id, b_id, n_a, n_b, n_inter, c_ab, c_ba)` for candidate pairs
+    * with `max(c_ab, c_ba) ≥ threshold`; both directions ride the same
+    * shingle-set intersection, and the ratios go through the exact
+    * integer 6-dp `ratio6` discipline (engine-proof).
+    *
+    * Scale shape: identical to [[verifyCandidates]] — the pair frame is
+    * checkpointed once, both sides semi-join down to only the docs that
+    * appear in a candidate pair, and the per-pair work is one
+    * `array_intersect` on bounded shingle sets (positions capped at
+    * [[graft.functions.MinHash48.MaxShinglePos]]). Candidate
+    * generation stays whatever blocking produced `pairs` (LSH bands
+    * here) — the corpus itself never joins. */
+  def containment(spark: SparkSession, pairs: DataFrame, docs: DataFrame,
+      threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.Shingles8.register(spark)
+    val cp = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val ids = cp.select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
+    val sets = docs.filter(col(textCol).isNotNull)
+      .join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), expr(s"shingles8($textCol)").as("sh"))
+    val a = sets.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
+    val b = sets.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    cp.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
+      .withColumn("n_inter", inter)
+      .withColumn("c_ab", ratio6(col("n_inter"), col("n_a")))
+      .withColumn("c_ba", ratio6(col("n_inter"), col("n_b")))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+        col("n_inter"), col("c_ab"), col("c_ba"))
+  }
+
   /** Sketch calibration: signature-ESTIMATED Jaccard (equal-lane
     * fraction of the two 48-bit MinHash signatures) against the TRUE
     * 8-gram Jaccard, for every LSH candidate pair — the measurement a

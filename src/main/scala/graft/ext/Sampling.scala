@@ -191,4 +191,33 @@ object Sampling {
       .withColumn("split",
         when(col("bucket") < trainPct, "train").otherwise("test"))
   }
+
+  /** Semantic-cluster-capped balanced subsampling: assign every
+    * embedding to its nearest fixed centroid
+    * ([[Similarity.assignFixed]] — zero-shuffle, oracle-replayable) and
+    * keep at most `cap` rows per cluster (smallest `vec_id` first — a
+    * deterministic selection; swap the ordering column for a quality
+    * score to keep the best instead). The embedding-space analogue of
+    * [[Corpus]]'s per-source caps: it stops one dominant semantic
+    * cluster (boilerplate, templates, one topic crawled too hard) from
+    * owning the training mix. Returns ALL rows with
+    * `(vec_id, centroid, rk, kept)` so the caller gets both the subset
+    * and the per-cluster census.
+    *
+    * Scale shape: one narrow assignment pass + one rank shuffle keyed
+    * by centroid. A pathologically hot centroid makes that window
+    * skew-bound — at that point swap in the two-phase salted rank
+    * ([[Corpus.sourceCapSalted]]'s discipline) which bounds every task
+    * at `cap · salts` rows; the plain window is kept here because the
+    * output contract (exact `rk` over ALL rows, not just survivors)
+    * is what the census consumers want. */
+  def clusterCap(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+      k: Int = 16, cap: Int = 16, dims: Int = 64): DataFrame =
+    Similarity.assignFixed(spark, emb, k, dims)
+      .select(col("vec_id"), col("centroid"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col("centroid")).orderBy(col("vec_id")))
+        .cast("long"))
+      .withColumn("kept", col("rk") <= cap)
+      .orderBy(col("vec_id"))
 }

@@ -202,15 +202,25 @@ object Similarity {
     * keeps the distance fold compiled — so the only pair work is
     * within clusters: O(Σ cᵢ²), the SemDeDup blocking guarantee.
     * Returns survivors as (vec_id, centroid). */
-  def semanticDedupFixed(spark: SparkSession, emb: DataFrame,
-      k: Int = 16, threshold: Double = 0.35, dims: Int = 64): DataFrame = {
-    val assigned = withVectors(spark, emb)
+  /** ZERO-shuffle coarse assignment against [[fixedCentroids]]: the
+    * grid rides the plan as a literal, the argmin is a lexicographic
+    * (dist², centroid) `array_min` over compiled `dot64` distances —
+    * the deterministic, oracle-replayable blocking primitive shared by
+    * [[semanticDedupFixed]] and [[Sampling.clusterCap]]. Returns
+    * `(vec_id, v, nrm, centroid)` plus the input's other columns. */
+  def assignFixed(spark: SparkSession, emb: DataFrame,
+      k: Int = 16, dims: Int = 64): DataFrame =
+    withVectors(spark, emb)
       .withColumn("cb", typedLit(fixedCentroids(k, dims)))
       .withColumn("centroid", expr(
         """array_min(transform(cb, (cw, ci) ->
           |  struct(dot64(v, v) - 2 * dot64(v, cw) + dot64(cw, cw) AS dist2,
           |         ci AS c))).c""".stripMargin).cast("long"))
       .drop("cb")
+
+  def semanticDedupFixed(spark: SparkSession, emb: DataFrame,
+      k: Int = 16, threshold: Double = 0.35, dims: Int = 64): DataFrame = {
+    val assigned = assignFixed(spark, emb, k, dims)
     val a = assigned.select(col("vec_id").as("a_id"), col("centroid"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("vec_id").as("b_id"), col("centroid"),

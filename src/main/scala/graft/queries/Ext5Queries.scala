@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-7 batch (q146+): corpus-curation operators around selection
+  * and tokenization — greedy k-center coreset selection, BPE tokenizer
+  * TRAINING (merge-rule learning, not just application), asymmetric
+  * containment verification, and semantic-cluster-capped balanced
+  * subsampling. Reference scope: LLM-pipeline surface (builder brief)
+  * — no PUMLE counterpart.
+  */
+object Ext5Queries {
+
+  // --------------------------------------------------------------- q146
+  // Greedy k-center (farthest-first) coreset selection, k=8: the whole
+  // greedy trajectory — seed, every argmax pick with its selection
+  // distance, and the final k-center radius — replayed by an unrolled
+  // 8-step CTE chain. Every distance is the same IEEE arithmetic on
+  // both engines (literal centers, identical left-fold dot products —
+  // the q142 fixed-centroid contract), argmaxes rank the RAW double
+  // with id tie-breaks, and only the FINAL reported columns round
+  // (6-dp, `+ 0.0`-normalized).
+  private val KCenterK = 8
+
+  private def kCenterOracle: String = {
+    val steps = (2 to KCenterK).map { r =>
+      s"""p$r AS (SELECT vec_id, md FROM m${r - 1} ORDER BY md DESC, vec_id LIMIT 1),
+         |      s$r AS (SELECT q.v, q.vv FROM sq q JOIN p$r USING (vec_id)),
+         |      m$r AS (SELECT m.vec_id, m.v, m.vv,
+         |        least(m.md, m.vv - 2 * list_dot_product(m.v, s.v) + s.vv) AS md
+         |        FROM m${r - 1} m, s$r s)""".stripMargin
+    }.mkString(",\n      ")
+    val sel = (2 to KCenterK)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS rank, vec_id, md AS sel_d2 FROM p$r")
+      .mkString("\n        UNION ALL ")
+    s"""WITH base AS (
+        SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        FROM embeddings),
+      sq AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM base),
+      s1 AS (SELECT vec_id, v, vv FROM sq ORDER BY vec_id LIMIT 1),
+      m1 AS (SELECT q.vec_id, q.v, q.vv,
+        q.vv - 2 * list_dot_product(q.v, s.v) + s.vv AS md
+        FROM sq q, s1 s),
+      $steps,
+      rad AS (SELECT max(md) AS r2 FROM m$KCenterK),
+      sel AS (
+        SELECT CAST(1 AS BIGINT) AS rank, vec_id, 0.0 AS sel_d2 FROM s1
+        UNION ALL $sel)
+      SELECT rank, vec_id, round(sel_d2, 6) + 0.0 AS sel_d2,
+        round((SELECT r2 FROM rad), 6) + 0.0 AS radius2
+      FROM sel ORDER BY rank"""
+  }
+
+  private val q146 = Q(
+    "q146_kcenter_coreset",
+    (s, d) => graft.ext.Clustering.kCenter(s, Tables.embeddings(s, d), KCenterK),
+    Some(kCenterOracle))
+
+  // --------------------------------------------------------------- q147
+  // BPE tokenizer TRAINING, 8 merge steps — the existing spec-pinned
+  // TextStats.bpeTrain (vocab-bounded histogram iterations) now
+  // oracle-checked end to end: per step the weighted adjacent-pair
+  // census over the DISTINCT-WORD table, the (count DESC, pair ASC)
+  // argmax (equivalent to the impl's (n, l, r) tuple order — the space
+  // separator sorts below every symbol character), and the greedy
+  // left-to-right merge, which the oracle replays as a space-padded
+  // `replace` per step. All integers and strings — the learned merge
+  // table hash-checks with no rounding discipline.
+  private val BpeSteps = 8
+
+  private def bpeTrainOracle: String = {
+    val cap = graft.functions.MinHash48.MaxShinglePos
+    val steps = (1 to BpeSteps).map { i =>
+      s"""w$i AS (SELECT string_split(trim(sym), ' ') AS ws, freq FROM v${i - 1}),
+         |      p$i AS (
+         |        SELECT ws[CAST(g.generate_series AS INT)] || ' ' ||
+         |          ws[CAST(g.generate_series AS INT) + 1] AS pair, freq
+         |        FROM w$i, generate_series(1, $cap) g
+         |        WHERE len(ws) >= 2 AND g.generate_series <= len(ws) - 1),
+         |      c$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+         |        FROM p$i GROUP BY pair),
+         |      b$i AS (SELECT pair, cnt FROM c$i ORDER BY cnt DESC, pair LIMIT 1),
+         |      v$i AS (SELECT replace(sym, ' ' || b.pair || ' ',
+         |          ' ' || replace(b.pair, ' ', '') || ' ') AS sym, freq
+         |        FROM v${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n      ")
+    val sel = (1 to BpeSteps)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, pair, cnt FROM b$i")
+      .mkString("\n        UNION ALL ")
+    s"""WITH wd AS (
+        SELECT unnest((string_split(text, ' '))[1:$cap]) AS w
+        FROM documents WHERE text IS NOT NULL),
+      vc AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM wd GROUP BY w),
+      v0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+          AS sym, freq FROM vc),
+      $steps,
+      sel AS ($sel)
+      SELECT step, string_split(pair, ' ')[1] AS lhs,
+        string_split(pair, ' ')[2] AS rhs, cnt AS pair_count,
+        replace(pair, ' ', '') AS new_token
+      FROM sel ORDER BY step"""
+  }
+
+  private val q147 = Q(
+    "q147_bpe_train",
+    (s, d) => {
+      import s.implicits._
+      graft.ext.TextStats.bpeTrain(Tables.documents(s, d), nMerges = BpeSteps)
+        .map { case (st, l, r, m, n) => (st.toLong, l, r, n, m) }
+        .toDF("step", "lhs", "rhs", "pair_count", "new_token")
+        .orderBy(col("step"))
+    },
+    Some(bpeTrainOracle))
+
+  // --------------------------------------------------------------- q148
+  // Asymmetric containment over the LSH candidate pairs: q72's exact
+  // CTE chain (shingles → 48-bit minhash signatures → capped band
+  // buckets → candidate pairs → set intersection) extended with BOTH
+  // per-direction containment ratios in the exact integer 6-dp ratio6
+  // discipline; pairs kept when either direction ≥ 0.5 — the
+  // quote/subset detector Jaccard verification misses.
+  private val q148 = Q(
+    "q148_containment",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.ext.Dedup.lshCandidates(s, docs)
+      graft.ext.Dedup.containment(s, pairs, docs, threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH ${ExtQueries.shingleCte},
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT) AS h48 FROM sh),
+      sig AS (
+        SELECT doc_id,
+          min(xor(h48, ${ExtQueries.salts(0)})) AS m0,
+          min(xor(h48, ${ExtQueries.salts(1)})) AS m1,
+          min(xor(h48, ${ExtQueries.salts(2)})) AS m2,
+          min(xor(h48, ${ExtQueries.salts(3)})) AS m3
+        FROM h GROUP BY doc_id),
+      buckets AS (
+        SELECT doc_id, 0 AS band, m0 AS bucket FROM sig UNION ALL
+        SELECT doc_id, 1, m1 FROM sig UNION ALL
+        SELECT doc_id, 2, m2 FROM sig UNION ALL
+        SELECT doc_id, 3, m3 FROM sig),
+      small AS (
+        SELECT doc_id, band, bucket FROM (
+          SELECT doc_id, band, bucket,
+                 count(*) OVER (PARTITION BY band, bucket) AS bsize
+          FROM buckets)
+        WHERE bsize <= 10),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM small a JOIN small b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT p.a_id, p.b_id, count(*) AS i
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.a_id
+        JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+        GROUP BY p.a_id, p.b_id),
+      scored AS (
+        SELECT p.a_id, p.b_id,
+          CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+          CAST(coalesce(i.i, 0) AS BIGINT) AS n_inter,
+          -- exact half-up 6-dp of the true rational in integer space
+          -- (the Spark side's ratio6 discipline)
+          CAST((2 * coalesce(i.i, 0) * 1000000 + ca.n)
+               // (2 * ca.n) AS DOUBLE) / 1000000.0 AS c_ab,
+          CAST((2 * coalesce(i.i, 0) * 1000000 + cb.n)
+               // (2 * cb.n) AS DOUBLE) / 1000000.0 AS c_ba
+        FROM pairs p
+        JOIN counts ca ON ca.doc_id = p.a_id
+        JOIN counts cb ON cb.doc_id = p.b_id
+        LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id)
+      SELECT a_id, b_id, n_a, n_b, n_inter, c_ab, c_ba FROM scored
+      WHERE greatest(c_ab, c_ba) >= 0.5 ORDER BY a_id, b_id"""))
+
+  // --------------------------------------------------------------- q149
+  // Semantic-cluster-capped balanced subsampling: q142's fixed-grid
+  // coarse assignment (literal md5-derived centroids, lexicographic
+  // (dist², centroid) argmin — the same CTEs verbatim) followed by a
+  // per-cluster rank with a cap of 16 — every row reported with its
+  // rank and keep verdict, all integers/booleans.
+  private val q149 = Q(
+    "q149_cluster_cap",
+    (s, d) => graft.ext.Sampling.clusterCap(s, Tables.embeddings(s, d),
+      k = 16, cap = 16),
+    Some("""WITH cgrid AS (
+        SELECT CAST(j.generate_series AS BIGINT) AS j, d.generate_series AS d,
+          CAST(CAST(('0x' || substr(md5('sc:' || j.generate_series || ':'
+            || d.generate_series), 1, 6)) AS BIGINT) % 2001 - 1000 AS DOUBLE)
+            / 1000.0 AS x
+        FROM generate_series(0, 15) j, generate_series(0, 63) d),
+      cents AS (SELECT j, list(x ORDER BY d) AS cw FROM cgrid GROUP BY j),
+      base AS (
+        SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        FROM embeddings),
+      dist AS (
+        SELECT b.vec_id, c.j,
+          list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, c.cw)
+            + list_dot_product(c.cw, c.cw) AS d2
+        FROM base b, cents c),
+      asg AS (
+        SELECT vec_id, j AS centroid FROM (
+          SELECT vec_id, j,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
+          FROM dist) WHERE rk = 1),
+      ranked AS (
+        SELECT vec_id, centroid,
+          CAST(row_number() OVER (PARTITION BY centroid ORDER BY vec_id)
+            AS BIGINT) AS rk
+        FROM asg)
+      SELECT vec_id, centroid, rk, rk <= 16 AS kept
+      FROM ranked ORDER BY vec_id"""))
+
+  val qs: Seq[Q] = Seq(q146, q147, q148, q149)
+}

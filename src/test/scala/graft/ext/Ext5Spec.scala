@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.pumle.SparkSpec
+
+/** Round-7 curation batch (q146–q149): greedy k-center coreset
+  * selection, containment verification, cluster-capped subsampling.
+  * The oracle gate proves the default parameterizations against
+  * DuckDB; these specs pin the geometric/set contracts the gate can't
+  * see — the exact greedy trajectory on a hand-computed instance, the
+  * subset⇒containment-1 guarantee, the cap census invariants.
+  * (bpeTrain's merge-sequence contract is pinned in TextStats4Spec.)
+  */
+class Ext5Spec extends SparkSpec {
+
+  private def emb(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("kCenter replays the hand-computed farthest-first trajectory with id tie-breaks") {
+    // 1-D points embedded in 2-D: id0@0, id1@10, id2@4, id3@6.
+    // seed = id0; farthest = id1 (d²=100); then id2 and id3 both sit
+    // at min-dist² 16 → the id tie-break must pick id2; finally id3 at
+    // min(36,16,4)=4. With all 4 chosen the residual radius is 0.
+    val e = emb(Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 0f)),
+      (2L, Seq(4f, 0f)), (3L, Seq(6f, 0f))))
+    val out = Clustering.kCenter(spark, e, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0.0, 0.0), (2L, 1L, 100.0, 0.0),
+      (3L, 2L, 16.0, 0.0), (4L, 3L, 4.0, 0.0)))
+  }
+
+  test("kCenter: selection distances are non-increasing and bound the radius") {
+    val e = emb(Seq.tabulate(40) { i =>
+      (i.toLong, Seq.tabulate(4)(d => ((i * 31 + d * 7) % 17 - 8).toFloat))
+    })
+    val out = Clustering.kCenter(spark, e, k = 6).collect()
+    val sel = out.map(_.getDouble(2)).toSeq
+    val radius2 = out.head.getDouble(3)
+    assert(out.map(_.getLong(1)).distinct.length == 6, "centers must be distinct")
+    // greedy invariant: each pick is the CURRENT farthest point, so
+    // selection distances can only shrink, and after the last pick the
+    // residual radius cannot exceed the last selection distance
+    assert(sel.drop(1) == sel.drop(1).sorted.reverse)
+    assert(radius2 <= sel.last + 1e-9)
+  }
+
+  test("containment flags a fully-contained doc with c=1.0 where jaccard stays low") {
+    import spark.implicits._
+    val short = "the quick brown fox jumps over the lazy dog"
+    val long = short + " while twelve boxers drive across the frozen river bank tonight"
+    val docs = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val out = Dedup.containment(spark, pairs, docs, threshold = 0.5).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // every shingle of the short doc appears in the long one
+    assert(r.getAs[Double]("c_ba") == 1.0)
+    assert(r.getAs[Long]("n_inter") == r.getAs[Long]("n_b"))
+    assert(r.getAs[Double]("c_ab") < 1.0)
+    // and the symmetric Jaccard the near-dup gate uses would NOT flag it
+    val j = Dedup.verifyCandidates(spark, pairs, docs, threshold = 0.8).count()
+    assert(j == 0, "jaccard verification must miss the containment case")
+  }
+
+  test("containment drops pairs below threshold in both directions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "zulu yankee xray whiskey victor uniform tango sierra")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    assert(Dedup.containment(spark, pairs, docs, threshold = 0.5).count() == 0)
+  }
+
+  test("clusterCap census: contiguous in-cluster ranks, cap respected, all rows kept") {
+    val e = emb(Seq.tabulate(120) { i =>
+      (i.toLong, Seq.tabulate(64)(d => (((i * 13 + d * 5) % 19) - 9) / 9f))
+    })
+    val out = Sampling.clusterCap(spark, e, k = 16, cap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 120, "census reports every row, kept or not")
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val ranks = rows.map(_._3).sorted.toSeq
+      assert(ranks == (1L to rows.length).toSeq, "ranks contiguous per cluster")
+      // rank order must follow vec_id order within the cluster
+      assert(rows.sortBy(_._1).map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+      assert(rows.count(_._4) == math.min(3, rows.length))
+      rows.foreach { case (_, _, rk, kept) => assert(kept == (rk <= 3)) }
+    }
+  }
+}

@@ -478,12 +478,26 @@ object TextStats {
     * Driver state is the k-bounded merge table. */
   def bpeTrain(docs: DataFrame, nMerges: Int = 10,
       textCol: String = "text"): Seq[(Int, String, String, String, Long)] = {
+    val (merges, vocab) = bpeTrainVocab(docs, nMerges, textCol)
+    vocab.unpersist(false)
+    merges
+  }
+
+  /** [[bpeTrain]] plus the trained VOCABULARY — the final per-distinct-
+    * word symbol table `(w, syms, cnt)` after all merges, which IS the
+    * encoding of every corpus word: encoding the training corpus is a
+    * vocab join + `size(syms)`, no per-row merge loop (the q150
+    * roundtrip path; `bpeEncodeFast` remains the path for text the
+    * vocabulary has not seen). The returned frame is localCheckpointed
+    * — the caller owns the unpersist. */
+  def bpeTrainVocab(docs: DataFrame, nMerges: Int = 10,
+      textCol: String = "text"): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     var syms = docs.filter(col(textCol).isNotNull)
       .select(explode(expr(s"slice(split($textCol, ' '), 1, $MaxNgramPos)")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(expr("split(w, '')").as("syms"), col("cnt"))
+      .select(col("w"), expr("split(w, '')").as("syms"), col("cnt"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 0
@@ -504,7 +518,7 @@ object TextStats {
         step += 1
         merges += ((step, l, r, m, n))
         // left-to-right non-overlapping merge: pending symbol + emit
-        val next = syms.select(expr(
+        val next = syms.select(col("w"), expr(
           s"""aggregate(syms,
              |  named_struct('acc', CAST(array() AS ARRAY<STRING>), 'pend', CAST(NULL AS STRING)),
              |  (st, s) -> IF(st.pend IS NULL,
@@ -519,8 +533,7 @@ object TextStats {
         syms = next
       }
     }
-    syms.unpersist(false)
-    merges.toSeq
+    (merges.toSeq, syms)
   }
 
   /** Single-quoted SQL string literal with escaping (symbols come from

@@ -70,7 +70,14 @@ object Ext5Queries {
   // table hash-checks with no rounding discipline.
   private val BpeSteps = 8
 
-  private def bpeTrainOracle: String = {
+  /** The shared 8-step merge-learning CTE chain (`wd`/`vc`/`v0` +
+    * per-step `w_i, p_i, c_i, b_i, v_i`): `b_i` is step i's winning
+    * pair, `v_i` the vocabulary after applying it (the space-padded
+    * `replace` — greedy left-to-right non-overlapping, exactly the
+    * trainer's pending-symbol fold). `v_i` carries the raw word `w` so
+    * consumers (q150) can join the trained vocabulary back onto the
+    * corpus. */
+  private def bpeMergeCtes: String = {
     val cap = graft.functions.MinHash48.MaxShinglePos
     val steps = (1 to BpeSteps).map { i =>
       s"""w$i AS (SELECT string_split(trim(sym), ' ') AS ws, freq FROM v${i - 1}),
@@ -82,20 +89,25 @@ object Ext5Queries {
          |      c$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
          |        FROM p$i GROUP BY pair),
          |      b$i AS (SELECT pair, cnt FROM c$i ORDER BY cnt DESC, pair LIMIT 1),
-         |      v$i AS (SELECT replace(sym, ' ' || b.pair || ' ',
+         |      v$i AS (SELECT w, replace(sym, ' ' || b.pair || ' ',
          |          ' ' || replace(b.pair, ' ', '') || ' ') AS sym, freq
          |        FROM v${i - 1}, b$i b)""".stripMargin
     }.mkString(",\n      ")
+    s"""wd AS (
+        SELECT unnest((string_split(text, ' '))[1:$cap]) AS w
+        FROM documents WHERE text IS NOT NULL),
+      vc AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM wd
+        WHERE len(w) >= 1 GROUP BY w),
+      v0 AS (SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+          AS sym, freq FROM vc),
+      $steps"""
+  }
+
+  private def bpeTrainOracle: String = {
     val sel = (1 to BpeSteps)
       .map(i => s"SELECT CAST($i AS BIGINT) AS step, pair, cnt FROM b$i")
       .mkString("\n        UNION ALL ")
-    s"""WITH wd AS (
-        SELECT unnest((string_split(text, ' '))[1:$cap]) AS w
-        FROM documents WHERE text IS NOT NULL),
-      vc AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM wd GROUP BY w),
-      v0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
-          AS sym, freq FROM vc),
-      $steps,
+    s"""WITH $bpeMergeCtes,
       sel AS ($sel)
       SELECT step, string_split(pair, ' ')[1] AS lhs,
         string_split(pair, ' ')[2] AS rhs, cnt AS pair_count,
@@ -215,5 +227,61 @@ object Ext5Queries {
       SELECT vec_id, centroid, rk, rk <= 16 AS kept
       FROM ranked ORDER BY vec_id"""))
 
-  val qs: Seq[Q] = Seq(q146, q147, q148, q149)
+  // --------------------------------------------------------------- q150
+  // Tokenizer lifecycle roundtrip: train 8 merges on the corpus, then
+  // encode the SAME corpus through the trained vocabulary and report
+  // per-source compression — n_docs, words, tokens, chars, and
+  // tokens-per-word (exact integer 6-dp ratio6). Encoding the training
+  // corpus is a vocab JOIN + size(syms) — the final per-distinct-word
+  // symbol table IS the encoding, so no per-row merge loop runs
+  // (bpeEncodeFast stays the path for unseen text). The oracle replays
+  // the identical 8 learning steps and reads token counts off v8.
+  //
+  // 100 TB shape: one corpus pass builds the word histogram, the
+  // iterations are vocab-bounded, and the encode is one shuffle join
+  // on the SAME key (w) the histogram grouped by, followed by
+  // partial-aggregable per-source sums.
+  private val q150 = Q(
+    "q150_tokenizer_roundtrip",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val (_, vocab) = graft.ext.TextStats.bpeTrainVocab(docs, nMerges = BpeSteps)
+      val words = docs.filter(col("text").isNotNull)
+        .select(col("source"), explode(expr(
+          s"slice(split(text, ' '), 1, ${graft.functions.MinHash48.MaxShinglePos})")).as("w"))
+      val per = words.join(vocab, Seq("w"))
+        .select(col("source"), size(col("syms")).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+      val ds = docs.filter(col("text").isNotNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      ds.join(per, Seq("source"))
+        .withColumn("tokens_per_word",
+          graft.ext.Dedup.ratio6(col("n_tokens"), col("n_words")))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $bpeMergeCtes,
+      wd2 AS (
+        SELECT source,
+          unnest((string_split(text, ' '))[1:${graft.functions.MinHash48.MaxShinglePos}]) AS w
+        FROM documents WHERE text IS NOT NULL),
+      enc AS (
+        SELECT d.source,
+          CAST(len(string_split(trim(v.sym), ' ')) AS BIGINT) AS n_tok
+        FROM wd2 d JOIN v$BpeSteps v USING (w)),
+      per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM enc GROUP BY source),
+      ds AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents WHERE text IS NOT NULL GROUP BY source)
+      SELECT ds.source, n_docs, n_words, n_tokens, n_chars,
+        CAST((2 * n_tokens * 1000000 + n_words)
+             // (2 * n_words) AS DOUBLE) / 1000000.0 AS tokens_per_word
+      FROM ds JOIN per USING (source) ORDER BY ds.source"""))
+
+  val qs: Seq[Q] = Seq(q146, q147, q148, q149, q150)
 }

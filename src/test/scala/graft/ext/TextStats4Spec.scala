@@ -110,6 +110,32 @@ class TextStats4Spec extends SparkSpec {
       (3, "aa", "ab", "aaab", 1L)), s"got $merges")
   }
 
+  test("bpeTrainVocab: trained symbols reconstruct every word and agree with bpeEncode") {
+    import spark.implicits._
+    val docs = randomDocs(30, seed = 11, vocab = 12, len = 20)
+      .select(col("doc_id"), col("text"))
+    val (merges, vocab) = TextStats.bpeTrainVocab(docs, nMerges = 6)
+    assert(merges.size == 6)
+    val rows = vocab.select(col("w"), col("syms")).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+    assert(rows.nonEmpty)
+    // lossless segmentation: the symbol sequence concatenates back to w
+    rows.foreach { case (w, syms) => assert(syms.mkString == w, s"$w -> $syms") }
+    // the trained vocabulary IS the encode: per-word segmentation equals
+    // applying the merge table in order (the q150 join-encode contract)
+    val enc = TextStats.bpeEncode(docs.limit(5), merges.map(m => (m._2, m._3)))
+      .select(col("doc_id"), col("tokens")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val texts = docs.limit(5).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySym = rows.toMap
+    texts.foreach { case (id, text) =>
+      val expect = text.split(" ").filter(_.nonEmpty)
+        .map(w => bySym(w).mkString(" ")).mkString(" </w> ")
+      assert(enc(id) == expect, s"doc $id: ${enc(id)} != $expect")
+    }
+    vocab.unpersist(false)
+  }
+
   test("bpeTrain stops early when no pairs remain and escapes quote symbols") {
     import spark.implicits._
     // single-char words only → zero adjacent pairs → no merges

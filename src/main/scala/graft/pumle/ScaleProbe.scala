@@ -567,6 +567,56 @@ object ScaleProbe {
     println(f"[probe] bloom_decontam (compiled): 1M docs → $bh1%d flagged in $bs1%.1fs " +
       f"(${1000000 / bs1 / 1000}%.0fk docs/s) vs 10M docs → $bh10%d in $bs10%.1fs " +
       f"(${nDocs10 / bs10 / 1000}%.0fk docs/s) — zero joins, bit set is a ref object")
+    // k-center coreset selection at volume: 8 greedy farthest-first
+    // rounds over 1M×64-dim vectors. Each round is one zero-shuffle
+    // narrow pass (literal centers) + a top-1 reduce — the per-round
+    // cost should be flat, and total ~8× one scan.
+    val nVecK = 1000000L
+    val embK = spark.range(nVecK).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), d ->
+              | CAST(CAST(pmod(id * (d + 7919), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))"""
+        .stripMargin).as("embedding"))
+    val tK = System.nanoTime()
+    val kc = graft.ext.Clustering.kCenter(spark, embK, k = 8).collect()
+    val secsK = (System.nanoTime() - tK) / 1e9
+    println(f"[probe] kcenter: 8 rounds over $nVecK%d vecs in $secsK%.1fs " +
+      f"= ${secsK / 8}%.2fs/round, radius2 ${kc.head.getAs[Double]("radius2")}%.3f")
+
+    // cluster-capped subsampling at volume: fixed-grid assignment
+    // (narrow) + one rank shuffle keyed by 16 centroids over 1M vecs.
+    val tCc = System.nanoTime()
+    val keptCc = graft.ext.Sampling.clusterCap(spark, embK, k = 16, cap = 1000)
+      .filter(col("kept")).count()
+    val secsCc = (System.nanoTime() - tCc) / 1e9
+    println(f"[probe] cluster cap: $nVecK%d vecs → 16 clusters × ≤1000 kept " +
+      f"($keptCc%d) in $secsCc%.1fs = ${nVecK / secsCc / 1000}%.0fk vecs/s")
+
+    // containment verification at volume: the LSH candidate chain over
+    // the planted-dup corpus, then both-direction containment on the
+    // bounded shingle sets — same candidate discipline as the Jaccard
+    // verify probe, one extra ratio per pair.
+    val tCt = System.nanoTime()
+    val candCt = graft.ext.Dedup.lshCandidates(spark, docs6)
+    val nCt = graft.ext.Dedup.containment(spark, candCt, docs6, threshold = 0.5).count()
+    val secsCt = (System.nanoTime() - tCt) / 1e9
+    println(f"[probe] containment: $nDocs6%d docs → $nCt%d contained pairs " +
+      f"in $secsCt%.1fs = ${nDocs6 / secsCt / 1000}%.0fk docs/s (candidates + both ratios)")
+
+    // tokenizer roundtrip at volume: train 8 merges (vocab-bounded
+    // iterations), then encode the 1M-doc corpus as ONE join on the
+    // trained vocabulary + size(syms) — no per-row merge loop.
+    val tR = System.nanoTime()
+    val (mR, vocabR) = graft.ext.TextStats.bpeTrainVocab(docs3, nMerges = 8)
+    val encR = docs3.filter(col("text").isNotNull)
+      .select(explode(expr("slice(split(text, ' '), 1, 4096)")).as("w"))
+      .join(vocabR, Seq("w"))
+      .agg(sum(size(col("syms")).cast("long"))).head().getLong(0)
+    val secsR = (System.nanoTime() - tR) / 1e9
+    vocabR.unpersist(false)
+    println(f"[probe] tokenizer roundtrip: train ${mR.length}%d merges + " +
+      f"vocab-join encode $nDocs3%d docs → $encR%d tokens in $secsR%.1fs " +
+      f"= ${nDocs3 / secsR / 1000}%.0fk docs/s end to end")
     spark.stop()
   }
 }

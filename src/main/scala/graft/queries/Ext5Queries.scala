@@ -283,5 +283,61 @@ object Ext5Queries {
              // (2 * n_words) AS DOUBLE) / 1000000.0 AS tokens_per_word
       FROM ds JOIN per USING (source) ORDER BY ds.source"""))
 
-  val qs: Seq[Q] = Seq(q146, q147, q148, q149, q150)
+  // --------------------------------------------------------------- q151
+  // Dedup savings report: what near-dup dedup would actually RECLAIM,
+  // per source — doc and token counts of the non-survivor cluster
+  // members (q65's exact clustering, CTE chain shared verbatim) against
+  // the per-source totals, with the reclaimed-token fraction in exact
+  // integer 6-dp ratio6. The go/no-go measurement run before committing
+  // a corpus-wide dedup pass.
+  //
+  // 100 TB shape: everything rides q65's candidate-bounded machinery;
+  // the report itself is one left-semi join (dropped ids are the small
+  // side) + two partial-aggregable per-source rollups.
+  private val q151 = Q(
+    "q151_dedup_savings",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.ext.Dedup.lshCandidates(s, docs)
+      val dropped = graft.ext.Dedup.clusters(s, pairs)
+        .filter(col("node") =!= col("cluster_id"))
+        .select(col("node").as("doc_id"))
+      val tok = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val dup = tok.join(dropped, Seq("doc_id"), "left_semi")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("dup_docs"), sum(col("n_tok")).as("dup_tokens"))
+      val tot = tok.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      tot.join(dup, Seq("source"), "left")
+        .na.fill(0L, Seq("dup_docs", "dup_tokens"))
+        .withColumn("savings",
+          graft.ext.Dedup.ratio6(col("dup_tokens"), col("n_tokens")))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH RECURSIVE ${ExtQueries.clusterCtes},
+      labels AS (SELECT a AS doc_id, least(a, min(b)) AS cl
+        FROM reach GROUP BY a),
+      dropped AS (SELECT doc_id FROM labels WHERE cl <> doc_id),
+      tok AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents WHERE text IS NOT NULL),
+      dup AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS dup_docs,
+          CAST(sum(n_tok) AS BIGINT) AS dup_tokens
+        FROM tok JOIN dropped USING (doc_id) GROUP BY source),
+      tot AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY source)
+      SELECT t.source, n_docs, n_tokens,
+        coalesce(dup_docs, CAST(0 AS BIGINT)) AS dup_docs,
+        coalesce(dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+        CAST((2 * coalesce(dup_tokens, 0) * 1000000 + n_tokens)
+             // (2 * n_tokens) AS DOUBLE) / 1000000.0 AS savings
+      FROM tot t LEFT JOIN dup USING (source) ORDER BY t.source"""))
+
+  val qs: Seq[Q] = Seq(q146, q147, q148, q149, q150, q151)
 }

@@ -431,6 +431,18 @@ object Streams {
       model: graft.ext.Classifier.QcModel): DataFrame =
     graft.ext.Classifier.qcScoreNarrow(docs, model)
 
+  /** Fixed-grid semantic cluster assignment on a stream: the
+    * [[graft.ext.Similarity.assignFixed]] argmin is stateless (the
+    * centroid grid rides the plan as a literal, distances are compiled
+    * `dot64` calls), so each arriving embedding batch is routed to its
+    * cluster with zero joins or state, bit-identical to the batch
+    * assignment — the streaming front half of cluster-balanced intake
+    * (cap enforcement stays a batch/compaction concern; a per-cluster
+    * running count would be a 16-row mapGroupsWithState if needed). */
+  def assignFixed(emb: DataFrame, k: Int = 16, dims: Int = 64): DataFrame =
+    graft.ext.Similarity.assignFixed(emb.sparkSession, emb, k, dims)
+      .select(col("vec_id"), col("centroid"))
+
   /** Bloom decontamination on a stream: the compiled probe
     * ([[graft.functions.BloomDecontam]]) is stateless — the benchmark
     * bit set rides the plan as a reference object, so each arriving

@@ -218,7 +218,20 @@ class PlanSpec extends SparkSpec {
       // window + final agg/orderBy; q145: the corpus shuffles once per
       // family (distinct (source, token), signature mins, intersection
       // counts) — the rest act on |sources|- or pair-bounded tables
-      "q144_length_percentiles" -> 3, "q145_source_similarity" -> 9)
+      "q144_length_percentiles" -> 3, "q145_source_similarity" -> 9,
+      // round-7 curation batch (PlanAudit on this commit): q146/q147
+      // return driver-built k-row frames (the greedy rounds / merge
+      // iterations run eagerly at plan time as zero-shuffle narrow
+      // passes + top-1 reduces) — their 1 is the final orderBy; q148
+      // mirrors q72's verify shape with both ratios in the same pass;
+      // q149 = centroid rank window + orderBy (assignment narrow);
+      // q150 = vocab join (broadcast at this sf; w-keyed at scale) +
+      // two per-source rollups + orderBy; q151 = q65's candidate
+      // machinery (eager behind the checkpoint) + docs⋈dropped
+      // semi-join + two rollups + orderBy
+      "q146_kcenter_coreset" -> 1, "q147_bpe_train" -> 1,
+      "q148_containment" -> 3, "q149_cluster_cap" -> 2,
+      "q150_tokenizer_roundtrip" -> 3, "q151_dedup_savings" -> 5)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

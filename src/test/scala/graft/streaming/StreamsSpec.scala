@@ -124,6 +124,28 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming fixed-grid cluster assignment matches the batch argmin bitwise") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.assignFixed(mem.toDF().toDF("vec_id", "embedding"), k = 8)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("assign").start()
+    val rows = Seq.tabulate(20)(i =>
+      (i.toLong, Seq.tabulate(64)(d => (((i * 13 + d * 5) % 19) - 9) / 9f)))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT vec_id, centroid FROM assign")
+      .orderBy("vec_id").collect().toSeq
+    val batch = graft.ext.Similarity.assignFixed(spark,
+        rows.toDF("vec_id", "embedding"), k = 8)
+      .select(col("vec_id"), col("centroid"))
+      .orderBy("vec_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_.getLong(1)).distinct.size > 1, "degenerate routing")
+    q.stop()
+  }
+
   test("streaming winnow fingerprints match the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

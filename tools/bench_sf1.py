@@ -73,7 +73,11 @@ QUERIES = ["q52_lsh_candidates", "q65_dedup_clusters", "q72_verify_candidates",
            "q138_hll_distinct", "q139_cms_heavy_hitters",
            "q140_bloom_decontam", "q141_bloom_narrow",
            "q143_robust_outliers", "q144_length_percentiles",
-           "q145_source_similarity"]
+           "q145_source_similarity",
+           # round-7 curation batch (document axis): BPE trainer,
+           # containment verification, tokenizer train+encode roundtrip.
+           # q146/q149 are embeddings-axis and deliberately absent.
+           "q147_bpe_train", "q148_containment", "q150_tokenizer_roundtrip"]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 

@@ -839,6 +839,91 @@ object Dedup {
     notExact.join(nearDup, Seq(idCol), "left_anti")
   }
 
+  /** The WINNOWING counterpart of [[incrementalSnapshot]]: per seen
+    * doc, content hash, the DISTINCT winnow fingerprint set (compiled
+    * `winnow_keys`, fps only — positions dropped), and the shingle
+    * set. Persist once per snapshot ([[writeWinnowSnapshot]]); each
+    * increment then carries [[TextStats.winnow]]'s RECALL-FLOOR
+    * guarantee — any new doc sharing a ≥ w+k−1-token run with a seen
+    * doc WILL collide on a fingerprint — where the MinHash snapshot's
+    * recall is probabilistic. */
+  def winnowSnapshot(spark: SparkSession, docs: DataFrame,
+      k: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.WinnowKeys.register(spark, k, w)
+    graft.functions.Shingles8.register(spark)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        md5(col(textCol)).as("content_hash"),
+        expr(s"array_distinct(transform(winnow_keys($textCol), x -> x DIV 8192))")
+          .as("fps"),
+        expr(s"shingles8($textCol)").as("shingles"))
+  }
+
+  /** Writes [[winnowSnapshot]] as parquet — the once-per-snapshot
+    * producer of the recall-floor dedup index. */
+  def writeWinnowSnapshot(spark: SparkSession, docs: DataFrame,
+      path: String, k: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    winnowSnapshot(spark, docs, k, w, idCol, textCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** [[dedupIncrementalPersisted]] with the winnowing candidate
+    * generator in the blocking seat: drop from `newDocs` every
+    * byte-exact or near-duplicate of a [[winnowSnapshot]] corpus.
+    * Candidates are new↔seen pairs sharing ≥ `minShared` fingerprints,
+    * with boilerplate fingerprints (seen-side document frequency >
+    * `maxDf`) dropped from a count aggregate BEFORE any posting list
+    * materializes (q52's cap discipline); verification is the same
+    * shingle-set Jaccard at `threshold` as every other dedup path.
+    *
+    * Scan discipline matches the MinHash twin: seen TEXT is read zero
+    * times — the exact stage reads the snapshot's hash column, the
+    * index join reads its persisted `fps`, and the verify stage
+    * semi-joins its `shingles` down to candidate-matched ids. The new
+    * side is fingerprinted in ONE narrow compiled pass. */
+  def dedupIncrementalWinnow(spark: SparkSession, newDocs: DataFrame,
+      snapshot: DataFrame, maxDf: Int = 10, minShared: Int = 2,
+      threshold: Double = 0.7, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.WinnowKeys.register(spark, 3, 4)
+    graft.functions.Shingles8.register(spark)
+    val seenHashes = snapshot.select(col("content_hash")).distinct()
+    val notExact = newDocs
+      .withColumn("content_hash", md5(col(textCol)))
+      .join(seenHashes, Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+    val fpN = notExact.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("new_id"), explode(expr(
+        s"array_distinct(transform(winnow_keys($textCol), x -> x DIV 8192))"))
+        .as("fp"))
+    val fpS = snapshot.select(col("doc_id").as("seen_id"),
+      explode(col("fps")).as("fp"))
+    val smallS = fpS.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val cand = fpN.join(fpS.join(smallS, Seq("fp")), Seq("fp"))
+      .groupBy(col("new_id"), col("seen_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("new_id"), col("seen_id"))
+      .localCheckpoint(true) // candidate-bounded; referenced 3× below
+    val setsN = notExact.filter(col(textCol).isNotNull)
+      .join(cand.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("new_id"), expr(s"shingles8($textCol)").as("sh_n"))
+    val setsS = snapshot
+      .join(cand.select(col("seen_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("seen_id"), col("shingles").as("sh_s"))
+    val inter = size(array_intersect(col("sh_n"), col("sh_s")))
+    val union = size(col("sh_n")) + size(col("sh_s")) - inter
+    val nearDup = cand.join(setsN, Seq("new_id")).join(setsS, Seq("seen_id"))
+      .withColumn("jaccard",
+        when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union.cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    notExact.join(nearDup, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-level overlap estimate between two document sets (split by
     * the `inA` predicate) from aggregate MinHash sketches: each side's
     * corpus signature lane is the min hash over ALL its shingles —

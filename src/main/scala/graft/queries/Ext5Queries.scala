@@ -339,5 +339,66 @@ object Ext5Queries {
              // (2 * n_tokens) AS DOUBLE) / 1000000.0 AS savings
       FROM tot t LEFT JOIN dup USING (source) ORDER BY t.source"""))
 
-  val qs: Seq[Q] = Seq(q146, q147, q148, q149, q150, q151)
+  // --------------------------------------------------------------- q152
+  // Persisted-incremental dedup on the WINNOWING index — q103's
+  // crawl-increment shape (exact anti-join on the snapshot's hashes,
+  // new↔seen candidates only, seen text scanned zero times) with the
+  // recall-floor fingerprint generator in the blocking seat: new↔seen
+  // pairs sharing ≥2 fingerprints, boilerplate fps (seen-side df > 10)
+  // dropped from a count aggregate first, then the standard shingle
+  // Jaccard ≥ 0.7 verify. The oracle winnows all docs once (q133's CTE
+  // chain verbatim), splits fingerprints by side, and replays the
+  // cap/candidate/verify stages.
+  private val q152 = Q(
+    "q152_incremental_winnow",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val seen = docs.filter(col("doc_id") % 3 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 3 === 0)
+      // materialized once (production: writeWinnowSnapshot → parquet);
+      // the checkpoint stands in for that artifact
+      val snapshot = graft.ext.Dedup.winnowSnapshot(s, seen)
+        .localCheckpoint(true)
+      graft.ext.Dedup.dedupIncrementalWinnow(s, fresh, snapshot)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${ExtQueries.shingleCte},
+      ${Ext3Queries.winnowCtes},
+      notexact AS (
+        SELECT n.* FROM documents n
+        WHERE n.doc_id % 3 = 0 AND NOT EXISTS (
+          SELECT 1 FROM documents s
+          WHERE s.doc_id % 3 != 0 AND md5(s.text) = md5(n.text))),
+      fpx AS (SELECT DISTINCT doc_id, key // 8192 AS fp FROM sel),
+      fpn AS (SELECT ne.doc_id AS new_id, fp
+        FROM fpx JOIN notexact ne USING (doc_id)),
+      fpseen AS (SELECT doc_id AS seen_id, fp FROM fpx WHERE doc_id % 3 != 0),
+      smallfp AS (
+        SELECT fp FROM (SELECT fp, count(*) AS df FROM fpseen GROUP BY fp)
+        WHERE df <= 10),
+      cand AS (
+        SELECT new_id, seen_id FROM fpn
+        JOIN smallfp USING (fp) JOIN fpseen USING (fp)
+        GROUP BY new_id, seen_id HAVING count(*) >= 2),
+      counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.new_id, c.seen_id, count(*) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.new_id
+        JOIN sh sb ON sb.doc_id = c.seen_id AND sb.sh = sa.sh
+        GROUP BY c.new_id, c.seen_id),
+      neardup AS (
+        SELECT DISTINCT c.new_id
+        FROM cand c
+        JOIN counts ca ON ca.doc_id = c.new_id
+        JOIN counts cb ON cb.doc_id = c.seen_id
+        LEFT JOIN inter i ON i.new_id = c.new_id AND i.seen_id = c.seen_id
+        WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
+              / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.7)
+      SELECT doc_id, lang, source FROM notexact
+      WHERE doc_id NOT IN (SELECT new_id FROM neardup)
+      ORDER BY doc_id"""))
+
+  val qs: Seq[Q] = Seq(q146, q147, q148, q149, q150, q151, q152)
 }

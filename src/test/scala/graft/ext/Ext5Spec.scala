@@ -76,6 +76,28 @@ class Ext5Spec extends SparkSpec {
     assert(Dedup.containment(spark, pairs, docs, threshold = 0.5).count() == 0)
   }
 
+  test("dedupIncrementalWinnow: recall floor vs the persisted index, seen text untouched") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val seen = Seq((1L, base), (2L, "completely different seen content " +
+      "uniform victor whiskey xray yankee zulu one two three four five six"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (30L, base),                         // exact dup → exact stage drops it
+      (31L, base + " appended"),           // near-dup sharing a long run → winnow collides, jaccard ≥ 0.7
+      (32L, "novel text nothing shared " + // novel → survives
+        "seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    // the snapshot deliberately carries NO text column — surviving the
+    // call proves the increment never reads seen text
+    val snap = Dedup.winnowSnapshot(spark, seen).localCheckpoint(true)
+    assert(!snap.columns.contains("text"))
+    val kept = Dedup.dedupIncrementalWinnow(spark, fresh, snap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(32L), s"got $kept")
+  }
+
   test("clusterCap census: contiguous in-cluster ranks, cap respected, all rows kept") {
     val e = emb(Seq.tabulate(120) { i =>
       (i.toLong, Seq.tabulate(64)(d => (((i * 13 + d * 5) % 19) - 9) / 9f))

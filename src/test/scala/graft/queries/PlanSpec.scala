@@ -231,7 +231,11 @@ class PlanSpec extends SparkSpec {
       // semi-join + two rollups + orderBy
       "q146_kcenter_coreset" -> 1, "q147_bpe_train" -> 1,
       "q148_containment" -> 3, "q149_cluster_cap" -> 2,
-      "q150_tokenizer_roundtrip" -> 3, "q151_dedup_savings" -> 5)
+      "q150_tokenizer_roundtrip" -> 3, "q151_dedup_savings" -> 5,
+      // q152 mirrors q103's persisted-incremental shape (9): exact
+      // anti-join + new-side fp explode/df cap/candidate agg + the
+      // three verify joins off the candidate checkpoint
+      "q152_incremental_winnow" -> 9)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

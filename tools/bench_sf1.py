@@ -77,7 +77,8 @@ QUERIES = ["q52_lsh_candidates", "q65_dedup_clusters", "q72_verify_candidates",
            # round-7 curation batch (document axis): BPE trainer,
            # containment verification, tokenizer train+encode roundtrip.
            # q146/q149 are embeddings-axis and deliberately absent.
-           "q147_bpe_train", "q148_containment", "q150_tokenizer_roundtrip"]
+           "q147_bpe_train", "q148_containment", "q150_tokenizer_roundtrip",
+           "q151_dedup_savings", "q152_incremental_winnow"]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 

@@ -393,4 +393,40 @@ object Corpus {
           .as(s"p$p")): _*)
       .orderBy(col(sourceCol))
   }
+
+  /** Cross-modal label-stratification audit: join the text table to an
+    * id-aligned label table (here the embeddings' `label` column) and
+    * report per source the label count, majority fraction (exact 6-dp
+    * ratio6), and label ENTROPY in the q89 exact-DECIMAL discipline
+    * (H = ln n − Σ c·round₉(ln c) / n, order-free term sums) — the
+    * "is every source stratified the same way" check run before
+    * train/eval splits trust `source` as a blocking key. A source
+    * whose entropy collapses is single-label (leaked filter, broken
+    * join); one whose majority fraction spikes is skewed.
+    *
+    * 100 TB shape: one id-keyed join (co-partitionable) + two
+    * partial-aggregable groupBys on (source, label) then source —
+    * every post-join table is |sources|·|labels| bounded. */
+  def labelBalance(docs: DataFrame, labels: DataFrame,
+      idCol: String = "doc_id", labelCol: String = "label",
+      sourceCol: String = "source"): DataFrame = {
+    val lc = docs.filter(col("text").isNotNull)
+      .select(col(idCol), col(sourceCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(col(sourceCol), col(labelCol)).agg(count(lit(1)).as("c"))
+    lc.groupBy(col(sourceCol))
+      .agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).as("n_labels"),
+        max(col("c")).as("maxc"),
+        // q89's narrow-decimal product: DECIMAL(10,0) keeps c·round₉
+        // at (29,9) — exact, order-free, under the 38-digit cap
+        sum(round(log(col("c").cast("double")), 9).cast("decimal(18,9)")
+          * col("c").cast(org.apache.spark.sql.types.DecimalType(10, 0))).as("s"))
+      .select(col(sourceCol), col("n"), col("n_labels"),
+        Dedup.ratio6(col("maxc"), col("n")).as("majority_frac"),
+        round(round(log(col("n").cast("double")), 9)
+          - col("s").cast("double") / col("n"), 6).as("label_entropy"))
+      .orderBy(col(sourceCol))
+  }
 }

@@ -218,6 +218,35 @@ object Similarity {
           |         ci AS c))).c""".stripMargin).cast("long"))
       .drop("cb")
 
+  /** In-cluster k-NN GRAPH construction: each vector's top-`k` cosine
+    * neighbors among its fixed-grid cluster's members — the graph
+    * SemDeDup-style pipelines, graph-based coresets, and label
+    * propagation consume. Blocking bounds pair work at O(Σ cᵢ²) (the
+    * SemDeDup guarantee); ranking is the q54 contract (4-dp rounded
+    * cosine, neighbor-id tie-break) so the whole graph hash-checks
+    * (q153). Vectors in singleton clusters have no in-cluster
+    * neighbors and emit no rows — by construction on both engines.
+    * At 100 TB: assignment is narrow, the self-join shuffles once on
+    * centroid, the rank window partitions by source vector. */
+  def knnGraph(spark: SparkSession, emb: DataFrame, k: Int = 3,
+      centroids: Int = 16, dims: Int = 64): DataFrame = {
+    val assigned = assignFixed(spark, emb, centroids, dims)
+    val a = assigned.select(col("vec_id").as("a_id"), col("centroid"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("centroid"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("centroid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cosine",
+        round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4) + lit(0.0))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("a_id"))
+          .orderBy(col("cosine").desc, col("b_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("a_id"), col("rank"), col("b_id"), col("centroid"),
+        col("cosine"))
+  }
+
   def semanticDedupFixed(spark: SparkSession, emb: DataFrame,
       k: Int = 16, threshold: Double = 0.35, dims: Int = 64): DataFrame = {
     val assigned = assignFixed(spark, emb, k, dims)

@@ -400,5 +400,84 @@ object Ext5Queries {
       WHERE doc_id NOT IN (SELECT new_id FROM neardup)
       ORDER BY doc_id"""))
 
-  val qs: Seq[Q] = Seq(q146, q147, q148, q149, q150, q151, q152)
+  // --------------------------------------------------------------- q153
+  // In-cluster k-NN graph: each vector's top-3 cosine neighbors among
+  // its fixed-grid cluster (q142's assignment CTEs verbatim; q54's
+  // 4-dp-rounded-cosine + id-tie ranking contract) — the graph
+  // SemDeDup-style pipelines and graph coresets consume. Singleton
+  // clusters emit no rows on either engine.
+  private val q153 = Q(
+    "q153_knn_graph",
+    (s, d) => graft.ext.Similarity.knnGraph(s, Tables.embeddings(s, d), k = 3)
+      .orderBy(col("a_id"), col("rank")),
+    Some("""WITH cgrid AS (
+        SELECT CAST(j.generate_series AS BIGINT) AS j, d.generate_series AS d,
+          CAST(CAST(('0x' || substr(md5('sc:' || j.generate_series || ':'
+            || d.generate_series), 1, 6)) AS BIGINT) % 2001 - 1000 AS DOUBLE)
+            / 1000.0 AS x
+        FROM generate_series(0, 15) j, generate_series(0, 63) d),
+      cents AS (SELECT j, list(x ORDER BY d) AS cw FROM cgrid GROUP BY j),
+      base AS (
+        SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        FROM embeddings),
+      nrm AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      dist AS (
+        SELECT b.vec_id, c.j,
+          list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, c.cw)
+            + list_dot_product(c.cw, c.cw) AS d2
+        FROM base b, cents c),
+      asg AS (
+        SELECT vec_id, j AS centroid FROM (
+          SELECT vec_id, j,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
+          FROM dist) WHERE rk = 1),
+      pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, aa.centroid,
+          round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0
+            AS cosine
+        FROM nrm a JOIN asg aa ON aa.vec_id = a.vec_id
+        JOIN asg ab ON ab.centroid = aa.centroid
+        JOIN nrm b ON b.vec_id = ab.vec_id AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT a_id, b_id, centroid, cosine,
+          CAST(row_number() OVER (PARTITION BY a_id
+                                  ORDER BY cosine DESC, b_id) AS BIGINT)
+            AS rank
+        FROM pairs)
+      SELECT a_id, rank, b_id, centroid, cosine FROM ranked
+      WHERE rank <= 3 ORDER BY a_id, rank"""))
+
+  // --------------------------------------------------------------- q154
+  // Cross-modal label-stratification audit: text table joined to the
+  // embeddings' labels on doc_id = vec_id; per source, label count,
+  // majority fraction (exact 6-dp ratio6), and label entropy in q89's
+  // exact-DECIMAL discipline — the "is every source stratified the
+  // same way" check run before a split trusts `source` as a blocking
+  // key. (A length-vs-norm correlation was rejected here: the
+  // embeddings are unit-normalized, making that statistic 0/0 by
+  // construction.)
+  private val q154 = Q(
+    "q154_label_balance",
+    (s, d) => graft.ext.Corpus.labelBalance(
+      Tables.documents(s, d),
+      Tables.embeddings(s, d).select(col("vec_id").as("doc_id"), col("label"))),
+    Some("""WITH j AS (
+        SELECT d.source, e.label
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.text IS NOT NULL),
+      lc AS (SELECT source, label, count(*) AS c FROM j GROUP BY source, label),
+      agg AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n,
+          count(*) AS n_labels, CAST(max(c) AS BIGINT) AS maxc,
+          sum(CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) * c) AS s
+        FROM lc GROUP BY source)
+      SELECT source, n, n_labels,
+        CAST((2 * maxc * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000.0
+          AS majority_frac,
+        round(round(ln(CAST(n AS DOUBLE)), 9)
+          - CAST(s AS DOUBLE) / n, 6) + 0.0 AS label_entropy
+      FROM agg ORDER BY source"""))
+
+  val qs: Seq[Q] = Seq(q146, q147, q148, q149, q150, q151, q152, q153, q154)
 }

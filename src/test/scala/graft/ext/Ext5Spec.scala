@@ -76,6 +76,41 @@ class Ext5Spec extends SparkSpec {
     assert(Dedup.containment(spark, pairs, docs, threshold = 0.5).count() == 0)
   }
 
+  test("knnGraph: planted twins are mutual top-1 at cosine 1.0; ranks bounded in-cluster") {
+    import spark.implicits._
+    val e = emb(Seq.tabulate(40) { i =>
+      // ids 0 and 1 are identical vectors — must be each other's top-1
+      val j = if (i == 1) 0 else i
+      (i.toLong, Seq.tabulate(64)(d => (((j * 13 + d * 5) % 19) - 9) / 9f))
+    })
+    val g = Similarity.knnGraph(spark, e, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    val byA = g.groupBy(_._1)
+    byA.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    assert(byA(0L).find(_._2 == 1L).get._3 == 1L)
+    assert(byA(1L).find(_._2 == 1L).get._3 == 0L)
+    assert(byA(0L).find(_._2 == 1L).get._4 == 1.0)
+  }
+
+  test("labelBalance: single-label source collapses to entropy 0, uniform source to ln k") {
+    import spark.implicits._
+    val docs = (Seq.tabulate(8)(i => (i.toLong, "some text", "mono")) ++
+      Seq.tabulate(8)(i => (8L + i, "some text", "uniform")))
+      .toDF("doc_id", "text", "source")
+    val labels = (Seq.tabulate(8)(i => (i.toLong, 7)) ++
+      Seq.tabulate(8)(i => (8L + i, i % 4))).toDF("doc_id", "label")
+    val out = Corpus.labelBalance(docs, labels).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("mono") == ((8L, 1L, 1.0, 0.0)))
+    val (n, k, maj, h) = out("uniform")
+    assert((n, k, maj) == ((8L, 4L, 0.25)))
+    assert(math.abs(h - math.log(4)) < 1e-6, s"entropy $h != ln 4")
+  }
+
   test("dedupIncrementalWinnow: recall floor vs the persisted index, seen text untouched") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +

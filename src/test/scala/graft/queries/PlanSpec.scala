@@ -235,7 +235,11 @@ class PlanSpec extends SparkSpec {
       // q152 mirrors q103's persisted-incremental shape (9): exact
       // anti-join + new-side fp explode/df cap/candidate agg + the
       // three verify joins off the candidate checkpoint
-      "q152_incremental_winnow" -> 9)
+      "q152_incremental_winnow" -> 9,
+      // q153 = in-cluster self-join on centroid + a_id rank window
+      // (assignment narrow); q154 = id join + (source,label) count +
+      // source rollup + orderBy
+      "q153_knn_graph" -> 2, "q154_label_balance" -> 3)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

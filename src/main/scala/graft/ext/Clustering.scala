@@ -24,14 +24,30 @@ object Clustering {
   def kmeans(spark: SparkSession, emb: DataFrame,
       seedPred: org.apache.spark.sql.Column, iters: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val seeds = emb.select(col(idCol).cast("long").as("vec_id"),
+      expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .filter(seedPred)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    kmeansFromCenters(spark, emb, seeds, iters, idCol, embCol)
+  }
+
+  /** [[kmeans]] from EXPLICIT initial centers — the hook for
+    * k-center/farthest-first seeding ([[kCenter]]'s picks as
+    * `(rank, vector)` pairs), the classic kmeans++-style remedy for
+    * Lloyd's sensitivity to seed placement: spread seeds cover every
+    * region, so no true cluster starts empty-handed. Spec-pinned
+    * (Ext5Spec): on a planted-blob corpus, k-center seeds reach a
+    * strictly lower within-cluster inertia than the same budget of
+    * first-k-id seeds. */
+  def kmeansFromCenters(spark: SparkSession, emb: DataFrame,
+      seeds: Seq[(Long, Seq[Double])], iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     Dot64.register(spark)
     import spark.implicits._
     val base = emb.select(col(idCol).as("vec_id"),
       expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"))
-    var cents: Seq[(Long, Seq[Double])] = base.filter(seedPred)
-      .select(col("vec_id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-    require(cents.nonEmpty, "seedPred matched no rows")
+    var cents: Seq[(Long, Seq[Double])] = seeds
+    require(cents.nonEmpty, "no seed centers")
 
     def assign(c: Seq[(Long, Seq[Double])]): DataFrame = {
       // centroids ride along as ONE literal array column; the argmin is

@@ -108,12 +108,17 @@ object Sketches {
     * broadcast-trivial. */
   def cmsHeavyHitters(docs: DataFrame, depth: Int = 4, width: Int = 1024,
       k: Int = 20, textCol: String = "text"): DataFrame = {
-    // the `depth` row hashes are DISJOINT 8-hex-char substrings of ONE
-    // md5 per token (row r = bytes 4r..4r+3) — the original
-    // md5("r:word")-per-row form cost 4 hashes + a concat per token and
-    // was the whole query's hot loop at sf1 (16.8s → the md5 is now
-    // computed once and the per-row work is a substring)
+    // ONE-PASS grid build (graft.functions.CmsSketch): per token one
+    // md5 + `depth` array increments into a task-local depth×width
+    // long grid; partials merge element-wise, so the shuffle is one
+    // 32 KB buffer per task. The original relational form exploded
+    // `depth` (r, c) rows per token into a grid groupBy — 48M
+    // generated rows at sf1 and the whole query's hot path (8.7s →
+    // the grid is the identical integer array either way; candidates
+    // read it with element_at). Row r's hash stays DISJOINT 8-hex-char
+    // substrings of ONE md5 per token (bytes 4r..4r+3).
     require(depth >= 1 && depth * 8 <= 32, s"depth=$depth needs ≤32 hex chars")
+    graft.functions.CmsSketch.register(docs.sparkSession)
     val tok = docs.select(explode(split(col(textCol), " ")).as("word"))
     val exact = tok.groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
     // exact top-k under a TOTAL order (count desc, word asc) — a
@@ -122,20 +127,17 @@ object Sketches {
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("exact_cnt").desc, col("word")))
         .cast("long"))
-    val counter: Column =
-      conv(expr("substring(h, r * 8 + 1, 8)"), 16, 10).cast("long") % width
-    val sketch = tok.withColumn("h", md5(col("word")))
-      .select(col("h"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
-      .select(col("r"), counter.as("c"))
-      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
-    val cand = top.withColumn("h", md5(col("word")))
-      .select(col("rank"), col("word"), col("exact_cnt"), col("h"),
-        explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
-      .withColumn("c", counter)
-    broadcast(cand).join(sketch, Seq("r", "c"))
-      .groupBy(col("rank"), col("word"), col("exact_cnt"))
-      .agg(min(col("cnt")).as("cms_est"))
+    val grid = tok.agg(expr(s"cms_sketch(word, $depth, $width)").as("grid"))
+    top.withColumn("h", md5(col("word")))
+      .crossJoin(broadcast(grid))
+      .withColumn("cms_est", expr(
+        s"""array_min(transform(sequence(0, ${depth - 1}), r ->
+           |  element_at(grid, CAST(r * $width
+           |    + CAST(conv(substring(h, r * 8 + 1, 8), 16, 10) AS BIGINT)
+           |      % $width AS INT) + 1)))""".stripMargin))
       .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+      .select(col("rank"), col("word"), col("exact_cnt"), col("cms_est"),
+        col("overcount"))
       .orderBy(col("rank"))
   }
 

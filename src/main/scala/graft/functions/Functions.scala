@@ -21,6 +21,7 @@ object Functions {
     XorFp48.register(spark)
     GopherStats.register(spark)
     CovMoments.register(spark)
+    CmsSketch.register(spark)
     AdcSum.register(spark)
   }
 }

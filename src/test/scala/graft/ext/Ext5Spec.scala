@@ -49,6 +49,34 @@ class Ext5Spec extends SparkSpec {
     assert(radius2 <= sel.last + 1e-9)
   }
 
+  test("kCenter seeds give kmeans perfect blob separation where first-k-id seeds collapse") {
+    // 4 well-separated blobs of 10 points; ids 0..9 are ALL in blob 0,
+    // so first-k-id seeding starts every center inside one blob (the
+    // classic Lloyd failure), while farthest-first picks one seed per
+    // blob by construction.
+    val blobs = Seq((0f, 0f), (100f, 0f), (0f, 100f), (100f, 100f))
+    val pts = for (b <- 0 until 4; i <- 0 until 10)
+      yield ((b * 10 + i).toLong,
+        Seq(blobs(b)._1 + i * 0.01f, blobs(b)._2))
+    val e = emb(pts)
+    val picks = Clustering.kCenter(spark, e, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byId = pts.toMap
+    val seeds = picks.map { case (rank, id) =>
+      (rank, byId(id).map(_.toDouble): Seq[Double]) }.toSeq
+    val good = Clustering.kmeansFromCenters(spark, e, seeds, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val naive = Clustering.kmeans(spark, e, col("vec_id") < 4, iters = 3)
+      .collect().map(r => r.getDouble(2))
+    // every blob lands in exactly one cluster under k-center seeding
+    val blobsPerCluster = good.groupBy(_._2)
+      .values.map(_.map(_._1 / 10).toSet)
+    assert(blobsPerCluster.size == 4 && blobsPerCluster.forall(_.size == 1),
+      s"mixed clusters: $blobsPerCluster")
+    assert(good.map(_._3).sum < naive.sum,
+      "k-center seeding must strictly beat collapsed first-k-id seeding")
+  }
+
   test("containment flags a fully-contained doc with c=1.0 where jaccard stays low") {
     import spark.implicits._
     val short = "the quick brown fox jumps over the lazy dog"

@@ -24,6 +24,28 @@ class SketchesSpec extends SparkSpec {
       (i.toLong, words.mkString(" "), s"s${i % 3}")
     })
 
+  test("cms_sketch aggregate equals the relational (r,c) grid cell for cell") {
+    import org.apache.spark.sql.functions._
+    val d = synth(300)
+    graft.functions.CmsSketch.register(spark)
+    val tok = d.select(explode(split(col("text"), " ")).as("word"))
+    val grid = tok.agg(expr("cms_sketch(word, 4, 1024)"))
+      .head().getSeq[Long](0)
+    val rel = tok.withColumn("h", md5(col("word")))
+      .select(explode(expr("sequence(0, 3)")).as("r"), col("h"))
+      .select(col("r"),
+        (conv(expr("substring(h, r * 8 + 1, 8)"), 16, 10).cast("long")
+          % 1024).as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt")).collect()
+    val expect = Array.fill(4096)(0L)
+    rel.foreach(row =>
+      expect(row.getInt(0) * 1024 + row.getLong(1).toInt) = row.getLong(2))
+    assert(grid.length == 4096)
+    assert(grid.toArray.sameElements(expect),
+      "one-pass grid must be bit-identical to the exploded relational grid")
+    assert(grid.sum == tok.count() * 4, "every token lands in every row")
+  }
+
   test("hllDistinct: estimate lands within HLL's expected error band") {
     // 97 distinct tokens over 3 sources; m=256 gives ~6.5% std error,
     // so 30% is a >4-sigma bound — a register-math bug (wrong bucket

@@ -57,13 +57,19 @@ object Sketches {
   def hllDistinct(docs: DataFrame, sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
     val m = 256
+    graft.functions.HllRegs.register(docs.sparkSession)
     val tok = docs.select(col(sourceCol).as("source"),
       explode(split(col(textCol), " ")).as("w"))
-    val hashed = tok.select(col("source"),
-      conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long").as("bkt"),
-      conv(substring(md5(col("w")), 3, 10), 16, 10).cast("long").as("sfx"))
-    val regs = hashed.groupBy(col("source"), col("bkt"))
-      .agg(min(col("sfx")).as("msfx"))
+    // ONE-PASS register build (graft.functions.HllRegs): one md5 + one
+    // array-min per token into a task-local 2 KB buffer, partials merge
+    // element-wise — replaces the relational build's two md5 substr
+    // hashes per token and its O(tokens) (source, bkt) min shuffle.
+    // The emitted minima are EXACTLY the relational min(sfx), so the
+    // estimator math (and the oracle) are unchanged.
+    val regs = tok.groupBy(col("source"))
+      .agg(expr("hll_regs(w)").as("rs"))
+      .select(col("source"), posexplode(col("rs")).as(Seq("bkt", "msfx")))
+      .filter(col("msfx") =!= Long.MaxValue)
       .withColumn("reg", when(col("msfx") === 0, lit(41))
         .otherwise(lit(41) - length(bin(col("msfx")))))
     val sk = regs.groupBy(col("source")).agg(

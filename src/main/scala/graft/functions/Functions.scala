@@ -22,6 +22,7 @@ object Functions {
     GopherStats.register(spark)
     CovMoments.register(spark)
     CmsSketch.register(spark)
+    HllRegs.register(spark)
     AdcSum.register(spark)
   }
 }

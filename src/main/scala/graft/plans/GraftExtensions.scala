@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdcSum, CmsSketch, CovMoments, Dot64, GopherStats, Jaccard8, MinHash48, Shingles8, SimHash16, SimHash64, XorFp48}
+import graft.functions.{AdcSum, CmsSketch, CovMoments, HllRegs, Dot64, GopherStats, Jaccard8, MinHash48, Shingles8, SimHash16, SimHash64, XorFp48}
 
 /** SparkSessionExtensions injector — the engine's permanent extension
   * wiring. Users enable it with
@@ -93,6 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => CmsSketch(children.head,
         children(1).eval().asInstanceOf[Int],
         children(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("hll_regs"),
+      new ExpressionInfo(classOf[HllRegs].getName, "hll_regs"),
+      (children: Seq[Expression]) => HllRegs(children.head)))
     // bpe_tokens is the ONE runtime-registered function deliberately NOT
     // injected here: its merge table is training-data-dependent (a
     // constructor argument, not a child expression), so a static

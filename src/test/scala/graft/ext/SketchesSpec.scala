@@ -46,6 +46,24 @@ class SketchesSpec extends SparkSpec {
     assert(grid.sum == tok.count() * 4, "every token lands in every row")
   }
 
+  test("hll_regs aggregate equals the relational per-bucket min(sfx)") {
+    import org.apache.spark.sql.functions._
+    val d = synth(300)
+    graft.functions.HllRegs.register(spark)
+    val tok = d.select(explode(split(col("text"), " ")).as("w"))
+    val regs = tok.agg(expr("hll_regs(w)")).head().getSeq[Long](0)
+    val rel = tok.select(
+        conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long").as("bkt"),
+        conv(substring(md5(col("w")), 3, 10), 16, 10).cast("long").as("sfx"))
+      .groupBy(col("bkt")).agg(min(col("sfx")).as("m")).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(regs.length == 256)
+    regs.zipWithIndex.foreach { case (v, b) =>
+      assert(v == rel.getOrElse(b, Long.MaxValue),
+        s"bucket $b: aggregate $v != relational ${rel.get(b)}")
+    }
+  }
+
   test("hllDistinct: estimate lands within HLL's expected error band") {
     // 97 distinct tokens over 3 sources; m=256 gives ~6.5% std error,
     // so 30% is a >4-sigma bound — a register-math bug (wrong bucket

@@ -205,11 +205,12 @@ class PlanSpec extends SparkSpec {
       // eval grams broadcast); q141 is the point: the compiled probe
       // leaves NOTHING but the final orderBy; q142: in-cluster pair
       // join + drop anti-join + orderBy (assignment narrow, CC eager)
-      // q139 re-audited after the one-pass cms_sketch aggregate: the
-      // exact histogram + the single-buffer grid reduce (the 4-rows-
-      // per-token (r,c) explode/groupBy is gone; candidates read the
-      // broadcast grid with element_at)
-      "q138_hll_distinct" -> 5, "q139_cms_heavy_hitters" -> 2,
+      // q138/q139 re-audited after the one-pass sketch aggregates
+      // (hll_regs / cms_sketch): the O(tokens) register and (r,c)
+      // grid shuffles are gone — partials are fixed-size buffers that
+      // merge element-wise; what remains is the exact calibration
+      // twin + bounded estimator/candidate stages
+      "q138_hll_distinct" -> 4, "q139_cms_heavy_hitters" -> 2,
       "q140_bloom_decontam" -> 6, "q141_bloom_narrow" -> 1,
       "q142_semantic_dedup" -> 3,
       // q143: the corpus shuffles ONCE per order-statistic family

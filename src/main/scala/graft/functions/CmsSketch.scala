@@ -63,10 +63,7 @@ case class CmsSketch(
       val h = md.digest(v.asInstanceOf[UTF8String].getBytes)
       var r = 0
       while (r < depth) {
-        // bytes 4r..4r+3 big-endian unsigned == hex chars r*8+1..r*8+8
-        val u = ((h(4 * r) & 0xffL) << 24) | ((h(4 * r + 1) & 0xffL) << 16) |
-          ((h(4 * r + 2) & 0xffL) << 8) | (h(4 * r + 3) & 0xffL)
-        buf(r * width + (u % width).toInt) += 1L
+        buf(r * width + CmsSketch.cell(h, r, width)) += 1L
         r += 1
       }
     }
@@ -104,11 +101,22 @@ case class CmsSketch(
 
 object CmsSketch {
 
-  private[functions] val digest =
+  private[graft] val digest =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
     }
+
+  /** Row `r`'s counter index for an md5 digest: bytes 4r..4r+3
+    * big-endian unsigned mod `width` — == hex chars r·8+1..r·8+8 of
+    * the hex rendering (`('0x' || substr(md5(w), r*8+1, 8))::BIGINT %
+    * width`). Shared by the aggregate and the streaming tracker so
+    * their cells can never diverge. */
+  @inline def cell(h: Array[Byte], r: Int, width: Int): Int = {
+    val u = ((h(4 * r) & 0xffL) << 24) | ((h(4 * r + 1) & 0xffL) << 16) |
+      ((h(4 * r + 2) & 0xffL) << 8) | (h(4 * r + 3) & 0xffL)
+    (u % width).toInt
+  }
 
   /** Idempotent session registration: `cms_sketch(word, depth, width)`
     * with foldable integer depth/width. */

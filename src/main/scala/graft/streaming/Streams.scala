@@ -460,6 +460,60 @@ object Streams {
       coalesce(expr("bloom_decontam(text)"), lit(false)).as("bloom_hit"))
   }
 
+  final case class CmsTok(source: String, word: String)
+
+  /** Running per-source Count–Min frequency tracking on a stream: the
+    * depth×width grid ([[graft.functions.CmsSketch]]) as
+    * mapGroupsWithState state — 32 KB per source, period — emitting
+    * the current estimate for each `watch`ed token per trigger. Counts
+    * are add-mergeable, so after any sequence of micro-batches each
+    * estimate is BIT-IDENTICAL to the batch `cms_sketch` grid over
+    * everything seen (StreamsSpec pins stream ≡ batch); the cell
+    * arithmetic is shared with the aggregate via [[CmsSketch.cell]],
+    * so the two paths cannot diverge. The standard streaming
+    * frequency monitor: no token map, no growth, one-sided error.
+    * Run with OutputMode.Update. */
+  def cmsTrack(docs: DataFrame, watch: Seq[String],
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val watchArr = watch.toArray
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .as[CmsTok]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (src: String, toks: Iterator[CmsTok],
+         state: GroupState[Array[Long]]) =>
+          val grid = state.getOption.getOrElse(new Array[Long](depth * width))
+          val md = graft.functions.CmsSketch.digest.get()
+          toks.foreach { t =>
+            md.reset()
+            val h = md.digest(t.word.getBytes("UTF-8"))
+            var r = 0
+            while (r < depth) {
+              grid(r * width + graft.functions.CmsSketch.cell(h, r, width)) += 1L
+              r += 1
+            }
+          }
+          state.update(grid)
+          watchArr.iterator.map { w =>
+            md.reset()
+            val h = md.digest(w.getBytes("UTF-8"))
+            var est = Long.MaxValue
+            var r = 0
+            while (r < depth) {
+              val c = grid(r * width + graft.functions.CmsSketch.cell(h, r, width))
+              if (c < est) est = c
+              r += 1
+            }
+            (src, w, est)
+          }
+      }
+      .toDF("source", "word", "cms_est")
+  }
+
   final case class HllTok(source: String, bkt: Int, rho: Int)
 
   /** Running per-source distinct-token estimate on a stream — the HLL

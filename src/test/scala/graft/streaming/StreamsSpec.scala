@@ -124,6 +124,44 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming CMS tracker equals the batch cms_sketch grid over everything seen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.CmsSketch.register(spark)
+    val watch = Seq("alpha", "beta", "unseen")
+    val mem = MemoryStream[(String, String)]
+    val q = Streams.cmsTrack(mem.toDF().toDF("source", "text"), watch)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cms").start()
+    val b1 = Seq(("s0", "alpha beta alpha gamma"), ("s0", "beta alpha"))
+    val b2 = Seq(("s0", "alpha delta delta"), ("s1", "beta beta"))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    // memory sink in update mode: keep the LAST row per (source, word)
+    val streamed = spark.sql(
+        "SELECT source, word, cms_est FROM cms").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rows) => k -> rows.last.getLong(2) }
+    val batch = (b1 ++ b2).toDF("source", "text")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source")).agg(expr("cms_sketch(word, 4, 1024)").as("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def est(src: String, w: String): Long = {
+      md.reset()
+      val h = md.digest(w.getBytes("UTF-8"))
+      (0 until 4).map(r =>
+        batch(src)(r * 1024 + graft.functions.CmsSketch.cell(h, r, 1024))).min
+    }
+    for (src <- Seq("s0", "s1"); w <- watch)
+      assert(streamed((src, w)) == est(src, w), s"($src, $w)")
+    // sanity on the planted counts: alpha seen 4x in s0, never in s1
+    assert(streamed(("s0", "alpha")) >= 4 && streamed(("s1", "unseen")) >= 0)
+    q.stop()
+  }
+
   test("streaming fixed-grid cluster assignment matches the batch argmin bitwise") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

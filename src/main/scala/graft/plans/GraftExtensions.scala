@@ -31,7 +31,13 @@ import graft.functions.{AdcSum, CmsSketch, CovMoments, HllRegs, Dot64, GopherSta
   *  - `gopher_stats(text)` → struct: the narrow quality gate's per-row
   *    statistics in one compiled pass (graft.functions.GopherStats);
   *  - `adc_sum(tbl, codes)` → double: codegen'd asymmetric-distance
-  *    table fold for PQ/SQ search (graft.functions.AdcSum).
+  *    table fold for PQ/SQ search (graft.functions.AdcSum);
+  *  - `cov_moments(v, dims)` → array<double>: one-pass covariance
+  *    moment aggregate (graft.functions.CovMoments);
+  *  - `cms_sketch(word, depth, width)` → array<long>: one-pass
+  *    Count–Min counter grid (graft.functions.CmsSketch);
+  *  - `hll_regs(word)` → array<long>: one-pass HyperLogLog register
+  *    minima (graft.functions.HllRegs).
   *
   * One optimizer rule is injected: [[DotProductRewrite]], which
   * replaces the interpreted `aggregate(zip_with(a, b, (x,y) -> x*y),

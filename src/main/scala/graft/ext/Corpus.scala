@@ -394,6 +394,44 @@ object Corpus {
       .orderBy(col(sourceCol))
   }
 
+  /** Bounded-state quantiles for CONTINUOUS columns: fixed-range
+    * equi-width histogram (`bins` cells of `width` starting at `lo`,
+    * clamped) + [[lengthPercentiles]]'s pure-integer rank condition,
+    * answering each percentile with the UPPER EDGE of the smallest
+    * bin whose cumulative count reaches the rank — error bounded by
+    * one bin width, state bounded by `groups × bins` forever.
+    *
+    * Why it exists next to [[lengthPercentiles]]: the exact
+    * order-statistic path builds a per-VALUE count table — exact and
+    * cheap for discrete domains (lengths), but on a continuous double
+    * column every value is distinct and the "bounded" table IS the
+    * corpus. Binning first restores the bound at a declared
+    * resolution. Cross-engine exactness: with dyadic `lo`/`width` the
+    * bin index (`floor((v − lo)/width)` on identical doubles) and the
+    * reported edge (`lo + (bin+1)·width`) are exact IEEE arithmetic
+    * no engine pair can disagree on — no rounding discipline at all. */
+  def histQuantiles(df: DataFrame, value: org.apache.spark.sql.Column,
+      groupCol: String, lo: Double, width: Double, bins: Int = 256,
+      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(bins >= 1 && width > 0, s"bins=$bins width=$width")
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percents out of range: $ps")
+    val wcum = Window.partitionBy(col(groupCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol),
+        least(greatest(floor((value - lo) / width), lit(0.0)),
+          lit((bins - 1).toDouble)).cast("long").as("_b"))
+      .groupBy(col(groupCol), col("_b")).agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(wcum))
+      .withColumn("_n", sum(col("_c")).over(wall))
+      .groupBy(col(groupCol))
+      .agg(max(col("_n")).as("n"),
+        ps.map(p => min(when(col("_cum") * 100 >= col("_n") * p,
+          (col("_b") + 1) * width + lo)).as(s"p$p")): _*)
+      .orderBy(col(groupCol))
+  }
+
   /** Cross-modal label-stratification audit: join the text table to an
     * id-aligned label table (here the embeddings' `label` column) and
     * report per source the label count, majority fraction (exact 6-dp

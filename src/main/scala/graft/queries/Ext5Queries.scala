@@ -479,5 +479,64 @@ object Ext5Queries {
           - CAST(s AS DOUBLE) / n, 6) + 0.0 AS label_entropy
       FROM agg ORDER BY source"""))
 
-  val qs: Seq[Q] = Seq(q146, q147, q148, q149, q150, q151, q152, q153, q154)
+  // --------------------------------------------------------------- q155
+  // Histogram quantiles for a CONTINUOUS column — per-label p50/p90/p99
+  // of each embedding's min dist² to the fixed centroid grid (q142's
+  // assignment distances), through 256 equi-width dyadic bins over
+  // [0, 64) and q144's pure-integer rank condition. The exact
+  // order-statistic path (q144) degenerates on continuous doubles
+  // (every value distinct → the "bounded" count table is the corpus);
+  // binning restores the |groups|×256 bound at a declared 0.25
+  // resolution. Bin indices and reported edges are exact IEEE dyadic
+  // arithmetic — zero rounding discipline.
+  private val q155 = Q(
+    "q155_dist_quantiles",
+    (s, d) => {
+      graft.functions.Dot64.register(s)
+      val base = Tables.embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("cb",
+          typedLit(graft.ext.Similarity.fixedCentroids(16, 64)))
+        .withColumn("d2", expr(
+          "array_min(transform(cb, cw -> dot64(v, v) - 2 * dot64(v, cw) + dot64(cw, cw)))"))
+        .select(col("label"), col("d2"))
+      graft.ext.Corpus.histQuantiles(base, col("d2"), "label",
+        lo = 0.0, width = 0.25, bins = 256, ps = Seq(50, 90, 99))
+    },
+    Some("""WITH cgrid AS (
+        SELECT CAST(j.generate_series AS BIGINT) AS j, d.generate_series AS d,
+          CAST(CAST(('0x' || substr(md5('sc:' || j.generate_series || ':'
+            || d.generate_series), 1, 6)) AS BIGINT) % 2001 - 1000 AS DOUBLE)
+            / 1000.0 AS x
+        FROM generate_series(0, 15) j, generate_series(0, 63) d),
+      cents AS (SELECT j, list(x ORDER BY d) AS cw FROM cgrid GROUP BY j),
+      base AS (
+        SELECT vec_id, label,
+          list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        FROM embeddings),
+      dist AS (
+        SELECT b.vec_id, b.label,
+          list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, c.cw)
+            + list_dot_product(c.cw, c.cw) AS d2
+        FROM base b, cents c),
+      mind AS (
+        SELECT vec_id, label, min(d2) AS d2 FROM dist GROUP BY vec_id, label),
+      binned AS (
+        SELECT label,
+          CAST(least(greatest(floor(d2 / 0.25), 0), 255) AS BIGINT) AS b
+        FROM mind),
+      bc AS (SELECT label, b, count(*) AS c FROM binned GROUP BY label, b),
+      cum AS (
+        SELECT label, b, c,
+          sum(c) OVER (PARTITION BY label ORDER BY b) AS cum,
+          sum(c) OVER (PARTITION BY label) AS n
+        FROM bc)
+      SELECT label, CAST(max(n) AS BIGINT) AS n,
+        min(CASE WHEN 100 * cum >= 50 * n THEN (b + 1) * 0.25 END) AS p50,
+        min(CASE WHEN 100 * cum >= 90 * n THEN (b + 1) * 0.25 END) AS p90,
+        min(CASE WHEN 100 * cum >= 99 * n THEN (b + 1) * 0.25 END) AS p99
+      FROM cum GROUP BY label ORDER BY label"""))
+
+  val qs: Seq[Q] = Seq(q146, q147, q148, q149, q150, q151, q152, q153, q154,
+    q155)
 }

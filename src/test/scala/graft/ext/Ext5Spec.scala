@@ -161,6 +161,28 @@ class Ext5Spec extends SparkSpec {
     assert(kept == Set(32L), s"got $kept")
   }
 
+  test("histQuantiles: edge semantics, one-bin-width error bound, range clamping") {
+    import spark.implicits._
+    // group a: 100 values 0.0, 0.1, ..., 9.9 → with width 0.5 the p50
+    // edge is the smallest bin edge covering rank 50 (value 4.9 → bin 9
+    // → edge 5.0); group b: constants land in one bin; group c: values
+    // outside [lo, lo+bins·w) clamp to the boundary bins
+    val df = (Seq.tabulate(100)(i => ("a", i / 10.0)) ++
+      Seq.fill(10)(("b", 2.2)) ++ Seq(("c", -5.0), ("c", 1e9)))
+      .toDF("g", "v")
+    val out = Corpus.histQuantiles(df, col("v"), "g",
+        lo = 0.0, width = 0.5, bins = 16, ps = Seq(50, 99)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(out("a") == ((100L, 5.0, 8.0)),
+      s"a: ${out("a")}") // true p50=4.9→edge 5.0; p99=9.8→bin 16 clamped →edge 8.0
+    assert(out("b") == ((10L, 2.5, 2.5))) // one bin: every quantile = its edge
+    assert(out("c") == ((2L, 0.5, 8.0))) // clamped to first/last bins
+    // error bound: each reported edge is within one width above the
+    // true quantile for in-range data
+    assert(out("a")._2 - 4.9 <= 0.5 + 1e-9)
+  }
+
   test("clusterCap census: contiguous in-cluster ranks, cap respected, all rows kept") {
     val e = emb(Seq.tabulate(120) { i =>
       (i.toLong, Seq.tabulate(64)(d => (((i * 13 + d * 5) % 19) - 9) / 9f))

@@ -244,7 +244,11 @@ class PlanSpec extends SparkSpec {
       // q153 = in-cluster self-join on centroid + a_id rank window
       // (assignment narrow); q154 = id join + (source,label) count +
       // source rollup + orderBy
-      "q153_knn_graph" -> 2, "q154_label_balance" -> 3)
+      "q153_knn_graph" -> 2, "q154_label_balance" -> 3,
+      // q155 = the q144 two-phase shape on binned continuous values:
+      // (label, bin) count + label-bounded cumulative window + final
+      // conditional-min agg/orderBy (the d2 pass itself is narrow)
+      "q155_dist_quantiles" -> 3)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -72,11 +72,19 @@ object Ext5Queries {
 
   /** The shared 8-step merge-learning CTE chain (`wd`/`vc`/`v0` +
     * per-step `w_i, p_i, c_i, b_i, v_i`): `b_i` is step i's winning
-    * pair, `v_i` the vocabulary after applying it (the space-padded
-    * `replace` — greedy left-to-right non-overlapping, exactly the
-    * trainer's pending-symbol fold). `v_i` carries the raw word `w` so
-    * consumers (q150) can join the trained vocabulary back onto the
-    * corpus. */
+    * pair, `v_i` the vocabulary after applying it via a `list_reduce`
+    * that replays the trainer's pending-symbol fold EXACTLY — greedy
+    * left-to-right non-overlapping. (A single space-padded `replace`
+    * is NOT that fold: adjacent occurrences share one separator space,
+    * so `replace(' a a a a ', ' a a ', ' aa ')` leaves ' aa a a ', and
+    * even iterating to a fixed point mis-orders odd self-pair runs —
+    * 'aaaaa' becomes [aa,a,aa] where the fold gives [aa,aa,a] —
+    * corrupting the next step's pair census. The fold merges iff the
+    * accumulator's LAST symbol equals lhs; a merge product lhs||rhs is
+    * strictly longer than lhs so it can never false-positive, making
+    * the reduce bit-equal to the trainer's (acc, pending) scan.)
+    * `v_i` carries the raw word `w` so consumers (q150) can join the
+    * trained vocabulary back onto the corpus. */
   private def bpeMergeCtes: String = {
     val cap = graft.functions.MinHash48.MaxShinglePos
     val steps = (1 to BpeSteps).map { i =>
@@ -89,9 +97,15 @@ object Ext5Queries {
          |      c$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
          |        FROM p$i GROUP BY pair),
          |      b$i AS (SELECT pair, cnt FROM c$i ORDER BY cnt DESC, pair LIMIT 1),
-         |      v$i AS (SELECT w, replace(sym, ' ' || b.pair || ' ',
-         |          ' ' || replace(b.pair, ' ', '') || ' ') AS sym, freq
-         |        FROM v${i - 1}, b$i b)""".stripMargin
+         |      bx$i AS (SELECT string_split(pair, ' ')[1] AS lhs,
+         |          string_split(pair, ' ')[2] AS rhs FROM b$i),
+         |      v$i AS (SELECT w,
+         |          list_reduce(string_split(trim(sym), ' '),
+         |            (acc, x) -> CASE WHEN x = b.rhs
+         |                AND (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
+         |              THEN left(acc, len(acc) - len(b.lhs)) || b.lhs || b.rhs
+         |              ELSE acc || ' ' || x END) AS sym, freq
+         |        FROM v${i - 1}, bx$i b)""".stripMargin
     }.mkString(",\n      ")
     s"""wd AS (
         SELECT unnest((string_split(text, ' '))[1:$cap]) AS w

@@ -136,6 +136,29 @@ class TextStats4Spec extends SparkSpec {
     vocab.unpersist(false)
   }
 
+  test("bpeTrain greedy fold is exact on repeated-pair runs (the 'aaaaa' trap)") {
+    import spark.implicits._
+    // corpus "aaaaa aaaa abab ab" — hand-computed fold trajectory:
+    //   step1: (a,a)=4+3=7 wins → aaaaa=[aa,aa,a], aaaa=[aa,aa]
+    //     (a single space-padded replace would give [aa,a,aa] / [aa,a,a];
+    //      iterating that replace to a fixed point still mis-orders the
+    //      odd run as [aa,a,aa] — only the pending-symbol fold is right)
+    //   step2: (a,b)=3 beats (aa,aa)=2 → abab=[ab,ab], ab=[ab]
+    //   step3: (aa,aa)=2 wins ONLY under fold order → aaaaa=[aaaa,a]
+    val docs = Seq((0L, "aaaaa aaaa abab ab")).toDF("doc_id", "text")
+    val (merges, vocab) = TextStats.bpeTrainVocab(docs, nMerges = 3)
+    assert(merges == Seq(
+      (1, "a", "a", "aa", 7L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "aa", "aaaa", 2L)), s"got $merges")
+    val segs = vocab.select(col("w"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(segs("aaaaa") == List("aaaa", "a"), s"got ${segs("aaaaa")}")
+    assert(segs("aaaa") == List("aaaa"))
+    assert(segs("abab") == List("ab", "ab"))
+    vocab.unpersist(false)
+  }
+
   test("bpeTrain stops early when no pairs remain and escapes quote symbols") {
     import spark.implicits._
     // single-char words only → zero adjacent pairs → no merges

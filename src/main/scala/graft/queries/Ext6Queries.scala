@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-8 batch (q156+): query-time-only twins of the persisted-
+  * artifact paths. q116/q126 deliberately rebuild their artifact
+  * (IVF index / DSIR model) inside the query so the driver proves
+  * build+query ≡ inline — but that makes their BENCH rows charge the
+  * one-time build cost to every shot. These rows bench the production
+  * steady state: artifact built ONCE per (kind, sfDir) into a memoized
+  * fixture dir, the query is load + search/score alone. Oracles are
+  * shared VERBATIM with the inline forms (q66 / q124), so correctness
+  * still pins search-over-prebuilt ≡ inline end to end.
+  */
+object Ext6Queries {
+
+  /** Build-once fixture dirs, memoized per (kind, sfDir) for the JVM's
+    * lifetime: the first caller builds the artifact, every later call
+    * (bench shots 2..n, or a second query sharing the artifact) reuses
+    * it. `computeIfAbsent` makes the build exactly-once even under
+    * concurrent callers. Bench's per-shot `isolate()` only clears
+    * cached relations / persistent RDDs — on-disk fixtures survive, so
+    * min-of-N reports the pure query-time cost (the steady state a
+    * build-once/query-many deployment runs in). */
+  private[queries] object Fixtures {
+    private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def dir(kind: String, sfDir: String)(build: String => Unit): String =
+      built.computeIfAbsent(s"$kind|$sfDir", { _ =>
+        val p = java.nio.file.Files.createTempDirectory(s"graft-$kind-").toString
+        build(p)
+        p
+      })
+  }
+
+  // --------------------------------------------------------------- q156
+  // IVF search ONLY, against a PREBUILT persisted index on q66's exact
+  // parameters (q116's build+search conflation split apart): the index
+  // is written once per sfDir (outside every shot but the first),
+  // the query is centroid probe + partition-pruned cell rerank. Shares
+  // q66's oracle VERBATIM — same ranking contract as ivfTopK/q116.
+  private val q156 = Q(
+    "q156_ivf_search_only",
+    (s, d) => {
+      val idx = Fixtures.dir("ivfidx", d) { p =>
+        graft.ext.Similarity.writeIvfIndex(s, Tables.embeddings(s, d),
+          centroidPred = col("vec_id") % 50 === 0, p)
+      }
+      graft.ext.Similarity.ivfTopKIndexed(s, idx,
+          Tables.embeddings(s, d).filter(col("vec_id") % 97 === 0),
+          nProbe = 2, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    ExtQueries.qs.find(_.name == "q66_ivf_topk").get.oracle) // q66 VERBATIM
+
+  // --------------------------------------------------------------- q157
+  // DSIR scoring ONLY, against a PREBUILT persisted model on q124's
+  // exact parameters (q126's train+score conflation split apart): the
+  // λ table is trained and persisted once per sfDir, the query is
+  // loadDsirModel (bucket-bounded metadata read) + the fully-narrow
+  // compiled scorer. Shares q124's oracle VERBATIM — DECIMAL addition
+  // is order-free, so persisted-reload cannot move a single ulp.
+  private val q157 = Q(
+    "q157_dsir_score_only",
+    (s, d) => {
+      val model = Fixtures.dir("dsir", d) { p =>
+        graft.ext.TextStats.writeDsirModel(s,
+          graft.ext.TextStats.trainDsirModel(Tables.documents(s, d),
+            col("lang") === "en"), p)
+      }
+      graft.ext.TextStats.dsirScoreNarrow(
+          Tables.documents(s, d).filter(col("lang") =!= "en"),
+          graft.ext.TextStats.loadDsirModel(s, model))
+        .orderBy(col("doc_id"))
+    },
+    Ext3Queries.qs.find(_.name == "q124_dsir_weight").get.oracle) // q124 VERBATIM
+
+  val qs: Seq[Q] = Seq(q156, q157)
+}

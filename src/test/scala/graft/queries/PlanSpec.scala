@@ -248,7 +248,13 @@ class PlanSpec extends SparkSpec {
       // q155 = the q144 two-phase shape on binned continuous values:
       // (label, bin) count + label-bounded cumulative window + final
       // conditional-min agg/orderBy (the d2 pass itself is narrow)
-      "q155_dist_quantiles" -> 3)
+      "q155_dist_quantiles" -> 3,
+      // round-8 steady-state twins (PlanAudit on this commit): q156
+      // mirrors q116's probe/rerank shape (4 — the index build runs
+      // once into the memoized fixture, outside the plan); q157
+      // mirrors q126's narrow scorer (1 = final orderBy; model load
+      // is a bucket-bounded eager read)
+      "q156_ivf_search_only" -> 4, "q157_dsir_score_only" -> 1)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

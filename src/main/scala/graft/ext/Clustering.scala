@@ -103,9 +103,9 @@ object Clustering {
     * `k · dims` doubles — never corpus-proportional. Per-round work is
     * O(|chosen|) compiled dot products per row, so total cost is
     * O(k²/2) dots/row — the right trade below k ≈ a few hundred; past
-    * that you'd persist a running min-distance column per round
-    * (the star-CC localCheckpoint discipline) instead of recomputing
-    * from literals.
+    * that use [[kCenterIncremental]], which persists the running
+    * min-distance column per round (the star-CC localCheckpoint
+    * discipline) instead of recomputing from literals.
     *
     * Returns `k` rows `(rank, vec_id, sel_d2, radius2)`: `sel_d2` = the
     * point's min-dist² at selection time (0 for the seed), `radius2` =
@@ -139,6 +139,72 @@ object Clustering {
       r += 1
     }
     val radius2 = withMin(base).agg(max(col("md"))).collect()(0).getDouble(0)
+    sels.toSeq.toDF("rank", "vec_id", "sel_d2")
+      .withColumn("sel_d2", round(col("sel_d2"), 6) + lit(0.0))
+      .withColumn("radius2", round(lit(radius2), 6) + lit(0.0))
+      .orderBy(col("rank"))
+  }
+
+  /** [[kCenter]] with a PERSISTED running min-distance column — the
+    * large-k form. The literal variant recomputes all `|chosen|`
+    * distances per row per round (O(k²/2) dots/row total, quadratic in
+    * k); this one localCheckpoints `(vec_id, v, vv, md)` each round and
+    * folds ONLY the newest center in (`least(md, d2_new)` — one dot/row
+    * per round, flat in k), releasing superseded blocks like
+    * [[graft.ext.Dedup.clustersAltStar]].
+    *
+    * Bit-equal to [[kCenter]] (ClusteringSpec pins it): the literal
+    * form's `array_min` and this chained `least` fold the SAME IEEE
+    * distance multiset — `vv − 2·dot64(v,c) + cc` against the same
+    * center values — and double `min` under Spark's total order is
+    * associative, so every round's argmax sees identical `md` and the
+    * whole greedy trajectory (picks, sel_d2, radius2) is unchanged.
+    * Per-round wall cost is flat in k (ScaleProbe `kcenter` decade). */
+  def kCenterIncremental(spark: SparkSession, emb: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    Dot64.register(spark)
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val added = sc.getPersistentRDDs.collect {
+        case (id, rdd) if !before.contains(id) => rdd
+      }.toSeq
+      (out, added)
+    }
+    val base = emb.select(col(idCol).cast("long").as("vec_id"),
+      expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("vv", expr("dot64(v, v)"))
+    val seed = base.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v"), col("vv")).collect()(0)
+    // same IEEE arithmetic as the literal form: (vv − 2·dot) + cc with
+    // the newest center riding as the literal array column cN
+    var (cur, blocks) = checkpointTracked(
+      base.withColumn("cN", typedLit(seed.getSeq[Double](1)))
+        .withColumn("md",
+          col("vv") - lit(2.0) * expr("dot64(v, cN)") + lit(seed.getDouble(2)))
+        .select(col("vec_id"), col("v"), col("vv"), col("md")))
+    val sels = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](
+      (1L, seed.getLong(0), 0.0))
+    var r = 2
+    while (r <= k) {
+      val cand = cur.orderBy(col("md").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v"), col("vv"), col("md")).collect()(0)
+      sels += ((r.toLong, cand.getLong(0), cand.getDouble(3)))
+      val (next, nextBlocks) = checkpointTracked(
+        cur.withColumn("cN", typedLit(cand.getSeq[Double](1)))
+          .withColumn("md", least(col("md"),
+            col("vv") - lit(2.0) * expr("dot64(v, cN)") + lit(cand.getDouble(2))))
+          .select(col("vec_id"), col("v"), col("vv"), col("md")))
+      blocks.foreach(_.unpersist(blocking = false))
+      cur = next
+      blocks = nextBlocks
+      r += 1
+    }
+    val radius2 = cur.agg(max(col("md"))).collect()(0).getDouble(0)
+    blocks.foreach(_.unpersist(blocking = false))
     sels.toSeq.toDF("rank", "vec_id", "sel_d2")
       .withColumn("sel_d2", round(col("sel_d2"), 6) + lit(0.0))
       .withColumn("radius2", round(lit(radius2), 6) + lit(0.0))

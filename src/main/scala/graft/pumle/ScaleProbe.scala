@@ -583,6 +583,22 @@ object ScaleProbe {
     println(f"[probe] kcenter: 8 rounds over $nVecK%d vecs in $secsK%.1fs " +
       f"= ${secsK / 8}%.2fs/round, radius2 ${kc.head.getAs[Double]("radius2")}%.3f")
 
+    // large-k decade: the persisted running-min variant at k=256 over
+    // the same 1M vecs. The literal form pays O(|chosen|) dots/row per
+    // round (quadratic-in-k total); the incremental form folds only the
+    // newest center into a localCheckpointed md column — per-round cost
+    // must be FLAT in k (k=256's s/round ≈ k=32's s/round), which is
+    // what licenses coreset selection at k in the thousands.
+    val tKi1 = System.nanoTime()
+    graft.ext.Clustering.kCenterIncremental(spark, embK, k = 32).collect()
+    val rKi1 = (System.nanoTime() - tKi1) / 1e9 / 32
+    val tKi2 = System.nanoTime()
+    val kci = graft.ext.Clustering.kCenterIncremental(spark, embK, k = 256).collect()
+    val rKi2 = (System.nanoTime() - tKi2) / 1e9 / 256
+    println(f"[probe] kcenter incremental: k=32 ${rKi1}%.2fs/round vs " +
+      f"k=256 ${rKi2}%.2fs/round (flat-in-k ratio ${rKi2 / rKi1}%.2f), " +
+      f"radius2 ${kci.head.getAs[Double]("radius2")}%.3f")
+
     // cluster-capped subsampling at volume: fixed-grid assignment
     // (narrow) + one rank shuffle keyed by 16 centroids over 1M vecs.
     val tCc = System.nanoTime()

@@ -49,6 +49,37 @@ class Ext5Spec extends SparkSpec {
     assert(radius2 <= sel.last + 1e-9)
   }
 
+  test("kCenterIncremental: bit-equal trajectory to the literal form") {
+    // irregular float coordinates so distances are non-trivial doubles —
+    // any fold-order divergence between array_min-over-literals and the
+    // persisted least() chain would surface as a raw-bit mismatch
+    val e = emb(Seq.tabulate(60) { i =>
+      (i.toLong, Seq.tabulate(6)(d =>
+        ((i * 37 + d * 13) % 101 - 50) * 0.173f))
+    })
+    for (k <- Seq(1, 2, 7, 12)) {
+      val lit = Clustering.kCenter(spark, e, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+      val inc = Clustering.kCenterIncremental(spark, e, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+      assert(lit.toSeq == inc.toSeq, s"k=$k trajectories diverge")
+    }
+  }
+
+  test("kCenterIncremental releases every superseded checkpoint block") {
+    val e = emb(Seq.tabulate(50) { i =>
+      (i.toLong, Seq.tabulate(4)(d => ((i * 31 + d * 7) % 17 - 8).toFloat))
+    })
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Clustering.kCenterIncremental(spark, e, k = 8).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked checkpoint blocks: $leaked")
+  }
+
   test("kCenter seeds give kmeans perfect blob separation where first-k-id seeds collapse") {
     // 4 well-separated blobs of 10 points; ids 0..9 are ALL in blob 0,
     // so first-k-id seeding starts every center inside one blob (the

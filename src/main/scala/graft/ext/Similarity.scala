@@ -227,10 +227,17 @@ object Similarity {
     * (q153). Vectors in singleton clusters have no in-cluster
     * neighbors and emit no rows — by construction on both engines.
     * At 100 TB: assignment is narrow, the self-join shuffles once on
-    * centroid, the rank window partitions by source vector. */
+    * centroid, the rank window partitions by source vector; pass
+    * `maxCluster` (+ `capMetrics`) to exclude boilerplate mega-clusters
+    * from the quadratic pair work with an observable drop — see
+    * [[capHotClusters]]. Capped members emit no rows (like
+    * singletons); kept clusters are bit-identical to unguarded. */
   def knnGraph(spark: SparkSession, emb: DataFrame, k: Int = 3,
-      centroids: Int = 16, dims: Int = 64): DataFrame = {
-    val assigned = assignFixed(spark, emb, centroids, dims)
+      centroids: Int = 16, dims: Int = 64,
+      maxCluster: Int = Int.MaxValue,
+      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val assigned = capHotClusters(
+      assignFixed(spark, emb, centroids, dims), maxCluster, capMetrics)
     val a = assigned.select(col("vec_id").as("a_id"), col("centroid"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("vec_id").as("b_id"), col("centroid"),
@@ -247,9 +254,46 @@ object Similarity {
         col("cosine"))
   }
 
+  /** Hot-centroid guard for the in-cluster self-joins: pair work is
+    * O(Σ cᵢ²) BY DESIGN, but one mega-cluster (boilerplate-heavy
+    * corpora collapse into few cells) makes a single task quadratic —
+    * c = 10M members is 10¹⁴ pairs, which no salting rescues (salt
+    * spreads the quadratic work, it doesn't shrink it). The guard
+    * EXCLUDES clusters above `maxCluster` from the pair join entirely
+    * (whole-cluster, deterministic — never a sample, so the kept
+    * clusters' results are bit-identical to the unguarded form), with
+    * the drop observable via `capMetrics` (q74's cap-stats discipline:
+    * capped_clusters / capped_members / max_cluster_size). The default
+    * `maxCluster = Int.MaxValue` with no metrics leaves the original
+    * zero-extra-shuffle plan untouched (q142/q153 oracles unchanged).
+    * The cluster-size table is |centroids|-bounded and broadcasts. */
+  private def capHotClusters(assigned: DataFrame, maxCluster: Int,
+      capMetrics: Option[org.apache.spark.sql.Observation]): DataFrame =
+    if (maxCluster == Int.MaxValue && capMetrics.isEmpty) assigned
+    else {
+      val sized0 = assigned.groupBy(col("centroid"))
+        .agg(count(lit(1)).as("csize"))
+      val sized = capMetrics.fold(sized0)(o => sized0.observe(o,
+        sum(when(col("csize") > maxCluster, lit(1L)).otherwise(lit(0L)))
+          .as("capped_clusters"),
+        sum(when(col("csize") > maxCluster, col("csize")).otherwise(lit(0L)))
+          .as("capped_members"),
+        max(col("csize")).as("max_cluster_size")))
+      assigned
+        .join(broadcast(sized.filter(col("csize") <= maxCluster)
+          .select(col("centroid"))), Seq("centroid"))
+    }
+
   def semanticDedupFixed(spark: SparkSession, emb: DataFrame,
-      k: Int = 16, threshold: Double = 0.35, dims: Int = 64): DataFrame = {
-    val assigned = assignFixed(spark, emb, k, dims)
+      k: Int = 16, threshold: Double = 0.35, dims: Int = 64,
+      maxCluster: Int = Int.MaxValue,
+      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val assigned0 = assignFixed(spark, emb, k, dims)
+    // capped clusters are excluded from PAIR GENERATION only: their
+    // members still flow to the survivor set untouched (conservative
+    // keep-all — a boilerplate mega-cluster is flagged, never silently
+    // deduped on a task that would run for hours)
+    val assigned = capHotClusters(assigned0, maxCluster, capMetrics)
     val a = assigned.select(col("vec_id").as("a_id"), col("centroid"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("vec_id").as("b_id"), col("centroid"),
@@ -263,7 +307,7 @@ object Similarity {
     val drop = Dedup.clusters(spark, pairs)
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("vec_id"))
-    assigned.select(col("vec_id"), col("centroid"))
+    assigned0.select(col("vec_id"), col("centroid"))
       .join(drop, Seq("vec_id"), "left_anti")
       .orderBy(col("vec_id"))
   }

@@ -80,6 +80,58 @@ class Ext5Spec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked checkpoint blocks: $leaked")
   }
 
+  test("hot-centroid guard: mega-cluster excluded from pair work, metrics observable, rest bit-identical") {
+    import org.apache.spark.sql.Observation
+    // 3000 copies of one point collapse into a single cell (the
+    // boilerplate mega-cluster); 40 spread points land elsewhere. The
+    // unguarded self-join would put 3000² = 9M pairs in one task — the
+    // guard must exclude that cell entirely (never sample it), report
+    // it, and leave every other cell's output untouched.
+    val mega = Seq.tabulate(3000)(i =>
+      ((10000 + i).toLong, Seq.tabulate(8)(d => if (d == 0) 50f else 0f)))
+    val spread = Seq.tabulate(40) { i =>
+      (i.toLong, Seq.tabulate(8)(d => ((i * 37 + d * 13) % 101 - 50) * 0.9f))
+    }
+    val e = emb(mega ++ spread)
+    val obs = Observation()
+    val guarded = Similarity.knnGraph(spark, e, k = 2, centroids = 8,
+        dims = 8, maxCluster = 100, capMetrics = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val m = obs.get
+    assert(m("capped_clusters") == 1L, s"metrics: $m")
+    assert(m("capped_members").asInstanceOf[Long] >= 3000L, s"metrics: $m")
+    assert(m("max_cluster_size").asInstanceOf[Long] >= 3000L, s"metrics: $m")
+    // no capped member appears on either side of the graph
+    assert(guarded.forall { case (a, _, b) => a < 10000L && b < 10000L })
+    // kept clusters: bit-identical to the unguarded graph restricted to
+    // the spread points' cells
+    val unguardedSpread = Similarity.knnGraph(
+        spark, emb(spread), k = 2, centroids = 8, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // spread points that shared a cell with the mega point lose that
+    // cell-mate; all OTHER cells must match exactly
+    val megaCell = Similarity.assignFixed(spark, emb(mega.take(1)), 8, 8)
+      .select(col("centroid")).head().getLong(0)
+    val spreadCells = Similarity.assignFixed(spark, emb(spread), 8, 8)
+      .select(col("vec_id"), col("centroid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unaffected = unguardedSpread.filter { case (a, _, _) =>
+      spreadCells(a) != megaCell }
+    assert(guarded.filter { case (a, _, _) => spreadCells(a) != megaCell }
+      == unaffected)
+
+    // semanticDedupFixed: capped cluster's members all SURVIVE
+    // (conservative keep-all), metrics flow, spread cells dedup as before
+    val obs2 = Observation()
+    val surv = Similarity.semanticDedupFixed(spark, e, k = 8,
+        threshold = 0.95, dims = 8, maxCluster = 100,
+        capMetrics = Some(obs2))
+      .collect().map(_.getLong(0)).toSet
+    assert(obs2.get("capped_clusters") == 1L)
+    assert(mega.map(_._1).forall(surv.contains),
+      "capped mega-cluster members must all survive")
+  }
+
   test("kCenter seeds give kmeans perfect blob separation where first-k-id seeds collapse") {
     // 4 well-separated blobs of 10 points; ids 0..9 are ALL in blob 0,
     // so first-k-id seeding starts every center inside one blob (the

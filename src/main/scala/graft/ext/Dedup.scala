@@ -1075,8 +1075,21 @@ object Dedup {
       textCol: String = "text",
       capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val lanes = simhashLanes(docs, idCol, textCol)
-    val buckets = lanes.select(col("doc_id"), col("lanes"),
-      posexplode(col("lanes")).as(Seq("band", "bval")))
+    // the four 16-bit lanes PACK into one long (disjoint bit ranges),
+    // so Σ per-lane bit_count(xor) == ONE bit_count over the packed
+    // xor, and every shuffled row / collected member carries 2 flat
+    // longs instead of doc_id + a 4-long array (measured at sf1:
+    // 4.28s → the packed form shaves the lane-bucket aggregate that
+    // round 7 flagged at 2.05× DuckDB). shiftleft/| are bitwise (no
+    // ANSI overflow on lane3's high bit); band extraction masks the
+    // arithmetic shift back to 16 bits, so bval == lanes[band] exactly.
+    val packed = lanes.select(col("doc_id"),
+      expr("lanes[0] | shiftleft(lanes[1], 16) | shiftleft(lanes[2], 32)" +
+        " | shiftleft(lanes[3], 48)").as("packed"))
+    val buckets = packed.select(col("doc_id"), col("packed"),
+      posexplode(expr(
+        "transform(sequence(0, 3), i -> shiftright(packed, i * 16) & 65535)"))
+        .as(Seq("band", "bval")))
     val sized0 = buckets.groupBy(col("band"), col("bval"))
       .agg(count(lit(1)).as("bsize"))
     val sized = capMetrics.fold(sized0)(o => sized0.observe(o,
@@ -1089,16 +1102,14 @@ object Dedup {
       .select(col("band"), col("bval"))
     buckets.join(small, Seq("band", "bval")) // mega-buckets die pre-collect
       .groupBy(col("band"), col("bval"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("lanes")))).as("ms"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("packed")))).as("ms"))
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->
           |  transform(slice(ms, i + 2, size(ms)), y ->
           |    struct(x.doc_id AS a_id, y.doc_id AS b_id,
-          |           x.lanes AS la, y.lanes AS lb))))""".stripMargin)).as("p"))
+          |           x.packed AS pa, y.packed AS pb))))""".stripMargin)).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
-        expr("""CAST(bit_count(p.la[0] ^ p.lb[0]) + bit_count(p.la[1] ^ p.lb[1])
-               |   + bit_count(p.la[2] ^ p.lb[2]) + bit_count(p.la[3] ^ p.lb[3])
-               | AS BIGINT)""".stripMargin).as("hamming"))
+        expr("CAST(bit_count(p.pa ^ p.pb) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct() // a pair sharing several bands appears once per band
   }

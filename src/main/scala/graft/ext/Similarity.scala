@@ -524,6 +524,45 @@ object Similarity {
       .parquet(s"$path/assigned")
   }
 
+  /** Incremental IVF index maintenance — crawls APPEND; a build-once
+    * index must not force a corpus-wide rebuild per increment (the
+    * q103 persisted-snapshot pattern applied to ANN). New vectors are
+    * assigned against the PERSISTED centroid table, which is k-bounded
+    * and therefore collects to a literal array column: the assignment
+    * is one fully NARROW pass over the increment (zero shuffles — no
+    * crossJoin, no window), and the rows append into the existing
+    * `centroid_id=` partitions, so probe-time partition pruning keeps
+    * working unchanged. Seen vectors are scanned zero times.
+    *
+    * Assignment contract is [[writeIvfIndex]]'s exactly — argmax of
+    * the 4-dp rounded cosine with centroid-id tie-break, the same IEEE
+    * arithmetic — expressed as a lexicographic (−cos, id) `array_min`
+    * (Spark `round` never emits −0.0, so negation cannot split a tie
+    * the window form would merge). IvfIndexSpec pins append ≡ full
+    * rebuild: identical assigned rows and bit-equal search results on
+    * the merged corpus; q158 oracle-checks search over an appended
+    * index against q66's SQL verbatim. */
+  def appendIvfIndex(spark: SparkSession, newEmb: DataFrame,
+      path: String): Unit = {
+    Dot64.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id"), col("cv"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    require(cents.nonEmpty, s"no centroids at $path/centroids")
+    withVectors(spark, newEmb)
+      .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
+      .withColumn("cents", typedLit(cents))
+      .withColumn("centroid_id", expr(
+        """array_min(transform(cents, c ->
+          |  struct(-round(dot64(vn, c._2) / (nn * c._3), 4) AS negcos,
+          |         c._1 AS cid))).cid""".stripMargin))
+      .select(col("n_id"), col("vn"), col("nn"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/assigned")
+  }
+
   /** IVF search against a persisted index ([[writeIvfIndex]]): queries
     * probe their `nProbe` nearest centroids and rerank exactly within
     * the probed CELLS' FILES only — the probed-cell id set (bounded by

@@ -77,5 +77,33 @@ object Ext6Queries {
     },
     Ext3Queries.qs.find(_.name == "q124_dsir_weight").get.oracle) // q124 VERBATIM
 
-  val qs: Seq[Q] = Seq(q156, q157)
+  // --------------------------------------------------------------- q158
+  // Search over an INCREMENTALLY GROWN index: the fixture builds the
+  // index on the initial crawl (2/3 of the corpus, keeping every
+  // centroid id so the centroid set matches q66's), then appendIvfIndex
+  // folds the remaining third in — narrow assignment against the
+  // persisted centroid table, rows appended into the existing cell
+  // partitions, seen vectors scanned zero times. Search over the grown
+  // index must equal search over the full corpus: q66's oracle
+  // VERBATIM (the q103 increments-≡-full-recompute contract, applied
+  // to ANN).
+  private val q158 = Q(
+    "q158_ivf_append",
+    (s, d) => {
+      val idx = Fixtures.dir("ivfapp", d) { p =>
+        val emb = Tables.embeddings(s, d)
+        graft.ext.Similarity.writeIvfIndex(s,
+          emb.filter(col("vec_id") % 3 =!= 0 || col("vec_id") % 50 === 0),
+          centroidPred = col("vec_id") % 50 === 0, p)
+        graft.ext.Similarity.appendIvfIndex(s,
+          emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 50 =!= 0), p)
+      }
+      graft.ext.Similarity.ivfTopKIndexed(s, idx,
+          Tables.embeddings(s, d).filter(col("vec_id") % 97 === 0),
+          nProbe = 2, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    ExtQueries.qs.find(_.name == "q66_ivf_topk").get.oracle) // q66 VERBATIM
+
+  val qs: Seq[Q] = Seq(q156, q157, q158)
 }

@@ -51,6 +51,59 @@ class IvfIndexSpec extends SparkSpec {
     assert(cells.toSeq == Seq("centroid_id=0", "centroid_id=1", "centroid_id=2"))
   }
 
+  test("appendIvfIndex: append == full rebuild (assigned rows and search results)") {
+    val dirInc = java.nio.file.Files.createTempDirectory("ivfappA").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("ivfappB").toString
+    val centroids = col("vec_id") < 3
+    // incremental: build on the first crawl (centroid seeds + ids < 16),
+    // then append the rest in TWO increments (appends must compose)
+    Similarity.writeIvfIndex(spark, emb.filter(col("vec_id") < 16), centroids, dirInc)
+    Similarity.appendIvfIndex(spark,
+      emb.filter(col("vec_id") >= 16 && col("vec_id") < 20), dirInc)
+    Similarity.appendIvfIndex(spark, emb.filter(col("vec_id") >= 20), dirInc)
+    // full rebuild over the merged corpus
+    Similarity.writeIvfIndex(spark, emb, centroids, dirFull)
+    // identical cell assignment, row for row
+    def rows(d: String) = spark.read.parquet(s"$d/assigned")
+      // partition-column inference reads centroid_id back as INT
+      .select(col("n_id"), col("centroid_id").cast("long"), col("vn"), col("nn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(rows(dirInc) == rows(dirFull))
+    // bit-equal search results on the merged corpus
+    val inc = Similarity.ivfTopKIndexed(spark, dirInc,
+        emb.filter(col("vec_id") % 5 === 0), nProbe = 2, k = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    val full = Similarity.ivfTopKIndexed(spark, dirFull,
+        emb.filter(col("vec_id") % 5 === 0), nProbe = 2, k = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
+  test("appendIvfIndex assignment is fully narrow (no shuffle, no join)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfappN").toString
+    Similarity.writeIvfIndex(spark, emb.filter(col("vec_id") < 16),
+      col("vec_id") < 3, dir)
+    // replicate the append's assignment plan (the write itself hides the
+    // frame): literal centroid array + array_min argmin over the increment
+    graft.functions.Dot64.register(spark)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("centroid_id"), col("cv"), col("cn"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val plan = Similarity.withVectors(spark, emb.filter(col("vec_id") >= 16))
+      .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
+      .withColumn("cents", typedLit(cents))
+      .withColumn("centroid_id", expr(
+        """array_min(transform(cents, c ->
+          |  struct(-round(dot64(vn, c._2) / (nn * c._3), 4) AS negcos,
+          |         c._1 AS cid))).cid""".stripMargin))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("streaming annEnrich replays the batch indexed ranking per arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

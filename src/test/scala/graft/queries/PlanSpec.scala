@@ -254,7 +254,10 @@ class PlanSpec extends SparkSpec {
       // once into the memoized fixture, outside the plan); q157
       // mirrors q126's narrow scorer (1 = final orderBy; model load
       // is a bucket-bounded eager read)
-      "q156_ivf_search_only" -> 4, "q157_dsir_score_only" -> 1)
+      "q156_ivf_search_only" -> 4, "q157_dsir_score_only" -> 1,
+      // q158 = q156's probe/rerank shape over the incrementally-grown
+      // index (the append itself is a narrow fixture-build step)
+      "q158_ivf_append" -> 4)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -398,8 +398,17 @@ object Corpus {
     * equi-width histogram (`bins` cells of `width` starting at `lo`,
     * clamped) + [[lengthPercentiles]]'s pure-integer rank condition,
     * answering each percentile with the UPPER EDGE of the smallest
-    * bin whose cumulative count reaches the rank — error bounded by
-    * one bin width, state bounded by `groups × bins` forever.
+    * bin whose cumulative count reaches the rank — state bounded by
+    * `groups × bins` forever. The one-bin-width error bound holds for
+    * IN-RANGE values only: the edge bins are OPEN-ENDED (values
+    * outside [lo, lo + bins·width) clamp into them), so a percentile
+    * landing in the top bin reports `lo + bins·width` no matter how
+    * far above the range the true quantile lies (and symmetrically for
+    * the bottom bin). Declare [lo, width, bins] to cover the plausible
+    * value range; a percentile pinned at the top edge is the
+    * saturation signal. Cross-engine parity is unaffected either way —
+    * the oracle clamps identically (q155, where min-d2 can exceed the
+    * declared [0, 64) range).
     *
     * Why it exists next to [[lengthPercentiles]]: the exact
     * order-statistic path builds a per-VALUE count table — exact and

@@ -514,6 +514,60 @@ object Streams {
       .toDF("source", "word", "cms_est")
   }
 
+  final case class HistVal(g: String, b: Int)
+
+  /** Running histogram quantiles for a CONTINUOUS column on a stream —
+    * [[graft.ext.Corpus.histQuantiles]]'s fixed-range equi-width
+    * histogram as mapGroupsWithState state: `bins` longs per group,
+    * period (the cmsTrack pattern — |groups|×bins state forever, no
+    * per-value growth). Bin counts are add-mergeable, so after any
+    * sequence of micro-batches each emitted row is BIT-IDENTICAL to
+    * the batch histQuantiles over everything seen (StreamsSpec pins
+    * stream ≡ batch): the bin index is the same clamped
+    * floor((v−lo)/width) arithmetic, the rank condition the same
+    * pure-integer `cum·100 ≥ n·p`, and the reported edge the same
+    * `(b+1)·width + lo` IEEE expression. Emits (group, n, p…) per
+    * group per trigger; run with OutputMode.Update. */
+  def histQuantiles(df: DataFrame, value: org.apache.spark.sql.Column,
+      groupCol: String, lo: Double, width: Double, bins: Int = 256,
+      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(bins >= 1 && width > 0, s"bins=$bins width=$width")
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percents out of range: $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val psArr = ps.toArray
+    df.select(col(groupCol).cast("string").as("g"),
+        least(greatest(floor((value - lo) / width), lit(0.0)),
+          lit((bins - 1).toDouble)).cast("int").as("b"))
+      .as[HistVal]
+      .groupByKey(_.g)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (g: String, vals: Iterator[HistVal], state: GroupState[Array[Long]]) =>
+          val h = state.getOption.getOrElse(new Array[Long](bins))
+          vals.foreach(v => h(v.b) += 1L)
+          state.update(h)
+          val n = h.sum
+          val qs = psArr.map { p =>
+            var cum = 0L
+            var i = 0
+            var out = Double.NaN
+            while (i < bins && out.isNaN) {
+              cum += h(i)
+              // the batch form's pure-integer rank condition and exact
+              // dyadic edge arithmetic, verbatim
+              if (cum * 100 >= n * p) out = (i + 1) * width + lo
+              i += 1
+            }
+            out
+          }
+          (g, n, qs.toSeq)
+      }
+      .select(col("_1").as(groupCol) +: col("_2").as("n") +:
+        psArr.toSeq.zipWithIndex.map { case (p, i) =>
+          col("_3").getItem(i).as(s"p$p") }: _*)
+  }
+
   final case class HllTok(source: String, bkt: Int, rho: Int)
 
   /** Running per-source distinct-token estimate on a stream — the HLL

@@ -209,6 +209,40 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming histogram quantiles equal the batch histQuantiles over everything seen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = Streams.histQuantiles(mem.toDF().toDF("src", "x"), col("x"),
+        "src", lo = 0.0, width = 0.25, bins = 16, ps = Seq(50, 90, 99))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("histq").start()
+    // two micro-batches; includes values beyond the range (clamped into
+    // the edge bins) and a group arriving only in batch 2
+    val b1 = Seq(("a", 0.1), ("a", 0.6), ("a", 1.7), ("a", 99.0), ("b", 0.3))
+    val b2 = Seq(("a", 0.2), ("a", 0.2), ("b", -5.0), ("c", 2.0))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    // latest update per group = the row with the highest running n
+    val streamed = spark.sql(
+      """SELECT src, n, p50, p90, p99 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY n DESC)
+        |    AS rk FROM histq) WHERE rk = 1""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val batch = graft.ext.Corpus.histQuantiles(
+        (b1 ++ b2).toDF("src", "x"), col("x"), "src",
+        lo = 0.0, width = 0.25, bins = 16, ps = Seq(50, 90, 99))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // clamped top bin: 99.0 lands in bin 15 → edge 16*0.25 = 4.0
+    assert(streamed("a")._4 == 4.0)
+    q.stop()
+  }
+
   test("streaming HLL distinct estimate equals the batch estimator after any batching") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

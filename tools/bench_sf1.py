@@ -136,9 +136,13 @@ def time_duckdb(runs):
                 break
             shots.append(time.time() - t0)
             con.close()
-        if failed and not shots:
+        if failed:
+            # ANY failed shot marks the row DNF — a query that survives
+            # shot 1 but dies on shot 2 (spill-cap nondeterminism) must
+            # not report min(partial shots) as if all runs succeeded
             out[q], spread[q] = float("nan"), float("nan")
-            print(f"[duckdb] {q:30s} DNF ({failed})")
+            done = f" after {len(shots)} clean shot(s)" if shots else ""
+            print(f"[duckdb] {q:30s} DNF{done} ({failed})")
         else:
             out[q], spread[q] = min(shots), max(shots) / min(shots)
             print(f"[duckdb] {q:30s} {out[q]:.2f}s (spread {spread[q]:.2f}x)")

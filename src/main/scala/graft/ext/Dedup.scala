@@ -924,6 +924,94 @@ object Dedup {
     notExact.join(nearDup, Seq(idCol), "left_anti")
   }
 
+  /** The DIRECTORY form of the winnow index: `path/docs` =
+    * [[winnowSnapshot]] (hash + fps + shingles per seen doc) and
+    * `path/fpdf` = the fingerprint document-frequency table, computed
+    * ONCE at index time. The df table is what lets increments apply
+    * the boilerplate cap without re-aggregating the posting table per
+    * increment ([[dedupIncrementalWinnowIndexed]]) — at a 10M-doc
+    * index the per-increment df recount was the dominant O(seen)
+    * shuffle (ScaleProbe: 70s/increment, near-linear in index size). */
+  def writeWinnowIndex(spark: SparkSession, docs: DataFrame,
+      path: String, k: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val snap = winnowSnapshot(spark, docs, k, w, idCol, textCol)
+    snap.write.mode("overwrite").parquet(s"$path/docs")
+    spark.read.parquet(s"$path/docs")
+      .select(explode(col("fps")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/fpdf")
+  }
+
+  /** [[dedupIncrementalWinnow]] against a persisted [[writeWinnowIndex]]
+    * directory — IDENTICAL result (spec-pinned), restructured so every
+    * seen-side table is only ever SCANNED, never shuffled or
+    * re-aggregated. Increment cost is O(index scan + matches), flat in
+    * everything but the columnar read itself:
+    *  - exact stage: the seen hash column is semi-joined down by the
+    *    BROADCAST new-side hash set (the q103/bloom join-order
+    *    discipline — left_anti can only broadcast-build right, so a
+    *    naive anti-join would shuffle the 10M-hash seen side);
+    *  - boilerplate cap: the new side's fingerprints pick up their
+    *    seen-side df from the PERSISTED `fpdf` table (broadcast new
+    *    side into a scan) — no per-increment recount, and over-cap fps
+    *    die on the NEW side before a single posting expands;
+    *  - candidate join: the kept new-side fingerprints broadcast into
+    *    one scan of the posting table.
+    * Increments are broadcast-sized by definition (a daily crawl batch,
+    * not a corpus); for a mega-increment fall back to
+    * [[dedupIncrementalWinnow]], whose joins shuffle both sides. */
+  def dedupIncrementalWinnowIndexed(spark: SparkSession, newDocs: DataFrame,
+      path: String, maxDf: Int = 10, minShared: Int = 2,
+      threshold: Double = 0.7, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.WinnowKeys.register(spark, 3, 4)
+    graft.functions.Shingles8.register(spark)
+    val snapshot = spark.read.parquet(s"$path/docs")
+    val fpdf = spark.read.parquet(s"$path/fpdf")
+    val newHashed = newDocs.withColumn("content_hash", md5(col(textCol)))
+    val newHashes = newHashed.select(col("content_hash")).distinct()
+    val seenMatched = snapshot.select(col("content_hash"))
+      .join(broadcast(newHashes), Seq("content_hash"), "left_semi")
+      .distinct()
+    val notExact = newHashed
+      .join(broadcast(seenMatched), Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+    val fpN = notExact.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("new_id"), explode(expr(
+        s"array_distinct(transform(winnow_keys($textCol), x -> x DIV 8192))"))
+        .as("fp"))
+    // seen-side df rides the persisted table: fps the seen corpus never
+    // produced are dropped (they cannot match a posting), over-cap fps
+    // are dropped BEFORE any posting expands
+    val fpNkept = fpdf.join(broadcast(fpN), Seq("fp"))
+      .filter(col("df") <= maxDf)
+      .select(col("new_id"), col("fp"))
+    val postings = snapshot.select(col("doc_id").as("seen_id"),
+      explode(col("fps")).as("fp"))
+    val cand = postings.join(broadcast(fpNkept), Seq("fp"))
+      .groupBy(col("new_id"), col("seen_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("new_id"), col("seen_id"))
+      .localCheckpoint(true) // candidate-bounded; referenced 3× below
+    val setsN = notExact.filter(col(textCol).isNotNull)
+      .join(cand.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("new_id"), expr(s"shingles8($textCol)").as("sh_n"))
+    val setsS = snapshot
+      .join(broadcast(cand.select(col("seen_id").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("seen_id"), col("shingles").as("sh_s"))
+    val inter = size(array_intersect(col("sh_n"), col("sh_s")))
+    val union = size(col("sh_n")) + size(col("sh_s")) - inter
+    val nearDup = cand.join(setsN, Seq("new_id")).join(setsS, Seq("seen_id"))
+      .withColumn("jaccard",
+        when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union.cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    notExact.join(nearDup, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-level overlap estimate between two document sets (split by
     * the `inA` predicate) from aggregate MinHash sketches: each side's
     * corpus signature lane is the min hash over ALL its shingles —

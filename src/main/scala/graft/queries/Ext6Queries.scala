@@ -105,5 +105,43 @@ object Ext6Queries {
     },
     ExtQueries.qs.find(_.name == "q66_ivf_topk").get.oracle) // q66 VERBATIM
 
-  val qs: Seq[Q] = Seq(q156, q157, q158)
+  // --------------------------------------------------------------- q159
+  // The PERSISTED-running-min k-center (the large-k form: one dot/row
+  // per round against a localCheckpointed md column, flat in k) on
+  // q146's exact parameters, sharing q146's oracle VERBATIM: double
+  // min under Spark's total order is associative, so the chained
+  // least() folds the same IEEE distance multiset the literal form's
+  // array_min folds — the whole greedy trajectory (picks, selection
+  // distances, radius) must hash-check against the same unrolled CTE
+  // chain. Ext5Spec pins raw-bit equality to kCenter; this row pins it
+  // against an independent engine end to end.
+  private val q159 = Q(
+    "q159_kcenter_incremental",
+    (s, d) => graft.ext.Clustering.kCenterIncremental(s,
+      Tables.embeddings(s, d), k = 8),
+    Ext5Queries.qs.find(_.name == "q146_kcenter_coreset").get.oracle) // q146 VERBATIM
+
+  // --------------------------------------------------------------- q160
+  // The PERSISTED-INDEX winnow increment (writeWinnowIndex +
+  // dedupIncrementalWinnowIndexed) on q152's exact split, sharing
+  // q152's oracle VERBATIM. The restructure under test: every
+  // seen-side table only SCANNED (broadcast new-side hash set into the
+  // exact stage, persisted fp→df table instead of a per-increment
+  // recount, kept fingerprints broadcast into one posting scan) — the
+  // result must still hash-check against the recount form's replay.
+  private val q160 = Q(
+    "q160_incremental_winnow_indexed",
+    (s, d) => {
+      val idx = Fixtures.dir("winidx", d) { p =>
+        graft.ext.Dedup.writeWinnowIndex(s,
+          Tables.documents(s, d).filter(col("doc_id") % 3 =!= 0), p)
+      }
+      graft.ext.Dedup.dedupIncrementalWinnowIndexed(s,
+          Tables.documents(s, d).filter(col("doc_id") % 3 === 0), idx)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Ext5Queries.qs.find(_.name == "q152_incremental_winnow").get.oracle) // q152 VERBATIM
+
+  val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160)
 }

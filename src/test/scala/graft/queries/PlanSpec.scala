@@ -257,7 +257,18 @@ class PlanSpec extends SparkSpec {
       "q156_ivf_search_only" -> 4, "q157_dsir_score_only" -> 1,
       // q158 = q156's probe/rerank shape over the incrementally-grown
       // index (the append itself is a narrow fixture-build step)
-      "q158_ivf_append" -> 4)
+      "q158_ivf_append" -> 4,
+      // q159 returns a driver-built k-row frame like q146 (the rounds
+      // run eagerly as checkpointed narrow passes + top-1 reduces) —
+      // its 1 is the final orderBy
+      "q159_kcenter_incremental" -> 1,
+      // q160's 11 exchanges all act on increment- or match-bounded
+      // tables (new-side hash/fp distincts, candidate aggregate, verify
+      // joins, orderBy) — the seen-side snapshot/fpdf/posting scans are
+      // broadcast-joined, never shuffled (Ext5Spec pins the absence of
+      // fp/content_hash hash exchanges; q152's in-memory form is 9 with
+      // the O(seen) df recount this variant removes)
+      "q160_incremental_winnow_indexed" -> 11)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

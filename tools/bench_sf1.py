@@ -78,7 +78,11 @@ QUERIES = ["q52_lsh_candidates", "q65_dedup_clusters", "q72_verify_candidates",
            # containment verification, tokenizer train+encode roundtrip.
            # q146/q149 are embeddings-axis and deliberately absent.
            "q147_bpe_train", "q148_containment", "q150_tokenizer_roundtrip",
-           "q151_dedup_savings", "q152_incremental_winnow"]
+           "q151_dedup_savings", "q152_incremental_winnow",
+           # round-8: the DSIR score-only steady-state twin (document
+           # axis; q153-q156/q158 are embeddings-axis and deliberately
+           # absent — the sf1 build scales only the documents table)
+           "q157_dsir_score_only"]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 

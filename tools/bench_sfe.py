@@ -1,0 +1,189 @@
+#!/usr/bin/env python3
+"""Embeddings-axis scale bench -> BENCH_sfe.md.
+
+`bench_sf1.py` scales the DOCUMENTS axis 10x; this is its twin for the
+EMBEDDINGS axis — the table under the ANN / clustering / quantization
+family (IVF inline + persisted + appended, PQ/SQ search, JL projection,
+k-center both forms, semantic dedup, kNN graph, histogram quantiles).
+At sf0.1 those rows sit on Spark's scheduling floor; 10x the vectors
+(2,000 -> 20,000, 64-dim) is where the plan shapes start to price.
+
+Corpus shape: replica 0 is sf0.1 verbatim; replicas 1..9 shift vec_id
+by k*10^7 and perturb dimension 0 by k*1e-4 — each base vector gains 9
+NEAR-duplicates (cosine ~0.99999+), the realistic embedded-crawl shape
+(exact copies would collapse semantic dedup into its equality path).
+Labels are kept, so classify/balance queries stay meaningful. Both
+engines read the SAME parquet, so the perturbation needs no
+cross-engine arithmetic discipline.
+
+Deliberately ABSENT: q54/q110/q120 keep their bounded-baseline roles
+at |queries|*n cost and scale quadratically with BOTH axes — they are
+the documented brute-force baselines, not the scale path; q154 joins
+embeddings to the UNSCALED documents table (inner join would discard
+every replica, timing nothing new).
+
+Usage: python3 tools/bench_sfe.py [--skip-build] [--runs N]
+Writes /tmp/sfe/embeddings.parquet (other tables symlinked from sf0.1),
+expects `sbt` on PATH, emits BENCH_sfe.md in the repo root.
+
+RUN ON A QUIET MACHINE (see bench_sf1.py's cautionary tale).
+"""
+import argparse, json, os, re, subprocess, sys, time
+
+import duckdb
+
+SF01 = "/root/testdata/sf0.1"
+SFE = "/tmp/sfe"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+QUERIES = [
+    # exact/bounded embedding ops
+    "q63_dedup_embedding", "q109_mean_pool", "q111_ann_recall",
+    "q121_random_proj", "q122_embed_cov", "q131_int8_quant",
+    # ANN search family: inline, persisted-index, search-only,
+    # incrementally-appended, PQ ADC, SQ
+    "q66_ivf_topk", "q116_ivf_indexed", "q156_ivf_search_only",
+    "q158_ivf_append", "q127_pq_adc", "q132_sq_search",
+    # clustering / curation on the embedding axis
+    "q142_semantic_dedup", "q146_kcenter_coreset",
+    "q159_kcenter_incremental", "q149_cluster_cap", "q153_knn_graph",
+    "q155_dist_quantiles",
+]
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def build():
+    os.makedirs(SFE, exist_ok=True)
+    con = duckdb.connect()
+    reps = " UNION ALL ".join(
+        f"""SELECT vec_id + {k} * 10000000 AS vec_id,
+                   [CAST(embedding[1] + {k} * 0.0001 AS FLOAT)]
+                     || embedding[2:] AS embedding,
+                   label
+            FROM read_parquet('{SF01}/embeddings.parquet')"""
+        for k in range(1, 10))
+    con.execute(f"""
+        COPY (SELECT * FROM read_parquet('{SF01}/embeddings.parquet')
+              UNION ALL {reps})
+        TO '{SFE}/embeddings.parquet' (FORMAT PARQUET)""")
+    n, = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SFE}/embeddings.parquet')").fetchone()
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        dst = f"{SFE}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+    print(f"[build] {SFE}/embeddings.parquet: {n} vectors")
+
+
+def time_duckdb(runs):
+    sqls = json.load(open("/tmp/verify_out/oracle_sql.json"))
+    out, spread = {}, {}
+    for q in QUERIES:
+        sql = sqls[q]
+        shots = []
+        failed = None
+        for _ in range(runs):
+            con = duckdb.connect()
+            con.execute("SET threads TO 32")
+            con.execute("SET max_temp_directory_size='40GB'")
+            for t in TABLES:
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                            f"read_parquet('{SFE}/{t}.parquet')")
+            t0 = time.time()
+            try:
+                con.execute(sql).fetchall()
+            except Exception as e:
+                failed = f"{type(e).__name__}: {e}"[:200]
+                con.close()
+                break
+            shots.append(time.time() - t0)
+            con.close()
+        if failed:
+            out[q], spread[q] = float("nan"), float("nan")
+            done = f" after {len(shots)} clean shot(s)" if shots else ""
+            print(f"[duckdb] {q:30s} DNF{done} ({failed})")
+        else:
+            out[q], spread[q] = min(shots), max(shots) / min(shots)
+            print(f"[duckdb] {q:30s} {out[q]:.2f}s (spread {spread[q]:.2f}x)")
+    return out, spread
+
+
+def time_spark(runs):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SFE, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_BENCH_RUNS=str(runs))
+    p = subprocess.run(
+        ["sbt", "-batch", "runMain graft.tools.QBench " + " ".join(QUERIES)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
+    out, spread = {}, {}
+    for m in re.finditer(
+            r"\[qbench\] (\S+)\s+min=([0-9.]+)s runs=Vector\(([0-9., ]+)\)",
+            p.stdout):
+        shots = [float(x) for x in m.group(3).split(",")]
+        out[m.group(1)] = float(m.group(2))
+        spread[m.group(1)] = max(shots) / min(shots)
+        print(f"[spark]  {m.group(1):30s} {float(m.group(2)):.2f}s "
+              f"(spread {spread[m.group(1)]:.2f}x)")
+    missing = [q for q in QUERIES if q not in out]
+    if missing:
+        sys.stderr.write(p.stdout[-3000:] + p.stderr[-2000:])
+        raise SystemExit(f"spark timings missing for {missing}")
+    return out, spread
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+    if not args.skip_build:
+        build()
+    sp, sps = time_spark(args.runs)
+    dk, dks = time_duckdb(args.runs)
+    b01 = json.load(open(os.path.join(REPO, "bench.json")))["queries"]
+    lines = [
+        "# BENCH_sfe — 10× embeddings (20,000 × 64-dim), Spark vs DuckDB",
+        "",
+        "Built by `tools/bench_sfe.py` (near-duplicate vector replication;",
+        "see its docstring). min-of-%d per engine, 32 threads both, same"
+        % args.runs,
+        "parquet. Spread = max/min across shots; >1.5× means that row was",
+        "measured under contention and shouldn't be trusted.",
+        "",
+        "| query | spark sfe (s) | duckdb sfe (s) | ratio sfe | spark sf0.1 (s) | scale-up ×10 | spread sp/dk |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    worsening = []
+    for q in QUERIES:
+        if dk[q] != dk[q]:  # NaN -> oracle replay DNF'd
+            lines.append(f"| {q} | {sp[q]:.2f} | DNF (spill cap) | — "
+                         f"| {b01.get(q, float('nan')):.2f} | "
+                         f"{sp[q] / b01[q] if b01.get(q, 0) > 0 else float('nan'):.1f}× "
+                         f"| {sps[q]:.2f}×/— |")
+            continue
+        r = sp[q] / dk[q] if dk[q] > 0 else float("inf")
+        g = sp[q] / b01[q] if b01.get(q, 0) > 0 else float("nan")
+        worsening.append((r, q))
+        lines.append(f"| {q} | {sp[q]:.2f} | {dk[q]:.2f} | {r:.2f}× "
+                     f"| {b01.get(q, float('nan')):.2f} | {g:.1f}× "
+                     f"| {sps[q]:.2f}×/{dks[q]:.2f}× |")
+    ok = [q for q in QUERIES if dk[q] == dk[q]]
+    tot_s, tot_d = sum(sp[q] for q in ok), sum(dk[q] for q in ok)
+    lines += ["",
+              f"**Totals: Spark {tot_s:.1f}s, DuckDB {tot_d:.1f}s, "
+              f"ratio {tot_s / tot_d:.2f}×.**", ""]
+    md = os.path.join(REPO, "BENCH_sfe.md")
+    tail = ""
+    if os.path.exists(md):
+        prev = open(md).read()
+        if "## Analysis" in prev:
+            tail = "\n" + prev[prev.index("## Analysis"):]
+    with open(md, "w") as f:
+        f.write("\n".join(lines) + tail + "\n")
+    print(f"\nwrote BENCH_sfe.md (ratio {tot_s/tot_d:.2f}x); worst ratios: "
+          + ", ".join(f"{q}={r:.2f}x" for r, q in sorted(worsening)[-3:]))
+
+
+if __name__ == "__main__":
+    main()

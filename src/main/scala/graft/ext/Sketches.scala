@@ -98,6 +98,62 @@ object Sketches {
       .orderBy(col("source"))
   }
 
+  /** [[hllDistinct]] with the register build SHARDED AND MERGED — the
+    * mergeability contract, oracle-checked (q161 shares q138's oracle
+    * verbatim): each shard sketches independently (`hll_regs` per
+    * (source, shard)), shard register tables combine by element-wise
+    * `least` (per-bucket minima of minima = minima of the union —
+    * min is associative/commutative), and the merged estimate must
+    * equal the single-pass estimate over the union bit for bit. This
+    * is THE property a 100 TB deployment leans on: per-partition /
+    * per-day / per-datacenter sketches roll up without ever re-reading
+    * tokens (the streaming twin `Streams.hllDistinct` is the same
+    * merge applied across micro-batches). The exact-distinct
+    * calibration columns are computed the normal way — only the
+    * register path is sharded. */
+  def hllDistinctMerged(docs: DataFrame, shard: Column,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val m = 256
+    graft.functions.HllRegs.register(docs.sparkSession)
+    val tok = docs.select(col(sourceCol).as("source"), shard.as("_sh"),
+      explode(split(col(textCol), " ")).as("w"))
+    val regsArr = tok.groupBy(col("source"), col("_sh"))
+      .agg(expr("hll_regs(w)").as("rs"))
+      .groupBy(col("source"))
+      .agg(expr(
+        s"""aggregate(collect_list(rs),
+           |  array_repeat(CAST('${Long.MaxValue}' AS BIGINT), $m),
+           |  (acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))"""
+          .stripMargin).as("rs"))
+    val regs = regsArr
+      .select(col("source"), posexplode(col("rs")).as(Seq("bkt", "msfx")))
+      .filter(col("msfx") =!= Long.MaxValue)
+      .withColumn("reg", when(col("msfx") === 0, lit(41))
+        .otherwise(lit(41) - length(bin(col("msfx")))))
+    val sk = regs.groupBy(col("source")).agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - reg AS INT))"))
+          .as("s_present"),
+        count(lit(1)).as("n_present"))
+      .withColumn("v_zero", lit(m.toLong) - col("n_present"))
+      .withColumn("s_int",
+        col("s_present") + col("v_zero") * lit(HllScale))
+    val exact = tok.groupBy(col("source")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("w")).as("exact_distinct"))
+    exact.join(sk, Seq("source"))
+      .withColumn("raw", lit(HllEstScale) / col("s_int").cast("double"))
+      .withColumn("est",
+        when(col("v_zero") > 0 && col("raw") <= lit(640.0),
+          lit(256.0) * log(lit(256.0) / col("v_zero").cast("double")))
+        .otherwise(col("raw")))
+      .select(col("source"), col("n_tokens"), col("exact_distinct"),
+        (round(col("est"), 4) + lit(0.0)).as("hll_est"),
+        (round(abs(col("est") - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double"), 6) + lit(0.0))
+          .as("rel_err"))
+      .orderBy(col("source"))
+  }
+
   /** Count–Min sketch (Cormode & Muthukrishnan 2005) frequency
     * estimates for the exact top-`k` tokens — `depth` hash rows ×
     * `width` counters, estimate = min over rows, overcount =
@@ -134,6 +190,45 @@ object Sketches {
         .over(Window.orderBy(col("exact_cnt").desc, col("word")))
         .cast("long"))
     val grid = tok.agg(expr(s"cms_sketch(word, $depth, $width)").as("grid"))
+    top.withColumn("h", md5(col("word")))
+      .crossJoin(broadcast(grid))
+      .withColumn("cms_est", expr(
+        s"""array_min(transform(sequence(0, ${depth - 1}), r ->
+           |  element_at(grid, CAST(r * $width
+           |    + CAST(conv(substring(h, r * 8 + 1, 8), 16, 10) AS BIGINT)
+           |      % $width AS INT) + 1)))""".stripMargin))
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+      .select(col("rank"), col("word"), col("exact_cnt"), col("cms_est"),
+        col("overcount"))
+      .orderBy(col("rank"))
+  }
+
+  /** [[cmsHeavyHitters]] with the grid build SHARDED AND MERGED — CMS
+    * counters are add-mergeable, so per-shard grids combine by
+    * element-wise `+` and the merged estimates equal the single-pass
+    * grid's bit for bit (q162 shares q139's oracle verbatim). The
+    * roll-up property's batch proof, beside `Streams.cmsTrack`'s
+    * cross-micro-batch form. Exact top-k stays the normal calibration
+    * twin — only the grid path is sharded. */
+  def cmsHeavyHittersMerged(docs: DataFrame, shard: Column,
+      depth: Int = 4, width: Int = 1024, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(depth >= 1 && depth * 8 <= 32, s"depth=$depth needs ≤32 hex chars")
+    graft.functions.CmsSketch.register(docs.sparkSession)
+    val tok = docs.select(shard.as("_sh"),
+      explode(split(col(textCol), " ")).as("word"))
+    val exact = tok.groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
+    val top = exact.orderBy(col("exact_cnt").desc, col("word")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("exact_cnt").desc, col("word")))
+        .cast("long"))
+    val grid = tok.groupBy(col("_sh"))
+      .agg(expr(s"cms_sketch(word, $depth, $width)").as("g"))
+      .agg(expr(
+        s"""aggregate(collect_list(g),
+           |  array_repeat(CAST(0 AS BIGINT), ${depth * width}),
+           |  (acc, x) -> zip_with(acc, x, (a, b) -> a + b))"""
+          .stripMargin).as("grid"))
     top.withColumn("h", md5(col("word")))
       .crossJoin(broadcast(grid))
       .withColumn("cms_est", expr(

@@ -143,5 +143,30 @@ object Ext6Queries {
     },
     Ext5Queries.qs.find(_.name == "q152_incremental_winnow").get.oracle) // q152 VERBATIM
 
-  val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160)
+  // --------------------------------------------------------------- q161
+  // HLL register MERGEABILITY, oracle-checked: the corpus sketched in 4
+  // independent shards (doc_id % 4), shard register tables combined by
+  // element-wise least — the merged estimate must equal the one-pass
+  // estimate over the union bit for bit, so q138's oracle is shared
+  // VERBATIM. The roll-up property a 100 TB deployment leans on
+  // (per-partition / per-day sketches combine without re-reading
+  // tokens); Streams.hllDistinct is the same merge across
+  // micro-batches, here pinned against an independent engine.
+  private val q161 = Q(
+    "q161_hll_merged",
+    (s, d) => graft.ext.Sketches.hllDistinctMerged(
+      Tables.documents(s, d), col("doc_id") % 4),
+    Ext4Queries.qs.find(_.name == "q138_hll_distinct").get.oracle) // q138 VERBATIM
+
+  // --------------------------------------------------------------- q162
+  // CMS grid mergeability: counters are add-mergeable, so per-shard
+  // grids combine by element-wise + and the merged heavy-hitter
+  // estimates equal the single-pass grid's — q139's oracle VERBATIM.
+  private val q162 = Q(
+    "q162_cms_merged",
+    (s, d) => graft.ext.Sketches.cmsHeavyHittersMerged(
+      Tables.documents(s, d), col("doc_id") % 4),
+    Ext4Queries.qs.find(_.name == "q139_cms_heavy_hitters").get.oracle) // q139 VERBATIM
+
+  val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162)
 }

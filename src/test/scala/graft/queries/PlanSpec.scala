@@ -268,7 +268,12 @@ class PlanSpec extends SparkSpec {
       // broadcast-joined, never shuffled (Ext5Spec pins the absence of
       // fp/content_hash hash exchanges; q152's in-memory form is 9 with
       // the O(seen) df recount this variant removes)
-      "q160_incremental_winnow_indexed" -> 11)
+      "q160_incremental_winnow_indexed" -> 11,
+      // q161/q162 = q138/q139 + ONE extra shuffle each: the per-shard
+      // sketch tables (4 rows of 2 KB / 32 KB buffers) regroup to merge
+      // element-wise — the roll-up cost is sketch-sized, never
+      // token-sized
+      "q161_hll_merged" -> 5, "q162_cms_merged" -> 3)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -54,13 +54,23 @@ object Similarity {
     val base = withVectors(spark, emb)
     val qv = base.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
-    val cand = base.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
-    qv.crossJoin(cand).filter(col("q_id") =!= col("n_id"))
-      .withColumn("cosine", round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+    val cand = spread(
+      base.select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")))
+    // bounded per-query top-k (TopKMin) instead of a rank window: the
+    // |queries|·n candidate stream folds map-side where the broadcast
+    // join makes it (same (cosine desc 4-dp, n_id) contract via
+    // negated +0.0-normalized scores — oracle unchanged), and the
+    // corpus scan spreads to full parallelism (a one-row-group parquet
+    // file otherwise serializes the whole dot loop on one task)
+    graft.functions.TopKMin.register(spark)
+    cand.crossJoin(broadcast(qv)).filter(col("q_id") =!= col("n_id"))
+      .withColumn("negcos",
+        -(round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4) + lit(0.0)))
+      .groupBy(col("q_id"))
+      .agg(expr(s"topk_min(negcos, n_id, $k)").as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("n_id"), (-col("e.score")).as("cosine"))
   }
 
   /** Hyperplane-LSH bucket assignment: md5-derived planes, sign-bit
@@ -127,10 +137,17 @@ object Similarity {
       .select(col("q_id"), col("vq"), col("nq"), col("centroid_id"))
     // assignment inlined WITH vectors retained (same rounded-cosine +
     // id tie-break as ivfAssign) — rejoining ivfAssign's id-only output
-    // back to base would be a corpus×corpus sort-merge join
+    // back to base would be a corpus×corpus sort-merge join. The
+    // window form beats a literal-centroid array_min argmin here: at
+    // k-means-scale centroid counts (hundreds) the HOF lambda
+    // interprets per element and measured 5× slower than this
+    // codegen'd crossJoin, whose per-pair dot64/round stays inside
+    // whole-stage codegen. The corpus scan spreads to full
+    // parallelism first (one-row-group files otherwise serialize the
+    // corpus×centroids product on one task).
     val wa = Window.partitionBy(col("n_id")).orderBy(col("ac_cos").desc, col("centroid_id"))
-    val cand = base
-      .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
+    val cand = spread(base
+      .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")))
       .crossJoin(broadcast(cents))
       .withColumn("ac_cos", round(expr("dot64(vn, cv)") / (col("nn") * col("cn")), 4))
       .withColumn("rk", row_number().over(wa))
@@ -235,23 +252,63 @@ object Similarity {
   def knnGraph(spark: SparkSession, emb: DataFrame, k: Int = 3,
       centroids: Int = 16, dims: Int = 64,
       maxCluster: Int = Int.MaxValue,
-      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      capMetrics: Option[org.apache.spark.sql.Observation] = None,
+      pairSalts: Int = 16): DataFrame = {
+    require(pairSalts >= 1, s"pairSalts=$pairSalts must be >= 1")
+    graft.functions.TopKMin.register(spark)
     val assigned = capHotClusters(
       assignFixed(spark, emb, centroids, dims), maxCluster, capMetrics)
-    val a = assigned.select(col("vec_id").as("a_id"), col("centroid"),
+
+    // SALTED pair generation: a dense corpus collapses into few cells
+    // (the 10×-vector bench landed 2/3 of 20k vectors in two cells →
+    // 46M pairs in ONE task each), so the A side carries a
+    // deterministic md5 sub-salt and the B side replicates ×pairSalts
+    // — identical pair set, largest task ÷pairSalts (B-side shuffle
+    // ×pairSalts; vectors are the replicated payload). The assignment
+    // is localCheckpointed FIRST: it is computed once instead of once
+    // per join branch, and the fresh LogicalRDD attributes keep the
+    // salted self-join out of Spark 4.1's constraint-propagation bugs
+    // on deduplicated lineage (UnionBase.rewriteConstraints /
+    // BroadcastNestedLoopJoin condition binding both misbind v's
+    // original exprId when the shared subtree is re-aliased).
+    val assignedCp = {
+      val cp = assigned.localCheckpoint(true)
+      // re-wrap the checkpointed blocks as a constraint-free relation:
+      // LogicalRDD preserves the origin plan's constraints, and the
+      // assignment's centroid = argmin(f(v)) constraint + the self-join
+      // key equality make InferFiltersFromConstraints push an
+      // f(v) <=> centroid condition into the OTHER branch, where the
+      // deduplicated attribute no longer exists
+      // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind time, Spark 4.1)
+      spark.createDataFrame(cp.rdd, cp.schema)
+    }
+    val a = assignedCp.select(col("vec_id").as("a_id"), col("centroid"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = assigned.select(col("vec_id").as("b_id"), col("centroid"),
+      .withColumn("_salt",
+        (conv(substring(md5(col("a_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % pairSalts).cast("int"))
+    val b = assignedCp.select(col("vec_id").as("b_id"), col("centroid"),
       col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("centroid"))
+      .crossJoin(broadcast(spark.range(pairSalts)
+        .select(col("id").cast("int").as("_salt"))))
+    // the rank is a BOUNDED per-source top-k, not a window: the pair
+    // explosion (Σ cᵢ² rows) folds into ≤k-entry topk_min buffers
+    // map-side, where the blocking join generated it — the exchange
+    // carries vectors × k entries, never the pair stream (the 10×-
+    // vector bench measured the rank window at 112s; same ranking
+    // contract, (cosine desc 4-dp, b_id), via negated +0.0-normalized
+    // scores — oracle unchanged). All of one a_id's pairs stay in ONE
+    // task, so the partials complete map-side.
+    a.join(b, Seq("centroid", "_salt"))
       .filter(col("a_id") =!= col("b_id"))
-      .withColumn("cosine",
-        round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4) + lit(0.0))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("a_id"))
-          .orderBy(col("cosine").desc, col("b_id"))).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("a_id"), col("rank"), col("b_id"), col("centroid"),
-        col("cosine"))
+      .withColumn("negcos",
+        -(round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4) + lit(0.0)))
+      .groupBy(col("a_id"), col("centroid"))
+      .agg(expr(s"topk_min(negcos, b_id, $k)").as("tk"))
+      .select(col("a_id"), col("centroid"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("a_id"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("b_id"), col("centroid"),
+        (-col("e.score")).as("cosine"))
   }
 
   /** Hot-centroid guard for the in-cluster self-joins: pair work is
@@ -287,18 +344,36 @@ object Similarity {
   def semanticDedupFixed(spark: SparkSession, emb: DataFrame,
       k: Int = 16, threshold: Double = 0.35, dims: Int = 64,
       maxCluster: Int = Int.MaxValue,
-      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      capMetrics: Option[org.apache.spark.sql.Observation] = None,
+      pairSalts: Int = 16): DataFrame = {
+    require(pairSalts >= 1, s"pairSalts=$pairSalts must be >= 1")
     val assigned0 = assignFixed(spark, emb, k, dims)
     // capped clusters are excluded from PAIR GENERATION only: their
     // members still flow to the survivor set untouched (conservative
     // keep-all — a boilerplate mega-cluster is flagged, never silently
     // deduped on a task that would run for hours)
     val assigned = capHotClusters(assigned0, maxCluster, capMetrics)
-    val a = assigned.select(col("vec_id").as("a_id"), col("centroid"),
+    // same salted self-join as knnGraph: dense corpora collapse into
+    // few cells, so the quadratic in-cell pair work spreads over
+    // pairSalts tasks per cell (identical pair set — A carries one
+    // deterministic salt, B replicates across all of them). Same
+    // checkpoint + constraint-free re-wrap as knnGraph: the assignment
+    // computes once for both sides, and the argmin-derived centroid
+    // constraint never reaches the self-join (see knnGraph).
+    val assignedCp = {
+      val cp = assigned.localCheckpoint(true)
+      spark.createDataFrame(cp.rdd, cp.schema)
+    }
+    val a = assignedCp.select(col("vec_id").as("a_id"), col("centroid"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = assigned.select(col("vec_id").as("b_id"), col("centroid"),
+      .withColumn("_salt",
+        (conv(substring(md5(col("a_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % pairSalts).cast("int"))
+    val b = assignedCp.select(col("vec_id").as("b_id"), col("centroid"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("centroid"))
+      .crossJoin(broadcast(spark.range(pairSalts)
+        .select(col("id").cast("int").as("_salt"))))
+    val pairs = a.join(b, Seq("centroid", "_salt"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine",
         round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4) + lit(0.0))
@@ -392,6 +467,19 @@ object Similarity {
     * m ARRAY LOOKUPS — constant work per candidate independent of
     * `dims`, the whole point of PQ. The corpus never shuffles; ranking
     * is a per-query window over approximate L2². */
+  /** Spread a narrow candidate-side scan across the session's full
+    * parallelism when the source arrived in fewer splits: a single
+    * parquet row group is unsplittable, so a small corpus scans as ONE
+    * task and the O(candidates × dims) ADC lookup loop serializes on
+    * it (the 10×-vector bench measured the SQ search at 26s on one
+    * task). The round-robin repartition moves only the bytes-per-row
+    * code payload — noise next to that loop; at production scale the
+    * scan already arrives in many splits and this is a no-op. */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   def pqSearchADC(spark: SparkSession, emb: DataFrame, codes: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]],
       queryPred: org.apache.spark.sql.Column, topK: Int): DataFrame = {
@@ -414,14 +502,21 @@ object Similarity {
           |      (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)))"""
           .stripMargin))
       .select(col("q_id"), col("tbl"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist2"), col("n_id"))
-    codes.select(col("vec_id").as("n_id"), col("codes"))
+    // bounded per-query top-k (TopKMin) instead of a rank window, and
+    // the code scan spread to full parallelism — same ranking contract
+    // ((adc_dist2 6-dp, n_id); round of a non-negative sum is never
+    // −0.0), candidates fold map-side where the broadcast join makes
+    // them
+    graft.functions.TopKMin.register(queryEmb.sparkSession)
+    spread(codes.select(col("vec_id").as("n_id"), col("codes")))
       .crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc_dist2", round(expr("adc_sum(tbl, codes)"), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("q_id"), col("rank"), col("n_id"), col("adc_dist2"))
+      .groupBy(col("q_id"))
+      .agg(expr(s"topk_min(adc_dist2, n_id, $topK)").as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("n_id"), col("e.score").as("adc_dist2"))
   }
 
   /** Near-dup pairs above a cosine threshold, blocked by `blockCol`
@@ -513,8 +608,8 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val wa = Window.partitionBy(col("n_id"))
       .orderBy(col("ac_cos").desc, col("centroid_id"))
-    base
-      .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
+    spread(base
+      .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")))
       .crossJoin(broadcast(cents.select(col("centroid_id"), col("cv"), col("cn"))))
       .withColumn("ac_cos", round(expr("dot64(vn, cv)") / (col("nn") * col("cn")), 4))
       .withColumn("rk", row_number().over(wa))
@@ -542,8 +637,15 @@ object Similarity {
     * rebuild: identical assigned rows and bit-equal search results on
     * the merged corpus; q158 oracle-checks search over an appended
     * index against q66's SQL verbatim. */
-  def appendIvfIndex(spark: SparkSession, newEmb: DataFrame,
-      path: String): Unit = {
+  /** The increment-assignment stage shared by [[appendIvfIndex]] and
+    * `Streams.ivfIntake`: vectors assigned against the persisted
+    * centroid table as a literal array column — stateless, fully
+    * narrow, works identically on a batch frame and a streaming one
+    * (the centroid read is a bounded driver-side collect at plan-build
+    * time; a streaming query pins the centroid set for its lifetime —
+    * restart the stream after a centroid retrain). */
+  def assignToIndex(spark: SparkSession, emb: DataFrame,
+      path: String): DataFrame = {
     Dot64.register(spark)
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("centroid_id"), col("cv"), col("cn"))
@@ -551,7 +653,7 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1).toSeq
     require(cents.nonEmpty, s"no centroids at $path/centroids")
-    withVectors(spark, newEmb)
+    withVectors(spark, emb)
       .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
       .withColumn("cents", typedLit(cents))
       .withColumn("centroid_id", expr(
@@ -559,9 +661,13 @@ object Similarity {
           |  struct(-round(dot64(vn, c._2) / (nn * c._3), 4) AS negcos,
           |         c._1 AS cid))).cid""".stripMargin))
       .select(col("n_id"), col("vn"), col("nn"), col("centroid_id"))
+  }
+
+  def appendIvfIndex(spark: SparkSession, newEmb: DataFrame,
+      path: String): Unit =
+    assignToIndex(spark, newEmb, path)
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/assigned")
-  }
 
   /** IVF search against a persisted index ([[writeIvfIndex]]): queries
     * probe their `nProbe` nearest centroids and rerank exactly within
@@ -930,13 +1036,22 @@ object Similarity {
            |         * (element_at(qmx, d) - element_at(qmn, d))))))"""
           .stripMargin))
       .select(col("q_id"), col("tbl"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("n_id"))
-    codes.crossJoin(broadcast(queries))
+    // bounded per-query top-k (graft.functions.TopKMin) instead of a
+    // rank window: the |queries|·n candidate stream folds map-side
+    // where the broadcast join generates it, and only queries × k
+    // entries reach the exchange (the window form shuffled+sorted the
+    // whole stream — 9.8M rows / 24s at the 10×-vector bench). dist2
+    // is round(·,6) of a non-negative sum, never −0.0, so (dist2,
+    // n_id) ascending is the window's exact ordering.
+    graft.functions.TopKMin.register(queryEmb.sparkSession)
+    spread(codes).crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("dist2", round(expr("adc_sum(tbl, codes)"), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("q_id"), col("rank"), col("n_id"), col("dist2"))
+      .groupBy(col("q_id"))
+      .agg(expr(s"topk_min(dist2, n_id, $topK)").as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("n_id"), col("e.score").as("dist2"))
   }
 
   /** Persist an SQ index: `path/minmax` (d, mn, mx — the dims-row

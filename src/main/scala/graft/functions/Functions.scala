@@ -24,5 +24,6 @@ object Functions {
     CmsSketch.register(spark)
     HllRegs.register(spark)
     AdcSum.register(spark)
+    TopKMin.register(spark)
   }
 }

@@ -460,6 +460,22 @@ object Streams {
       coalesce(expr("bloom_decontam(text)"), lit(false)).as("bloom_hit"))
   }
 
+  /** Streaming IVF index intake — the stream half of the
+    * build-once/append-many ANN story: arriving embedding batches are
+    * assigned against the PERSISTED centroid table
+    * ([[graft.ext.Similarity.assignToIndex]] — k-bounded centroids ride
+    * as a literal, stateless fully-narrow per batch, zero joins/state)
+    * and come back as (n_id, vn, nn, centroid_id) rows ready to sink
+    * into the index's `centroid_id=` partitions
+    * (`writeStream.partitionBy("centroid_id").format("parquet")`), so
+    * probe-time partition pruning keeps working over a live-growing
+    * index. Bit-equal to the batch [[graft.ext.Similarity.appendIvfIndex]]
+    * assignment (StreamsSpec pins stream ≡ batch). The centroid set is
+    * pinned at stream start — restart after a centroid retrain. */
+  def ivfIntake(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+      indexPath: String): DataFrame =
+    graft.ext.Similarity.assignToIndex(spark, emb, indexPath)
+
   final case class CmsTok(source: String, word: String)
 
   /** Running per-source Count–Min frequency tracking on a stream: the

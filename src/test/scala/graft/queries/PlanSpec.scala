@@ -241,10 +241,14 @@ class PlanSpec extends SparkSpec {
       // anti-join + new-side fp explode/df cap/candidate agg + the
       // three verify joins off the candidate checkpoint
       "q152_incremental_winnow" -> 9,
-      // q153 = in-cluster self-join on centroid + a_id rank window
-      // (assignment narrow); q154 = id join + (source,label) count +
-      // source rollup + orderBy
-      "q153_knn_graph" -> 2, "q154_label_balance" -> 3,
+      // q153 (round-8 reshape): the checkpointed assignment write, the
+      // SALTED (centroid,_salt)-keyed pair join's two side exchanges,
+      // and the final orderBy — the bounded topk_min aggregate itself
+      // adds none (partials complete map-side; round 7's 2 was the
+      // unsalted join + a_id rank window, which serialized a dense
+      // cell's quadratic pair work on one task); q154 = id join +
+      // (source,label) count + source rollup + orderBy
+      "q153_knn_graph" -> 4, "q154_label_balance" -> 3,
       // q155 = the q144 two-phase shape on binned continuous values:
       // (label, bin) count + label-bounded cumulative window + final
       // conditional-min agg/orderBy (the d2 pass itself is narrow)

@@ -209,6 +209,48 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming IVF intake assigns arriving vectors bit-equal to the batch append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Seq.tabulate(24) { i =>
+      val c = i % 3
+      val base = Array(0.05f, 0.05f, 0.05f, 0.05f)
+      base(c) = 1.0f + (i / 3) * 0.01f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream2").toString
+    graft.ext.Similarity.writeIvfIndex(spark, emb.filter(col("vec_id") < 12),
+      col("vec_id") < 3, dir)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val sinkDir = java.nio.file.Files.createTempDirectory("ivfsink").toString
+    val q = Streams.ivfIntake(spark,
+        mem.toDF().toDF("vec_id", "embedding"), dir)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$sinkDir/assigned")
+      .option("checkpointLocation", s"$sinkDir/ckpt")
+      .partitionBy("centroid_id").start()
+    val inc = emb.filter(col("vec_id") >= 12)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    mem.addData(inc.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$sinkDir/assigned")
+      .select(col("n_id"), col("centroid_id").cast("long"), col("nn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val batch = graft.ext.Similarity.assignToIndex(spark,
+        emb.filter(col("vec_id") >= 12), dir)
+      .select(col("n_id"), col("centroid_id"), col("nn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the sink grew real centroid_id= partitions — pruning stays intact
+    assert(new java.io.File(s"$sinkDir/assigned").listFiles()
+      .exists(_.getName.startsWith("centroid_id=")))
+  }
+
   test("streaming histogram quantiles equal the batch histQuantiles over everything seen") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -524,7 +524,7 @@ object Similarity {
     * to bound pair count; keep = smaller id. */
   def nearDupPairs(spark: SparkSession, emb: DataFrame, blockCol: String,
       samplePred: org.apache.spark.sql.Column, threshold: Double): DataFrame = {
-    val base = withVectors(spark, emb)
+    val base = spread(withVectors(spark, emb))
     val a = base.filter(samplePred)
       .select(col("vec_id").as("a_id"), col(blockCol), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("vec_id").as("b_id"), col(blockCol), col("v").as("vb"), col("nrm").as("nb"))
@@ -551,7 +551,7 @@ object Similarity {
     * form decides identically everywhere. */
   def meanPool(spark: SparkSession, emb: DataFrame,
       labelCol: String = "label", embCol: String = "embedding"): DataFrame =
-    emb
+    spread(emb)
       .select(col(labelCol).as("label"), posexplode(
         expr(s"transform($embCol, x -> round(CAST(x AS DOUBLE), 6))"))
         .as(Seq("dim", "x")))
@@ -855,8 +855,8 @@ object Similarity {
     graft.functions.Dot64.register(spark)
     val signs: Seq[Seq[Double]] =
       Seq.tabulate(outDims)(j => Seq.tabulate(dims)(d => rpSign(j, d)))
-    emb.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    spread(emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
       .withColumn("rp", typedLit(signs))
       .select(col("vec_id"), expr(
         s"""transform(sequence(0, ${outDims - 1}), j ->
@@ -952,9 +952,9 @@ object Similarity {
   def sqEncode(spark: SparkSession, emb: DataFrame,
       dims: Int = 64): DataFrame = {
     val (mins, maxs) = sqMinMax(spark, emb, dims)
-    emb.filter(col("embedding").isNotNull)
+    spread(emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
       .withColumn("qmn", typedLit(mins))
       .withColumn("qmx", typedLit(maxs))
       .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")),

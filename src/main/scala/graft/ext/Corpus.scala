@@ -59,10 +59,30 @@ object Corpus {
     * multiple of `stride` below the word count, and takes up to
     * `width` words (the tail chunk is short, never dropped — dropping
     * it loses document endings, the classic chunking bug). Purely
-    * narrow: split + sequence + slice inside one generator, no shuffle
-    * at any corpus size. Tokenization contract matches the rest of the
-    * engine: single-space split (DuckDB `string_split(text, ' ')`). */
+    * narrow AND compiled: the whole split + stride-walk + slice runs
+    * as one codegen'd `chunk_words` call per document
+    * ([[graft.functions.ChunkWords]] — the interpreted
+    * sequence/slice/array_join lambdas it replaces left q108 at 3.3×
+    * of the DuckDB replay at sf1 on an already-shuffle-free plan), so
+    * no shuffle at any corpus size. Tokenization contract matches the
+    * rest of the engine: single-space split (DuckDB
+    * `string_split(text, ' ')`). Bit-identical to
+    * [[chunkOverlapRelational]] (spec-pinned). */
   def chunkOverlap(docs: DataFrame, width: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.functions.ChunkWords.register(docs.sparkSession, width, stride)
+    docs
+      .select(col(idCol), posexplode(expr(s"chunk_words($textCol)"))
+        .as(Seq("chunk_idx", "_c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("_c.chunk").as("chunk"), col("_c.n_words").as("n_words"))
+  }
+
+  /** Relational chunking (split → sequence of starts → per-start
+    * slice/join through higher-order lambdas) — the formulation the
+    * DuckDB oracle mirrors; pinned equal to the compiled
+    * [[chunkOverlap]] by ExtApiSpec. */
+  def chunkOverlapRelational(docs: DataFrame, width: Int, stride: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(width > 0 && stride > 0, s"width/stride must be positive")
     docs

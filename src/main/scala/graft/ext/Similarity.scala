@@ -538,11 +538,13 @@ object Similarity {
 
   /** Per-label mean-pooled centroid, long form (label, dim, mean, n) —
     * the pooling step behind class prototypes, IVF retraining, and
-    * chunk→document embedding rollups. Long form on purpose: the
-    * per-dim sum is one partial-aggregable groupBy(label, dim) keyed
-    * far wider than |labels| (no hot-key window), and array re-assembly
-    * is the caller's choice. Terms are rounded to 6 dp then summed in
-    * exact DECIMAL — summation order can't move the mean, so the
+    * chunk→document embedding rollups. Long-form OUTPUT (label, dim,
+    * n, mean — array re-assembly is the caller's choice) over a
+    * vector-form AGGREGATE: one `vec_sum6` buffer per label
+    * ([[graft.functions.VecSum6]]) instead of a (label, dim) explode,
+    * so the corpus is never amplified ×dims through the exchange.
+    * Terms are rounded to 6 dp then summed as exact integer
+    * micro-units — summation order can't move the mean, so the
     * result is bit-equal cross-engine (same discipline as
     * [[normProfile]]). The mean itself rounds in INTEGER space (signed
     * half-away-from-zero over the exact micro-unit sum): a double
@@ -550,23 +552,30 @@ object Similarity {
     * (0.0032135 → engines split 0.003213/0.003214), which the integer
     * form decides identically everywhere. */
   def meanPool(spark: SparkSession, emb: DataFrame,
-      labelCol: String = "label", embCol: String = "embedding"): DataFrame =
+      labelCol: String = "label", embCol: String = "embedding"): DataFrame = {
+    graft.functions.VecSum6.register(spark)
+    // ONE compiled vec_sum6 pass ([[graft.functions.VecSum6]]): each
+    // row folds its dims terms into a flat long[] buffer where it is
+    // scanned (map-side partials; the exchange carries |labels|
+    // buffers, never a (row × dims) stream), and the per-dim explode
+    // happens AFTER aggregation on |labels| rows — the declarative
+    // (label, dim) explode it replaces amplified the corpus ×dims
+    // through the shuffle. Same exact-integer terms, so bit-equal to
+    // the relational oracle form.
     spread(emb)
-      .select(col(labelCol).as("label"), posexplode(
-        expr(s"transform($embCol, x -> round(CAST(x AS DOUBLE), 6))"))
-        .as(Seq("dim", "x")))
+      .groupBy(col(labelCol).as("label"))
+      .agg(expr(s"vec_sum6($embCol)").as("_s"))
+      .select(col("label"),
+        element_at(col("_s"), -1).as("n_vecs"),
+        posexplode(expr("slice(_s, 1, size(_s) - 1)")).as(Seq("dim", "_s6")))
       .withColumn("dim", col("dim").cast("long"))
-      .groupBy(col("label"), col("dim"))
-      .agg(
-        count(lit(1)).as("n_vecs"),
-        (sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          * 1000000).cast("long").as("_s6"))
       .withColumn("mean",
         (when(col("_s6") < 0, lit(-1L)).otherwise(lit(1L)) *
           floor((abs(col("_s6")) * 2 + col("n_vecs")).cast("double")
             / (col("n_vecs") * 2).cast("double")).cast("long"))
           .cast("double") / 1000000.0)
       .select(col("label"), col("dim"), col("n_vecs"), col("mean"))
+  }
 
   /** k-NN majority-vote classification for a query subset: exact
     * cosine top-k neighbours ([[cosineTopK]] — pair count bounded by

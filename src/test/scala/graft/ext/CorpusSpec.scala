@@ -58,6 +58,21 @@ class CorpusSpec extends SparkSpec {
     assert(empty.length == 1 && empty.head.getAs[String]("chunk") == "")
   }
 
+  test("chunkOverlap (compiled chunk_words) ≡ chunkOverlapRelational on every doc") {
+    for ((w, s) <- Seq((3, 3), (4, 2), (32, 24), (2, 5))) {
+      val compiled = Corpus.chunkOverlap(docs, width = w, stride = s)
+        .orderBy("doc_id", "chunk_idx").collect().toSeq
+      val relational = Corpus.chunkOverlapRelational(docs, width = w, stride = s)
+        .orderBy("doc_id", "chunk_idx").collect().toSeq
+      assert(compiled == relational, s"width=$w stride=$s diverged")
+    }
+    // null text emits no chunks in either form
+    import spark.implicits._
+    val withNull = Seq((9L, null: String)).toDF("doc_id", "text")
+    assert(Corpus.chunkOverlap(withNull, 4, 2).count() == 0L)
+    assert(Corpus.chunkOverlapRelational(withNull, 4, 2).count() == 0L)
+  }
+
   test("lengthBandFilter keeps exactly the rows within the quantile band") {
     // p0..p1.0 keeps everything; a tight band drops the extremes
     assert(Corpus.lengthBandFilter(docs, 0.0, 1.0).count() == docs.count())

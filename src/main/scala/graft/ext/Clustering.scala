@@ -165,15 +165,11 @@ object Clustering {
     require(k >= 1, s"k=$k must be >= 1")
     Dot64.register(spark)
     import spark.implicits._
-    val sc = spark.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      val added = sc.getPersistentRDDs.collect {
-        case (id, rdd) if !before.contains(id) => rdd
-      }.toSeq
-      (out, added)
-    }
+    // per-round checkpoints tracked via the backing LogicalRDD
+    // (Dedup.checkpointTracked) — robust to concurrent jobs persisting
+    // their own blocks during a round
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
+      Dedup.checkpointTracked(df)
     val base = emb.select(col(idCol).cast("long").as("vec_id"),
       expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("vv", expr("dot64(v, v)"))

@@ -448,7 +448,12 @@ object Corpus {
     val wcum = Window.partitionBy(col(groupCol)).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wall = Window.partitionBy(col(groupCol))
-    df.select(col(groupCol),
+    // null values carry no rank information: drop them up front (the
+    // streaming twin pins the same contract — unfiltered, a null bin
+    // index would silently fold into _cum/_n here but CRASH the
+    // stream's non-nullable state encoder)
+    df.filter(value.isNotNull)
+      .select(col(groupCol),
         least(greatest(floor((value - lo) / width), lit(0.0)),
           lit((bins - 1).toDouble)).cast("long").as("_b"))
       .groupBy(col(groupCol), col("_b")).agg(count(lit(1)).as("_c"))

@@ -13,6 +13,22 @@ import graft.functions.MinHash48
   */
 object Dedup {
 
+  /** localCheckpoint + hand back exactly the RDD(s) backing it, so
+    * iterative loops can free superseded rounds' blocks. The backing
+    * RDD is read off the checkpointed Dataset's own analyzed plan
+    * (a checkpointed Dataset IS a LogicalRDD) — never a before/after
+    * `getPersistentRDDs` diff, which would capture blocks persisted by
+    * ANY concurrent job in the session during the window and later
+    * unpersist someone else's cache. */
+  private[ext] def checkpointTracked(
+      df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val out = df.localCheckpoint(true)
+    val backing = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    (out, backing)
+  }
+
   /** Exact HALF_UP 6-dp rounding of the rational i/u, in integer
     * arithmetic: `round(CAST(i/u AS DOUBLE), 6)` rounds the DOUBLE, and
     * engines disagree at decimal midpoints the binary value straddles
@@ -159,7 +175,6 @@ object Dedup {
     * the tiny diameters LSH candidate graphs produce. Converges by
     * fixpoint check, capped at `maxIter` rounds (= 2·maxIter hops). */
   def clusters(spark: SparkSession, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sc = spark.sparkContext
     // localCheckpoint truncates lineage each round — without it the
     // plan tree grows exponentially across iterations (OOM at planning
     // time, the classic iterative-DataFrame trap). Each checkpoint
@@ -167,16 +182,8 @@ object Dedup {
     // rounds must be unpersisted explicitly: on a long-lived session
     // the leaked blocks occupy storage memory and starve every later
     // stage (observed as GC thrash in queries run after clusters()).
-    // Tracking is by persistent-RDD id snapshot around the checkpoint
-    // call — exact for a single-threaded driver loop like this one.
-    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      val added = sc.getPersistentRDDs.collect {
-        case (id, rdd) if !before.contains(id) => rdd
-      }.toSeq
-      (out, added)
-    }
+    // Tracking reads the backing RDD off the checkpointed plan itself
+    // (Dedup.checkpointTracked) — robust to concurrent jobs.
     // the input subtree materializes ONCE before the symmetric union
     // references it twice: for expensive upstreams (LSH) the double
     // reference would otherwise re-evaluate the whole subtree per side
@@ -258,15 +265,6 @@ object Dedup {
     * across a full round. Output schema matches `clusters`:
     * (node, cluster_id = component minimum). */
   def clustersAltStar(spark: SparkSession, pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val sc = spark.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      val added = sc.getPersistentRDDs.collect {
-        case (id, rdd) if !before.contains(id) => rdd
-      }.toSeq
-      (out, added)
-    }
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).distinct()
       val mins = sym.groupBy(col("u"))
@@ -557,13 +555,8 @@ object Dedup {
     // a single execution, and the pair set is candidate-bounded (the
     // cheap side to pin). Its blocks are tracked so they can be freed
     // the moment components are materialized below.
-    val sc = spark.sparkContext
-    val beforeCp = sc.getPersistentRDDs.keySet
-    val pairs = lshCandidates(spark, afterExact, bands, maxBucket, idCol, textCol, capMetrics)
-      .localCheckpoint(true)
-    val pairsRdds = sc.getPersistentRDDs.collect {
-      case (id, rdd) if !beforeCp.contains(id) => rdd
-    }.toSeq
+    val (pairs, pairsRdds) = checkpointTracked(
+      lshCandidates(spark, afterExact, bands, maxBucket, idCol, textCol, capMetrics))
     // precision gate: score each candidate's TRUE shingle Jaccard and
     // keep only real near-dups before the (chain-merging) components
     val confirmed =
@@ -620,15 +613,9 @@ object Dedup {
       .filter(col("rk") === 1)
       .drop("content_hash", "rk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sc = spark.sparkContext
-    val beforeCp = sc.getPersistentRDDs.keySet
-    val pairs = graft.ext.TextStats
+    val (pairs, pairsRdds) = checkpointTracked(graft.ext.TextStats
       .winnowCandidates(afterExact, k, w, maxDf, minShared, idCol, textCol)
-      .select(col("a_id"), col("b_id"))
-      .localCheckpoint(true)
-    val pairsRdds = sc.getPersistentRDDs.collect {
-      case (id, rdd) if !beforeCp.contains(id) => rdd
-    }.toSeq
+      .select(col("a_id"), col("b_id")))
     val confirmed =
       if (verifyThreshold > 0.0)
         verifyCheckpointed(spark, pairs, afterExact, verifyThreshold, idCol, textCol)
@@ -885,8 +872,11 @@ object Dedup {
   def dedupIncrementalWinnow(spark: SparkSession, newDocs: DataFrame,
       snapshot: DataFrame, maxDf: Int = 10, minShared: Int = 2,
       threshold: Double = 0.7, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    graft.functions.WinnowKeys.register(spark, 3, 4)
+      textCol: String = "text", k: Int = 3, w: Int = 4): DataFrame = {
+    // (k, w) must match what the snapshot was fingerprinted with
+    // (winnowSnapshot's arguments) — the persisted-directory form
+    // reads them from the index itself (readWinnowIndexParams)
+    graft.functions.WinnowKeys.register(spark, k, w)
     graft.functions.Shingles8.register(spark)
     val seenHashes = snapshot.select(col("content_hash")).distinct()
     val notExact = newDocs
@@ -941,6 +931,26 @@ object Dedup {
       .select(explode(col("fps")).as("fp"))
       .groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/fpdf")
+    // the winnowing parameters are PART OF the index: fingerprints
+    // selected at (k, w) only match fingerprints selected at the same
+    // (k, w), so increments must read them from the directory rather
+    // than trust the caller to repeat them (a mismatch silently KEEPS
+    // near-duplicates — no error ever surfaces)
+    import spark.implicits._
+    Seq((k, w)).toDF("k", "w").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The (k, w) a [[writeWinnowIndex]] directory was built with —
+    * read from `path/meta`. Indexes written before the meta table
+    * existed default to (3, 4), the historical fixed binding. */
+  def readWinnowIndexParams(spark: SparkSession, path: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val r = spark.read.parquet(s"$path/meta").head()
+      (r.getAs[Int]("k"), r.getAs[Int]("w"))
+    } else (3, 4)
   }
 
   /** [[dedupIncrementalWinnow]] against a persisted [[writeWinnowIndex]]
@@ -965,7 +975,11 @@ object Dedup {
       path: String, maxDf: Int = 10, minShared: Int = 2,
       threshold: Double = 0.7, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    graft.functions.WinnowKeys.register(spark, 3, 4)
+    // the new side MUST fingerprint at the index's own (k, w) — read
+    // from path/meta, never assumed (a silent mismatch keeps
+    // near-duplicates with no error raised)
+    val (k, w) = readWinnowIndexParams(spark, path)
+    graft.functions.WinnowKeys.register(spark, k, w)
     graft.functions.Shingles8.register(spark)
     val snapshot = spark.read.parquet(s"$path/docs")
     val fpdf = spark.read.parquet(s"$path/fpdf")

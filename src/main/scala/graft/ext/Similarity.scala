@@ -48,7 +48,17 @@ object Similarity {
   }
 
   /** Exact top-k for the query subset (brute force — the baseline that
-    * bounds pair count by |queries|·n, not n²). */
+    * bounds pair count by |queries|·n, not n²).
+    *
+    * CONTRACT: `queryPred` must select a BOUNDED query set — the query
+    * side is broadcast unconditionally (the hint is what lets the
+    * |queries|·n candidate stream fold map-side into per-query
+    * `topk_min` buffers inside the corpus scan, no exchange of pairs).
+    * A predicate matching a large fraction of the corpus risks
+    * broadcast-build failure / driver memory pressure instead of the
+    * old silent cartesian degradation; for corpus-×-corpus shapes use
+    * [[knnGraph]] (blocked + salted) or [[ivfTopKIndexed]]
+    * (partition-pruned probes). */
   def cosineTopK(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
     val base = withVectors(spark, emb)
@@ -64,13 +74,29 @@ object Similarity {
     // file otherwise serializes the whole dot loop on one task)
     graft.functions.TopKMin.register(spark)
     cand.crossJoin(broadcast(qv)).filter(col("q_id") =!= col("n_id"))
+      // a zero-norm vector has no defined cosine: produce NaN via an
+      // explicit guard (IEEE 0/0 — what the DuckDB oracle computes;
+      // Spark's ANSI mode would instead THROW on the double division),
+      // and NaN under the ORDER BY cosine DESC contract ranks FIRST.
+      // Plain negation would send it LAST through the ascending buffer
+      // (TopKMin's total order puts NaN last) — map NaN to a −Inf
+      // sentinel going in (cosine ∈ [−1, 1], so the sentinel is
+      // unambiguous) and restore NaN on the way out: verdicts
+      // identical to the DESC rank window on every input, zero-norm
+      // corpora included
+      .withColumn("_cos",
+        when(col("nq") * col("nn") === 0.0, lit(Double.NaN))
+          .otherwise(round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4)))
       .withColumn("negcos",
-        -(round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4) + lit(0.0)))
+        when(isnan(col("_cos")), lit(Double.NegativeInfinity))
+          .otherwise(-(col("_cos") + lit(0.0))))
       .groupBy(col("q_id"))
       .agg(expr(s"topk_min(negcos, n_id, $k)").as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
       .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
-        col("e.id").as("n_id"), (-col("e.score")).as("cosine"))
+        col("e.id").as("n_id"),
+        when(col("e.score") === Double.NegativeInfinity, Double.NaN)
+          .otherwise(-col("e.score")).as("cosine"))
   }
 
   /** Hyperplane-LSH bucket assignment: md5-derived planes, sign-bit
@@ -301,14 +327,22 @@ object Similarity {
     // task, so the partials complete map-side.
     a.join(b, Seq("centroid", "_salt"))
       .filter(col("a_id") =!= col("b_id"))
+      // zero-norm neighbors: NaN cosine (explicit guard — ANSI would
+      // throw on the 0/0 double division) ranks FIRST under the DESC
+      // contract — −Inf sentinel in, NaN restored out (see cosineTopK)
+      .withColumn("_cos",
+        when(col("na") * col("nb") === 0.0, lit(Double.NaN))
+          .otherwise(round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4)))
       .withColumn("negcos",
-        -(round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4) + lit(0.0)))
+        when(isnan(col("_cos")), lit(Double.NegativeInfinity))
+          .otherwise(-(col("_cos") + lit(0.0))))
       .groupBy(col("a_id"), col("centroid"))
       .agg(expr(s"topk_min(negcos, b_id, $k)").as("tk"))
       .select(col("a_id"), col("centroid"), posexplode(col("tk")).as(Seq("i", "e")))
       .select(col("a_id"), (col("i") + 1).cast("long").as("rank"),
         col("e.id").as("b_id"), col("centroid"),
-        (-col("e.score")).as("cosine"))
+        when(col("e.score") === Double.NegativeInfinity, Double.NaN)
+          .otherwise(-col("e.score")).as("cosine"))
   }
 
   /** Hot-centroid guard for the in-cluster self-joins: pair work is

@@ -26,11 +26,16 @@ import org.apache.spark.sql.types._
   *
   * Ordering contract: `java.lang.Double.compare` on score (the total
   * order Spark's SortOrder uses on doubles — −0.0 < 0.0, NaN last),
-  * id ascending as the tie-break — identical verdicts to the rank
-  * window on the same `(score, id)` stream, so every consumer's oracle
-  * is unchanged. Descending ranks (cosine) negate the score: inputs
-  * are `+0.0`-normalized upstream, so negation is order-exact and
-  * `-(-0.0)` restores `+0.0` on the way out.
+  * id ascending as the tie-break — identical verdicts to an ASCENDING
+  * rank window on the same `(score, id)` stream, so every consumer's
+  * oracle is unchanged. Descending ranks (cosine) negate the score:
+  * inputs are `+0.0`-normalized upstream, so negation is order-exact
+  * and `-(-0.0)` restores `+0.0` on the way out — but negation
+  * INVERTS NaN placement (a DESC window ranks NaN first; negated-
+  * ascending ranks it last), so descending consumers must map NaN to
+  * a `−Infinity` sentinel before negating and restore it after (see
+  * `Similarity.cosineTopK` / `knnGraph` — zero-norm vectors produce
+  * NaN cosines).
   */
 case class TopKMin(
     score: Expression,

@@ -553,7 +553,13 @@ object Streams {
     val spark = df.sparkSession
     import spark.implicits._
     val psArr = ps.toArray
-    df.select(col(groupCol).cast("string").as("g"),
+    // null values dropped up front — same contract as the batch form
+    // (without the filter a null bin index hits HistVal's non-nullable
+    // Int field and crashes the stream at runtime, where batch would
+    // silently fold the null group into the counts: stream ≡ batch
+    // requires BOTH to exclude nulls)
+    df.filter(value.isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
         least(greatest(floor((value - lo) / width), lit(0.0)),
           lit((bins - 1).toDouble)).cast("int").as("b"))
       .as[HistVal]

@@ -282,6 +282,34 @@ class Ext5Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("winnow index persists (k, w): non-default params round-trip through meta") {
+    import spark.implicits._
+    val mkText = (i: Int) => s"alpha bravo charlie delta echo " +
+      s"w${i} x${i * 7 % 13} y${i * 11 % 17} z${i * 3 % 5} " +
+      s"kilo lima mike november oscar papa quebec"
+    val seen = Seq.tabulate(60)(i => (i.toLong, mkText(i))).toDF("doc_id", "text")
+    val fresh = (Seq.tabulate(10)(i => ((100 + i).toLong, mkText(i * 2))) ++
+      Seq((200L, mkText(3) + " tail"), (201L, "totally novel content here " +
+        "one two three four five six seven eight nine ten eleven")))
+      .toDF("doc_id", "text")
+    // build at (k=2, w=3): the increment must fingerprint the new side
+    // at the INDEX's params (read from path/meta), not the historical
+    // (3, 4) default — a mismatch silently keeps near-duplicates
+    val dir = java.nio.file.Files.createTempDirectory("winidxkw").toString
+    Dedup.writeWinnowIndex(spark, seen, dir, k = 2, w = 3)
+    assert(Dedup.readWinnowIndexParams(spark, dir) == ((2, 3)))
+    val want = Dedup.dedupIncrementalWinnow(spark, fresh,
+        Dedup.winnowSnapshot(spark, seen, k = 2, w = 3).localCheckpoint(true),
+        k = 2, w = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Dedup.dedupIncrementalWinnowIndexed(spark, fresh, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"indexed $got != recount-at-(2,3) $want")
+    // a missing meta table (pre-meta index) falls back to (3, 4)
+    val bare = java.nio.file.Files.createTempDirectory("winidxbare").toString
+    assert(Dedup.readWinnowIndexParams(spark, bare) == ((3, 4)))
+  }
+
   test("histQuantiles: edge semantics, one-bin-width error bound, range clamping") {
     import spark.implicits._
     // group a: 100 values 0.0, 0.1, ..., 9.9 → with width 0.5 the p50

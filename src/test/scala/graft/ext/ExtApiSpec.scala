@@ -77,6 +77,36 @@ class ExtApiSpec extends SparkSpec {
     assert(top == Map(0L -> 1L, 2L -> 3L))
   }
 
+  test("cosineTopK/knnGraph rank zero-norm vectors (NaN cosine) FIRST — the DESC window contract") {
+    import spark.implicits._
+    // vec 9 is the zero vector: cosine(q, 9) = 0/0 = NaN, which
+    // ORDER BY cosine DESC — and the DuckDB oracle — ranks first;
+    // the negated topk_min path must reproduce that, not drop it
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (9L, Array(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(spark, emb, col("vec_id") === 0L, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("n_id"),
+        r.getAs[Double]("cosine")))
+    assert(top.map(t => (t._1, t._2)).toSeq == Seq((1L, 9L), (2L, 1L)),
+      top.mkString(","))
+    assert(top(0)._3.isNaN && !top(1)._3.isNaN)
+    // knnGraph: every vector's in-cluster neighbor list puts the zero
+    // vector first when it shares the cell (and the zero vector's own
+    // rows are all-NaN, present, never dropped)
+    val g = Similarity.knnGraph(spark, emb, k = 3, centroids = 1, dims = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("b_id"), r.getAs[Double]("cosine")))
+    val firstOf = g.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    assert(firstOf(0L) == 9L && firstOf(1L) == 9L && firstOf(2L) == 9L, g.mkString(","))
+    assert(g.filter(t => t._3 == 9L).forall(_._4.isNaN))
+    assert(g.filter(_._1 == 9L).forall(_._4.isNaN)) // zero vec's own rows: NaN, kept
+    assert(g.count(_._1 == 9L) == 3)
+  }
+
   test("ivfAssign sends every vector to its nearest centroid") {
     import spark.implicits._
     val emb = Seq(

@@ -285,6 +285,37 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("histQuantiles drops null values in BOTH forms: stream ≡ batch on null-bearing input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // pre-fix divergence: batch silently folded the null-bin group into
+    // _cum/_n while the stream crashed on HistVal's non-nullable Int —
+    // both must simply exclude nulls (a null carries no rank info)
+    val rows = Seq(("a", Some(0.1)), ("a", None), ("a", Some(0.6)), ("b", None))
+    val mem = MemoryStream[(String, Option[Double])]
+    val q = Streams.histQuantiles(mem.toDF().toDF("src", "x"), col("x"),
+        "src", lo = 0.0, width = 0.25, bins = 16, ps = Seq(50, 99))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("histqnull").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      """SELECT src, n, p50, p99 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY n DESC)
+        |    AS rk FROM histqnull) WHERE rk = 1""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val batch = graft.ext.Corpus.histQuantiles(
+        rows.toDF("src", "x"), col("x"), "src",
+        lo = 0.0, width = 0.25, bins = 16, ps = Seq(50, 99))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // group a counts only its 2 non-null values; all-null group b is absent
+    assert(streamed("a")._1 == 2L && !streamed.contains("b"))
+    q.stop()
+  }
+
   test("streaming HLL distinct estimate equals the batch estimator after any batching") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

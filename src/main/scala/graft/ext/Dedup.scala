@@ -1081,11 +1081,16 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val seenHashes = seenDocs.select(md5(col(textCol)).as("content_hash"))
     val bf = seenHashes.stat.bloomFilter("content_hash", expectedSeen, fpp)
-    val bc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: String) => h != null && bc.value.mightContainString(h))
+    // the probe is a compiled reference-object expression
+    // (graft.functions.BloomProbe — BloomDecontam's pattern), not a
+    // ScalaUDF: the prefilter stays inside whole-stage codegen and
+    // rides the increment scan for free (byte-identical verdicts —
+    // mightContainBinary over the UTF-8 bytes IS mightContainString)
+    graft.functions.BloomProbe.register(spark,
+      new graft.functions.BloomFilterRef(bf))
     val hashed = newDocs.withColumn("content_hash", md5(col(textCol)))
     // candidates = bloom-positive rows only (narrow predicate, no shuffle)
-    val candidates = hashed.filter(mightContain(col("content_hash")))
+    val candidates = hashed.filter(expr("bloom_might_contain(content_hash)"))
     // confirm: false positives are NOT real dups — keep them. Join ORDER
     // matters at scale: a direct `candidates SEMI seen` puts the
     // corpus-sized seen set on the build side (left-semi can only

@@ -763,6 +763,10 @@ class ExtApiSpec extends SparkSpec {
     val plan = Dedup.dedupIncrementalExactBloom(spark, fresh, seen,
       expectedSeen = 500).queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), plan)
+    // the probe is a compiled reference-object expression, never a
+    // ScalaUDF codegen boundary in the prefilter
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.contains("bloom_might_contain"), plan)
   }
 
   test("clustersAltStar matches label-propagation clusters, incl. a deep chain") {

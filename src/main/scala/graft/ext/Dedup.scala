@@ -953,6 +953,42 @@ object Dedup {
     } else (3, 4)
   }
 
+  /** Combine two [[writeWinnowIndex]] directories built over DISJOINT
+    * document shards into one index over their union, WITHOUT
+    * re-reading a single document — the roll-up property the sketch
+    * merges pin for HLL/CMS (q161/q162), applied to the winnow index:
+    * per-shard / per-day crawl indexes combine into the corpus index
+    * by metadata-scale arithmetic alone.
+    *  - `docs`: shards hold disjoint doc sets, so the snapshot tables
+    *    simply UNION (no doc is re-fingerprinted);
+    *  - `fpdf`: a fingerprint's document frequency over a disjoint
+    *    union is the SUM of its per-shard frequencies — one
+    *    fp-keyed aggregate over two |distinct fp|-bounded tables;
+    *  - `meta`: (k, w) must MATCH (fingerprints selected at different
+    *    parameters never co-match; merging them would silently miss
+    *    near-duplicates), enforced here, carried to the output.
+    * Equivalence contract (Ext5Spec + q163 share q152's oracle):
+    * increments against the merged index are bit-equal to increments
+    * against an index built over the union in one pass. */
+  def mergeWinnowIndexes(spark: SparkSession, a: String, b: String,
+      out: String): Unit = {
+    val (ka, wa) = readWinnowIndexParams(spark, a)
+    val (kb, wb) = readWinnowIndexParams(spark, b)
+    require(ka == kb && wa == wb,
+      s"winnow param mismatch: ($ka,$wa) at $a vs ($kb,$wb) at $b — " +
+        "indexes built at different (k, w) cannot merge")
+    spark.read.parquet(s"$a/docs")
+      .unionByName(spark.read.parquet(s"$b/docs"))
+      .write.mode("overwrite").parquet(s"$out/docs")
+    spark.read.parquet(s"$a/fpdf")
+      .unionByName(spark.read.parquet(s"$b/fpdf"))
+      .groupBy(col("fp")).agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(s"$out/fpdf")
+    import spark.implicits._
+    Seq((ka, wa)).toDF("k", "w").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/meta")
+  }
+
   /** [[dedupIncrementalWinnow]] against a persisted [[writeWinnowIndex]]
     * directory — IDENTICAL result (spec-pinned), restructured so every
     * seen-side table is only ever SCANNED, never shuffled or

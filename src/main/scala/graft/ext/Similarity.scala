@@ -712,6 +712,64 @@ object Similarity {
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/assigned")
 
+  /** Compact the appended index's cells: [[appendIvfIndex]] adds new
+    * FILES into `centroid_id=` partitions every increment, so after N
+    * crawls each cell holds N small files and probe-time reads pay N
+    * open/footer costs per probed cell — the classic small-file killer
+    * at 100 TB. This rewrites every cell holding more than
+    * `filesPerCell` files down to `filesPerCell`, and ONLY those cells:
+    *  - fragmented cells are found from a file LISTING (metadata-scale,
+    *    no data read);
+    *  - their rows are read with a partition-pruned scan, materialized
+    *    (localCheckpoint — Spark refuses to overwrite a path it is
+    *    reading), hash-spread so each cell lands in ≤ `filesPerCell`
+    *    write tasks, and written back through DYNAMIC partition
+    *    overwrite — untouched cells' files are never rewritten, so
+    *    compaction cost is proportional to the fragmentation, not the
+    *    index.
+    * Contents are bit-preserved (same rows, parquet doubles are
+    * lossless), so post-compaction search is bit-equal
+    * (IvfIndexSpec pins it; q158's oracle is unchanged). Row order
+    * within a cell may change — no consumer orders by file position.
+    * Not safe concurrently with readers of the same cells (swap is
+    * per-partition, not transactional); run it between crawl
+    * increments, where appendIvfIndex already serializes.
+    * Returns the number of cells compacted. */
+  def compactIvfIndex(spark: SparkSession, path: String,
+      filesPerCell: Int = 1): Long = {
+    require(filesPerCell >= 1, s"filesPerCell=$filesPerCell must be >= 1")
+    val assigned = new org.apache.hadoop.fs.Path(s"$path/assigned")
+    val fs = assigned.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fragIds = fs.listStatus(assigned)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")) > filesPerCell)
+      .map(_.getPath.getName.stripPrefix("centroid_id=").toLong)
+      .toSeq
+    if (fragIds.isEmpty) return 0L
+    val frag = spark.read.parquet(s"$path/assigned")
+      .filter(col("centroid_id").isin(fragIds: _*))
+    val spreadCells =
+      if (filesPerCell == 1) frag.repartition(col("centroid_id"))
+      else frag
+        .withColumn("_fs", pmod(hash(col("n_id")), lit(filesPerCell)))
+        .repartition(col("centroid_id"), col("_fs")).drop("_fs")
+    // materialize BEFORE the overwrite: the write target is the scan's
+    // own source path, which Spark (rightly) refuses without a barrier
+    val cp = spreadCells.localCheckpoint(true)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try cp.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/assigned")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    cp.unpersist(blocking = false)
+    fragIds.length.toLong
+  }
+
   /** IVF search against a persisted index ([[writeIvfIndex]]): queries
     * probe their `nProbe` nearest centroids and rerank exactly within
     * the probed CELLS' FILES only — the probed-cell id set (bounded by

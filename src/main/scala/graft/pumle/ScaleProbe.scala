@@ -376,6 +376,48 @@ object ScaleProbe {
     println(f"[probe] ann ivf: $nVec%d vecs, ~100 queries → $topk results " +
       f"in $secs4%.1fs = ${nVec / secs4 / 1000}%.0fk vecs/s assign+probe+rerank")
 
+    // index compaction: the appended index's small-file decay, measured.
+    // Build a persisted 100k-vec index, stack 10 crawls of 10k vectors
+    // (every append adds files to every assigned cell), probe ~100
+    // queries FRAGMENTED, compact, probe again — the probe-time delta
+    // and per-cell file counts are the numbers the compaction cadence
+    // at 100 TB is planned from.
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    graft.ext.Similarity.writeIvfIndex(spark, emb,
+      col("vec_id") % 1000 === 0, ivfDir)
+    graft.ext.Similarity.compactIvfIndex(spark, ivfDir)
+    for (a <- 0 until 10) {
+      val inc = spark.range(nVec + a.toLong * 10000,
+          nVec + (a + 1).toLong * 10000).select(
+        col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63), d ->
+                | CAST(CAST(pmod(id * (d + 7919), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))"""
+          .stripMargin).as("embedding"))
+      graft.ext.Similarity.appendIvfIndex(spark, inc, ivfDir)
+    }
+    def cellFiles(dir: String): Seq[Int] = new java.io.File(s"$dir/assigned")
+      .listFiles().filter(_.getName.startsWith("centroid_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    val queriesIvf = emb.filter(col("vec_id") % 997 === 0)
+    def probeOnce(): Double = {
+      val t = System.nanoTime()
+      graft.ext.Similarity.ivfTopKIndexed(spark, ivfDir, queriesIvf,
+        nProbe = 4, k = 10).count()
+      (System.nanoTime() - t) / 1e9
+    }
+    val filesFrag = cellFiles(ivfDir)
+    val probeFrag = math.min(probeOnce(), probeOnce())
+    val tCm = System.nanoTime()
+    val nComp = graft.ext.Similarity.compactIvfIndex(spark, ivfDir)
+    val secsCm = (System.nanoTime() - tCm) / 1e9
+    val filesComp = cellFiles(ivfDir)
+    val probeComp = math.min(probeOnce(), probeOnce())
+    println(f"[probe] ivf compaction: 10 appends → ${filesFrag.sum}%d files " +
+      f"over ${filesFrag.length}%d cells (max ${filesFrag.max}%d/cell), " +
+      f"probe $probeFrag%.2fs; compacted $nComp%d cells in $secsCm%.1fs → " +
+      f"${filesComp.sum}%d files (max ${filesComp.max}%d/cell), " +
+      f"probe $probeComp%.2fs (${probeFrag / probeComp}%.1f× faster)")
+
     // per-group cap under REAL skew: 4M docs where one mega-source holds
     // half the corpus. The plain cap drags the whole hot group through
     // one window task; the salted two-phase form bounds every task at

@@ -168,5 +168,33 @@ object Ext6Queries {
       Tables.documents(s, d), col("doc_id") % 4),
     Ext4Queries.qs.find(_.name == "q139_cms_heavy_hitters").get.oracle) // q139 VERBATIM
 
-  val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162)
+  // --------------------------------------------------------------- q163
+  // Winnow-index MERGEABILITY, oracle-checked: the seen corpus (q152's
+  // exact seen side) indexed as two DISJOINT shards, combined by
+  // mergeWinnowIndexes (docs union + fp-keyed df sum + matching (k, w)
+  // — no document re-read), then q152's increment applied against the
+  // MERGED index. Bit-equal verdicts ⇒ q152's oracle VERBATIM — the
+  // per-shard / per-day index roll-up q161/q162 pin for sketches,
+  // extended to the dedup index itself.
+  private val q163 = Q(
+    "q163_winnow_index_merged",
+    (s, d) => {
+      val idx = Fixtures.dir("winmerge", d) { p =>
+        val seen = Tables.documents(s, d).filter(col("doc_id") % 3 =!= 0)
+        graft.ext.Dedup.writeWinnowIndex(s,
+          seen.filter(col("doc_id") % 2 === 0), s"$p/shardA")
+        graft.ext.Dedup.writeWinnowIndex(s,
+          seen.filter(col("doc_id") % 2 =!= 0), s"$p/shardB")
+        graft.ext.Dedup.mergeWinnowIndexes(s,
+          s"$p/shardA", s"$p/shardB", s"$p/merged")
+      }
+      graft.ext.Dedup.dedupIncrementalWinnowIndexed(s,
+          Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+          s"$idx/merged")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Ext5Queries.qs.find(_.name == "q152_incremental_winnow").get.oracle) // q152 VERBATIM
+
+  val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q163)
 }

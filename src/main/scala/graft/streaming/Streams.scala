@@ -219,6 +219,88 @@ object Streams {
       .select(col("doc_id"), col("ts"), col("text"))
   }
 
+  final case class WinnowSeenCand(seen_id: Long, sh_s: Seq[String])
+  final case class WinnowIn(doc_id: Long, ts: java.sql.Timestamp,
+    text: String, sh_n: Seq[String], cands: Seq[WinnowSeenCand])
+  final case class WinnowKept(doc_id: Long, ts: java.sql.Timestamp,
+    text: String)
+
+  /** Streaming twin of [[graft.ext.Dedup.dedupIncrementalWinnowIndexed]]
+    * — the recommended crawl shape, consumed stream-static: each
+    * arriving doc is deduped against a persisted
+    * [[graft.ext.Dedup.writeWinnowIndex]] directory, emitting only the
+    * kept docs. Verdict contract is the batch form's exactly (same
+    * (k, w) read from the index's meta, same df cap, same
+    * minShared / shingle-Jaccard verify with the union=0→1.0
+    * convention) and StreamsSpec pins stream ≡ batch keeps. Like the
+    * batch increment, arrivals are judged against the INDEX only —
+    * intra-stream duplicates are the next index rebuild/merge's
+    * business, not the filter's.
+    *
+    * Shape: the exact stage is a stream-static anti-join against the
+    * seen hash column; fingerprints explode STATELESSLY and pick up
+    * their df-capped candidate lists from one static fp-keyed table
+    * (computed once at plan build from the persisted snapshot+fpdf —
+    * seen text is never consulted); the per-doc verdict regroups the
+    * matches with a STATELESS flatMapGroupsWithState (all of a doc's
+    * fp rows live in its arrival micro-batch; no state is ever
+    * stored, so state size is zero regardless of stream length). */
+  def winnowDedup(spark: SparkSession, docs: DataFrame, indexPath: String,
+      maxDf: Int = 10, minShared: Int = 2,
+      threshold: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val (k, w) = graft.ext.Dedup.readWinnowIndexParams(spark, indexPath)
+    graft.functions.WinnowKeys.register(spark, k, w)
+    graft.functions.Shingles8.register(spark)
+    val snapshot = spark.read.parquet(s"$indexPath/docs")
+    val fpdf = spark.read.parquet(s"$indexPath/fpdf")
+    // static side: kept fingerprint -> candidate (seen_id, shingles)
+    // list — the df cap applies HERE, so over-cap fps never produce a
+    // candidate row (the batch form's order of operations)
+    val postings = snapshot
+      .select(col("doc_id").as("seen_id"), col("shingles"),
+        explode(col("fps")).as("fp"))
+      .join(fpdf.filter(col("df") <= maxDf), Seq("fp"))
+      .groupBy(col("fp"))
+      .agg(collect_list(struct(col("seen_id"), col("shingles").as("sh_s")))
+        .as("cands"))
+    docs.filter(col("text").isNotNull)
+      .withColumn("content_hash", md5(col("text")))
+      .join(snapshot.select(col("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+      .withColumn("sh_n", expr("shingles8(text)"))
+      // explode_outer: a doc with NO fingerprints (shorter than the
+      // winnow window) still flows through with a null fp and is kept
+      .withColumn("fp", explode_outer(expr(
+        "array_distinct(transform(winnow_keys(text), x -> x DIV 8192))")))
+      .join(postings, Seq("fp"), "left_outer")
+      .select(col("doc_id"), col("ts"), col("text"), col("sh_n"), col("cands"))
+      .as[WinnowIn]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: Long, vals: Iterator[WinnowIn], _: GroupState[Boolean]) =>
+          val rows = vals.toSeq
+          val head = rows.head
+          val shN = Option(head.sh_n).getOrElse(Seq.empty).toSet
+          // n_shared per seen doc = how many of this doc's distinct
+          // kept fps that seen doc shares (each row is one fp)
+          val bySeen = rows.flatMap(r => Option(r.cands).getOrElse(Seq.empty))
+            .groupBy(_.seen_id)
+          val isDup = bySeen.exists { case (_, cs) =>
+            cs.size >= minShared && {
+              val shS = cs.head.sh_s.toSet
+              val inter = (shN & shS).size
+              val union = shN.size + shS.size - inter
+              val j = if (union == 0) 1.0 else inter.toDouble / union
+              j >= threshold
+            }
+          }
+          if (isDup) Iterator.empty
+          else Iterator.single(WinnowKept(head.doc_id, head.ts, head.text))
+      }
+      .toDF()
+  }
+
   final case class DebEvent(user_id: Long, event_type: String,
     ts_us: Long, event_id: Long)
   final case class DebState(last_us: Long)

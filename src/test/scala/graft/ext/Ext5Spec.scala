@@ -310,6 +310,41 @@ class Ext5Spec extends SparkSpec {
     assert(Dedup.readWinnowIndexParams(spark, bare) == ((3, 4)))
   }
 
+  test("mergeWinnowIndexes: merged shard indexes ≡ index built on the union") {
+    import spark.implicits._
+    val mkText = (i: Int) => s"alpha bravo charlie delta echo " +
+      s"w${i} x${i * 7 % 13} y${i * 11 % 17} z${i * 3 % 5} " +
+      s"kilo lima mike november oscar papa quebec"
+    val seen = Seq.tabulate(60)(i => (i.toLong, mkText(i))).toDF("doc_id", "text")
+    val fresh = (Seq.tabulate(10)(i => ((100 + i).toLong, mkText(i * 2))) ++
+      Seq((200L, mkText(3) + " tail"), (201L, "totally novel content here " +
+        "one two three four five six seven eight nine ten eleven")))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("winmerge").toString
+    // disjoint shards (odd/even), then the metadata-scale merge
+    Dedup.writeWinnowIndex(spark, seen.filter(col("doc_id") % 2 === 0), s"$root/a")
+    Dedup.writeWinnowIndex(spark, seen.filter(col("doc_id") % 2 =!= 0), s"$root/b")
+    Dedup.mergeWinnowIndexes(spark, s"$root/a", s"$root/b", s"$root/m")
+    Dedup.writeWinnowIndex(spark, seen, s"$root/full")
+    // the merged fpdf is the union index's fpdf, row for row (the df
+    // cap therefore behaves identically on any increment)
+    def fpdf(p: String) = spark.read.parquet(s"$p/fpdf")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fpdf(s"$root/m") == fpdf(s"$root/full"))
+    // increment verdicts bit-equal
+    def verdict(p: String) = Dedup.dedupIncrementalWinnowIndexed(spark, fresh, p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(verdict(s"$root/m") == verdict(s"$root/full"))
+    assert(verdict(s"$root/m").contains(201L))
+    // mismatched (k, w) indexes refuse to merge
+    Dedup.writeWinnowIndex(spark, seen.filter(col("doc_id") % 2 === 0),
+      s"$root/kw", k = 2, w = 3)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.mergeWinnowIndexes(spark, s"$root/kw", s"$root/b", s"$root/x")
+    }
+    assert(e.getMessage.contains("param mismatch"))
+  }
+
   test("histQuantiles: edge semantics, one-bin-width error bound, range clamping") {
     import spark.implicits._
     // group a: 100 values 0.0, 0.1, ..., 9.9 → with width 0.5 the p50

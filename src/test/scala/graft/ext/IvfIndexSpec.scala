@@ -81,6 +81,43 @@ class IvfIndexSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("compactIvfIndex: fragmented cells → filesPerCell, untouched cells untouched, search bit-equal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfcomp").toString
+    Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir)
+    def files(cell: Long) = new java.io.File(s"$dir/assigned/centroid_id=$cell")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    // normalize the fresh build to one file per cell first (the build's
+    // write stage is n_id-hash partitioned, so cells start multi-file)
+    Similarity.compactIvfIndex(spark, dir)
+    assert(Seq(0L, 1L, 2L).forall(files(_).size == 1))
+    val cell1Before = files(1L)
+    val cell2Before = files(2L)
+    // 10 stacked appends, every vector landing in cell 0 (axis-0 heavy)
+    for (i <- 0 until 10) {
+      val inc = Seq((1000L + i, Array(1.2f, 0.05f, 0.05f, 0.05f), 0))
+        .toDF("vec_id", "embedding", "label")
+      Similarity.appendIvfIndex(spark, inc, dir)
+    }
+    assert(files(0L).size >= 10, s"appends should fragment cell 0: ${files(0L)}")
+    val queries = emb.filter(col("vec_id") % 5 === 0)
+    val before = Similarity.ivfTopKIndexed(spark, dir, queries, nProbe = 2, k = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    // compact: only the fragmented cell is rewritten
+    assert(Similarity.compactIvfIndex(spark, dir) == 1L)
+    assert(files(0L).size == 1)
+    assert(files(1L) == cell1Before && files(2L) == cell2Before,
+      "untouched cells must keep their exact files")
+    val after = Similarity.ivfTopKIndexed(spark, dir, queries, nProbe = 2, k = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(after == before && after.nonEmpty)
+    // appended vectors are still present and searchable post-compaction
+    val cnt = spark.read.parquet(s"$dir/assigned").count()
+    assert(cnt == 24L + 10L)
+    // idempotent: nothing left to compact
+    assert(Similarity.compactIvfIndex(spark, dir) == 0L)
+  }
+
   test("appendIvfIndex assignment is fully narrow (no shuffle, no join)") {
     val dir = java.nio.file.Files.createTempDirectory("ivfappN").toString
     Similarity.writeIvfIndex(spark, emb.filter(col("vec_id") < 16),

@@ -277,7 +277,11 @@ class PlanSpec extends SparkSpec {
       // sketch tables (4 rows of 2 KB / 32 KB buffers) regroup to merge
       // element-wise — the roll-up cost is sketch-sized, never
       // token-sized
-      "q161_hll_merged" -> 5, "q162_cms_merged" -> 3)
+      "q161_hll_merged" -> 5, "q162_cms_merged" -> 3,
+      // q163 = q160's increment plan verbatim — the merged index is
+      // just another writeWinnowIndex directory at query time (the
+      // shard builds + metadata-scale merge run once into the fixture)
+      "q163_winnow_index_merged" -> 11)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

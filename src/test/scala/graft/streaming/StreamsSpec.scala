@@ -251,6 +251,45 @@ class StreamsSpec extends SparkSpec {
       .exists(_.getName.startsWith("centroid_id=")))
   }
 
+  test("stream-static winnow dedup against a persisted index equals the batch increment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the Ext5Spec winnow fixture: planted exact dups, long-run
+    // near-dups, boilerplate fps, novel content
+    val mkText = (i: Int) => s"alpha bravo charlie delta echo " +
+      s"w${i} x${i * 7 % 13} y${i * 11 % 17} z${i * 3 % 5} " +
+      s"kilo lima mike november oscar papa quebec"
+    val seen = Seq.tabulate(60)(i => (i.toLong, mkText(i))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winstream").toString
+    graft.ext.Dedup.writeWinnowIndex(spark, seen, dir)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val arrivals = Seq.tabulate(10)(i => ((100 + i).toLong, mkText(i * 2), t0)) ++
+      Seq((200L, mkText(3) + " tail", t0),
+        (201L, "totally novel content here one two three four five six " +
+          "seven eight nine ten eleven", t0),
+        // shorter than the winnow window: zero fingerprints, kept
+        (202L, "tiny doc", t0))
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Streams.winnowDedup(spark,
+        mem.toDF().toDF("doc_id", "text", "ts"), dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("windedup").start()
+    // split across two micro-batches: verdicts are per-arrival
+    mem.addData(arrivals.take(5): _*)
+    q.processAllAvailable()
+    mem.addData(arrivals.drop(5): _*)
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM windedup")
+      .collect().map(_.getLong(0)).toSet
+    val batchKept = graft.ext.Dedup.dedupIncrementalWinnowIndexed(spark,
+        arrivals.map(a => (a._1, a._2)).toDF("doc_id", "text"), dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == batchKept, s"stream $kept != batch $batchKept")
+    assert(kept.contains(201L) && kept.contains(202L))
+    assert(!kept.contains(100L)) // exact dup of seen 0 dropped
+    q.stop()
+  }
+
   test("streaming histogram quantiles equal the batch histQuantiles over everything seen") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -352,28 +352,39 @@ object Similarity {
     * spreads the quadratic work, it doesn't shrink it). The guard
     * EXCLUDES clusters above `maxCluster` from the pair join entirely
     * (whole-cluster, deterministic — never a sample, so the kept
-    * clusters' results are bit-identical to the unguarded form), with
-    * the drop observable via `capMetrics` (q74's cap-stats discipline:
-    * capped_clusters / capped_members / max_cluster_size). The default
-    * `maxCluster = Int.MaxValue` with no metrics leaves the original
-    * zero-extra-shuffle plan untouched (q142/q153 oracles unchanged).
-    * The cluster-size table is |centroids|-bounded and broadcasts. */
+    * clusters' results are bit-identical to the unguarded form).
+    *
+    * ALWAYS ON: the cluster-size pass (one partial-aggregable groupBy
+    * to a |centroids|-row table + a broadcast semi-join — tiny next to
+    * the quadratic pair join it guards) runs on every call, and the
+    * cap stats (q74's discipline: capped_clusters / capped_members /
+    * max_cluster_size) are ALWAYS emitted — through the caller's
+    * `capMetrics` Observation when provided, else as a named
+    * `cluster_cap_stats` observation any QueryExecutionListener reads.
+    * A first-time user on a boilerplate-heavy corpus therefore SEES
+    * the mega-cluster (max_cluster_size) before it costs hours, even
+    * with the default `maxCluster = Int.MaxValue` (which excludes
+    * nothing — q142/q153 oracles unchanged). Metrics fire exactly once
+    * per run: consumers checkpoint immediately downstream, so the
+    * observed subtree executes once there. */
   private def capHotClusters(assigned: DataFrame, maxCluster: Int,
-      capMetrics: Option[org.apache.spark.sql.Observation]): DataFrame =
-    if (maxCluster == Int.MaxValue && capMetrics.isEmpty) assigned
-    else {
-      val sized0 = assigned.groupBy(col("centroid"))
-        .agg(count(lit(1)).as("csize"))
-      val sized = capMetrics.fold(sized0)(o => sized0.observe(o,
-        sum(when(col("csize") > maxCluster, lit(1L)).otherwise(lit(0L)))
-          .as("capped_clusters"),
-        sum(when(col("csize") > maxCluster, col("csize")).otherwise(lit(0L)))
-          .as("capped_members"),
-        max(col("csize")).as("max_cluster_size")))
-      assigned
-        .join(broadcast(sized.filter(col("csize") <= maxCluster)
-          .select(col("centroid"))), Seq("centroid"))
+      capMetrics: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val sized0 = assigned.groupBy(col("centroid"))
+      .agg(count(lit(1)).as("csize"))
+    val stats = Seq(
+      sum(when(col("csize") > maxCluster, lit(1L)).otherwise(lit(0L)))
+        .as("capped_clusters"),
+      sum(when(col("csize") > maxCluster, col("csize")).otherwise(lit(0L)))
+        .as("capped_members"),
+      max(col("csize")).as("max_cluster_size"))
+    val sized = capMetrics match {
+      case Some(o) => sized0.observe(o, stats.head, stats.tail: _*)
+      case None => sized0.observe("cluster_cap_stats", stats.head, stats.tail: _*)
     }
+    assigned
+      .join(broadcast(sized.filter(col("csize") <= maxCluster)
+        .select(col("centroid"))), Seq("centroid"))
+  }
 
   def semanticDedupFixed(spark: SparkSession, emb: DataFrame,
       k: Int = 16, threshold: Double = 0.35, dims: Int = 64,
@@ -731,6 +742,16 @@ object Similarity {
     * lossless), so post-compaction search is bit-equal
     * (IvfIndexSpec pins it; q158's oracle is unchanged). Row order
     * within a cell may change — no consumer orders by file position.
+    *
+    * Sizing `filesPerCell`: it bounds probe-time scan parallelism per
+    * cell — a compacted file is one scan split per row group, so a
+    * multi-GB cell compacted to ONE freshly-written file (one writer,
+    * one row group until it hits the 128 MB row-group bound)
+    * serializes that cell's rerank onto one task (the `spread()`
+    * pathology, measured: a deliberately single-cell 200k-vec index
+    * probed SLOWER after 1-file compaction). Pick filesPerCell ≈
+    * cell bytes / 128 MB, floor 1 — with a healthy quantizer (cells ≪
+    * corpus, many cells probed per query batch) 1 is right.
     * Not safe concurrently with readers of the same cells (swap is
     * per-partition, not transactional); run it between crawl
     * increments, where appendIvfIndex already serializes.

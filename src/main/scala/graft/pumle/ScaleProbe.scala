@@ -381,24 +381,29 @@ object ScaleProbe {
     // (every append adds files to every assigned cell), probe ~100
     // queries FRAGMENTED, compact, probe again — the probe-time delta
     // and per-cell file counts are the numbers the compaction cadence
-    // at 100 TB is planned from.
+    // at 100 TB is planned from. Vectors here are genuinely CLUSTERED
+    // (a unit spike at dim id%64 + small noise → 64 balanced cells):
+    // the flat generator above collapses into one cell, which measures
+    // a mega-cell pathology, not compaction.
+    val clustered = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), d ->
+              | CAST(CASE WHEN d = pmod(id, 64) THEN 1.0
+              |       ELSE CAST(pmod(id * (d + 17), 97) AS DOUBLE) / 1940.0
+              |  END AS FLOAT))""".stripMargin).as("embedding"))
     val ivfDir = java.nio.file.Files.createTempDirectory("ivfcompact").toString
-    graft.ext.Similarity.writeIvfIndex(spark, emb,
+    graft.ext.Similarity.writeIvfIndex(spark, clustered(0, nVec),
       col("vec_id") % 1000 === 0, ivfDir)
     graft.ext.Similarity.compactIvfIndex(spark, ivfDir)
     for (a <- 0 until 10) {
-      val inc = spark.range(nVec + a.toLong * 10000,
-          nVec + (a + 1).toLong * 10000).select(
-        col("id").as("vec_id"),
-        expr("""transform(sequence(0, 63), d ->
-                | CAST(CAST(pmod(id * (d + 7919), 1000) AS DOUBLE) / 1000.0 - 0.5 AS FLOAT))"""
-          .stripMargin).as("embedding"))
-      graft.ext.Similarity.appendIvfIndex(spark, inc, ivfDir)
+      graft.ext.Similarity.appendIvfIndex(spark,
+        clustered(nVec + a.toLong * 10000, nVec + (a + 1).toLong * 10000),
+        ivfDir)
     }
     def cellFiles(dir: String): Seq[Int] = new java.io.File(s"$dir/assigned")
       .listFiles().filter(_.getName.startsWith("centroid_id="))
       .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
-    val queriesIvf = emb.filter(col("vec_id") % 997 === 0)
+    val queriesIvf = clustered(0, nVec).filter(col("vec_id") % 997 === 0)
     def probeOnce(): Double = {
       val t = System.nanoTime()
       graft.ext.Similarity.ivfTopKIndexed(spark, ivfDir, queriesIvf,
@@ -417,6 +422,50 @@ object ScaleProbe {
       f"probe $probeFrag%.2fs; compacted $nComp%d cells in $secsCm%.1fs → " +
       f"${filesComp.sum}%d files (max ${filesComp.max}%d/cell), " +
       f"probe $probeComp%.2fs (${probeFrag / probeComp}%.1f× faster)")
+
+    // salted in-cluster pairs at the 200k decade: the Σ cᵢ² mechanism
+    // under 10×-denser cells than BENCH_sfe, with the TASK-TIME
+    // distribution measured (the thing salting exists to flatten).
+    // 200k vectors over two spike dims → ~256 balanced cells at 780
+    // rows each (Σ cᵢ² ≈ 156M pairs); pairSalts=16 vs 1 on the SAME
+    // pair set — the max-task ratio is the flattening factor.
+    val knnVecs = spark.range(200000).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), d ->
+              | CAST(CASE WHEN d = pmod(id, 64) THEN 1.0
+              |       WHEN d = pmod(id DIV 64, 64) THEN 0.7
+              |       ELSE CAST(pmod(id * (d + 17), 97) AS DOUBLE) / 1940.0
+              |  END AS FLOAT))""".stripMargin).as("embedding"))
+      .localCheckpoint(true)
+    def saltedRun(salts: Int): (Double, Long, Long, Long) = {
+      val times = new scala.collection.concurrent.TrieMap[
+        Int, scala.collection.mutable.ArrayBuffer[Long]]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val buf = times.getOrElseUpdate(te.stageId,
+            scala.collection.mutable.ArrayBuffer[Long]())
+          buf.synchronized { buf += te.taskInfo.duration; () }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t = System.nanoTime()
+      val n = graft.ext.Similarity.knnGraph(spark, knnVecs, k = 3,
+        centroids = 256, dims = 64, pairSalts = salts).count()
+      val secs = (System.nanoTime() - t) / 1e9
+      Thread.sleep(2000) // listener delivery is async; drain before reading
+      spark.sparkContext.removeSparkListener(listener)
+      require(n > 0)
+      val heavy = times.values.maxBy(_.sum).sortBy(-_)
+      (secs, heavy.head, heavy(heavy.length / 2), n)
+    }
+    val (s16, max16, p5016, nEdges) = saltedRun(16)
+    val (s1, max1, p501, _) = saltedRun(1)
+    println(f"[probe] salted knn (200k vecs, 256 cells, ~156M in-cell pairs, " +
+      f"$nEdges%d edges): salts=16 $s16%.1fs, heavy-stage max task " +
+      f"${max16 / 1000.0}%.1fs / p50 ${p5016 / 1000.0}%.1fs; salts=1 $s1%.1fs, " +
+      f"max task ${max1 / 1000.0}%.1fs / p50 ${p501 / 1000.0}%.1fs — " +
+      f"salting cuts the longest task ${max1.toDouble / max16}%.1f×")
 
     // per-group cap under REAL skew: 4M docs where one mega-source holds
     // half the corpus. The plain cap drags the whole hot group through

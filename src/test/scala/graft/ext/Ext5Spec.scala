@@ -132,6 +132,37 @@ class Ext5Spec extends SparkSpec {
       "capped mega-cluster members must all survive")
   }
 
+  test("cap stats are DEFAULT-ON: cluster_cap_stats observed with no Observation passed") {
+    // a first-time knnGraph/semanticDedupFixed caller on a boilerplate-
+    // heavy corpus must SEE max_cluster_size before the quadratic pair
+    // join costs hours — the named observation fires on the internal
+    // checkpoint even when capMetrics is None
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get("cluster_cap_stats").foreach(seen.add)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val e = emb(Seq.tabulate(40) { i =>
+        (i.toLong, Seq.tabulate(8)(d => ((i * 37 + d * 13) % 101 - 50) * 0.9f))
+      })
+      Similarity.knnGraph(spark, e, k = 2, centroids = 8, dims = 8).collect()
+      // listener delivery is async — poll
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!seen.isEmpty, "cluster_cap_stats never observed")
+      val m = seen.peek()
+      assert(m.getAs[Long]("capped_clusters") == 0L, m.toString)
+      assert(m.getAs[Long]("max_cluster_size") >= 1L, m.toString)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("kCenter seeds give kmeans perfect blob separation where first-k-id seeds collapse") {
     // 4 well-separated blobs of 10 points; ids 0..9 are ALL in blob 0,
     // so first-k-id seeding starts every center inside one blob (the

@@ -82,7 +82,11 @@ QUERIES = ["q52_lsh_candidates", "q65_dedup_clusters", "q72_verify_candidates",
            # round-8: the DSIR score-only steady-state twin (document
            # axis; q153-q156/q158 are embeddings-axis and deliberately
            # absent — the sf1 build scales only the documents table)
-           "q157_dsir_score_only"]
+           "q157_dsir_score_only",
+           # round-9: the indexed winnow increment and its merged-shard
+           # twin (both document-axis; the Fixtures memo builds each
+           # index once, so shots 2..n time the increment alone)
+           "q160_incremental_winnow_indexed", "q163_winnow_index_merged"]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 

@@ -22,7 +22,21 @@ the documented brute-force baselines, not the scale path; q154 joins
 embeddings to the UNSCALED documents table (inner join would discard
 every replica, timing nothing new).
 
-Usage: python3 tools/bench_sfe.py [--skip-build] [--runs N]
+Usage: python3 tools/bench_sfe.py [--skip-build] [--runs N] [--decade]
+
+--decade appends a SECOND, Spark-only decade (200,000 vectors — 100
+near-dup replicas) with per-row ×10 scale-up factors against a fresh
+20k run from the same session. Spark-only because the 20k DuckDB
+replay already prices the relational forms (q142's replay took 506s
+and q153's DNF'd at 20k; at 200k no replay finishes). The
+quadratic-pair family (q142/q153) and the brute-force recall baseline
+(q111) are excluded from the decade table — their pair work is
+Σ cᵢ² / |q|·n BY CONTRACT and grows ×100 per decade on a fixed-k
+quantizer; the 200k evidence for the SALTED pair mechanism lives in
+ScaleProbe's `salted knn` section instead (256-cell config, task-time
+distribution — the production knob is centroid count, not ratio
+heroics on a 16-cell toy grid).
+
 Writes /tmp/sfe/embeddings.parquet (other tables symlinked from sf0.1),
 expects `sbt` on PATH, emits BENCH_sfe.md in the repo root.
 
@@ -34,7 +48,11 @@ import duckdb
 
 SF01 = "/root/testdata/sf0.1"
 SFE = "/tmp/sfe"
+SFE10 = "/tmp/sfe10"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# excluded from the 200k decade (see docstring): quadratic-pair
+# contracts on the fixed toy quantizer + the brute-force baseline
+DECADE_SKIP = {"q142_semantic_dedup", "q153_knn_graph", "q111_ann_recall"}
 QUERIES = [
     # exact/bounded embedding ops
     "q63_dedup_embedding", "q109_mean_pool", "q111_ann_recall",
@@ -77,6 +95,33 @@ def build():
     print(f"[build] {SFE}/embeddings.parquet: {n} vectors")
 
 
+def build_decade():
+    os.makedirs(SFE10, exist_ok=True)
+    con = duckdb.connect()
+    # 100 near-dup replicas in 10 batched COPY-free unions (DuckDB holds
+    # the plan fine; one statement keeps the parquet single-file like SFE)
+    reps = " UNION ALL ".join(
+        f"""SELECT vec_id + {k} * 10000000 AS vec_id,
+                   [CAST(embedding[1] + {k} * 0.0001 AS FLOAT)]
+                     || embedding[2:] AS embedding,
+                   label
+            FROM read_parquet('{SF01}/embeddings.parquet')"""
+        for k in range(1, 100))
+    con.execute(f"""
+        COPY (SELECT * FROM read_parquet('{SF01}/embeddings.parquet')
+              UNION ALL {reps})
+        TO '{SFE10}/embeddings.parquet' (FORMAT PARQUET)""")
+    n, = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SFE10}/embeddings.parquet')").fetchone()
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        dst = f"{SFE10}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+    print(f"[build] {SFE10}/embeddings.parquet: {n} vectors")
+
+
 def time_duckdb(runs):
     sqls = json.load(open("/tmp/verify_out/oracle_sql.json"))
     out, spread = {}, {}
@@ -110,12 +155,12 @@ def time_duckdb(runs):
     return out, spread
 
 
-def time_spark(runs):
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SFE, SPARK_GRAFT_CPUS="32",
+def time_spark(runs, sf_dir=SFE, queries=QUERIES):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_RUNS=str(runs))
     p = subprocess.run(
-        ["sbt", "-batch", "runMain graft.tools.QBench " + " ".join(QUERIES)],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
+        ["sbt", "-batch", "runMain graft.tools.QBench " + " ".join(queries)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=7200)
     out, spread = {}, {}
     for m in re.finditer(
             r"\[qbench\] (\S+)\s+min=([0-9.]+)s runs=Vector\(([0-9., ]+)\)",
@@ -125,20 +170,70 @@ def time_spark(runs):
         spread[m.group(1)] = max(shots) / min(shots)
         print(f"[spark]  {m.group(1):30s} {float(m.group(2)):.2f}s "
               f"(spread {spread[m.group(1)]:.2f}x)")
-    missing = [q for q in QUERIES if q not in out]
+    missing = [q for q in queries if q not in out]
     if missing:
         sys.stderr.write(p.stdout[-3000:] + p.stderr[-2000:])
         raise SystemExit(f"spark timings missing for {missing}")
     return out, spread
 
 
+def run_decade(runs):
+    """Spark-only 200k decade: fresh 20k + 200k runs in one session,
+    appended to BENCH_sfe.md as its own section."""
+    build_decade()
+    qs = [q for q in QUERIES if q not in DECADE_SKIP]
+    print("[decade] 20k reference run")
+    s20, sp20 = time_spark(runs, SFE, qs)
+    print("[decade] 200k run")
+    s200, sp200 = time_spark(runs, SFE10, qs)
+    lines = [
+        "", "## 200k-vector decade (Spark-only)", "",
+        "Another ×10 on the vector axis (200,000 × 64-dim, 100 near-dup",
+        "replicas), both runs measured back-to-back in this session",
+        f"(min-of-{runs}). No DuckDB column: the 20k replay already DNF'd /",
+        "took 506s on the pair family; q142/q153/q111 excluded here for the",
+        "same Σ cᵢ² / |q|·n contract reason (see module docstring — the",
+        "200k salted-pair evidence is ScaleProbe's `salted knn` section).",
+        "A scale-up ≤ 10× on a ×10 corpus means the row's plan is at worst",
+        "linear in the data at this decade.",
+        "",
+        "| query | spark 20k (s) | spark 200k (s) | scale-up ×10 | spread 20k/200k |",
+        "|---|---|---|---|---|",
+    ]
+    for q in qs:
+        su = s200[q] / s20[q] if s20[q] > 0 else float("nan")
+        lines.append(f"| {q} | {s20[q]:.2f} | {s200[q]:.2f} | {su:.1f}× "
+                     f"| {sp20[q]:.2f}×/{sp200[q]:.2f}× |")
+    t20, t200 = sum(s20.values()), sum(s200.values())
+    lines += ["", f"**Totals: 20k {t20:.1f}s → 200k {t200:.1f}s, "
+              f"aggregate scale-up {t200 / t20:.1f}× for ×10 data.**", ""]
+    md = os.path.join(REPO, "BENCH_sfe.md")
+    prev = open(md).read() if os.path.exists(md) else ""
+    # replace any previous decade section in place
+    marker = "## 200k-vector decade"
+    if marker in prev:
+        head = prev[:prev.index(marker)].rstrip() + "\n"
+        rest = prev[prev.index(marker):]
+        nxt = rest.find("\n## ", 1)
+        tail = rest[nxt + 1:] if nxt != -1 else ""
+        prev = head + tail
+    with open(md, "w") as f:
+        f.write(prev.rstrip() + "\n" + "\n".join(lines) + "\n")
+    print(f"[decade] appended to BENCH_sfe.md (aggregate {t200 / t20:.1f}x)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--decade", action="store_true",
+                    help="Spark-only 200k-vector decade section")
     args = ap.parse_args()
     if not args.skip_build:
         build()
+    if args.decade:
+        run_decade(args.runs)
+        return
     sp, sps = time_spark(args.runs)
     dk, dks = time_duckdb(args.runs)
     b01 = json.load(open(os.path.join(REPO, "bench.json")))["queries"]

@@ -282,8 +282,19 @@ object Similarity {
       pairSalts: Int = 16): DataFrame = {
     require(pairSalts >= 1, s"pairSalts=$pairSalts must be >= 1")
     graft.functions.TopKMin.register(spark)
+    // the assignment is materialized and CONSTRAINT-FREE re-wrapped
+    // BEFORE the cap's size self-join: capHotClusters joins the
+    // assignment to its own aggregate on the argmin-DERIVED centroid
+    // column, which is exactly the shape that trips Spark 4.1's
+    // InferFiltersFromConstraints into pushing an f(v) <=> centroid
+    // condition into the aggregate branch where v no longer exists
+    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind — reproduced at 256
+    // centroids by SaltedKnnProbe). Materializing here also computes
+    // the assignment once for the size pass AND the pair sides.
+    val (cp0, cp0Blocks) = Dedup.checkpointTracked(
+      assignFixed(spark, emb, centroids, dims))
     val assigned = capHotClusters(
-      assignFixed(spark, emb, centroids, dims), maxCluster, capMetrics)
+      spark.createDataFrame(cp0.rdd, cp0.schema), maxCluster, capMetrics)
 
     // SALTED pair generation: a dense corpus collapses into few cells
     // (the 10×-vector bench landed 2/3 of 20k vectors in two cells →
@@ -299,13 +310,13 @@ object Similarity {
     // original exprId when the shared subtree is re-aliased).
     val assignedCp = {
       val cp = assigned.localCheckpoint(true)
-      // re-wrap the checkpointed blocks as a constraint-free relation:
-      // LogicalRDD preserves the origin plan's constraints, and the
-      // assignment's centroid = argmin(f(v)) constraint + the self-join
-      // key equality make InferFiltersFromConstraints push an
-      // f(v) <=> centroid condition into the OTHER branch, where the
-      // deduplicated attribute no longer exists
-      // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind time, Spark 4.1)
+      // re-wrap the checkpointed blocks as a constraint-free relation
+      // for the SALTED self-join below (same trap class as above:
+      // LogicalRDD preserves origin constraints). The cap stats fire
+      // exactly once, during this materialization. The pre-cap
+      // assignment blocks are released now — everything downstream
+      // reads this capped materialization.
+      cp0Blocks.foreach(_.unpersist(blocking = false))
       spark.createDataFrame(cp.rdd, cp.schema)
     }
     val a = assignedCp.select(col("vec_id").as("a_id"), col("centroid"),
@@ -392,12 +403,17 @@ object Similarity {
       capMetrics: Option[org.apache.spark.sql.Observation] = None,
       pairSalts: Int = 16): DataFrame = {
     require(pairSalts >= 1, s"pairSalts=$pairSalts must be >= 1")
-    val assigned0 = assignFixed(spark, emb, k, dims)
     // capped clusters are excluded from PAIR GENERATION only: their
     // members still flow to the survivor set untouched (conservative
     // keep-all — a boilerplate mega-cluster is flagged, never silently
-    // deduped on a task that would run for hours)
-    val assigned = capHotClusters(assigned0, maxCluster, capMetrics)
+    // deduped on a task that would run for hours). The assignment is
+    // materialized + constraint-free re-wrapped BEFORE the cap's size
+    // self-join — same Spark 4.1 InferFiltersFromConstraints trap as
+    // knnGraph, on the argmin-derived centroid key (see there).
+    val (cp0, cp0Blocks) = Dedup.checkpointTracked(
+      assignFixed(spark, emb, k, dims))
+    val assigned = capHotClusters(
+      spark.createDataFrame(cp0.rdd, cp0.schema), maxCluster, capMetrics)
     // same salted self-join as knnGraph: dense corpora collapse into
     // few cells, so the quadratic in-cell pair work spreads over
     // pairSalts tasks per cell (identical pair set — A carries one
@@ -407,6 +423,7 @@ object Similarity {
     // constraint never reaches the self-join (see knnGraph).
     val assignedCp = {
       val cp = assigned.localCheckpoint(true)
+      cp0Blocks.foreach(_.unpersist(blocking = false))
       spark.createDataFrame(cp.rdd, cp.schema)
     }
     val a = assignedCp.select(col("vec_id").as("a_id"), col("centroid"),
@@ -427,7 +444,10 @@ object Similarity {
     val drop = Dedup.clusters(spark, pairs)
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("vec_id"))
-    assigned0.select(col("vec_id"), col("centroid"))
+    // survivor set over ALL members (capped clusters included): a
+    // fresh lazy assignment plan, as before — the materialized cp0 is
+    // already released above and must not be referenced lazily
+    assignFixed(spark, emb, k, dims).select(col("vec_id"), col("centroid"))
       .join(drop, Seq("vec_id"), "left_anti")
       .orderBy(col("vec_id"))
   }

@@ -25,6 +25,15 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // probe artifacts are tens of GB at the 10M decades — delete each
+    // section's directory once its numbers are printed, or repeated
+    // probe runs fill the disk (observed: 35 GB leaked per run)
+    def rmTemp(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+
     val (ii, jj, kk) = (81, 58, 20)
     val nCells = ii * jj * kk
     val nT = 24
@@ -262,6 +271,7 @@ object ScaleProbe {
       f"$nNew%d new vs the $nDocs6%d-doc INDEX → $keptP kept " +
       f"(recompute path: $kept) in $secs7c%.1fs = ${nNew / secs7c / 1000}%.0fk new docs/s " +
       f"(${secs7 / secs7c}%.1f× the recompute path, seen text scanned 0×)")
+    rmTemp(snapDir) // 1.6 GB per run
 
     // winnow-incremental at BOTH seen-corpus decades (1M and 10M): the
     // recall-floor analogue of the persisted-minhash path. The snapshot
@@ -295,7 +305,9 @@ object ScaleProbe {
       val build = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       val kept = graft.ext.Dedup.dedupIncrementalWinnowIndexed(spark, inc, dir).count()
-      ((System.nanoTime() - t1) / 1e9, build, kept)
+      val res = ((System.nanoTime() - t1) / 1e9, build, kept)
+      rmTemp(dir) // 17 GB at the 10M decade
+      res
     }
     val (wi1, wb1, wk1) = winnowIncRun(1000000)
     val (wi10, wb10, wk10) = winnowIncRun(10000000)
@@ -422,50 +434,7 @@ object ScaleProbe {
       f"probe $probeFrag%.2fs; compacted $nComp%d cells in $secsCm%.1fs → " +
       f"${filesComp.sum}%d files (max ${filesComp.max}%d/cell), " +
       f"probe $probeComp%.2fs (${probeFrag / probeComp}%.1f× faster)")
-
-    // salted in-cluster pairs at the 200k decade: the Σ cᵢ² mechanism
-    // under 10×-denser cells than BENCH_sfe, with the TASK-TIME
-    // distribution measured (the thing salting exists to flatten).
-    // 200k vectors over two spike dims → ~256 balanced cells at 780
-    // rows each (Σ cᵢ² ≈ 156M pairs); pairSalts=16 vs 1 on the SAME
-    // pair set — the max-task ratio is the flattening factor.
-    val knnVecs = spark.range(200000).select(
-      col("id").as("vec_id"),
-      expr("""transform(sequence(0, 63), d ->
-              | CAST(CASE WHEN d = pmod(id, 64) THEN 1.0
-              |       WHEN d = pmod(id DIV 64, 64) THEN 0.7
-              |       ELSE CAST(pmod(id * (d + 17), 97) AS DOUBLE) / 1940.0
-              |  END AS FLOAT))""".stripMargin).as("embedding"))
-      .localCheckpoint(true)
-    def saltedRun(salts: Int): (Double, Long, Long, Long) = {
-      val times = new scala.collection.concurrent.TrieMap[
-        Int, scala.collection.mutable.ArrayBuffer[Long]]()
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val buf = times.getOrElseUpdate(te.stageId,
-            scala.collection.mutable.ArrayBuffer[Long]())
-          buf.synchronized { buf += te.taskInfo.duration; () }
-        }
-      }
-      spark.sparkContext.addSparkListener(listener)
-      val t = System.nanoTime()
-      val n = graft.ext.Similarity.knnGraph(spark, knnVecs, k = 3,
-        centroids = 256, dims = 64, pairSalts = salts).count()
-      val secs = (System.nanoTime() - t) / 1e9
-      Thread.sleep(2000) // listener delivery is async; drain before reading
-      spark.sparkContext.removeSparkListener(listener)
-      require(n > 0)
-      val heavy = times.values.maxBy(_.sum).sortBy(-_)
-      (secs, heavy.head, heavy(heavy.length / 2), n)
-    }
-    val (s16, max16, p5016, nEdges) = saltedRun(16)
-    val (s1, max1, p501, _) = saltedRun(1)
-    println(f"[probe] salted knn (200k vecs, 256 cells, ~156M in-cell pairs, " +
-      f"$nEdges%d edges): salts=16 $s16%.1fs, heavy-stage max task " +
-      f"${max16 / 1000.0}%.1fs / p50 ${p5016 / 1000.0}%.1fs; salts=1 $s1%.1fs, " +
-      f"max task ${max1 / 1000.0}%.1fs / p50 ${p501 / 1000.0}%.1fs — " +
-      f"salting cuts the longest task ${max1.toDouble / max16}%.1f×")
+    rmTemp(ivfDir)
 
     // per-group cap under REAL skew: 4M docs where one mega-source holds
     // half the corpus. The plain cap drags the whole hot group through

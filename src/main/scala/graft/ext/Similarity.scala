@@ -123,19 +123,27 @@ object Similarity {
       .agg(sum(col("bit") * pow(lit(2.0), col("p").cast("double")).cast("long")).as("bucket"))
   }
 
-  /** IVF coarse assignment: each vector to its max-cosine centroid
-    * (centroids = rows matching `centroidPred`, broadcast). */
+  /** IVF coarse assignment: each vector to its max-cosine centroid.
+    * The centroid table (quantizer-sized, metadata-scale by contract)
+    * collects into a [[graft.functions.CentroidModelRef]] and the
+    * argmax runs as ONE compiled narrow `centroid_topk` call per row —
+    * zero shuffle, zero join; the crossJoin + rank-window form it
+    * replaces exchanged corpus × centroids rows (800M at the
+    * 200k-vector / 4,000-centroid decade) to keep one id per row. Same
+    * (4-dp rounded cosine DESC, centroid_id) contract, same IEEE
+    * arithmetic (CentroidTopKSpec pins equivalence, ties and
+    * zero-norms included). */
   def ivfAssign(spark: SparkSession, emb: DataFrame,
       centroidPred: org.apache.spark.sql.Column): DataFrame = {
     val base = withVectors(spark, emb)
-    val cents = base.filter(centroidPred)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("centroid_id"))
-    base.crossJoin(broadcast(cents))
-      .withColumn("cosine", round(expr("dot64(v, cv)") / (col("nrm") * col("cn")), 4))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("cosine"))
+    val model = graft.functions.CentroidModelRef.collect(base
+      .filter(centroidPred)
+      .select(col("vec_id"), col("v"), col("nrm")))
+    graft.functions.CentroidTopK.register(spark, model)
+    spread(base)
+      .withColumn("_top", element_at(expr("centroid_topk(v, nrm, 1)"), 1))
+      .select(col("vec_id"), col("_top.centroid_id").as("centroid_id"),
+        col("_top.cos").as("cosine"))
   }
 
   /** Full IVF search (assign → probe → rerank): queries probe their
@@ -150,44 +158,65 @@ object Similarity {
       queryPred: org.apache.spark.sql.Column,
       nProbe: Int, k: Int): DataFrame = {
     val base = withVectors(spark, emb)
-    val cents = base.filter(centroidPred)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val wp = Window.partitionBy(col("q_id"))
-      .orderBy(col("qc_cos").desc, col("centroid_id"))
+    // the centroid table is quantizer-sized by contract: collect it
+    // into a reference-object matrix and run BOTH the query probe
+    // (top-nProbe) and the corpus assignment (top-1) as compiled
+    // narrow centroid_topk calls — the crossJoin + rank-window forms
+    // they replace shuffled corpus × centroids rows (800M at the
+    // 200k-vector / 4,000-centroid decade) and paid the 4-dp BigDecimal
+    // rounding on every pair; the expression rounds only boundary
+    // candidates (see CentroidTopK's margin note). Same (rounded cos
+    // DESC, centroid_id) contract — q66's oracle unchanged. The corpus
+    // scan spreads to full parallelism first (one-row-group files
+    // otherwise serialize the whole dot loop on one task).
+    val model = graft.functions.CentroidModelRef.collect(base
+      .filter(centroidPred)
+      .select(col("vec_id"), col("v"), col("nrm")))
+    graft.functions.CentroidTopK.register(spark, model)
     val probes = base.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
-      .crossJoin(broadcast(cents))
-      .withColumn("qc_cos", round(expr("dot64(vq, cv)") / (col("nq") * col("cn")), 4))
-      .withColumn("pr", row_number().over(wp))
-      .filter(col("pr") <= nProbe)
+      .withColumn("centroid_id",
+        explode(expr(s"centroid_topk(vq, nq, $nProbe).centroid_id")))
       .select(col("q_id"), col("vq"), col("nq"), col("centroid_id"))
-    // assignment inlined WITH vectors retained (same rounded-cosine +
-    // id tie-break as ivfAssign) — rejoining ivfAssign's id-only output
-    // back to base would be a corpus×corpus sort-merge join. The
-    // window form beats a literal-centroid array_min argmin here: at
-    // k-means-scale centroid counts (hundreds) the HOF lambda
-    // interprets per element and measured 5× slower than this
-    // codegen'd crossJoin, whose per-pair dot64/round stays inside
-    // whole-stage codegen. The corpus scan spreads to full
-    // parallelism first (one-row-group files otherwise serialize the
-    // corpus×centroids product on one task).
-    val wa = Window.partitionBy(col("n_id")).orderBy(col("ac_cos").desc, col("centroid_id"))
-    val cand = spread(base
+    // the assignment materializes ONCE (it feeds both the pair join
+    // and the final cell lookup) through the constraint-free re-wrap:
+    // probes' and cand's centroid_id are both DERIVED from the same
+    // base relation, the self-referencing-join shape where Spark 4.1's
+    // InferFiltersFromConstraints manufactures an unresolvable
+    // f(v) <=> key condition (see capHotClusters — localCheckpoint
+    // alone does NOT strip origin constraints)
+    val cp = spread(base
       .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")))
-      .crossJoin(broadcast(cents))
-      .withColumn("ac_cos", round(expr("dot64(vn, cv)") / (col("nn") * col("cn")), 4))
-      .withColumn("rk", row_number().over(wa))
-      .filter(col("rk") === 1)
-      .select(col("n_id"), col("vn"), col("nn"), col("centroid_id"))
-    val wr = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
-    // the query batch (|queries|·nProbe rows) broadcasts to where the
-    // corpus vectors already live — the corpus is never shuffled for
-    // the probe join
-    broadcast(probes).join(cand, Seq("centroid_id"))
+      .withColumn("centroid_id",
+        element_at(expr("centroid_topk(vn, nn, 1)"), 1).getField("centroid_id"))
+      .localCheckpoint(true)
+    val cand = spark.createDataFrame(cp.rdd, cp.schema)
+    // rerank via the bounded topk_min aggregate (cosineTopK's exact
+    // NaN-sentinel contract): the rank window it replaces exchanged
+    // every probed pair WITH both 64-dim vectors attached — on a
+    // near-duplicate corpus whose 4-dp ties collapse assignment into
+    // dense cells that is a multi-GB shuffle for |queries|·k survivors
+    // (measured 26s of q66's 29.7s at the 200k decade). Pairs now fold
+    // map-side where the broadcast join generates them; the candidate's
+    // cell id rejoins from the materialized assignment afterwards
+    // (result side is |queries|·k rows, broadcast).
+    graft.functions.TopKMin.register(spark)
+    val tk = broadcast(probes).join(cand, Seq("centroid_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cosine", round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4))
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= k)
+      .withColumn("_cos",
+        when(col("nq") * col("nn") === 0.0, lit(Double.NaN))
+          .otherwise(round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4)))
+      .withColumn("negcos",
+        when(isnan(col("_cos")), lit(Double.NegativeInfinity))
+          .otherwise(-(col("_cos") + lit(0.0))))
+      .groupBy(col("q_id"))
+      .agg(expr(s"topk_min(negcos, n_id, $k)").as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("n_id"),
+        when(col("e.score") === Double.NegativeInfinity, Double.NaN)
+          .otherwise(-col("e.score")).as("cosine"))
+    broadcast(tk).join(cand.select(col("n_id"), col("centroid_id")), Seq("n_id"))
       .select(col("q_id"), col("rank"), col("n_id"), col("centroid_id"), col("cosine"))
   }
 
@@ -680,15 +709,27 @@ object Similarity {
     val cents = base.filter(centroidPred)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    val wa = Window.partitionBy(col("n_id"))
-      .orderBy(col("ac_cos").desc, col("centroid_id"))
+    // assignment as one compiled narrow pass (ivfAssign's rewired
+    // shape): the index BUILD is the corpus-sized cost of the IVF
+    // story, and the crossJoin + rank window it replaces exchanged
+    // corpus × centroids rows — the build's only shuffle is the
+    // cell-routing repartition feeding the partitioned write. That
+    // shuffle is NOT optional: a partitionBy write without it has
+    // EVERY scan task open a writer per cell it touches, so the index
+    // lands as tasks × cells files (measured: 32 × 4,000 = 128k
+    // ~2-row files at the 200k decade, and every probe-time scan paid
+    // the 128k listings/footers — 10s of q156's 11.6s). Routed, each
+    // cell is exactly ONE file per build and the probe scan is
+    // footer-bound no more.
+    val model = graft.functions.CentroidModelRef.collect(
+      cents.select(col("centroid_id"), col("cv"), col("cn")))
+    graft.functions.CentroidTopK.register(spark, model)
     spread(base
       .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")))
-      .crossJoin(broadcast(cents.select(col("centroid_id"), col("cv"), col("cn"))))
-      .withColumn("ac_cos", round(expr("dot64(vn, cv)") / (col("nn") * col("cn")), 4))
-      .withColumn("rk", row_number().over(wa))
-      .filter(col("rk") === 1)
+      .withColumn("centroid_id",
+        element_at(expr("centroid_topk(vn, nn, 1)"), 1).getField("centroid_id"))
       .select(col("n_id"), col("vn"), col("nn"), col("centroid_id"))
+      .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/assigned")
   }
@@ -698,10 +739,11 @@ object Similarity {
     * q103 persisted-snapshot pattern applied to ANN). New vectors are
     * assigned against the PERSISTED centroid table, which is k-bounded
     * and therefore collects to a literal array column: the assignment
-    * is one fully NARROW pass over the increment (zero shuffles — no
-    * crossJoin, no window), and the rows append into the existing
-    * `centroid_id=` partitions, so probe-time partition pruning keeps
-    * working unchanged. Seen vectors are scanned zero times.
+    * is one fully NARROW pass over the increment (no crossJoin, no
+    * window; the append's only shuffle is the increment-sized
+    * cell-routing repartition before the write), and the rows append
+    * into the existing `centroid_id=` partitions, so probe-time
+    * partition pruning keeps working unchanged. Seen vectors are scanned zero times.
     *
     * Assignment contract is [[writeIvfIndex]]'s exactly — argmax of
     * the 4-dp rounded cosine with centroid-id tie-break, the same IEEE
@@ -721,25 +763,36 @@ object Similarity {
   def assignToIndex(spark: SparkSession, emb: DataFrame,
       path: String): DataFrame = {
     Dot64.register(spark)
-    val cents = spark.read.parquet(s"$path/centroids")
+    val centRows = spark.read.parquet(s"$path/centroids")
       .select(col("centroid_id"), col("cv"), col("cn"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      .sortBy(_._1).toSeq
-    require(cents.nonEmpty, s"no centroids at $path/centroids")
+    require(centRows.limit(1).count() > 0, s"no centroids at $path/centroids")
+    // compiled reference-object argmax instead of the typedLit +
+    // array_min HOF (same lexicographic (−cos 4-dp, id) contract): the
+    // HOF interprets a closure per centroid per row — at quantizer
+    // scale (thousands of cells) that interpretation dominates the
+    // increment scan; centroid_topk is the same narrow zero-shuffle
+    // shape with the dot loop compiled
+    val model = graft.functions.CentroidModelRef.collect(centRows)
+    graft.functions.CentroidTopK.register(spark, model)
     withVectors(spark, emb)
       .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
-      .withColumn("cents", typedLit(cents))
-      .withColumn("centroid_id", expr(
-        """array_min(transform(cents, c ->
-          |  struct(-round(dot64(vn, c._2) / (nn * c._3), 4) AS negcos,
-          |         c._1 AS cid))).cid""".stripMargin))
+      .withColumn("centroid_id",
+        element_at(expr("centroid_topk(vn, nn, 1)"), 1).getField("centroid_id"))
       .select(col("n_id"), col("vn"), col("nn"), col("centroid_id"))
   }
 
+  /** The batch append: [[assignToIndex]]'s narrow assignment, routed
+    * through an INCREMENT-sized repartition so each touched cell gains
+    * exactly ONE file per crawl (unrouted, every scan task of the
+    * increment opens a writer per cell it touches — fragmentation per
+    * append would be tasks × cells, which is what [[compactIvfIndex]]
+    * exists to undo, not what the append should manufacture). Seen
+    * vectors are still scanned zero times; the shuffle moves only the
+    * new rows. */
   def appendIvfIndex(spark: SparkSession, newEmb: DataFrame,
       path: String): Unit =
     assignToIndex(spark, newEmb, path)
+      .repartition(col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/assigned")
 
@@ -822,28 +875,59 @@ object Similarity {
   def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, k: Int): DataFrame = {
     Dot64.register(spark)
-    val cents = spark.read.parquet(s"$path/centroids")
-    val q = withVectors(spark, queries)
-      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
-    val wp = Window.partitionBy(col("q_id"))
-      .orderBy(col("qc_cos").desc, col("centroid_id"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("qc_cos", round(expr("dot64(vq, cv)") / (col("nq") * col("cn")), 4))
-      .withColumn("pr", row_number().over(wp))
-      .filter(col("pr") <= nProbe)
+    // probe ranking as one compiled narrow centroid_topk call per
+    // query (ivfTopK's rewired probe stage — the crossJoin + rank
+    // window shuffled |queries| × centroids rows)
+    val model = graft.functions.CentroidModelRef.collect(
+      spark.read.parquet(s"$path/centroids")
+        .select(col("centroid_id"), col("cv"), col("cn")))
+    graft.functions.CentroidTopK.register(spark, model)
+    // the probe compute (|queries| × centroids dot loops) spreads to
+    // full parallelism (a single-row-group query parquet is ONE scan
+    // task otherwise) and materializes ONCE: it feeds both the probed-
+    // cell collect and the rerank join, and is |queries|·nProbe rows —
+    // re-deriving it would re-run the dot loops per consumer
+    val probes = spread(withVectors(spark, queries)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq")))
+      .withColumn("centroid_id",
+        explode(expr(s"centroid_topk(vq, nq, $nProbe).centroid_id")))
       .select(col("q_id"), col("vq"), col("nq"), col("centroid_id"))
+      .localCheckpoint(true)
     // distinct probed cells: bounded by |centroids| (k-means k), NOT by
     // |queries| or the corpus — a driver-side list here is metadata-scale
     val cells = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val cand = spark.read.parquet(s"$path/assigned")
       .filter(col("centroid_id").isin(cells: _*))
-    val wr = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
-    broadcast(probes).join(cand, Seq("centroid_id"))
+    // rerank via the bounded topk_min aggregate (ivfTopK's rewired
+    // shape — the rank window exchanged every probed pair with its
+    // vectors); the candidate's cell id rejoins from a second scan of
+    // the SAME relation (`cand` referenced twice shares one FileIndex,
+    // so the cell listing is paid once) that reads only n_id — column
+    // pruning keeps the 64-dim vectors out of it, partition pruning
+    // keeps it to the probed cells, and the |queries|·k result side
+    // broadcasts
+    graft.functions.TopKMin.register(spark)
+    val tk = broadcast(probes).join(cand, Seq("centroid_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cosine", round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4))
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= k)
+      .withColumn("_cos",
+        when(col("nq") * col("nn") === 0.0, lit(Double.NaN))
+          .otherwise(round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4)))
+      .withColumn("negcos",
+        when(isnan(col("_cos")), lit(Double.NegativeInfinity))
+          .otherwise(-(col("_cos") + lit(0.0))))
+      .groupBy(col("q_id"))
+      .agg(expr(s"topk_min(negcos, n_id, $k)").as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("n_id"),
+        when(col("e.score") === Double.NegativeInfinity, Double.NaN)
+          .otherwise(-col("e.score")).as("cosine"))
+    broadcast(tk).join(
+        // partition-directory inference types centroid_id= as INT;
+        // the API contract (and q66's oracle schema) is BIGINT
+        cand.select(col("n_id"), col("centroid_id").cast("long").as("centroid_id")),
+        Seq("n_id"))
       .select(col("q_id"), col("rank"), col("n_id"), col("centroid_id"), col("cosine"))
   }
 
@@ -1033,13 +1117,16 @@ object Similarity {
     }.toDF("sub", "code", "cw")
       .write.mode("overwrite").parquet(s"$path/codebooks")
     val subDim = cbs.head.head.length
-    val wa = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ac_cos").desc, col("centroid_id"))
-    base.select(col("vec_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("ac_cos", round(expr("dot64(v, cv)") / (col("nrm") * col("cn")), 4))
-      .withColumn("rk", row_number().over(wa))
-      .filter(col("rk") === 1)
+    // coarse assignment + cell routing: writeIvfIndex's exact shape —
+    // one compiled narrow centroid_topk pass (no corpus × centroids
+    // exchange), then the increment-routing repartition so every cell
+    // is ONE file per build (unrouted, tasks × cells small files)
+    val model = graft.functions.CentroidModelRef.collect(
+      cents.select(col("centroid_id"), col("cv"), col("cn")))
+    graft.functions.CentroidTopK.register(spark, model)
+    spread(base.select(col("vec_id"), col("v"), col("nrm")))
+      .withColumn("centroid_id",
+        element_at(expr("centroid_topk(v, nrm, 1)"), 1).getField("centroid_id"))
       .withColumn("cb", typedLit(cbs))
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${m - 1}), s ->
@@ -1048,6 +1135,7 @@ object Similarity {
           |      (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist2,
           |    ci AS code))).code)""".stripMargin))
       .select(col("vec_id"), col("codes"), col("centroid_id"))
+      .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/codes")
   }
@@ -1240,15 +1328,21 @@ object Similarity {
     val cbs = loadPqCodebooks(spark, path)
     val m = cbs.length
     val subDim = cbs.head.head.length
-    val cents = spark.read.parquet(s"$path/centroids")
-    val q = withVectors(spark, queries)
-      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
-    val wp = Window.partitionBy(col("q_id"))
-      .orderBy(col("qc_cos").desc, col("centroid_id"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("qc_cos", round(expr("dot64(vq, cv)") / (col("nq") * col("cn")), 4))
-      .withColumn("pr", row_number().over(wp))
-      .filter(col("pr") <= nProbe)
+    // probe ranking as one compiled narrow centroid_topk call per
+    // query (ivfTopKIndexed's exact probe contract — 4-dp rounded
+    // cosine DESC, centroid-id tie-break; the crossJoin + rank window
+    // it replaces shuffled |queries| × centroids rows)
+    val model = graft.functions.CentroidModelRef.collect(
+      spark.read.parquet(s"$path/centroids")
+        .select(col("centroid_id"), col("cv"), col("cn")))
+    graft.functions.CentroidTopK.register(spark, model)
+    // spread + materialize once, exactly as ivfTopKIndexed's probes —
+    // the frame feeds both the cell collect and the rerank join, and
+    // carries the per-query dims×k ADC tables (query-batch-bounded)
+    val probes = spread(withVectors(spark, queries)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq")))
+      .withColumn("centroid_id",
+        explode(expr(s"centroid_topk(vq, nq, $nProbe).centroid_id")))
       .withColumn("cb", typedLit(cbs))
       .withColumn("tbl", expr(
         s"""transform(sequence(0, ${m - 1}), s ->
@@ -1257,18 +1351,35 @@ object Similarity {
           |      (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)))"""
           .stripMargin))
       .select(col("q_id"), col("centroid_id"), col("tbl"))
+      .localCheckpoint(true)
     // probed cell ids: bounded by the centroid count, never the corpus
     val cells = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val cand = spark.read.parquet(s"$path/codes")
       .filter(col("centroid_id").isin(cells: _*))
       .select(col("vec_id").as("n_id"), col("codes"), col("centroid_id"))
-    val wr = Window.partitionBy(col("q_id")).orderBy(col("adc_dist2"), col("n_id"))
-    broadcast(probes).join(cand, Seq("centroid_id"))
+    // rerank via the bounded topk_min aggregate (ivfTopKIndexed's
+    // rewired shape — probed pairs fold map-side where the broadcast
+    // join generates them; the rank window exchanged every pair with
+    // its code array). dist2 is round(·,6) of a non-negative sum —
+    // never −0.0, never NaN on valid codes — so (dist2, n_id)
+    // ascending is the window's exact ordering with no sentinel. The
+    // candidate's cell id rejoins from a second column-pruned scan of
+    // the SAME relation (one FileIndex, codes stay out of it).
+    graft.functions.TopKMin.register(spark)
+    val tk = broadcast(probes).join(cand, Seq("centroid_id"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc_dist2", round(expr("adc_sum(tbl, codes)"), 6))
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= topK)
+      .groupBy(col("q_id"))
+      .agg(expr(s"topk_min(adc_dist2, n_id, $topK)").as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("n_id"), col("e.score").as("adc_dist2"))
+    broadcast(tk).join(
+        // partition-directory inference types centroid_id= as INT;
+        // the API contract is BIGINT
+        cand.select(col("n_id"), col("centroid_id").cast("long").as("centroid_id")),
+        Seq("n_id"))
       .select(col("q_id"), col("rank"), col("n_id"), col("centroid_id"),
         col("adc_dist2"))
   }

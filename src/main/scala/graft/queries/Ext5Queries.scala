@@ -506,13 +506,18 @@ object Ext5Queries {
   private val q155 = Q(
     "q155_dist_quantiles",
     (s, d) => {
-      graft.functions.Dot64.register(s)
+      // compiled centroid_min_d2 over the fixed grid instead of the
+      // interpreted array_min(transform(...)) HOF — the lambda form
+      // paid ~48 interpreted dot64 closures per row (16 centroids × 3
+      // dots); arithmetic is bit-identical (same sequential folds,
+      // same combine order, array_min's NaN-greatest min)
+      val model = graft.functions.CentroidModelRef(
+        graft.ext.Similarity.fixedCentroids(16, 64).zipWithIndex
+          .map { case (cw, j) => (j.toLong, cw, 0.0) })
+      graft.functions.CentroidMinD2.register(s, model)
       val base = Tables.embeddings(s, d)
         .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("cb",
-          typedLit(graft.ext.Similarity.fixedCentroids(16, 64)))
-        .withColumn("d2", expr(
-          "array_min(transform(cb, cw -> dot64(v, v) - 2 * dot64(v, cw) + dot64(cw, cw)))"))
+        .withColumn("d2", expr("centroid_min_d2(v)"))
         .select(col("label"), col("d2"))
       graft.ext.Corpus.histQuantiles(base, col("d2"), "label",
         lo = 0.0, width = 0.25, bins = 256, ps = Seq(50, 90, 99))

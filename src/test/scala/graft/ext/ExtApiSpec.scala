@@ -239,8 +239,12 @@ class ExtApiSpec extends SparkSpec {
       (i.toLong, Array.tabulate(4)(dd => ((i * (dd + 3)) % 7 - 3).toFloat)))
       .toDF("vec_id", "embedding")
     val qp = col("vec_id") === 5
+    // row ORDER is not part of the API contract (the rerank's final
+    // cell-id rejoin may emit any order — q66 sorts explicitly);
+    // compare rank-sorted
     def rows(df: org.apache.spark.sql.DataFrame) =
-      df.select("q_id", "rank", "n_id", "cosine").collect().map(_.toSeq).toSeq
+      df.select("q_id", "rank", "n_id", "cosine")
+        .orderBy(col("q_id"), col("rank")).collect().map(_.toSeq).toSeq
     val exact = rows(Similarity.cosineTopK(spark, emb, qp, k = 3))
     // 2 centroids (0, 6), nProbe=2 → candidate set is the whole corpus
     val ivf = rows(Similarity.ivfTopK(spark, emb,

@@ -87,10 +87,13 @@ class IvfIndexSpec extends SparkSpec {
     Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir)
     def files(cell: Long) = new java.io.File(s"$dir/assigned/centroid_id=$cell")
       .listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
-    // normalize the fresh build to one file per cell first (the build's
-    // write stage is n_id-hash partitioned, so cells start multi-file)
-    Similarity.compactIvfIndex(spark, dir)
+    // the routed build writes exactly ONE file per cell (the
+    // cell-routing repartition before the partitioned write — without
+    // it every write task opens a writer per cell it touches and a
+    // fresh build starts out fragmented), so a fresh index has nothing
+    // to compact
     assert(Seq(0L, 1L, 2L).forall(files(_).size == 1))
+    assert(Similarity.compactIvfIndex(spark, dir) == 0L)
     val cell1Before = files(1L)
     val cell2Before = files(2L)
     // 10 stacked appends, every vector landing in cell 0 (axis-0 heavy)

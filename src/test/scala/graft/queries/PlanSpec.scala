@@ -112,9 +112,9 @@ class PlanSpec extends SparkSpec {
       "q56_lang_score" -> 1, "q57_quality_score" -> 1,
       "q58_token_count" -> 1, "q59_fingerprint" -> 1,
       "q60_binary_meta" -> 2, "q61_simhash" -> 1,
-      "q62_ann_ivf_assign" -> 3, "q63_dedup_embedding" -> 1,
+      "q62_ann_ivf_assign" -> 2, "q63_dedup_embedding" -> 1,
       "q64_tfidf_topk" -> 7, "q65_dedup_clusters" -> 1,
-      "q66_ivf_topk" -> 4, "q67_train_split" -> 1,
+      "q66_ivf_topk" -> 2, "q67_train_split" -> 1,
       "q68_pack_sequences" -> 2, "q69_stopword_scrub" -> 1,
       "q70_stratified_sample" -> 2, "q71_bigram_counts" -> 1,
       "q72_verify_candidates" -> 3, "q73_repetition" -> 3,
@@ -140,10 +140,10 @@ class PlanSpec extends SparkSpec {
       // are its two rank-k pipelines (overlap join is broadcast)
       "q106_source_cap" -> 2, "q107_source_cap_salted" -> 3,
       "q108_chunk_overlap" -> 1, "q109_mean_pool" -> 2,
-      "q110_knn_classify" -> 4, "q111_ann_recall" -> 5,
+      "q110_knn_classify" -> 4, "q111_ann_recall" -> 3,
       "q112_length_band" -> 2, "q113_dup_profile" -> 3,
       "q114_corpus_manifest" -> 2, "q115_top_terms" -> 3,
-      "q116_ivf_indexed" -> 4,
+      "q116_ivf_indexed" -> 2,
       // q117's 4 = bucket-count agg + 256-row offset window (single) +
       // per-bucket rank window + final orderBy; q118's 4 = pair/ctx
       // histograms + doc rollup + orderBy (model joins are broadcast;
@@ -152,6 +152,11 @@ class PlanSpec extends SparkSpec {
       // q119's 1 is the final orderBy: scoring itself is one compiled
       // narrow pass (model training runs eagerly at plan-build time)
       "q119_lm_score_narrow" -> 1,
+      // q62/q66/q111/q116/q156/q158 re-audited after the compiled
+      // centroid_topk assignment/probe (round 9): the corpus×centroids
+      // crossJoin + rank-window exchanges are GONE — what remains is
+      // the spread repartition, the rerank/bounded-k stages, and the
+      // final orderBy
       // round-6 q120+ batch (PlanAudit on this commit): q120 mirrors
       // q54 (rank window + orderBy; the pair join is broadcast);
       // q121's 1 is the orderBy (the projection itself is narrow);
@@ -258,10 +263,10 @@ class PlanSpec extends SparkSpec {
       // once into the memoized fixture, outside the plan); q157
       // mirrors q126's narrow scorer (1 = final orderBy; model load
       // is a bucket-bounded eager read)
-      "q156_ivf_search_only" -> 4, "q157_dsir_score_only" -> 1,
+      "q156_ivf_search_only" -> 2, "q157_dsir_score_only" -> 1,
       // q158 = q156's probe/rerank shape over the incrementally-grown
       // index (the append itself is a narrow fixture-build step)
-      "q158_ivf_append" -> 4,
+      "q158_ivf_append" -> 2,
       // q159 returns a driver-built k-row frame like q146 (the rounds
       // run eagerly as checkpointed narrow passes + top-1 reduces) —
       // its 1 is the final orderBy

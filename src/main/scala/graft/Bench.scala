@@ -7,6 +7,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Engine-recommended conf (set in every engine-owned session):
+      // the TypedImperativeAggregates (topk_min, vec_sum6, sketches)
+      // keep SMALL bounded buffers, but Spark's ObjectHashAggregate
+      // falls back to SORT-BASED aggregation once a task sees more
+      // than this many groups (default 128 — sized for big buffers).
+      // The rerank shapes group by query/source id, so the default
+      // silently SORTED the entire pair stream: raising it measured
+      // q127 48.0→32.1s and q132 66.3→52.7s at the 200k-vector
+      // decade. 131072 keys × ≤~300 B topk buffer ≈ ≤40 MB per task
+      // worst case.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 131072)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

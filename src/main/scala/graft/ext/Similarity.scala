@@ -595,7 +595,12 @@ object Similarity {
           |    aggregate(zip_with(slice(vq, s * $subDim + 1, $subDim), cw,
           |      (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)))"""
           .stripMargin))
-      .select(col("q_id"), col("tbl"))
+      // the table FLATTENS once per query row (m·k doubles, row-major):
+      // the nested adc_sum fold paid a tbl.getArray(i) view ALLOCATION
+      // per dimension per pair on the |queries|·n hot loop; the flat
+      // fold is strided primitive getDouble — identical doubles, same
+      // index order (see AdcSumFlat)
+      .select(col("q_id"), flatten(col("tbl")).as("tbl"))
     // bounded per-query top-k (TopKMin) instead of a rank window, and
     // the code scan spread to full parallelism — same ranking contract
     // ((adc_dist2 6-dp, n_id); round of a non-negative sum is never
@@ -605,7 +610,8 @@ object Similarity {
     spread(codes.select(col("vec_id").as("n_id"), col("codes")))
       .crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc_dist2", round(expr("adc_sum(tbl, codes)"), 6))
+      .withColumn("adc_dist2",
+        round(expr(s"adc_sum_flat(tbl, codes, ${codebooks.head.length})"), 6))
       .groupBy(col("q_id"))
       .agg(expr(s"topk_min(adc_dist2, n_id, $topK)").as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
@@ -615,14 +621,32 @@ object Similarity {
 
   /** Near-dup pairs above a cosine threshold, blocked by `blockCol`
     * (label / LSH bucket / IVF cell) with a deterministic query sample
-    * to bound pair count; keep = smaller id. */
+    * to bound pair count; keep = smaller id.
+    *
+    * The block join is SALTED ([[knnGraph]]'s pattern): a coarse
+    * blocking key (10 labels, a handful of LSH mega-buckets) puts each
+    * block's whole sample × members pair loop in ONE join task — at
+    * the 200k-vector decade the unsalted label join ran ~10 tasks on
+    * 32 cores (51.8s; the sample side outgrows the broadcast threshold
+    * exactly when the skew starts to matter). The sample side carries
+    * a deterministic md5 sub-salt, the corpus side replicates
+    * ×`pairSalts`: identical pair set, largest task ÷pairSalts. With a
+    * fine blocking key the salt is harmless (same pair count, more
+    * balanced partitions). */
   def nearDupPairs(spark: SparkSession, emb: DataFrame, blockCol: String,
-      samplePred: org.apache.spark.sql.Column, threshold: Double): DataFrame = {
+      samplePred: org.apache.spark.sql.Column, threshold: Double,
+      pairSalts: Int = 16): DataFrame = {
+    require(pairSalts >= 1, s"pairSalts=$pairSalts must be >= 1")
     val base = spread(withVectors(spark, emb))
     val a = base.filter(samplePred)
       .select(col("vec_id").as("a_id"), col(blockCol), col("v").as("va"), col("nrm").as("na"))
+      .withColumn("_salt",
+        (conv(substring(md5(col("a_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % pairSalts).cast("int"))
     val b = base.select(col("vec_id").as("b_id"), col(blockCol), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq(blockCol))
+      .crossJoin(broadcast(spark.range(pairSalts)
+        .select(col("id").cast("int").as("_salt"))))
+    a.join(b, Seq(blockCol, "_salt"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine", round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4))
       .filter(col("cosine") >= threshold)
@@ -1203,22 +1227,23 @@ object Similarity {
   }
 
   /** Compact per-row SQ codes (the production layout: one tinyint-range
-    * array per vector) — same contract as [[sqEncode]], kept narrow. */
+    * array per vector) — same contract as [[sqEncode]], kept narrow.
+    * The encode is the compiled `sq_encode` expression (model as a
+    * reference object): the interpreted transform-with-element_at form
+    * paid a closure per dimension per row — ≈25s of q132's cost at the
+    * 200k decade on a pass that is one flat loop
+    * (graft.functions.SqEncode pins bit-equality, clamps, constant
+    * dims and null elements included). */
   def sqEncodeCodes(emb: DataFrame, mins: IndexedSeq[Double],
-      maxs: IndexedSeq[Double]): DataFrame =
+      maxs: IndexedSeq[Double]): DataFrame = {
+    graft.functions.SqEncode.register(emb.sparkSession,
+      new graft.functions.SqModelRef(mins.toArray, maxs.toArray))
     emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("qmn", typedLit(mins))
-      .withColumn("qmx", typedLit(maxs))
-      .withColumn("codes", expr(
-        s"""transform(sequence(1, ${mins.length}), d ->
-           |  CASE WHEN element_at(qmx, d) = element_at(qmn, d) THEN 0L
-           |  ELSE CAST(least(greatest(
-           |    floor((element_at(v, d) - element_at(qmn, d))
-           |      / (element_at(qmx, d) - element_at(qmn, d)) * 255.0 + 0.5),
-           |    0.0D), 255.0D) AS BIGINT) END)""".stripMargin))
+      .withColumn("codes", expr("sq_encode(v)"))
       .select(col("vec_id"), col("codes"))
+  }
 
   /** Asymmetric top-k over SQ codes: queries keep full precision, the
     * corpus stays int8 — the SQ flavor of ADC. Each QUERY precomputes a
@@ -1265,7 +1290,12 @@ object Similarity {
            |       + CAST(c AS DOUBLE) / 255.0
            |         * (element_at(qmx, d) - element_at(qmn, d))))))"""
           .stripMargin))
-      .select(col("q_id"), col("tbl"))
+      // flatten once per query row (dims×256 doubles, row-major): the
+      // nested fold allocated a getArray view per dim per pair on the
+      // |queries|·n scan (26B allocations at the 200k decade); the
+      // flat fold is strided primitive lookups — same doubles, same
+      // order (AdcSumFlat)
+      .select(col("q_id"), flatten(col("tbl")).as("tbl"))
     // bounded per-query top-k (graft.functions.TopKMin) instead of a
     // rank window: the |queries|·n candidate stream folds map-side
     // where the broadcast join generates it, and only queries × k
@@ -1276,7 +1306,7 @@ object Similarity {
     graft.functions.TopKMin.register(queryEmb.sparkSession)
     spread(codes).crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("dist2", round(expr("adc_sum(tbl, codes)"), 6))
+      .withColumn("dist2", round(expr("adc_sum_flat(tbl, codes, 256)"), 6))
       .groupBy(col("q_id"))
       .agg(expr(s"topk_min(dist2, n_id, $topK)").as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
@@ -1350,7 +1380,8 @@ object Similarity {
           |    aggregate(zip_with(slice(vq, s * $subDim + 1, $subDim), cw,
           |      (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)))"""
           .stripMargin))
-      .select(col("q_id"), col("centroid_id"), col("tbl"))
+      // flatten once per (query, probe) row — see pqSearch's note
+      .select(col("q_id"), col("centroid_id"), flatten(col("tbl")).as("tbl"))
       .localCheckpoint(true)
     // probed cell ids: bounded by the centroid count, never the corpus
     val cells = probes.select(col("centroid_id")).distinct()
@@ -1369,7 +1400,8 @@ object Similarity {
     graft.functions.TopKMin.register(spark)
     val tk = broadcast(probes).join(cand, Seq("centroid_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc_dist2", round(expr("adc_sum(tbl, codes)"), 6))
+      .withColumn("adc_dist2",
+        round(expr(s"adc_sum_flat(tbl, codes, ${cbs.head.length})"), 6))
       .groupBy(col("q_id"))
       .agg(expr(s"topk_min(adc_dist2, n_id, $topK)").as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))

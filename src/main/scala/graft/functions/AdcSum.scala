@@ -87,15 +87,23 @@ object AdcSum {
     acc
   }
 
-  def builder(children: Seq[Expression]): AdcSum = {
-    def coerceCodes(e: Expression): Expression = e.dataType match {
-      case ArrayType(LongType, _) => e
-      case ArrayType(_, n) =>
-        org.apache.spark.sql.catalyst.expressions.Cast(e, ArrayType(LongType, n))
-      case _ => e
-    }
-    AdcSum(children(0), coerceCodes(children(1)))
+  /** Widen int-typed code arrays to the bigint the fold expects
+    * (shared by both fold variants' SQL builders). */
+  def coerceCodes(e: Expression): Expression = e.dataType match {
+    case ArrayType(LongType, _) => e
+    case ArrayType(_, n) =>
+      org.apache.spark.sql.catalyst.expressions.Cast(e, ArrayType(LongType, n))
+    case _ => e
   }
+
+  def builder(children: Seq[Expression]): AdcSum =
+    AdcSum(children(0), coerceCodes(children(1)))
+
+  /** `adc_sum_flat(flat_tbl, codes, width)` with foldable integer
+    * width. */
+  def flatBuilder(children: Seq[Expression]): AdcSumFlat =
+    AdcSumFlat(children(0), coerceCodes(children(1)),
+      children(2).eval().asInstanceOf[Int])
 
   /** Idempotent registration (see MinHash48.register). */
   def register(spark: SparkSession): Unit = {
@@ -104,5 +112,84 @@ object AdcSum {
     if (!reg.functionExists(id)) {
       reg.createOrReplaceTempFunction("adc_sum", builder, "built-in")
     }
+    val fid = org.apache.spark.sql.catalyst.FunctionIdentifier("adc_sum_flat")
+    if (!reg.functionExists(fid)) {
+      reg.createOrReplaceTempFunction("adc_sum_flat", flatBuilder, "built-in")
+    }
+  }
+}
+
+/** `adc_sum_flat(flat_tbl, codes, width)` — [[AdcSum]]'s fold over a
+  * FLATTENED distance table: `Σ_i flat[i·width + codes[i]]`, the
+  * identical doubles added in the identical index order as
+  * `adc_sum(tbl, codes)` on `tbl` with uniform `width`-length rows
+  * (`flatten(tbl)` concatenates rows in order, so
+  * `flat[i·width + c] = tbl[i][c]` positionally — oracle-neutral by
+  * construction).
+  *
+  * Why it exists ([[AdcSum]] is already compiled): the nested form's
+  * hot loop calls `tbl.getArray(i)` per DIMENSION per PAIR — on
+  * UnsafeArrayData that ALLOCATES a view object each call, and the ADC
+  * scan contract is |queries|·n pairs × dims lookups (the 200k-vector
+  * decade: 412M pairs × 64 dims ≈ 26B view allocations dominating
+  * q132's 119s). The flat table is one primitive double array per
+  * query row: the fold is `width`-strided `getDouble` lookups, zero
+  * per-element allocation, and the broadcast row stays cache-linear.
+  *
+  * NULL contract (AdcSum's, restated for the flat layout): NULL when
+  * `flat` is not exactly `codes.length × width` long (the uniform-rows
+  * precondition — ragged tables must use `adc_sum`), when any code is
+  * null or outside `[0, width)`, or when the addressed element is
+  * null. */
+case class AdcSumFlat(left: Expression, right: Expression, width: Int)
+    extends BinaryExpression {
+
+  require(width >= 1, s"width=$width must be >= 1")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_sum_flat"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (t, c) => TypeCheckResult.TypeCheckFailure(
+        s"adc_sum_flat requires (array<double>, array<bigint>), got $t, $c")
+    }
+
+  override protected def nullSafeEval(t: Any, c: Any): Any =
+    AdcSumFlat.compute(t.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) => s"""
+      |java.lang.Double ${ev.value}_r =
+      |  graft.functions.AdcSumFlat.compute($t, $c, $width);
+      |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcSumFlat =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcSumFlat {
+
+  def compute(flat: ArrayData, codes: ArrayData, width: Int): java.lang.Double = {
+    val n = codes.numElements()
+    if (flat.numElements() != n.toLong * width) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (codes.isNullAt(i)) return null
+      val code = codes.getLong(i)
+      if (code < 0 || code >= width) return null
+      val at = i * width + code.toInt
+      if (flat.isNullAt(at)) return null
+      acc += flat.getDouble(at)
+      i += 1
+    }
+    acc
   }
 }

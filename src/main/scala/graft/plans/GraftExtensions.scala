@@ -32,6 +32,10 @@ import graft.functions.{AdcSum, CmsSketch, CovMoments, HllRegs, Dot64, GopherSta
   *    statistics in one compiled pass (graft.functions.GopherStats);
   *  - `adc_sum(tbl, codes)` → double: codegen'd asymmetric-distance
   *    table fold for PQ/SQ search (graft.functions.AdcSum);
+  *  - `adc_sum_flat(flat_tbl, codes, width)` → double: the same fold
+  *    over a pre-flattened table — strided primitive lookups, no
+  *    per-dimension array-view allocation on the pair hot loop
+  *    (graft.functions.AdcSumFlat);
   *  - `cov_moments(v, dims)` → array<double>: one-pass covariance
   *    moment aggregate (graft.functions.CovMoments);
   *  - `cms_sketch(word, depth, width)` → array<long>: one-pass
@@ -60,6 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("adc_sum"),
       new ExpressionInfo(classOf[AdcSum].getName, "adc_sum"),
       (children: Seq[Expression]) => AdcSum.builder(children)))
+    ext.injectFunction((
+      FunctionIdentifier("adc_sum_flat"),
+      new ExpressionInfo(
+        classOf[graft.functions.AdcSumFlat].getName, "adc_sum_flat"),
+      (children: Seq[Expression]) => AdcSum.flatBuilder(children)))
     ext.injectFunction((
       FunctionIdentifier("dot64"),
       new ExpressionInfo(classOf[Dot64].getName, "dot64"),

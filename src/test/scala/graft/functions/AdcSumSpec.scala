@@ -63,4 +63,48 @@ class AdcSumSpec extends SparkSpec {
       .head()
     assert(twin.isNullAt(0))
   }
+
+  test("adc_sum_flat(flatten(tbl), codes, w) is bit-equal to adc_sum(tbl, codes)") {
+    AdcSum.register(spark)
+    val df = spark.range(200).selectExpr(
+      "id",
+      // uniform 8 rows x 16 codes (the flat form's precondition)
+      """transform(sequence(0, 7), d -> transform(sequence(0, 15), c ->
+        |  CAST(pmod(id * 31 + d * 7 + c * 3, 997) AS DOUBLE) / 31.0)) AS tbl"""
+        .stripMargin,
+      "transform(sequence(0, 7), d -> pmod(id * 13 + d * 5, 16)) AS codes")
+    val r = df.selectExpr(
+      "adc_sum_flat(flatten(tbl), codes, 16) AS flat",
+      "adc_sum(tbl, codes) AS nested").collect()
+    r.foreach { row =>
+      assert(java.lang.Double.doubleToRawLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(row.getDouble(1)))
+    }
+  }
+
+  test("adc_sum_flat: NULL on size/width mismatch, bad or null codes; int codes cast") {
+    AdcSum.register(spark)
+    val rows = spark.sql(
+      """SELECT
+        |  adc_sum_flat(array(1.0d, 2.0d, 3.0d, 4.0d), array(1, 0, 1), 2)
+        |    AS size_mismatch,
+        |  adc_sum_flat(array(1.0d, 2.0d, 3.0d, 4.0d), array(1, 2), 2)
+        |    AS code_high,
+        |  adc_sum_flat(array(1.0d, 2.0d, 3.0d, 4.0d), array(-1, 0), 2)
+        |    AS code_negative,
+        |  adc_sum_flat(array(1.0d, 2.0d, 3.0d, 4.0d),
+        |               array(CAST(NULL AS BIGINT), 0), 2) AS code_null,
+        |  adc_sum_flat(array(1.0d, NULL, 3.0d, 4.0d), array(1, 0), 2)
+        |    AS elem_null""".stripMargin).head()
+    (0 until 5).foreach(i => assert(rows.isNullAt(i),
+      s"column $i should be NULL"))
+    val ok = spark.sql(
+      "SELECT adc_sum_flat(array(1.0d, 2.0d, 3.0d, 4.0d), array(1, 0), 2) AS s")
+      .head().getDouble(0)
+    assert(ok == 2.0 + 3.0)
+    val intCodes = spark.sql(
+      "SELECT adc_sum_flat(array(1.0d, 2.0d, 3.0d, 4.0d), array(0, 1), 2) AS s")
+      .head().getDouble(0)
+    assert(intCodes == 1.0 + 4.0)
+  }
 }

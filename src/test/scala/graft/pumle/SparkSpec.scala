@@ -24,6 +24,7 @@ object SparkSpec {
     .master("local[4]")
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 131072)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir",

@@ -1129,13 +1129,24 @@ object Similarity {
   def writeIvfPqIndex(spark: SparkSession, emb: DataFrame,
       centroidPred: org.apache.spark.sql.Column,
       seedPred: org.apache.spark.sql.Column, path: String, m: Int = 8,
-      k: Int = 16, iters: Int = 3, dims: Int = 64): Unit = {
+      k: Int = 16, iters: Int = 3, dims: Int = 64): Unit =
+    writeIvfPqIndexWith(spark, emb, centroidPred,
+      pqCodebooks(spark, emb, seedPred, m, k, iters, dims), path)
+
+  /** [[writeIvfPqIndex]] with a CALLER-SUPPLIED codebook (e.g.
+    * [[fixedCodebooks]]) instead of seeds trained in place — the
+    * formulation whose whole search path is oracle-checkable end to
+    * end (q164: a trained codebook's unordered FP means aren't
+    * reproducible by an independent engine; the fixed grid is). */
+  def writeIvfPqIndexWith(spark: SparkSession, emb: DataFrame,
+      centroidPred: org.apache.spark.sql.Column,
+      cbs: Seq[Seq[Seq[Double]]], path: String): Unit = {
     import spark.implicits._
+    val m = cbs.length
     val base = withVectors(spark, emb)
     val cents = base.filter(centroidPred)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    val cbs = pqCodebooks(spark, emb, seedPred, m, k, iters, dims)
     cbs.zipWithIndex.flatMap { case (codes, s) =>
       codes.zipWithIndex.map { case (cw, ci) => (s, ci, cw) }
     }.toDF("sub", "code", "cw")

@@ -196,5 +196,92 @@ object Ext6Queries {
     },
     Ext5Queries.qs.find(_.name == "q152_incremental_winnow").get.oracle) // q152 VERBATIM
 
-  val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q163)
+  // --------------------------------------------------------------- q164
+  // The COMBINED IVF+PQ search path, oracle-checked end to end: the
+  // production ANN layout (coarse cells for sub-linear candidate
+  // selection, PQ codes for memory-bounded distance math inside the
+  // probed cells) was previously spec-pinned only — a trained codebook
+  // isn't replayable by an independent engine, but q127's fixed
+  // md5-derived codebook is, and q66's probe contract already replays.
+  // This row composes both: q66's centroid set + probe ranking, q127's
+  // encode + ADC tables, search over the persisted partitioned index.
+  private val q164 = Q(
+    "q164_ivf_pq_indexed",
+    (s, d) => {
+      val idx = Fixtures.dir("ivfpq", d) { p =>
+        graft.ext.Similarity.writeIvfPqIndexWith(s, Tables.embeddings(s, d),
+          centroidPred = col("vec_id") % 50 === 0,
+          graft.ext.Similarity.fixedCodebooks(), p)
+      }
+      graft.ext.Similarity.ivfPqSearch(s, idx,
+          Tables.embeddings(s, d).filter(col("vec_id") % 41 === 0),
+          nProbe = 2, topK = 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH cb AS (
+        SELECT s.generate_series AS s, c.generate_series AS c,
+          list((CAST(('0x' || substr(md5('pq:' || s.generate_series || ':'
+                 || c.generate_series || ':' || d.generate_series), 1, 6))
+                AS BIGINT) % 2001 - 1000) / 1000.0
+               ORDER BY d.generate_series) AS cw
+        FROM generate_series(0, 3) s, generate_series(0, 7) c,
+             generate_series(0, 15) d
+        GROUP BY 1, 2),
+      base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+                FROM nrm WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT b.vec_id, c.centroid_id,
+          row_number() OVER (PARTITION BY b.vec_id
+                             ORDER BY round(list_dot_product(b.v, c.cv) / (b.nrm * c.cn), 4) DESC,
+                                      c.centroid_id) AS rk
+        FROM nrm b, cents c),
+      assigned AS (SELECT vec_id, centroid_id FROM scored WHERE rk = 1),
+      sub AS (
+        SELECT vec_id, CAST(g.generate_series AS INT) AS s,
+          v[CAST(g.generate_series * 16 + 1 AS INT) :
+            CAST(g.generate_series * 16 + 16 AS INT)] AS vs
+        FROM nrm, generate_series(0, 3) g),
+      dist AS (
+        SELECT vec_id, sub.s, cb.c,
+          list_sum(list_transform(list_zip(vs, cw),
+            z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+        FROM sub JOIN cb ON cb.s = sub.s),
+      codes AS (
+        SELECT vec_id, s, c FROM (
+          SELECT vec_id, s, c,
+            row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rk
+          FROM dist) WHERE rk = 1),
+      queries AS (SELECT vec_id AS q_id, v AS vq, nrm AS nq
+                  FROM nrm WHERE vec_id % 41 = 0),
+      probes AS (
+        SELECT q_id, centroid_id FROM (
+          SELECT q.q_id, c.centroid_id,
+            row_number() OVER (PARTITION BY q.q_id
+                               ORDER BY round(list_dot_product(q.vq, c.cv) / (q.nq * c.cn), 4) DESC,
+                                        c.centroid_id) AS pr
+          FROM queries q, cents c)
+        WHERE pr <= 2),
+      qtbl AS (SELECT vec_id AS q_id, s, c, d2 FROM dist WHERE vec_id % 41 = 0),
+      adc AS (
+        SELECT q.q_id, n.vec_id AS n_id, a.centroid_id,
+          round(list_sum(list(q.d2 ORDER BY q.s)), 6) AS adc_dist2
+        FROM codes n
+        JOIN assigned a ON a.vec_id = n.vec_id
+        JOIN probes p ON p.centroid_id = a.centroid_id
+        JOIN qtbl q ON q.s = n.s AND q.c = n.c AND q.q_id = p.q_id
+        WHERE q.q_id <> n.vec_id
+        GROUP BY q.q_id, n.vec_id, a.centroid_id),
+      ranked AS (
+        SELECT q_id, n_id, centroid_id, adc_dist2,
+          CAST(row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist2, n_id) AS BIGINT) AS rank
+        FROM adc)
+      SELECT q_id, rank, n_id, centroid_id, adc_dist2 FROM ranked
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q163, q164)
 }

@@ -267,6 +267,10 @@ class PlanSpec extends SparkSpec {
       // q158 = q156's probe/rerank shape over the incrementally-grown
       // index (the append itself is a narrow fixture-build step)
       "q158_ivf_append" -> 2,
+      // q164 = the IVF+PQ search: topk_min rerank exchange + final
+      // orderBy (probes materialize eagerly; both index scans are
+      // partition-pruned broadcast-join sides — audited 2)
+      "q164_ivf_pq_indexed" -> 2,
       // q159 returns a driver-built k-row frame like q146 (the rounds
       // run eagerly as checkpointed narrow passes + top-1 reduces) —
       // its 1 is the final orderBy

@@ -61,6 +61,7 @@ QUERIES = [
     # incrementally-appended, PQ ADC, SQ
     "q66_ivf_topk", "q116_ivf_indexed", "q156_ivf_search_only",
     "q158_ivf_append", "q127_pq_adc", "q132_sq_search",
+    "q164_ivf_pq_indexed",
     # clustering / curation on the embedding axis
     "q142_semantic_dedup", "q146_kcenter_coreset",
     "q159_kcenter_incremental", "q149_cluster_cap", "q153_knn_graph",
@@ -209,8 +210,8 @@ def run_decade(runs):
         "CONTRACT (they are the documented bounded baselines; the IVF /",
         "winnow paths are the scale story), so a scale-up ≪ 100× on them",
         "means per-pair throughput held or improved. The IVF family",
-        "(q62/q66/q116 assign+build, q156/q158 probe) is n·k / |q|·k dot",
-        "work with k = n/50 in this fixture — also ×100 flops per decade;",
+        "(q62/q66/q116 assign+build, q156/q158/q164 probe) is n·k / |q|·k",
+        "dot work with k = n/50 in this fixture — also ×100 flops/decade;",
         "their rows price the compiled centroid_topk matrix pass plus the",
         "one-file-per-cell index scan.",
     ]

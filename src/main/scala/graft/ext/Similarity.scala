@@ -135,7 +135,12 @@ object Similarity {
     * zero-norms included). */
   def ivfAssign(spark: SparkSession, emb: DataFrame,
       centroidPred: org.apache.spark.sql.Column): DataFrame = {
-    val base = withVectors(spark, emb)
+    // contract: null-embedding rows are EXCLUDED (as sqEncodeCodes
+    // does) — centroid_topk is null-propagating, and a NULL
+    // centroid_id is poison downstream: in a partitioned index write
+    // it lands in the Hive default partition, which no probe's cell
+    // filter ever selects, silently hiding the row from every search
+    val base = withVectors(spark, emb.filter(col("embedding").isNotNull))
     val model = graft.functions.CentroidModelRef.collect(base
       .filter(centroidPred)
       .select(col("vec_id"), col("v"), col("nrm")))
@@ -630,12 +635,17 @@ object Similarity {
     * 32 cores (51.8s; the sample side outgrows the broadcast threshold
     * exactly when the skew starts to matter). The sample side carries
     * a deterministic md5 sub-salt, the corpus side replicates
-    * ×`pairSalts`: identical pair set, largest task ÷pairSalts. With a
-    * fine blocking key the salt is harmless (same pair count, more
-    * balanced partitions). */
+    * ×`pairSalts`: identical pair set, largest task ÷pairSalts.
+    *
+    * Salting is OPT-IN (default 1 = the plain block join): the
+    * replication multiplies the corpus side's shuffle ×pairSalts
+    * unconditionally, which is pure cost when the blocking key is
+    * fine-grained (many small blocks already spread across tasks).
+    * Pass pairSalts > 1 when the key is coarse or skewed — q63's
+    * 10-label blocking uses 16 (51.8→15.7s at the 200k decade). */
   def nearDupPairs(spark: SparkSession, emb: DataFrame, blockCol: String,
       samplePred: org.apache.spark.sql.Column, threshold: Double,
-      pairSalts: Int = 16): DataFrame = {
+      pairSalts: Int = 1): DataFrame = {
     require(pairSalts >= 1, s"pairSalts=$pairSalts must be >= 1")
     val base = spread(withVectors(spark, emb))
     val a = base.filter(samplePred)
@@ -729,7 +739,10 @@ object Similarity {
     * time. */
   def writeIvfIndex(spark: SparkSession, emb: DataFrame,
       centroidPred: org.apache.spark.sql.Column, path: String): Unit = {
-    val base = withVectors(spark, emb)
+    // null embeddings excluded ([[ivfAssign]]'s contract): a NULL
+    // centroid_id would land in the Hive default partition and never
+    // be probed — an unsearchable row is worse than a dropped one
+    val base = withVectors(spark, emb.filter(col("embedding").isNotNull))
     val cents = base.filter(centroidPred)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
@@ -798,7 +811,9 @@ object Similarity {
     // shape with the dot loop compiled
     val model = graft.functions.CentroidModelRef.collect(centRows)
     graft.functions.CentroidTopK.register(spark, model)
-    withVectors(spark, emb)
+    // null embeddings excluded ([[ivfAssign]]'s contract) — appends
+    // must never manufacture a Hive-default (unprobed) partition
+    withVectors(spark, emb.filter(col("embedding").isNotNull))
       .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn"))
       .withColumn("centroid_id",
         element_at(expr("centroid_topk(vn, nn, 1)"), 1).getField("centroid_id"))
@@ -873,18 +888,23 @@ object Similarity {
         .withColumn("_fs", pmod(hash(col("n_id")), lit(filesPerCell)))
         .repartition(col("centroid_id"), col("_fs")).drop("_fs")
     // materialize BEFORE the overwrite: the write target is the scan's
-    // own source path, which Spark (rightly) refuses without a barrier
-    val cp = spreadCells.localCheckpoint(true)
+    // own source path, which Spark (rightly) refuses without a barrier.
+    // Release via the backing RDD: Dataset.unpersist routes through the
+    // CacheManager and is a no-op for localCheckpoint's direct RDD
+    // persist, which would pin every compacted cell for the session.
+    val (cp, blocks) = Dedup.checkpointTracked(spreadCells)
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
     try cp.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/assigned")
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      blocks.foreach(_.unpersist(blocking = false))
     }
-    cp.unpersist(blocking = false)
     fragIds.length.toLong
   }
 
@@ -1143,7 +1163,9 @@ object Similarity {
       cbs: Seq[Seq[Seq[Double]]], path: String): Unit = {
     import spark.implicits._
     val m = cbs.length
-    val base = withVectors(spark, emb)
+    // null embeddings excluded ([[ivfAssign]]'s contract) — see
+    // writeIvfIndex: a NULL centroid_id partition is never probed
+    val base = withVectors(spark, emb.filter(col("embedding").isNotNull))
     val cents = base.filter(centroidPred)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
     cents.write.mode("overwrite").parquet(s"$path/centroids")

@@ -462,9 +462,12 @@ object ExtQueries {
   private val q63 = Q(
     "q63_dedup_embedding",
     (s, d) => {
+      // pairSalts=16: 10-label blocking is the coarse-key case salting
+      // exists for (the whole sample × members loop of a label lands in
+      // one task otherwise — 51.8→15.7s at the 200k decade)
       graft.ext.Similarity.nearDupPairs(s, Tables.embeddings(s, d),
           blockCol = "label", samplePred = col("vec_id") % 10 === 0,
-          threshold = 0.35)
+          threshold = 0.35, pairSalts = 16)
         .orderBy(col("a_id"), col("b_id"))
     },
     Some("""WITH base AS (

@@ -264,7 +264,11 @@ object Streams {
       .groupBy(col("fp"))
       .agg(collect_list(struct(col("seen_id"), col("shingles").as("sh_s")))
         .as("cands"))
-    docs.filter(col("text").isNotNull)
+    // null-text docs flow through KEPT, matching the batch twin: md5's
+    // null hash never matches the exact anti-join, winnow_keys/shingles8
+    // are null-propagating so they produce no fingerprints and no
+    // candidates — same as a too-short doc (StreamsSpec pins it)
+    docs
       .withColumn("content_hash", md5(col("text")))
       .join(snapshot.select(col("content_hash")).distinct(),
         Seq("content_hash"), "left_anti")

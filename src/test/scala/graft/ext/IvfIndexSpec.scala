@@ -168,4 +168,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(got == want)
     q.stop()
   }
+
+  test("null embeddings are excluded from assignment — no Hive default partition ever lands") {
+    import spark.implicits._
+    val withNulls = emb.unionByName(
+      Seq((100L, null.asInstanceOf[Array[Float]], 0),
+        (101L, null.asInstanceOf[Array[Float]], 1))
+        .toDF("vec_id", "embedding", "label"))
+    // in-memory assignment: no NULL centroid_id rows (centroid_topk is
+    // null-propagating; an unfiltered plan would emit them)
+    val asg = Similarity.ivfAssign(spark, withNulls, col("vec_id") < 3)
+    assert(asg.filter(col("centroid_id").isNull).count() == 0)
+    assert(asg.count() == 24) // the 24 real vectors, nulls dropped
+    // persisted index + append: no __HIVE_DEFAULT_PARTITION__ directory
+    // (a NULL partition is invisible to every probe's cell filter)
+    val dir = java.nio.file.Files.createTempDirectory("ivfnull").toString
+    Similarity.writeIvfIndex(spark, withNulls, col("vec_id") < 3, dir)
+    Similarity.appendIvfIndex(spark,
+      Seq((102L, null.asInstanceOf[Array[Float]], 2))
+        .toDF("vec_id", "embedding", "label"), dir)
+    val parts = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(parts.forall(_.startsWith("centroid_id=")) &&
+      !parts.exists(_.contains("HIVE_DEFAULT")), parts.toString)
+    assert(spark.read.parquet(s"$dir/assigned").count() == 24)
+  }
 }

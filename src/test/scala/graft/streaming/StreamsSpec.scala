@@ -268,7 +268,9 @@ class StreamsSpec extends SparkSpec {
         (201L, "totally novel content here one two three four five six " +
           "seven eight nine ten eleven", t0),
         // shorter than the winnow window: zero fingerprints, kept
-        (202L, "tiny doc", t0))
+        (202L, "tiny doc", t0),
+        // null text: no hash, no fingerprints — kept, as in batch
+        (203L, null.asInstanceOf[String], t0))
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
     val q = Streams.winnowDedup(spark,
         mem.toDF().toDF("doc_id", "text", "ts"), dir)
@@ -286,6 +288,7 @@ class StreamsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == batchKept, s"stream $kept != batch $batchKept")
     assert(kept.contains(201L) && kept.contains(202L))
+    assert(kept.contains(203L)) // null text kept in BOTH forms
     assert(!kept.contains(100L)) // exact dup of seen 0 dropped
     q.stop()
   }

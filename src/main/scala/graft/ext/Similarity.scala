@@ -545,18 +545,17 @@ object Similarity {
     * argmin is a per-row array expression. */
   def pqEncode(spark: SparkSession, emb: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
-    Dot64.register(spark)
-    val m = codebooks.length
-    val subDim = codebooks.head.head.length
+    // compiled per-row argmin (graft.functions.PqEncode, codebook as a
+    // reference object): the interpreted HOF form it replaces paid a
+    // closure per codeword element per row — m·k·subDim interpreted
+    // ops, the dominant cost of the 200k decade's corpus encode.
+    // Identical codes (PqEncodeSpec pins the HOF form bit-for-bit,
+    // ties / NaN / short-slice rows included).
+    graft.functions.PqEncode.register(spark,
+      graft.functions.PqModelRef(codebooks))
     emb.select(col("vec_id"),
         expr(s"transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("cb", typedLit(codebooks))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${m - 1}), s ->
-          |  array_min(transform(element_at(cb, s + 1), (cw, ci) -> struct(
-          |    aggregate(zip_with(slice(v, s * $subDim + 1, $subDim), cw,
-          |      (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist2,
-          |    ci AS code))).code)""".stripMargin))
+      .withColumn("codes", expr("pq_encode(v)"))
       .select(col("vec_id"), col("codes"))
   }
 
@@ -588,40 +587,61 @@ object Similarity {
 
   private def pqSearch(queryEmb: DataFrame, codes: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]], topK: Int): DataFrame = {
+    val spark = queryEmb.sparkSession
     val m = codebooks.length
     val subDim = codebooks.head.head.length
-    val queries = queryEmb
-      .select(col("vec_id").as("q_id"),
-        expr(s"transform(embedding, x -> CAST(x AS DOUBLE))").as("vq"))
-      .withColumn("cb", typedLit(codebooks))
-      .withColumn("tbl", expr(
-        s"""transform(sequence(0, ${m - 1}), s ->
-          |  transform(element_at(cb, s + 1), cw ->
-          |    aggregate(zip_with(slice(vq, s * $subDim + 1, $subDim), cw,
-          |      (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)))"""
-          .stripMargin))
-      // the table FLATTENS once per query row (m·k doubles, row-major):
-      // the nested adc_sum fold paid a tbl.getArray(i) view ALLOCATION
-      // per dimension per pair on the |queries|·n hot loop; the flat
-      // fold is strided primitive getDouble — identical doubles, same
-      // index order (see AdcSumFlat)
-      .select(col("q_id"), flatten(col("tbl")).as("tbl"))
-    // bounded per-query top-k (TopKMin) instead of a rank window, and
-    // the code scan spread to full parallelism — same ranking contract
-    // ((adc_dist2 6-dp, n_id); round of a non-negative sum is never
-    // −0.0), candidates fold map-side where the broadcast join makes
-    // them
-    graft.functions.TopKMin.register(queryEmb.sparkSession)
+    val cells = codebooks.head.length
+    // bounded-query collect (cosineTopK's contract); per-query tables
+    // built driver-side with the IDENTICAL IEEE arithmetic of the SQL
+    // form this replaces: per (subspace, codeword) the sequential
+    // index-order fold Σ (a−b)² over the query's subvector
+    val qRows = queryEmb
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect()
+      .flatMap(r => Option(r.getSeq[Double](1)).map(v => (r.getLong(0), v)))
+      .sortBy(_._1)
+    if (qRows.isEmpty) return emptyAdcResult(spark, "adc_dist2")
+    val nQ = qRows.length
+    val stride = m * cells
+    val flat = new Array[Double](nQ * stride)
+    var qi = 0
+    while (qi < nQ) {
+      val v = qRows(qi)._2
+      var s = 0
+      while (s < m) {
+        var ci = 0
+        while (ci < cells) {
+          val cw = codebooks(s)(ci)
+          var acc = 0.0
+          var d = 0
+          while (d < subDim) {
+            val diff = v(s * subDim + d) - cw(d)
+            acc += diff * diff
+            d += 1
+          }
+          flat(qi * stride + s * cells + ci) = acc
+          ci += 1
+        }
+        s += 1
+      }
+      qi += 1
+    }
+    // the WHOLE |queries|·n ADC search as one global aggregate over
+    // the narrow code scan (graft.functions.AdcTopKMulti — see sqAdc's
+    // note: the BNLJ + per-pair projection machinery, not the m-lookup
+    // fold, dominated the exhaustive baselines at the 200k decade).
+    // Same ranking contract: (round(adc_dist2, 6), n_id) per query.
+    val model = new graft.functions.QueryAdcModelRef(
+      spark.sparkContext.broadcast(
+        new graft.functions.QueryAdcTables(qRows.map(_._1).toArray, flat,
+          m, cells)))
+    graft.functions.AdcTopKMulti.register(spark, model)
     spread(codes.select(col("vec_id").as("n_id"), col("codes")))
-      .crossJoin(broadcast(queries))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc_dist2",
-        round(expr(s"adc_sum_flat(tbl, codes, ${codebooks.head.length})"), 6))
-      .groupBy(col("q_id"))
-      .agg(expr(s"topk_min(adc_dist2, n_id, $topK)").as("tk"))
-      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
-      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
-        col("e.id").as("n_id"), col("e.score").as("adc_dist2"))
+      .agg(expr(s"adc_topk_multi(codes, n_id, $topK, 6)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.q_id").as("q_id"), col("e.rank").as("rank"),
+        col("e.n_id").as("n_id"), col("e.score").as("adc_dist2"))
   }
 
   /** Near-dup pairs above a cosine threshold, blocked by `blockCol`
@@ -1181,16 +1201,14 @@ object Similarity {
     val model = graft.functions.CentroidModelRef.collect(
       cents.select(col("centroid_id"), col("cv"), col("cn")))
     graft.functions.CentroidTopK.register(spark, model)
+    // the PQ encode is the compiled per-row argmin (see [[pqEncode]] —
+    // the interpreted HOF form paid m·k·subDim closures per row)
+    graft.functions.PqEncode.register(spark,
+      graft.functions.PqModelRef(cbs))
     spread(base.select(col("vec_id"), col("v"), col("nrm")))
       .withColumn("centroid_id",
         element_at(expr("centroid_topk(v, nrm, 1)"), 1).getField("centroid_id"))
-      .withColumn("cb", typedLit(cbs))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${m - 1}), s ->
-          |  array_min(transform(element_at(cb, s + 1), (cw, ci) -> struct(
-          |    aggregate(zip_with(slice(v, s * $subDim + 1, $subDim), cw,
-          |      (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) AS dist2,
-          |    ci AS code))).code)""".stripMargin))
+      .withColumn("codes", expr("pq_encode(v)"))
       .select(col("vec_id"), col("codes"), col("centroid_id"))
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
@@ -1308,43 +1326,68 @@ object Similarity {
   private def sqAdc(queryEmb: DataFrame, codes: DataFrame,
       mins: IndexedSeq[Double], maxs: IndexedSeq[Double], topK: Int,
       dims: Int): DataFrame = {
-    val queries = queryEmb
-      .select(col("vec_id").as("q_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vq"))
-      .withColumn("qmn", typedLit(mins))
-      .withColumn("qmx", typedLit(maxs))
-      .withColumn("tbl", expr(
-        s"""transform(sequence(1, $dims), d ->
-           |  transform(sequence(0, 255), c ->
-           |    (element_at(vq, d) - (element_at(qmn, d)
-           |       + CAST(c AS DOUBLE) / 255.0
-           |         * (element_at(qmx, d) - element_at(qmn, d))))
-           |    * (element_at(vq, d) - (element_at(qmn, d)
-           |       + CAST(c AS DOUBLE) / 255.0
-           |         * (element_at(qmx, d) - element_at(qmn, d))))))"""
-          .stripMargin))
-      // flatten once per query row (dims×256 doubles, row-major): the
-      // nested fold allocated a getArray view per dim per pair on the
-      // |queries|·n scan (26B allocations at the 200k decade); the
-      // flat fold is strided primitive lookups — same doubles, same
-      // order (AdcSumFlat)
-      .select(col("q_id"), flatten(col("tbl")).as("tbl"))
-    // bounded per-query top-k (graft.functions.TopKMin) instead of a
-    // rank window: the |queries|·n candidate stream folds map-side
-    // where the broadcast join generates it, and only queries × k
-    // entries reach the exchange (the window form shuffled+sorted the
-    // whole stream — 9.8M rows / 24s at the 10×-vector bench). dist2
-    // is round(·,6) of a non-negative sum, never −0.0, so (dist2,
-    // n_id) ascending is the window's exact ordering.
-    graft.functions.TopKMin.register(queryEmb.sparkSession)
-    spread(codes).crossJoin(broadcast(queries))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("dist2", round(expr("adc_sum_flat(tbl, codes, 256)"), 6))
-      .groupBy(col("q_id"))
-      .agg(expr(s"topk_min(dist2, n_id, $topK)").as("tk"))
-      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
-      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
-        col("e.id").as("n_id"), col("e.score").as("dist2"))
+    val spark = queryEmb.sparkSession
+    // bounded-query collect (cosineTopK's contract — a query BATCH,
+    // never a corpus); tables are built driver-side with the IDENTICAL
+    // IEEE arithmetic of the SQL form this replaces:
+    // (vq[d] − (mn[d] + c/255·(mx[d]−mn[d])))², same operation order
+    val qRows = queryEmb
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect()
+      .flatMap(r => Option(r.getSeq[Double](1)).map(v => (r.getLong(0), v)))
+      .sortBy(_._1)
+    if (qRows.isEmpty) return emptyAdcResult(spark, "dist2")
+    val nQ = qRows.length
+    val stride = dims * 256
+    val flat = new Array[Double](nQ * stride)
+    var qi = 0
+    while (qi < nQ) {
+      val v = qRows(qi)._2
+      require(v.length == dims, s"query dims ${v.length} != $dims")
+      var d = 0
+      while (d < dims) {
+        val mn = mins(d)
+        val w = maxs(d) - mn
+        var c = 0
+        while (c < 256) {
+          val diff = v(d) - (mn + c / 255.0 * w)
+          flat(qi * stride + d * 256 + c) = diff * diff
+          c += 1
+        }
+        d += 1
+      }
+      qi += 1
+    }
+    // the WHOLE |queries|·n search as one global aggregate over the
+    // narrow code scan ([[graft.functions.AdcTopKMulti]]): the
+    // crossJoin + adc_sum_flat + topk_min form it replaces was
+    // broadcast-shaped but materialized a BNLJ row + aggregate probe
+    // PER PAIR — ~20× the flat fold's own cost at the 200k decade
+    // (412M pairs, 54.8s → the fused pass). Same ranking contract
+    // ((round(dist2, 6), n_id) per query, lazy boundary rounding,
+    // early abandonment on the non-negative partial sums); the
+    // exchange carries |queries|·k entries per task, never pairs.
+    val model = new graft.functions.QueryAdcModelRef(
+      spark.sparkContext.broadcast(
+        new graft.functions.QueryAdcTables(qRows.map(_._1).toArray, flat,
+          dims, 256)))
+    graft.functions.AdcTopKMulti.register(spark, model)
+    spread(codes)
+      .agg(expr(s"adc_topk_multi(codes, n_id, $topK, 6)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.q_id").as("q_id"), col("e.rank").as("rank"),
+        col("e.n_id").as("n_id"), col("e.score").as("dist2"))
+  }
+
+  /** The empty-query-batch result of the fused ADC searches — the
+    * schema the crossJoin form produced on an empty broadcast side. */
+  private def emptyAdcResult(spark: SparkSession, scoreName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("q_id", LongType),
+        StructField("rank", LongType), StructField("n_id", LongType),
+        StructField(scoreName, DoubleType))))
   }
 
   /** Persist an SQ index: `path/minmax` (d, mn, mx — the dims-row
@@ -1422,21 +1465,23 @@ object Similarity {
     val cand = spark.read.parquet(s"$path/codes")
       .filter(col("centroid_id").isin(cells: _*))
       .select(col("vec_id").as("n_id"), col("codes"), col("centroid_id"))
-    // rerank via the bounded topk_min aggregate (ivfTopKIndexed's
+    // rerank via the bounded topk_min_round aggregate (ivfTopKIndexed's
     // rewired shape — probed pairs fold map-side where the broadcast
     // join generates them; the rank window exchanged every pair with
     // its code array). dist2 is round(·,6) of a non-negative sum —
     // never −0.0, never NaN on valid codes — so (dist2, n_id)
-    // ascending is the window's exact ordering with no sentinel. The
+    // ascending is the window's exact ordering with no sentinel, and
+    // the exact rounding applies lazily at the top-k boundary only
+    // (TopKMinRound — identical verdicts, no per-pair BigDecimal). The
     // candidate's cell id rejoins from a second column-pruned scan of
     // the SAME relation (one FileIndex, codes stay out of it).
-    graft.functions.TopKMin.register(spark)
+    graft.functions.TopKMinRound.register(spark)
     val tk = broadcast(probes).join(cand, Seq("centroid_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc_dist2",
-        round(expr(s"adc_sum_flat(tbl, codes, ${cbs.head.length})"), 6))
+      .withColumn("adc_raw",
+        expr(s"adc_sum_flat(tbl, codes, ${cbs.head.length})"))
       .groupBy(col("q_id"))
-      .agg(expr(s"topk_min(adc_dist2, n_id, $topK)").as("tk"))
+      .agg(expr(s"topk_min_round(adc_raw, n_id, $topK, 6)").as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
       .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
         col("e.id").as("n_id"), col("e.score").as("adc_dist2"))

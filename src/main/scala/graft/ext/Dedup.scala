@@ -971,22 +971,76 @@ object Dedup {
     * increments against the merged index are bit-equal to increments
     * against an index built over the union in one pass. */
   def mergeWinnowIndexes(spark: SparkSession, a: String, b: String,
-      out: String): Unit = {
+      out: String, pruneDf: Int = Int.MaxValue): Unit = {
     val (ka, wa) = readWinnowIndexParams(spark, a)
     val (kb, wb) = readWinnowIndexParams(spark, b)
     require(ka == kb && wa == wb,
       s"winnow param mismatch: ($ka,$wa) at $a vs ($kb,$wb) at $b — " +
         "indexes built at different (k, w) cannot merge")
+    // effective prune cap: the tightest of this call's and both
+    // inputs' (a previously-pruned input's missing fps were dropped
+    // at ITS cap — claiming a looser cap would resurrect nothing and
+    // silently promise df fidelity the table no longer has)
+    val eff = math.min(pruneDf,
+      math.min(readWinnowPruneDf(spark, a), readWinnowPruneDf(spark, b)))
     spark.read.parquet(s"$a/docs")
       .unionByName(spark.read.parquet(s"$b/docs"))
       .write.mode("overwrite").parquet(s"$out/docs")
-    spark.read.parquet(s"$a/fpdf")
+    val summed = spark.read.parquet(s"$a/fpdf")
       .unionByName(spark.read.parquet(s"$b/fpdf"))
       .groupBy(col("fp")).agg(sum(col("df")).as("df"))
-      .write.mode("overwrite").parquet(s"$out/fpdf")
+    if (eff == Int.MaxValue) {
+      summed.write.mode("overwrite").parquet(s"$out/fpdf")
+    } else {
+      // over-cap fps are dead weight every future increment re-filters
+      // (df > eff ≥ any legal maxDf ⇒ the increment drops them anyway —
+      // a missing fpdf row and a filtered one are the same verdict).
+      // They leave a TOMBSTONE (fp only) so CHAINED merges stay sound:
+      // summing a pruned side's dfs would otherwise UNDERCOUNT a
+      // tombstoned fp that reappears in the other shard (df_b alone
+      // instead of df_a + df_b) and quietly re-activate a boilerplate
+      // fingerprint the one-pass index would cap.
+      val tombstoned = readWinnowTombstones(spark, a)
+        .unionByName(readWinnowTombstones(spark, b)).distinct()
+      val cleaned = summed
+        .join(broadcast(tombstoned), Seq("fp"), "left_anti")
+        .localCheckpoint(true) // referenced twice; tiny (|distinct fp|)
+      cleaned.filter(col("df") <= eff)
+        .write.mode("overwrite").parquet(s"$out/fpdf")
+      cleaned.filter(col("df") > eff).select(col("fp"))
+        .unionByName(tombstoned).distinct()
+        .write.mode("overwrite").parquet(s"$out/pruned")
+    }
     import spark.implicits._
-    Seq((ka, wa)).toDF("k", "w").coalesce(1)
+    Seq((ka, wa, eff)).toDF("k", "w", "prune_df").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/meta")
+  }
+
+  /** The prune cap a winnow index was merged with (`prune_df` in
+    * `path/meta`) — Int.MaxValue (no pruning) for indexes written
+    * before the column existed or never pruned. Consumers must use
+    * `maxDf ≤ prune_df`: a looser cap would need the pruned rows. */
+  def readWinnowPruneDf(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Int.MaxValue
+    val df = spark.read.parquet(s"$path/meta")
+    if (!df.columns.contains("prune_df")) Int.MaxValue
+    else df.head().getAs[Int]("prune_df")
+  }
+
+  /** Tombstoned (pruned-over-cap) fingerprints of a merged index —
+    * empty for unpruned indexes. Bounded: an fp tombstones only when
+    * df > prune_df, so |tombstones| ≤ postings / prune_df. */
+  private def readWinnowTombstones(spark: SparkSession,
+      path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/pruned")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$path/pruned").select(col("fp"))
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF("fp")
+    }
   }
 
   /** [[dedupIncrementalWinnow]] against a persisted [[writeWinnowIndex]]
@@ -1015,6 +1069,11 @@ object Dedup {
     // from path/meta, never assumed (a silent mismatch keeps
     // near-duplicates with no error raised)
     val (k, w) = readWinnowIndexParams(spark, path)
+    val pruneDf = readWinnowPruneDf(spark, path)
+    require(maxDf <= pruneDf,
+      s"maxDf=$maxDf exceeds the index's prune cap $pruneDf at $path — " +
+        "fps with df in (prune_df, maxDf] were pruned at merge time; " +
+        "re-merge with a looser pruneDf to use this maxDf")
     graft.functions.WinnowKeys.register(spark, k, w)
     graft.functions.Shingles8.register(spark)
     val snapshot = spark.read.parquet(s"$path/docs")

@@ -250,6 +250,10 @@ object Streams {
       threshold: Double = 0.7): DataFrame = {
     import spark.implicits._
     val (k, w) = graft.ext.Dedup.readWinnowIndexParams(spark, indexPath)
+    val pruneDf = graft.ext.Dedup.readWinnowPruneDf(spark, indexPath)
+    require(maxDf <= pruneDf,
+      s"maxDf=$maxDf exceeds the index's prune cap $pruneDf at " +
+        s"$indexPath — fps in (prune_df, maxDf] were pruned at merge")
     graft.functions.WinnowKeys.register(spark, k, w)
     graft.functions.Shingles8.register(spark)
     val snapshot = spark.read.parquet(s"$indexPath/docs")
@@ -492,6 +496,89 @@ object Streams {
       .select(col("q_id"), (col("_pos") + 1).cast("long").as("rank"),
         col("_c.n_id").as("n_id"), col("_c.cid").as("centroid_id"),
         (-col("_c.ncos")).as("cosine"))
+  }
+
+  /** Streaming ANN against a persisted IVF+PQ index
+    * ([[graft.ext.Similarity.writeIvfPqIndex]]) — [[annEnrich]]'s
+    * stateless stream-static shape applied to the PRODUCTION layout:
+    * each arriving query probes its `nProbe` nearest centroids (the
+    * 4-dp-cosine DESC / centroid-id probe contract), builds its own
+    * m×k ADC distance table as a per-row expression (the codebook is
+    * a reloaded literal — a few KB by PQ construction), and ranks the
+    * probed cells' CODE rows by flat-ADC lookup sum, exactly
+    * [[graft.ext.Similarity.ivfPqSearch]]'s (round(adc_dist2, 6),
+    * n_id) contract — StreamsSpec pins stream ≡ batch bit-equality.
+    *
+    * Same statelessness argument as [[annEnrich]]: the codes table
+    * reshapes ONCE per index into one row per cell (the unit the batch
+    * path reads as a pruned partition), the stream side takes `nProbe`
+    * unique-key left joins, and one expression concatenates, drops
+    * self-matches, computes the table-lookup distances and slices
+    * top-k — no state store, no watermark latency. Codes are
+    * index-written and therefore well-formed in `[0, k)` (the batch
+    * path's assumption too). */
+  def pqEnrich(spark: SparkSession, queries: DataFrame, indexPath: String,
+      nProbe: Int = 2, k: Int = 5): DataFrame = {
+    graft.functions.Dot64.register(spark)
+    import graft.ext.Similarity.withVectors
+    val cbs = graft.ext.Similarity.loadPqCodebooks(spark, indexPath)
+    val m = cbs.length
+    val codeK = cbs.head.length
+    val subDim = cbs.head.head.length
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("centroid_id"), col("cv"), col("cn"))
+      .collect().map { r =>
+        struct(lit(r.getLong(0)).as("cid"),
+          typedLit(r.getSeq[Double](1)).as("cv"),
+          lit(r.getDouble(2)).as("cn"))
+      }
+    val cells = spark.read.parquet(s"$indexPath/codes")
+      .groupBy(col("centroid_id"))
+      .agg(collect_list(
+        struct(col("vec_id").as("n_id"), col("codes"),
+          col("centroid_id").cast("long").as("cid"))).as("cands"))
+    val base = withVectors(spark, queries)
+      .withColumn("_cents", array(cents.toIndexedSeq: _*))
+      // per-row probe ranking: (cos desc 4-dp, cid asc) == the batch
+      // centroid_topk contract (negate AFTER rounding)
+      .withColumn("_probes", expr(
+        s"""slice(array_sort(transform(_cents, c ->
+           |  struct(-round(dot64(v, c.cv) / (nrm * c.cn), 4) AS ncos,
+           |         c.cid AS cid))), 1, $nProbe)""".stripMargin))
+      .drop("_cents")
+      // the query's ADC table, flattened row-major — ivfPqSearch's
+      // exact per-subspace fold on the same codebook literal
+      .withColumn("_cb", typedLit(cbs))
+      .withColumn("_tbl", flatten(expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+          |  transform(element_at(_cb, s + 1), cw ->
+          |    aggregate(zip_with(slice(v, s * $subDim + 1, $subDim), cw,
+          |      (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)))"""
+          .stripMargin)))
+      .drop("_cb")
+    val joined = (0 until nProbe).foldLeft(base) { (df, p) =>
+      df.withColumn(s"_bucket_$p",
+          expr(s"CASE WHEN size(_probes) > $p THEN _probes[$p].cid END"))
+        .join(cells.select(col("centroid_id").as(s"_bucket_$p"),
+            col("cands").as(s"_cands_$p")),
+          Seq(s"_bucket_$p"), "left_outer")
+    }
+    val lists = (0 until nProbe).map(p => s"_cands_$p").mkString(", ")
+    joined
+      .withColumn("_top", expr(
+        s"""slice(array_sort(transform(
+           |  filter(flatten(filter(array($lists), a -> a IS NOT NULL)),
+           |         c -> c.n_id != vec_id),
+           |  c -> struct(round(aggregate(sequence(0, ${m - 1}),
+           |         CAST(0.0 AS DOUBLE), (acc, s) -> acc + element_at(_tbl,
+           |           s * $codeK + CAST(element_at(c.codes, s + 1) AS INT) + 1)),
+           |         6) AS d2,
+           |       c.n_id AS n_id, c.cid AS cid))), 1, $k)""".stripMargin))
+      .select(col("vec_id").as("q_id"),
+        posexplode(col("_top")).as(Seq("_pos", "_c")))
+      .select(col("q_id"), (col("_pos") + 1).cast("long").as("rank"),
+        col("_c.n_id").as("n_id"), col("_c.cid").as("centroid_id"),
+        col("_c.d2").as("adc_dist2"))
   }
 
   /** Streaming DSIR scoring: each arriving doc scores against a FIXED

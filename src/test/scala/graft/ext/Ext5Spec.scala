@@ -376,6 +376,72 @@ class Ext5Spec extends SparkSpec {
     assert(e.getMessage.contains("param mismatch"))
   }
 
+  test("mergeWinnowIndexes pruneDf: pruned ≡ unpruned on increment verdicts; tombstones keep chained merges sound") {
+    import spark.implicits._
+    val mkText = (i: Int) => s"alpha bravo charlie delta echo " +
+      s"w${i} x${i * 7 % 13} y${i * 11 % 17} z${i * 3 % 5} " +
+      s"kilo lima mike november oscar papa quebec"
+    val seen = Seq.tabulate(60)(i => (i.toLong, mkText(i))).toDF("doc_id", "text")
+    val fresh = (Seq.tabulate(10)(i => ((100 + i).toLong, mkText(i * 2))) ++
+      Seq((200L, mkText(3) + " tail"), (201L, "totally novel content here " +
+        "one two three four five six seven eight nine ten eleven")))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("winprune").toString
+    val maxDf = 10
+    Dedup.writeWinnowIndex(spark, seen.filter(col("doc_id") % 2 === 0), s"$root/a")
+    Dedup.writeWinnowIndex(spark, seen.filter(col("doc_id") % 2 =!= 0), s"$root/b")
+    Dedup.mergeWinnowIndexes(spark, s"$root/a", s"$root/b", s"$root/m")
+    Dedup.mergeWinnowIndexes(spark, s"$root/a", s"$root/b", s"$root/mp",
+      pruneDf = maxDf)
+    // the boilerplate fps (every doc shares the alpha..quebec frame)
+    // actually pruned something, and meta records the cap
+    val nFull = spark.read.parquet(s"$root/m/fpdf").count()
+    val nPruned = spark.read.parquet(s"$root/mp/fpdf").count()
+    assert(nPruned < nFull, s"pruned $nPruned !< full $nFull")
+    assert(Dedup.readWinnowPruneDf(spark, s"$root/mp") == maxDf)
+    assert(Dedup.readWinnowPruneDf(spark, s"$root/m") == Int.MaxValue)
+    // pruned rows are exactly the over-cap ones
+    assert(spark.read.parquet(s"$root/mp/fpdf")
+      .filter(col("df") > maxDf).count() == 0)
+    // increment verdicts bit-equal at maxDf ≤ pruneDf
+    def verdict(p: String) = Dedup.dedupIncrementalWinnowIndexed(
+        spark, fresh, p, maxDf = maxDf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(verdict(s"$root/mp") == verdict(s"$root/m"))
+    // a looser maxDf than the prune cap refuses loudly (batch + stream)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.dedupIncrementalWinnowIndexed(spark, fresh, s"$root/mp",
+        maxDf = maxDf + 1)
+    }
+    assert(e1.getMessage.contains("prune cap"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.winnowDedup(spark,
+        fresh.withColumn("ts", current_timestamp()), s"$root/mp",
+        maxDf = maxDf + 1)
+    }
+    assert(e2.getMessage.contains("prune cap"))
+    // CHAINED merge: (a+b pruned) + c must equal (a+b+c one-pass,
+    // pruned) on increments — the tombstones stop a boilerplate fp
+    // (pruned from mp, present in c with a small df) from
+    // re-activating with an undercounted sum
+    val extra = Seq.tabulate(20)(i => ((300 + i).toLong, mkText(i * 3)))
+      .toDF("doc_id", "text")
+    Dedup.writeWinnowIndex(spark, extra, s"$root/c")
+    Dedup.mergeWinnowIndexes(spark, s"$root/mp", s"$root/c", s"$root/mpc")
+    // one-pass reference over the union, pruned at the same cap
+    Dedup.writeWinnowIndex(spark, seen.unionByName(extra), s"$root/abc1")
+    Dedup.writeWinnowIndex(spark, seen.limit(0), s"$root/empty")
+    Dedup.mergeWinnowIndexes(spark, s"$root/abc1", s"$root/empty",
+      s"$root/abcp", pruneDf = maxDf)
+    // the chained merge inherits the tightest cap automatically
+    assert(Dedup.readWinnowPruneDf(spark, s"$root/mpc") == maxDf)
+    assert(verdict(s"$root/mpc") == verdict(s"$root/abcp"))
+    // active fp sets agree exactly (not just verdicts on this fixture)
+    def activeFps(p: String) = spark.read.parquet(s"$p/fpdf")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(activeFps(s"$root/mpc") == activeFps(s"$root/abcp"))
+  }
+
   test("histQuantiles: edge semantics, one-bin-width error bound, range clamping") {
     import spark.implicits._
     // group a: 100 values 0.0, 0.1, ..., 9.9 → with width 0.5 the p50

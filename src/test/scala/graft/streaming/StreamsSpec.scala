@@ -209,6 +209,41 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming pqEnrich replays the batch ivfPqSearch ranking per arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Seq.tabulate(24) { i =>
+      val c = i % 3
+      val base = Array(0.05f, 0.05f, 0.05f, 0.05f)
+      base(c) = 1.0f + (i / 3) * 0.01f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqstream").toString
+    graft.ext.Similarity.writeIvfPqIndexWith(spark, emb, col("vec_id") < 3,
+      graft.ext.Similarity.fixedCodebooks(m = 4, k = 8, subDim = 1), dir)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = Streams.pqEnrich(spark,
+      mem.toDF().toDF("vec_id", "embedding"), dir, nProbe = 2, k = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pqen").start()
+    val qvecs = emb.filter(col("vec_id") % 5 === 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    // two micro-batches: verdicts are per-arrival
+    mem.addData(qvecs.take(2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(qvecs.drop(2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    val got = spark.sql("SELECT * FROM pqen")
+      .orderBy("q_id", "rank").collect().toSeq
+    val want = graft.ext.Similarity.ivfPqSearch(spark, dir,
+        emb.filter(col("vec_id") % 5 === 0), nProbe = 2, topK = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+    q.stop()
+  }
+
   test("streaming IVF intake assigns arriving vectors bit-equal to the batch append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -684,6 +684,66 @@ object Similarity {
         least(col("a_id"), col("b_id")).as("keep_id"))
   }
 
+  /** [[nearDupPairs]] blocked by the engine's OWN ANN grid instead of
+    * a caller-provided key: sample × corpus candidate pairs restricted
+    * to same-[[assignFixed]]-cell, verified by the identical cosine
+    * contract (4-dp rounded ≥ `threshold`, keep = smaller id). THE
+    * scale path for generic embedding near-dup pair mining — a label
+    * block is ×(block size) work BY CONTRACT (q63's 10-label blocking
+    * is |sample|·n/10 pairs however big n grows), while a fixed-grid
+    * cell is the SemDeDup bound O(Σ |sample_i|·cᵢ): pair work tracks
+    * cluster geometry, not corpus size. Recall follows the blocking
+    * (a pair split across cells is not a candidate — the standard ANN
+    * near-dup trade, same as [[semanticDedupFixed]]); precision is
+    * exact (every emitted pair passed the full cosine verify).
+    * Oracle-replayable end to end because the grid is the
+    * deterministic md5 literal (q142's assignment contract — q165).
+    *
+    * Scale hygiene shared with [[knnGraph]]: the assignment
+    * materializes ONCE behind a constraint-free re-wrap (the derived
+    * centroid key + self-join shape trips Spark 4.1's
+    * InferFiltersFromConstraints otherwise), boilerplate mega-cells
+    * can be excluded observably (`maxCluster` + `capMetrics` —
+    * capped cells emit no pairs), and dense cells spread over
+    * `pairSalts` tasks (opt-in, identical pair set). */
+  def nearDupPairsAnn(spark: SparkSession, emb: DataFrame,
+      samplePred: org.apache.spark.sql.Column, threshold: Double,
+      centroids: Int = 16, dims: Int = 64,
+      maxCluster: Int = Int.MaxValue,
+      capMetrics: Option[org.apache.spark.sql.Observation] = None,
+      pairSalts: Int = 1): DataFrame = {
+    require(pairSalts >= 1, s"pairSalts=$pairSalts must be >= 1")
+    val (cp0, cp0Blocks) = Dedup.checkpointTracked(
+      assignFixed(spark, emb, centroids, dims))
+    val assigned = capHotClusters(
+      spark.createDataFrame(cp0.rdd, cp0.schema), maxCluster, capMetrics)
+    val assignedCp = {
+      val cp = assigned.localCheckpoint(true)
+      cp0Blocks.foreach(_.unpersist(blocking = false))
+      spark.createDataFrame(cp.rdd, cp.schema)
+    }
+    val a = assignedCp.filter(samplePred)
+      .select(col("vec_id").as("a_id"), col("centroid"),
+        col("v").as("va"), col("nrm").as("na"))
+      .withColumn("_salt",
+        (conv(substring(md5(col("a_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % pairSalts).cast("int"))
+    val b = assignedCp.select(col("vec_id").as("b_id"), col("centroid"),
+      col("v").as("vb"), col("nrm").as("nb"))
+      .crossJoin(broadcast(spark.range(pairSalts)
+        .select(col("id").cast("int").as("_salt"))))
+    a.join(b, Seq("centroid", "_salt"))
+      .filter(col("a_id") < col("b_id"))
+      // zero-norm guard (cosineTopK's): NaN fails the threshold filter
+      // on both engines; ANSI would throw on the raw 0/0 division
+      .withColumn("cosine",
+        when(col("na") * col("nb") === 0.0, lit(Double.NaN))
+          .otherwise(round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4)))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("centroid"), col("cosine"),
+        least(col("a_id"), col("b_id")).as("keep_id"))
+  }
+
   /** Per-label mean-pooled centroid, long form (label, dim, mean, n) —
     * the pooling step behind class prototypes, IVF retraining, and
     * chunk→document embedding rollups. Long-form OUTPUT (label, dim,

@@ -283,5 +283,62 @@ object Ext6Queries {
       SELECT q_id, rank, n_id, centroid_id, adc_dist2 FROM ranked
       WHERE rank <= 3 ORDER BY q_id, rank"""))
 
-  val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q163, q164)
+  // --------------------------------------------------------------- q165
+  // ANN-blocked near-dup pairs: q63's verify semantics (sample side,
+  // 4-dp cosine ≥ 0.35, keep = smaller id) with the engine's OWN
+  // fixed-grid cells as the blocking key instead of a label — the
+  // scale path for generic embedding pair mining (pair work = SemDeDup's
+  // O(Σ |sample_i|·cᵢ), tracking cluster geometry rather than corpus
+  // size). Replayable end to end: q142's md5-grid assignment + q63's
+  // pair verify.
+  private val q165 = Q(
+    "q165_near_dup_ann",
+    (s, d) => {
+      // maxCluster = 5000: strictly above any cell the correctness
+      // gates can produce (sf0.01 = 500 vectors, sf0.1 = 5000 — a cell
+      // can never exceed the corpus), so the oracle needs no cap model;
+      // at decade scale it bounds the in-cell pair work observably (the
+      // q142 mega-cell treatment — a near-dup corpus collapses the grid
+      // into few dense cells and uncapped pair work is ×100 per ×10
+      // data by geometry). pairSalts = 16: grid cells are the coarse
+      // skewed key salting exists for.
+      graft.ext.Similarity.nearDupPairsAnn(s, Tables.embeddings(s, d),
+          samplePred = col("vec_id") % 10 === 0, threshold = 0.35,
+          maxCluster = 5000, pairSalts = 16)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH cgrid AS (
+        SELECT CAST(j.generate_series AS BIGINT) AS j, d.generate_series AS d,
+          CAST(CAST(('0x' || substr(md5('sc:' || j.generate_series || ':'
+            || d.generate_series), 1, 6)) AS BIGINT) % 2001 - 1000 AS DOUBLE)
+            / 1000.0 AS x
+        FROM generate_series(0, 15) j, generate_series(0, 63) d),
+      cents AS (SELECT j, list(x ORDER BY d) AS cw FROM cgrid GROUP BY j),
+      base AS (
+        SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        FROM embeddings),
+      nrm AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      dist AS (
+        SELECT b.vec_id, c.j,
+          list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, c.cw)
+            + list_dot_product(c.cw, c.cw) AS d2
+        FROM base b, cents c),
+      asg AS (
+        SELECT vec_id, j AS centroid FROM (
+          SELECT vec_id, j,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
+          FROM dist) WHERE rk = 1)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, aa.centroid,
+        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine,
+        least(a.vec_id, b.vec_id) AS keep_id
+      FROM nrm a JOIN asg aa ON aa.vec_id = a.vec_id
+      JOIN nrm b ON a.vec_id < b.vec_id
+      JOIN asg ab ON ab.vec_id = b.vec_id AND ab.centroid = aa.centroid
+      WHERE a.vec_id % 10 = 0
+        AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.35
+      ORDER BY a_id, b_id"""))
+
+  val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q163, q164,
+    q165)
 }

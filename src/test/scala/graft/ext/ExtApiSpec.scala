@@ -930,4 +930,58 @@ class ExtApiSpec extends SparkSpec {
     val tiny = Seq((9L, "too short")).toDF("doc_id", "text")
     assert(Dedup.repeatedSpans(tiny, spanWords = 4).count() == 0)
   }
+
+  test("nearDupPairsAnn: planted near-dups found, verify semantics = nearDupPairs, salts/caps behave") {
+    import spark.implicits._
+    val dims = 64
+    val rnd = new scala.util.Random(5)
+    // three tight planted clusters (near-dups, cosine ≈ 1) + noise
+    def jitter(base: Array[Float], eps: Float) =
+      base.zipWithIndex.map { case (x, d) =>
+        x + eps * ((d * 7 % 5) - 2) / 1000f }
+    val bases = Seq.fill(3)(Array.fill(dims)(rnd.nextFloat() - 0.5f))
+    val planted = bases.zipWithIndex.flatMap { case (b, c) =>
+      (0 until 4).map(j => ((c * 10 + j).toLong, jitter(b, j.toFloat)))
+    }
+    val noise = (100 until 140).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextFloat() - 0.5f)))
+    val emb = (planted ++ noise).toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairsAnn(spark, emb,
+        samplePred = col("vec_id") % 2 === 0, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    // every planted same-cluster (even, larger) pair is found: jitter
+    // keeps cosine ≥ 0.9 and the tight cluster lands in ONE grid cell
+    val expectPlanted = for {
+      c <- 0 until 3; a <- Seq(0, 2); b <- (a + 1) until 4
+    } yield ((c * 10 + a).toLong, (c * 10 + b).toLong)
+    assert(expectPlanted.forall(p => got.exists(t => (t._1, t._2) == p)),
+      s"missing planted pairs: got ${got.map(t => (t._1, t._2))}")
+    // verify semantics = nearDupPairs blocked by the SAME assignment:
+    // same pairs, same cosines, when the block key is the grid cell
+    val assigned = Similarity.assignFixed(spark, emb)
+      .select(col("vec_id"), col("embedding"), col("centroid"))
+    val viaBlock = Similarity.nearDupPairs(spark,
+        spark.createDataFrame(assigned.localCheckpoint(true).rdd, assigned.schema),
+        blockCol = "centroid", samplePred = col("vec_id") % 2 === 0,
+        threshold = 0.9)
+      .select(col("a_id"), col("b_id"), col("centroid"), col("cosine"),
+        col("keep_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == viaBlock)
+    // salting is pair-set-invariant
+    val salted = Similarity.nearDupPairsAnn(spark, emb,
+        samplePred = col("vec_id") % 2 === 0, threshold = 0.9, pairSalts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(salted == got)
+    // capped mega-cells emit no pairs, observably
+    val obs = org.apache.spark.sql.Observation()
+    val capped = Similarity.nearDupPairsAnn(spark, emb,
+      samplePred = col("vec_id") % 2 === 0, threshold = 0.9,
+      maxCluster = 2, capMetrics = Some(obs))
+    assert(capped.count() == 0) // every planted cluster has 4 members
+    assert(obs.get("capped_clusters").asInstanceOf[Long] >= 3L)
+  }
 }

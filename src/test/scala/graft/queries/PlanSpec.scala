@@ -173,20 +173,23 @@ class PlanSpec extends SparkSpec {
       // q126's 1 is the final orderBy: scoring is one narrow pass over
       // the literal λ array (model training runs eagerly at plan time)
       "q126_dsir_narrow" -> 1,
-      // q127 mirrors q54's rank-window shape (codebook + queries are
-      // literals/broadcast). q128's 9 exchanges: the corpus shuffles
+      // q127 = the FUSED ADC search (adc_topk_multi, round 10): the
+      // whole queries×corpus rank is one global aggregate over the
+      // narrow code scan, so the only true shuffle left is the
+      // single-partition final-agg exchange carrying |queries|·k
+      // entries per task. q128's 9 exchanges: the corpus shuffles
       // ONCE (word→(source,bucket) count); the other eight act on
       // bucket/source-bounded tables (≤ |sources|·buckets rows) —
       // grid joins, totals, rollup, orderBy — harmless at any scale
-      "q127_pq_adc" -> 2, "q128_vocab_drift" -> 9,
+      "q127_pq_adc" -> 1, "q128_vocab_drift" -> 9,
       // q129 = token explode → broadcast weight join → one doc-keyed agg
       // + orderBy; q130 fuses all of that into one narrow expression
       // (orderBy only); q131's min/max model is collected eagerly at
       // build time (separate bounded job) so the encode plan is narrow +
-      // orderBy; q132 = rank window on q_id + orderBy (corpus never
-      // shuffles — the query batch broadcasts)
+      // orderBy; q132 = q127's fused shape (adc_topk_multi): one
+      // single-partition agg exchange, corpus never pair-materializes
       "q129_qc_score" -> 2, "q130_qc_narrow" -> 1,
-      "q131_int8_quant" -> 1, "q132_sq_search" -> 2,
+      "q131_int8_quant" -> 1, "q132_sq_search" -> 1,
       // q133 is one narrow generator + orderBy; q134 mirrors q123's
       // docs⋈clusters join (clusters run eagerly at plan time) plus the
       // survivor window on cluster_id; q135 = the two-phase rank:
@@ -290,7 +293,12 @@ class PlanSpec extends SparkSpec {
       // q163 = q160's increment plan verbatim — the merged index is
       // just another writeWinnowIndex directory at query time (the
       // shard builds + metadata-scale merge run once into the fixture)
-      "q163_winnow_index_merged" -> 11)
+      "q163_winnow_index_merged" -> 11,
+      // q165 = ANN-blocked near-dup pairs: the fixed-grid assignment
+      // materializes eagerly (checkpointed once for both pair sides);
+      // the in-cell self-join is 2 exchanges on the derived centroid
+      // key + the final orderBy
+      "q165_near_dup_ann" -> 3)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

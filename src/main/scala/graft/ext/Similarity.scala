@@ -1205,13 +1205,22 @@ object Similarity {
     graft.functions.Dot64.register(spark)
     val signs: Seq[Seq[Double]] =
       Seq.tabulate(outDims)(j => Seq.tabulate(dims)(d => rpSign(j, d)))
-    spread(emb.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
-      .withColumn("rp", typedLit(signs))
-      .select(col("vec_id"), expr(
-        s"""transform(sequence(0, ${outDims - 1}), j ->
-           |  round(dot64(v, element_at(rp, j + 1))
-           |    / sqrt(CAST($outDims AS DOUBLE)), 4))""".stripMargin).as("proj"))
+    // one rounded dot64 COLUMN per output dimension instead of a
+    // transform(sequence(...)) HOF: the HOF interprets its lambda —
+    // outDims expression-tree evals per row, each re-materializing the
+    // element_at(rp, j) matrix-row view — while a flat array() of
+    // per-row-literal dot64 calls stays inside whole-stage codegen.
+    // Identical doubles: same dot64 fold per (row, j), same /sqrt,
+    // same 4-dp round — the oracle (q121) is untouched.
+    val withSigns = (0 until outDims).foldLeft(
+      spread(emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))) {
+      (df, j) => df.withColumn(s"_rp$j", typedLit(signs(j)))
+    }
+    withSigns.select(col("vec_id"),
+      array((0 until outDims).map(j =>
+        round(expr(s"dot64(v, _rp$j)")
+          / sqrt(lit(outDims.toDouble)), 4)): _*).as("proj"))
   }
 
   /** Persist a combined IVF+PQ index — the production ANN layout: IVF

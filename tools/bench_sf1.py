@@ -86,7 +86,14 @@ QUERIES = ["q52_lsh_candidates", "q65_dedup_clusters", "q72_verify_candidates",
            # round-9: the indexed winnow increment and its merged-shard
            # twin (both document-axis; the Fixtures memo builds each
            # index once, so shots 2..n time the increment alone)
-           "q160_incremental_winnow_indexed", "q163_winnow_index_merged"]
+           "q160_incremental_winnow_indexed", "q163_winnow_index_merged",
+           # round-10: the IVF+PQ indexed search and the ANN-blocked
+           # near-dup pairs. Both are EMBEDDINGS-axis and this build
+           # scales documents only, so their sf1/sf0.1 ratios sit ≈1×;
+           # the rows exist so the production ANN layout appears in
+           # every stress table (their real scale evidence is
+           # BENCH_sfe's 200k decade + the Decade3Probe 2M section)
+           "q164_ivf_pq_indexed", "q165_near_dup_ann"]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 

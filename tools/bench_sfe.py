@@ -62,6 +62,10 @@ QUERIES = [
     "q66_ivf_topk", "q116_ivf_indexed", "q156_ivf_search_only",
     "q158_ivf_append", "q127_pq_adc", "q132_sq_search",
     "q164_ivf_pq_indexed",
+    # round-10: ANN-grid-blocked near-dup pairs (q63's verify on the
+    # engine's own fixed-grid cells, observable mega-cell cap — the
+    # cap is what keeps its decade row sub-x100 on the replica corpus)
+    "q165_near_dup_ann",
     # clustering / curation on the embedding axis
     "q142_semantic_dedup", "q146_kcenter_coreset",
     "q159_kcenter_incremental", "q149_cluster_cap", "q153_knn_graph",

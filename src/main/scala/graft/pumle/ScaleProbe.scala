@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val nSims = args.headOption.map(_.toInt).getOrElse(4)
+    val onlyWinnowPrune = args.headOption.contains("winnow-prune")
+    val nSims = if (onlyWinnowPrune) 4
+      else args.headOption.map(_.toInt).getOrElse(4)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -25,6 +27,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    if (onlyWinnowPrune) {
+      winnowMergePruneCensus(spark)
+      spark.stop()
+      return
+    }
 
     // probe artifacts are tens of GB at the 10M decades — delete each
     // section's directory once its numbers are printed, or repeated
@@ -318,6 +326,8 @@ object ScaleProbe {
       f"10× the index costs ${wi10 / wi1}%.1f× the increment (seen side " +
       f"only SCANNED: persisted df, broadcast new side; the recount form " +
       f"measured near-linear, 8.8s → 70.1s on the same corpora)")
+
+    winnowMergePruneCensus(spark)
 
     // unigram-LM scoring at volume over the 1M-doc corpus: histogram
     // pass + broadcast-vocab scoring pass (40 words/doc = 40M tokens)
@@ -751,4 +761,82 @@ object ScaleProbe {
       f"= ${nDocs3 / secsR / 1000}%.0fk docs/s end to end")
     spark.stop()
   }
+
+  /** The winnow-index merge-prune census (round-10 mergeWinnowIndexes
+    * pruneDf): standalone via
+    * `sbt "runMain graft.pumle.ScaleProbe winnow-prune"`. */
+  def winnowMergePruneCensus(spark: SparkSession): Unit = {
+    def rmTemp(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    // winnow-index MERGE-PRUNE census: two disjoint 500k-doc shards
+    // where half the corpus shares a boilerplate preamble (the shape
+    // that manufactures over-cap fingerprints), merged with and
+    // without pruneDf. Pruning drops the df > cap rows every future
+    // increment would re-filter; the tombstone table (what keeps
+    // CHAINED merges sound) stays metadata-scale by construction
+    // (|tombstones| ≤ postings / pruneDf). Verdicts are equal by
+    // Ext5Spec's proof; this section prices the INDEX itself.
+
+      val boiler = (0 until 12)
+        .map(w => s"boiler$w common preamble").mkString(" ")
+      def shardDocs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+        col("id").as("doc_id"),
+        when(col("id") % 2 === 0,
+          concat(lit(boiler + " "), concat_ws(" ",
+            (0 until 20).map(w0 =>
+              substring(md5(concat(lit(s"$w0:"), col("id"))), 1, 8)): _*)))
+          .otherwise(concat_ws(" ",
+            (0 until 40).map(w0 =>
+              substring(md5(concat(lit(s"$w0:"), col("id"))), 1, 8)): _*))
+          .as("text"))
+      val root = java.nio.file.Files.createTempDirectory("winprune").toString
+      graft.ext.Dedup.writeWinnowIndex(spark, shardDocs(0, 500000), s"$root/a")
+      graft.ext.Dedup.writeWinnowIndex(spark,
+        shardDocs(500000, 1000000), s"$root/b")
+      val tM = System.nanoTime()
+      graft.ext.Dedup.mergeWinnowIndexes(spark, s"$root/a", s"$root/b",
+        s"$root/m")
+      val secsM = (System.nanoTime() - tM) / 1e9
+      val tP = System.nanoTime()
+      graft.ext.Dedup.mergeWinnowIndexes(spark, s"$root/a", s"$root/b",
+        s"$root/mp", pruneDf = 10)
+      val secsP = (System.nanoTime() - tP) / 1e9
+      def sizeOf(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(hp).getLength
+      }
+      val (nFull, nPruned) = (
+        spark.read.parquet(s"$root/m/fpdf").count(),
+        spark.read.parquet(s"$root/mp/fpdf").count())
+      val nTomb = spark.read.parquet(s"$root/mp/pruned").count()
+      val inc = shardDocs(1000000, 1010000)
+      // warm both paths once, then time (min-of-2): first-run JIT/IO
+      // must not masquerade as a prune win
+      graft.ext.Dedup.dedupIncrementalWinnowIndexed(spark, inc, s"$root/m").count()
+      graft.ext.Dedup.dedupIncrementalWinnowIndexed(spark, inc, s"$root/mp").count()
+      def t2(path: String): (Double, Long) = {
+        var best = Double.MaxValue; var k = 0L
+        for (_ <- 0 until 2) {
+          val t = System.nanoTime()
+          k = graft.ext.Dedup.dedupIncrementalWinnowIndexed(spark, inc, path).count()
+          best = math.min(best, (System.nanoTime() - t) / 1e9)
+        }
+        (best, k)
+      }
+      val (incFull, k1) = t2(s"$root/m")
+      val (incPruned, k2) = t2(s"$root/mp")
+      require(k1 == k2, s"prune changed verdicts: $k1 vs $k2")
+      println(f"[probe] winnow merge-prune: 1M docs (50%% boilerplate), " +
+        f"fpdf $nFull%d rows (${sizeOf(s"$root/m/fpdf") / 1048576}%d MB) → " +
+        f"$nPruned%d (${sizeOf(s"$root/mp/fpdf") / 1048576}%d MB) + " +
+        f"$nTomb%d tombstones (${sizeOf(s"$root/mp/pruned") / 1048576}%d MB); " +
+        f"merge $secsM%.1fs vs $secsP%.1fs; 10k-doc increment " +
+        f"$incFull%.1fs → $incPruned%.1fs, verdicts equal ($k1%d kept)")
+      rmTemp(root)
+  }
+
 }

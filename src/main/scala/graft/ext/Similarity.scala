@@ -469,11 +469,15 @@ object Similarity {
       col("v").as("vb"), col("nrm").as("nb"))
       .crossJoin(broadcast(spark.range(pairSalts)
         .select(col("id").cast("int").as("_salt"))))
+    // the threshold verdict goes through round_ge: the per-pair
+    // BigDecimal round(,4) costs ~15× the dot product it follows, and
+    // only boundary pairs (within 0.6·1e-4 + 4 ulp of the threshold)
+    // need the exact rounding — identical verdicts (RoundGeSpec)
+    graft.functions.RoundGe.register(spark)
     val pairs = a.join(b, Seq("centroid", "_salt"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine",
-        round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4) + lit(0.0))
-      .filter(col("cosine") >= threshold)
+      .withColumn("_rc", expr("dot64(va, vb)") / (col("na") * col("nb")))
+      .filter(expr(s"round_ge(_rc, CAST($threshold AS DOUBLE), 4)"))
       .select(col("a_id"), col("b_id"))
     val drop = Dedup.clusters(spark, pairs)
       .filter(col("node") =!= col("cluster_id"))
@@ -676,10 +680,15 @@ object Similarity {
     val b = base.select(col("vec_id").as("b_id"), col(blockCol), col("v").as("vb"), col("nrm").as("nb"))
       .crossJoin(broadcast(spark.range(pairSalts)
         .select(col("id").cast("int").as("_salt"))))
+    // threshold verdict via round_ge (see semanticDedupFixed — the
+    // per-pair BigDecimal was the scan's dominant term); survivors are
+    // few, so the OUTPUT cosine's exact rounding is paid only by them
+    graft.functions.RoundGe.register(spark)
     a.join(b, Seq(blockCol, "_salt"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4))
-      .filter(col("cosine") >= threshold)
+      .withColumn("_rc", expr("dot64(va, vb)") / (col("na") * col("nb")))
+      .filter(expr(s"round_ge(_rc, CAST($threshold AS DOUBLE), 4)"))
+      .withColumn("cosine", round(col("_rc"), 4))
       .select(col("a_id"), col("b_id"), col(blockCol), col("cosine"),
         least(col("a_id"), col("b_id")).as("keep_id"))
   }
@@ -732,14 +741,17 @@ object Similarity {
       col("v").as("vb"), col("nrm").as("nb"))
       .crossJoin(broadcast(spark.range(pairSalts)
         .select(col("id").cast("int").as("_salt"))))
+    // threshold verdict via round_ge (see nearDupPairs); the zero-norm
+    // guard (cosineTopK's) keeps NaN — which fails round_ge exactly as
+    // it fails `round(·, 4) >= t` — instead of an ANSI 0/0 throw
+    graft.functions.RoundGe.register(spark)
     a.join(b, Seq("centroid", "_salt"))
       .filter(col("a_id") < col("b_id"))
-      // zero-norm guard (cosineTopK's): NaN fails the threshold filter
-      // on both engines; ANSI would throw on the raw 0/0 division
-      .withColumn("cosine",
+      .withColumn("_rc",
         when(col("na") * col("nb") === 0.0, lit(Double.NaN))
-          .otherwise(round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4)))
-      .filter(col("cosine") >= threshold)
+          .otherwise(expr("dot64(va, vb)") / (col("na") * col("nb"))))
+      .filter(expr(s"round_ge(_rc, CAST($threshold AS DOUBLE), 4)"))
+      .withColumn("cosine", round(col("_rc"), 4))
       .select(col("a_id"), col("b_id"), col("centroid"), col("cosine"),
         least(col("a_id"), col("b_id")).as("keep_id"))
   }

@@ -72,26 +72,25 @@ object Similarity {
     // negated +0.0-normalized scores — oracle unchanged), and the
     // corpus scan spreads to full parallelism (a one-row-group parquet
     // file otherwise serializes the whole dot loop on one task)
-    graft.functions.TopKMin.register(spark)
+    graft.functions.TopKCosRound.register(spark)
     cand.crossJoin(broadcast(qv)).filter(col("q_id") =!= col("n_id"))
       // a zero-norm vector has no defined cosine: produce NaN via an
       // explicit guard (IEEE 0/0 — what the DuckDB oracle computes;
       // Spark's ANSI mode would instead THROW on the double division),
-      // and NaN under the ORDER BY cosine DESC contract ranks FIRST.
-      // Plain negation would send it LAST through the ascending buffer
-      // (TopKMin's total order puts NaN last) — map NaN to a −Inf
-      // sentinel going in (cosine ∈ [−1, 1], so the sentinel is
-      // unambiguous) and restore NaN on the way out: verdicts
-      // identical to the DESC rank window on every input, zero-norm
-      // corpora included
-      .withColumn("_cos",
+      // and NaN under the ORDER BY cosine DESC contract ranks FIRST —
+      // the aggregate buffers it as the −Inf sentinel (cosine ∈
+      // [−1, 1], unambiguous), restored on the way out. The 4-dp
+      // rounding + +0.0-normalized negation live INSIDE
+      // topk_cos_round, applied lazily at the top-k boundary (the
+      // per-pair BigDecimal round cost ~15× the dot product) — same
+      // buffered values as the round + negate + topk_min form it
+      // replaces, verdicts identical on every input, zero-norm
+      // corpora included (TopKCosRoundSpec).
+      .withColumn("_raw",
         when(col("nq") * col("nn") === 0.0, lit(Double.NaN))
-          .otherwise(round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4)))
-      .withColumn("negcos",
-        when(isnan(col("_cos")), lit(Double.NegativeInfinity))
-          .otherwise(-(col("_cos") + lit(0.0))))
+          .otherwise(expr("dot64(vq, vn)") / (col("nq") * col("nn"))))
       .groupBy(col("q_id"))
-      .agg(expr(s"topk_min(negcos, n_id, $k)").as("tk"))
+      .agg(expr(s"topk_cos_round(_raw, n_id, $k, 4)").as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
       .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
         col("e.id").as("n_id"),
@@ -205,17 +204,17 @@ object Similarity {
     // map-side where the broadcast join generates them; the candidate's
     // cell id rejoins from the materialized assignment afterwards
     // (result side is |queries|·k rows, broadcast).
-    graft.functions.TopKMin.register(spark)
+    graft.functions.TopKCosRound.register(spark)
     val tk = broadcast(probes).join(cand, Seq("centroid_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("_cos",
+      // rounding + sentinel + negation live inside topk_cos_round,
+      // lazily at the top-k boundary — same buffered values, same
+      // verdicts as the round + negate + topk_min form (see cosineTopK)
+      .withColumn("_raw",
         when(col("nq") * col("nn") === 0.0, lit(Double.NaN))
-          .otherwise(round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4)))
-      .withColumn("negcos",
-        when(isnan(col("_cos")), lit(Double.NegativeInfinity))
-          .otherwise(-(col("_cos") + lit(0.0))))
+          .otherwise(expr("dot64(vq, vn)") / (col("nq") * col("nn"))))
       .groupBy(col("q_id"))
-      .agg(expr(s"topk_min(negcos, n_id, $k)").as("tk"))
+      .agg(expr(s"topk_cos_round(_raw, n_id, $k, 4)").as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
       .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
         col("e.id").as("n_id"),
@@ -315,7 +314,7 @@ object Similarity {
       capMetrics: Option[org.apache.spark.sql.Observation] = None,
       pairSalts: Int = 16): DataFrame = {
     require(pairSalts >= 1, s"pairSalts=$pairSalts must be >= 1")
-    graft.functions.TopKMin.register(spark)
+    graft.functions.TopKCosRound.register(spark)
     // the assignment is materialized and CONSTRAINT-FREE re-wrapped
     // BEFORE the cap's size self-join: capHotClusters joins the
     // assignment to its own aggregate on the argmin-DERIVED centroid
@@ -375,14 +374,11 @@ object Similarity {
       // zero-norm neighbors: NaN cosine (explicit guard — ANSI would
       // throw on the 0/0 double division) ranks FIRST under the DESC
       // contract — −Inf sentinel in, NaN restored out (see cosineTopK)
-      .withColumn("_cos",
+      .withColumn("_raw",
         when(col("na") * col("nb") === 0.0, lit(Double.NaN))
-          .otherwise(round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4)))
-      .withColumn("negcos",
-        when(isnan(col("_cos")), lit(Double.NegativeInfinity))
-          .otherwise(-(col("_cos") + lit(0.0))))
+          .otherwise(expr("dot64(va, vb)") / (col("na") * col("nb"))))
       .groupBy(col("a_id"), col("centroid"))
-      .agg(expr(s"topk_min(negcos, b_id, $k)").as("tk"))
+      .agg(expr(s"topk_cos_round(_raw, b_id, $k, 4)").as("tk"))
       .select(col("a_id"), col("centroid"), posexplode(col("tk")).as(Seq("i", "e")))
       .select(col("a_id"), (col("i") + 1).cast("long").as("rank"),
         col("e.id").as("b_id"), col("centroid"),
@@ -1043,17 +1039,15 @@ object Similarity {
     // pruning keeps the 64-dim vectors out of it, partition pruning
     // keeps it to the probed cells, and the |queries|·k result side
     // broadcasts
-    graft.functions.TopKMin.register(spark)
+    graft.functions.TopKCosRound.register(spark)
     val tk = broadcast(probes).join(cand, Seq("centroid_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("_cos",
+      // lazy boundary rounding inside the aggregate (see cosineTopK)
+      .withColumn("_raw",
         when(col("nq") * col("nn") === 0.0, lit(Double.NaN))
-          .otherwise(round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4)))
-      .withColumn("negcos",
-        when(isnan(col("_cos")), lit(Double.NegativeInfinity))
-          .otherwise(-(col("_cos") + lit(0.0))))
+          .otherwise(expr("dot64(vq, vn)") / (col("nq") * col("nn"))))
       .groupBy(col("q_id"))
-      .agg(expr(s"topk_min(negcos, n_id, $k)").as("tk"))
+      .agg(expr(s"topk_cos_round(_raw, n_id, $k, 4)").as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
       .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
         col("e.id").as("n_id"),

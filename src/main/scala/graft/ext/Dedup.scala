@@ -1002,14 +1002,18 @@ object Dedup {
       // fingerprint the one-pass index would cap.
       val tombstoned = readWinnowTombstones(spark, a)
         .unionByName(readWinnowTombstones(spark, b)).distinct()
-      val cleaned = summed
-        .join(broadcast(tombstoned), Seq("fp"), "left_anti")
-        .localCheckpoint(true) // referenced twice; tiny (|distinct fp|)
+      // checkpointed because referenced twice (fpdf + pruned writes);
+      // distinct-fp scale, so release the backing blocks once both
+      // consumers finish — Dataset.unpersist is a no-op for
+      // localCheckpoint blocks (COVERAGE.md), only the RDD path frees.
+      val (cleaned, cleanedRdds) = checkpointTracked(summed
+        .join(broadcast(tombstoned), Seq("fp"), "left_anti"))
       cleaned.filter(col("df") <= eff)
         .write.mode("overwrite").parquet(s"$out/fpdf")
       cleaned.filter(col("df") > eff).select(col("fp"))
         .unionByName(tombstoned).distinct()
         .write.mode("overwrite").parquet(s"$out/pruned")
+      cleanedRdds.foreach(_.unpersist(blocking = false))
     }
     import spark.implicits._
     Seq((ka, wa, eff)).toDF("k", "w", "prune_df").coalesce(1)

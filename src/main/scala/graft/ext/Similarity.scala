@@ -595,12 +595,7 @@ object Similarity {
     // built driver-side with the IDENTICAL IEEE arithmetic of the SQL
     // form this replaces: per (subspace, codeword) the sequential
     // index-order fold Σ (a−b)² over the query's subvector
-    val qRows = queryEmb
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .collect()
-      .flatMap(r => Option(r.getSeq[Double](1)).map(v => (r.getLong(0), v)))
-      .sortBy(_._1)
+    val qRows = collectQueryBatch(queryEmb)
     if (qRows.isEmpty) return emptyAdcResult(spark, "adc_dist2")
     val nQ = qRows.length
     val stride = m * cells
@@ -1406,12 +1401,7 @@ object Similarity {
     // never a corpus); tables are built driver-side with the IDENTICAL
     // IEEE arithmetic of the SQL form this replaces:
     // (vq[d] − (mn[d] + c/255·(mx[d]−mn[d])))², same operation order
-    val qRows = queryEmb
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .collect()
-      .flatMap(r => Option(r.getSeq[Double](1)).map(v => (r.getLong(0), v)))
-      .sortBy(_._1)
+    val qRows = collectQueryBatch(queryEmb)
     if (qRows.isEmpty) return emptyAdcResult(spark, "dist2")
     val nQ = qRows.length
     val stride = dims * 256
@@ -1453,6 +1443,45 @@ object Similarity {
       .select(explode(col("tk")).as("e"))
       .select(col("e.q_id").as("q_id"), col("e.rank").as("rank"),
         col("e.n_id").as("n_id"), col("e.score").as("dist2"))
+  }
+
+  /** Collect a bounded query batch as sorted (vec_id, dense vector),
+    * with the crossJoin forms' graceful degradation the fused ADC
+    * aggregates replaced: a query row with a null embedding OR any
+    * null ELEMENT contributes no candidates (the SQL forms
+    * null-propagated its distance terms; unboxing here would NPE),
+    * and duplicate vec_ids with bit-identical embeddings collapse to
+    * one — conflicting duplicates fail with a descriptive message
+    * instead of QueryAdcTables' bare strictly-ascending require. */
+  private def collectQueryBatch(
+      queryEmb: DataFrame): Array[(Long, IndexedSeq[Double])] = {
+    val rows = queryEmb
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect()
+      .flatMap { r =>
+        Option(r.getAs[scala.collection.Seq[Any]](1))
+          .filter(!_.contains(null))
+          .map(v => (r.getLong(0),
+            v.iterator.map(_.asInstanceOf[Double]).toIndexedSeq))
+      }
+      .sortBy(_._1)
+    // bitwise vector compare: Double == is IEEE (NaN != NaN), which
+    // would misreport an identical NaN-bearing duplicate as a conflict
+    def sameVec(a: IndexedSeq[Double], b: IndexedSeq[Double]): Boolean =
+      a.length == b.length && a.indices.forall(i =>
+        java.lang.Double.doubleToLongBits(a(i)) ==
+          java.lang.Double.doubleToLongBits(b(i)))
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, IndexedSeq[Double])]
+    rows.foreach { case (id, v) =>
+      if (out.nonEmpty && out.last._1 == id) {
+        require(sameVec(out.last._2, v),
+          s"duplicate query vec_id $id with differing embeddings — " +
+            "a query batch must carry one embedding per id")
+      } else out += ((id, v))
+    }
+    out.toArray
   }
 
   /** The empty-query-batch result of the fused ADC searches — the

@@ -39,10 +39,18 @@ import org.apache.spark.sql.types._
   * a candidate with `dist − (0.6·quantum + 4·ulp) > kth-rounded`
   * cannot round into the top k and skips the BigDecimal. Because
   * every table entry is a SQUARE (≥ 0) and decimal HALF_UP rounding
-  * is monotone, the same test applied to a PARTIAL sum is already
+  * is monotone (fl(+) over non-negative terms never decreases the
+  * acc), the same test applied to a PARTIAL sum is already
   * conclusive — the fold early-abandons a hopeless candidate
   * mid-loop (checked every 16 terms), which no per-pair expression
-  * could do. Malformed rows (null/out-of-range code, wrong arity)
+  * could do. The mid-fold margin's ulp term uses the query's
+  * FULL-sum upper bound ([[QueryAdcTables.maxSum]]), not the partial
+  * acc: `ulp(maxSum) ≥ ulp(kth)` for ANY table magnitude, so the
+  * margin provably covers kth's own decimal-to-double displacement
+  * without leaning on the subtler `abandon ⟹ kth < partial ⟹
+  * ulp(kth) ≤ ulp(partial)` chain — and costs nothing (ulp(maxSum)
+  * ≪ quantum for every in-repo table builder; the post-fold skip
+  * keeps `ulp(acc)`, exact because there acc IS the final sum). Malformed rows (null/out-of-range code, wrong arity)
   * contribute no candidate — the `adc_sum_flat → NULL → topk_min
   * skips` behavior of the form this replaces. A candidate row whose
   * `n_id` equals a query's id is skipped for that query only (the
@@ -145,6 +153,13 @@ case class AdcTopKMulti(
     while (qi < nQ) {
       val off = qi * stride
       val qid = t.qIds(qi)
+      // abandon margin from the query's FULL-sum upper bound:
+      // ulp(t.maxSum(qi)) ≥ ulp(kth) at any table magnitude (kth is a
+      // rounded final sum, final sums fold below maxSum), so the
+      // margin covers kth's decimal→double displacement uniformly —
+      // see the class doc. NaN/Inf bound ⇒ NaN/Inf margin ⇒ the
+      // compare is false ⇒ abandonment disabled for that query only.
+      val mfold = 0.6 * quantum + 4.0 * Math.ulp(t.maxSum(qi))
       var r = 0
       while (r < nRows) {
         val nid = buf.pendIds(r)
@@ -161,8 +176,7 @@ case class AdcTopKMulti(
           while (s < m && !dead) {
             acc += t.flat(off + buf.pendOffs(base + s))
             s += 1
-            if (abandon && (s & 15) == 0 &&
-                acc - (0.6 * quantum + 4.0 * Math.ulp(acc)) > kth)
+            if (abandon && (s & 15) == 0 && acc - mfold > kth)
               dead = true
           }
           if (!dead) {
@@ -359,5 +373,37 @@ final class QueryAdcTables(val qIds: Array[Long], val flat: Array[Double],
       require(qIds(i - 1) < qIds(i), "query ids must be sorted ascending")
       i += 1
     }
+  }
+
+  /** Per-query upper bound on the COMPUTED full ADC sum: the
+    * index-order FP fold of each slot's max entry. fl(+) is monotone
+    * in both operands, so any candidate's computed fold is ≤ this
+    * fold, hence `ulp(maxSum(qi)) ≥ ulp(any final acc)` — the ulp the
+    * mid-fold early-abandon margin must use (the PARTIAL acc's ulp
+    * can undershoot the final sum's for large-magnitude tables; see
+    * [[AdcTopKMulti]]'s abandon note). NaN/Inf entries propagate to a
+    * NaN/Inf bound, whose margin disables abandonment for that query
+    * only — the post-fold skip still applies. */
+  val maxSum: Array[Double] = {
+    val out = new Array[Double](qIds.length)
+    val stride = m * cells
+    var qi = 0
+    while (qi < qIds.length) {
+      var acc = 0.0
+      var s = 0
+      while (s < m) {
+        var mx = Double.NegativeInfinity
+        var c = 0
+        while (c < cells) {
+          mx = Math.max(mx, flat(qi * stride + s * cells + c))
+          c += 1
+        }
+        acc += mx
+        s += 1
+      }
+      out(qi) = acc
+      qi += 1
+    }
+    out
   }
 }

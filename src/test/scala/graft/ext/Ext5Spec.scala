@@ -391,8 +391,14 @@ class Ext5Spec extends SparkSpec {
     Dedup.writeWinnowIndex(spark, seen.filter(col("doc_id") % 2 === 0), s"$root/a")
     Dedup.writeWinnowIndex(spark, seen.filter(col("doc_id") % 2 =!= 0), s"$root/b")
     Dedup.mergeWinnowIndexes(spark, s"$root/a", s"$root/b", s"$root/m")
+    // the prune branch checkpoints the merged fpdf (referenced by both
+    // the fpdf and pruned writes) — its blocks must release before the
+    // method returns, not pin distinct-fp-sized storage for the session
+    val beforeBlocks = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.mergeWinnowIndexes(spark, s"$root/a", s"$root/b", s"$root/mp",
       pruneDf = maxDf)
+    val leakedBlocks = spark.sparkContext.getPersistentRDDs.keySet -- beforeBlocks
+    assert(leakedBlocks.isEmpty, s"pruned merge leaked blocks: $leakedBlocks")
     // the boilerplate fps (every doc shares the alpha..quebec frame)
     // actually pruned something, and meta records the cap
     val nFull = spark.read.parquet(s"$root/m/fpdf").count()

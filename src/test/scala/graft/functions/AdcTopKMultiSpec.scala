@@ -40,13 +40,13 @@ class AdcTopKMultiSpec extends SparkSpec {
 
   /** The relational SQ pipeline this round replaced — verbatim. */
   private def sqRelational(queryPred: org.apache.spark.sql.Column,
-      topK: Int): DataFrame = {
+      topK: Int, embIn: DataFrame = emb): DataFrame = {
     AdcSum.register(spark)
     TopKMin.register(spark)
-    val (mins, maxs) = Similarity.sqMinMax(spark, emb, dims)
-    val codes = Similarity.sqEncodeCodes(emb, mins, maxs)
+    val (mins, maxs) = Similarity.sqMinMax(spark, embIn, dims)
+    val codes = Similarity.sqEncodeCodes(embIn, mins, maxs)
       .select(col("vec_id").as("n_id"), col("codes"))
-    val queries = emb.filter(queryPred)
+    val queries = embIn.filter(queryPred)
       .select(col("vec_id").as("q_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vq"))
       .withColumn("qmn", typedLit(mins))
@@ -196,5 +196,58 @@ class AdcTopKMultiSpec extends SparkSpec {
     val out = Similarity.sqSearch(spark, emb, col("vec_id") < 0, 3, dims)
     assert(out.columns.toSeq == Seq("q_id", "rank", "n_id", "dist2"))
     assert(out.count() == 0)
+  }
+
+  test("large-magnitude tables: fused ≡ relational when table sums dwarf the quantum") {
+    // ×3e5 inputs put per-term squares near 1e10 and full sums near
+    // 1e12 — ulp(sum) ≈ 2.4e-4, 240× the 6-dp quantum: the regime the
+    // early-abandon margin must derive from the FULL-sum bound
+    // (QueryAdcTables.maxSum), where a bare 0.1·quantum slack would
+    // be orders of magnitude below kth's decimal→double displacement.
+    val big = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> x * CAST(300000.0 AS FLOAT))")
+        .as("embedding"))
+    val got = rows(Similarity.sqSearch(spark, big, col("vec_id") % 7 === 0,
+      4, dims))
+    val want = rows(sqRelational(col("vec_id") % 7 === 0, 4, big))
+    assert(got.nonEmpty)
+    assert(got == want)
+    // the near-tie queries (70..79 differ by 1e-7 nudges pre-scaling)
+    val gotTies = rows(Similarity.sqSearch(spark, big,
+      col("vec_id") >= 70, 6, dims))
+    assert(gotTies == rows(sqRelational(col("vec_id") >= 70, 6, big)))
+  }
+
+  test("query-batch degradation: null elements drop, identical dups collapse, conflicts fail") {
+    val cbs = Similarity.fixedCodebooks(m = 4, k = 8, subDim = dims / 4)
+    val codes = Similarity.pqEncode(spark, emb, cbs)
+    val embD = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val clean = rows(Similarity.pqSearchADC(spark, embD, codes, cbs,
+      col("vec_id") % 9 === 0, 6))
+    assert(clean.nonEmpty)
+    // a query row with a null ELEMENT contributes no candidates (the
+    // crossJoin form's null-propagation), instead of NPE-ing the
+    // driver-side table build
+    val withNull = embD.unionByName(spark.sql(
+      "SELECT CAST(900 AS BIGINT) AS vec_id, " +
+        "array(0.5D, 0.5D, CAST(NULL AS DOUBLE), 0.5D, 0.5D, 0.5D, 0.5D, 0.5D) AS embedding"))
+    val gotNull = rows(Similarity.pqSearchADC(spark, withNull, codes, cbs,
+      col("vec_id") % 9 === 0 || col("vec_id") === 900L, 6))
+    assert(gotNull == clean)
+    // duplicate query rows with bit-identical embeddings collapse
+    val dup = embD.unionByName(embD.filter(col("vec_id") === 0L))
+    assert(rows(Similarity.pqSearchADC(spark, dup, codes, cbs,
+      col("vec_id") % 9 === 0, 6)) == clean)
+    // conflicting duplicates fail descriptively, not via the bare
+    // QueryAdcTables ascending-ids require
+    val conflict = embD.unionByName(embD.filter(col("vec_id") === 9L)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> x + 1.0D)").as("embedding")))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqSearchADC(spark, conflict, codes, cbs,
+        col("vec_id") % 9 === 0, 6)
+    }
+    assert(e.getMessage.contains("duplicate query vec_id"))
   }
 }

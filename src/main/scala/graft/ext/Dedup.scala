@@ -1292,6 +1292,24 @@ object Dedup {
     val packed = lanes.select(col("doc_id"),
       expr("lanes[0] | shiftleft(lanes[1], 16) | shiftleft(lanes[2], 32)" +
         " | shiftleft(lanes[3], 48)").as("packed"))
+    hammingNearDup64(spark, packed, maxDist, maxBucket, capMetrics)
+  }
+
+  /** Hamming near-dup search over ANY packed 64-bit signature column —
+    * [[simhashNearDup]]'s banding/verify machinery factored to its
+    * real input contract `(doc_id, packed)`, so non-text signatures
+    * (perceptual image hashes — [[graft.multimodal.Multimodal
+    * .imageHashes]]' dHash/aHash — or any caller-computed 64-bit
+    * sketch) reuse it verbatim. Semantics, caps, observability and the
+    * physical plan are exactly simhashNearDup's: 4×16-bit band split,
+    * exact lane match on ≥1 band → candidate (pigeonhole-complete for
+    * distance ≤ 3), mega-buckets dropped pre-collect at `maxBucket`
+    * with observable drop stats, exact `bit_count(xor)` verification,
+    * one row per pair. */
+  def hammingNearDup64(spark: SparkSession, packedDf: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 10,
+      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val packed = packedDf.select(col("doc_id"), col("packed"))
     val buckets = packed.select(col("doc_id"), col("packed"),
       posexplode(expr(
         "transform(sequence(0, 3), i -> shiftright(packed, i * 16) & 65535)"))
@@ -1371,40 +1389,70 @@ object Dedup {
     * contract), grouped corpus-wide, keeping spans seen in ≥ `minDocs`
     * distinct documents; top-`k` by (doc count, occurrences, span).
     *
-    * Scale shape: span enumeration is a narrow per-row generator (no
-    * array-of-spans materialized per doc — explode of a position
-    * sequence + slice), the group key is uniformly-distributed text so
-    * the one aggregate shuffle is skew-free, count(distinct) runs the
-    * standard two-phase partial aggregation, and the final top-k is a
-    * TakeOrdered, never a full sort. */
+    * Scale shape (the q125 GramKeys discipline, applied round 11): the
+    * counting aggregate never sees a span STRING — spans shuffle as
+    * compiled 64-bit sequence hashes ([[spanKeyRows]]; 8 bytes/row
+    * where the string form shuffled ~60), and strings materialize ONLY
+    * for the ≤ k winning hashes plus their (n_docs, n_occ) boundary
+    * ties: the k-th boundary comes off a TakeOrdered (k driver rows),
+    * winners broadcast back into one narrow re-enumeration pass, and
+    * the final (doc count, occurrences, SPAN) ordering resolves on the
+    * recovered strings. Hash↔span is a bijection modulo 64-bit
+    * collisions (GramKeys' documented contract, ~1e-7 at 10⁶ distinct
+    * grams): the DuckDB oracle replays the string form verbatim. */
   def repeatedSpans(docs: DataFrame, spanWords: Int = 8, minDocs: Int = 2,
       k: Int = 20, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    spanRows(docs, spanWords, idCol, textCol)
-      .groupBy(col("span"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = spanKeyRows(docs, spanWords, idCol, textCol)
+      .groupBy(col("spanh"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
+    val top = counts
+      .orderBy(col("n_docs").desc, col("n_occ").desc).limit(k).collect()
+    if (top.isEmpty)
+      return Seq.empty[(String, Long, Long)].toDF("span", "n_docs", "n_occ")
+    val (bd, bo) = (top.last.getLong(1), top.last.getLong(2))
+    // every hash at-or-above the k-th (n_docs, n_occ) — the span-string
+    // tiebreak can only resolve after recovery, so boundary ties all
+    // come back (bounded by the tie population, the same set a string-
+    // keyed TakeOrdered would compare)
+    val winners = counts.filter(col("n_docs") > bd ||
+      (col("n_docs") === bd && col("n_occ") >= bo))
+    docs
+      .filter(size(split(col(textCol), " ")) >= spanWords)
+      .select(split(col(textCol), " ").as("w"),
+        posexplode(expr(s"gram_keys($textCol)")).as(Seq("i", "t")))
+      .select(col("w"), col("i"), col("t.h").as("spanh"))
+      .join(broadcast(winners), Seq("spanh"))
+      .select(
+        array_join(slice(col("w"), col("i") + 1, lit(spanWords)), " ").as("span"),
+        col("n_docs"), col("n_occ"))
+      .distinct()
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
       .limit(k)
   }
 
-  /** (doc_id, span) rows: word `spanWords`-grams at the first
-    * MaxShinglePos positions — the shared generator behind
-    * [[repeatedSpans]] and [[dupSpanStats]]. Narrow: explode of a
-    * position sequence + in-array slice, no per-doc span array ever
-    * materializes. */
-  private def spanRows(docs: DataFrame, spanWords: Int, idCol: String,
+  /** (doc_id, spanh) rows: the 64-bit sequence hash of each word
+    * `spanWords`-gram at the first MaxShinglePos positions — the
+    * shared generator behind [[repeatedSpans]] and [[dupSpanStats]],
+    * compiled ([[graft.functions.GramKeys]]: per-word FNV-1a +
+    * polynomial prefix, O(1) per gram, no string ever materializes).
+    * Enumeration matches the string generator it replaced exactly:
+    * gram_keys at cap MaxShinglePos−1 emits starts 0..min(L−n,
+    * cap) inclusive = min(L−n+1, MaxShinglePos) full windows, and the
+    * pre-filter drops docs shorter than the window (whose single
+    * CLIPPED gram the string form never produced). */
+  private def spanKeyRows(docs: DataFrame, spanWords: Int, idCol: String,
       textCol: String): DataFrame = {
-    val maxPos = graft.functions.MinHash48.MaxShinglePos
+    graft.functions.GramKeys.register(docs.sparkSession, Seq(spanWords),
+      graft.functions.MinHash48.MaxShinglePos - 1)
     docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-      .withColumn("nspan",
-        least(size(col("w")) - (spanWords - 1), lit(maxPos)))
-      .filter(col("nspan") >= 1)
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(1), col("nspan"))).as("pos"))
-      .select(col("doc_id"),
-        array_join(slice(col("w"), col("pos"), lit(spanWords)), " ").as("span"))
+      .filter(size(split(col(textCol), " ")) >= spanWords)
+      .select(col(idCol).as("doc_id"),
+        explode(expr(s"gram_keys($textCol)")).as("t"))
+      .select(col("doc_id"), col("t.h").as("spanh"))
   }
 
   /** Per-document duplicated-span fraction: what share of a document's
@@ -1419,16 +1467,22 @@ object Dedup {
     * numerator touches the exploded span rows: one partial-aggregable
     * distinct-doc count, a filter down to the (much smaller)
     * duplicated-span set, a semi-join back, and a doc-keyed partial
-    * count. All keys are uniformly-distributed text/ids — skew-free. */
+    * count. All keys are uniformly-distributed text/ids — skew-free,
+    * and since round 11 they are compiled 64-bit hashes
+    * ([[spanKeyRows]]) rather than gram strings: the output carries
+    * counts only, so no string ever needs recovering, and both
+    * exchanges shrink ~8× (the q88 sf1 watch item). The DuckDB oracle
+    * replays the string form — equality modulo GramKeys' documented
+    * 64-bit collision odds. */
   def dupSpanStats(docs: DataFrame, spanWords: Int = 8, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val maxPos = graft.functions.MinHash48.MaxShinglePos
-    val spans = spanRows(docs, spanWords, idCol, textCol)
-    val dupSpans = spans.groupBy(col("span"))
+    val spans = spanKeyRows(docs, spanWords, idCol, textCol)
+    val dupSpans = spans.groupBy(col("spanh"))
       .agg(countDistinct(col("doc_id")).as("span_docs"))
       .filter(col("span_docs") >= minDocs)
-      .select(col("span"))
-    val dupPerDoc = spans.join(dupSpans, Seq("span"), "left_semi")
+      .select(col("spanh"))
+    val dupPerDoc = spans.join(dupSpans, Seq("spanh"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
     docs
       .select(col(idCol).as("doc_id"),

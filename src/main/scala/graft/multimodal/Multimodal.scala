@@ -309,4 +309,127 @@ object Multimodal {
     * parquet scan (assert via .explain: ReadSchema excludes payload). */
   def metaOnly(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("kind"), col("width"), col("height"))
+
+  /** Perceptual image hashes — dHash (gradient) and aHash (average),
+    * the public-knowledge 64-bit fingerprints every image-dedup
+    * pipeline keys on, JDK-only (`javax.imageio` decode + manual
+    * box-average downsample, no AWT scaler — `Graphics2D` scaling is
+    * platform-dependent; this arithmetic is deterministic everywhere):
+    *
+    *  - grayscale luma (0.299 R + 0.587 G + 0.114 B) box-averaged to a
+    *    9×8 grid (dHash) / 8×8 grid (aHash) — cell rectangles scale
+    *    with the image, so a resized or re-encoded copy averages
+    *    (approximately) the same content and lands on the same bits;
+    *    per-image work is bounded by the ≤ ~1M-sampled-pixels stride
+    *    rule regardless of resolution;
+    *  - dHash bit y·8+x = cell(x+1, y) > cell(x, y) (horizontal
+    *    gradient sign); aHash bit y·8+x = cell(x, y) > mean of the 64
+    *    cells. Gradient/mean comparisons absorb the small pixel noise
+    *    JPEG re-encoding introduces — equality-of-bytes dedup cannot.
+    *
+    * Undecodable payloads yield NULL hashes (skip-don't-crash;
+    * [[imageNearDup]] drops them). Narrow mapPartitions — bytes never
+    * leave the executor, exactly [[extractFeatures]]' flow. */
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+            (id, Option.empty[Long], Option.empty[Long])
+          else {
+            val d = grayGrid(img, 9, 8)
+            var dhash = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (d(y * 9 + x + 1) > d(y * 9 + x))
+                  dhash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            val a = grayGrid(img, 8, 8)
+            var mean = 0.0
+            var i = 0
+            while (i < 64) { mean += a(i); i += 1 }
+            mean /= 64.0
+            var ahash = 0L
+            i = 0
+            while (i < 64) {
+              if (a(i) > mean) ahash |= 1L << i
+              i += 1
+            }
+            (id, Some(dhash), Some(ahash))
+          }
+        }
+      }.toDF("media_id", "dhash", "ahash")
+  }
+
+  /** Luma box-average of `img` onto a `gw`×`gh` grid (row-major
+    * `gy·gw + gx`): each cell averages its FULL pixel rectangle —
+    * point-subsampling jitters cell means enough to flip
+    * borderline comparison bits between a base image and its resized
+    * copy, defeating the whole hash. Work stays bounded on any
+    * resolution via [[ImageIoDecoder]]'s stride rule (≤ ~1M sampled
+    * pixels per image, strided consistently from each cell's origin —
+    * deterministic). */
+  private def grayGrid(img: java.awt.image.BufferedImage,
+      gw: Int, gh: Int): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val step =
+      math.max(1L, math.round(math.sqrt(w.toLong * h / 1e6))).toInt
+    val out = new Array[Double](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh
+      val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var acc = 0.0
+        var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            acc += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            n += 1
+            x += step
+          }
+          y += step
+        }
+        out(gy * gw + gx) = acc / n
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** Image-content near-dup pairs: [[imageHashes]] (dHash by default —
+    * the more re-encode-robust of the two) feeding [[graft.ext.Dedup
+    * .hammingNearDup64]]'s 4×16 banding + exact Hamming verification
+    * VERBATIM — the SimHash near-dup machinery, swapped onto pixel
+    * signatures. Pigeonhole-complete for Hamming ≤ 3 up to the
+    * mega-bucket cap (solid-color corpora collapse into one bucket —
+    * cap + observe, the q99 discipline). Undecodable payloads drop. */
+  def imageNearDup(spark: SparkSession, media: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 10, useAhash: Boolean = false,
+      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val hcol = if (useAhash) "ahash" else "dhash"
+    graft.ext.Dedup.hammingNearDup64(spark,
+      imageHashes(spark, media)
+        .filter(col(hcol).isNotNull)
+        .select(col("media_id").as("doc_id"), col(hcol).as("packed")),
+      maxDist, maxBucket, capMetrics)
+  }
 }

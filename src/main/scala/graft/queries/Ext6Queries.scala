@@ -339,6 +339,54 @@ object Ext6Queries {
         AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.35
       ORDER BY a_id, b_id"""))
 
+  // --------------------------------------------------------------- q166
+  // Packed-64-bit Hamming banding/verify (the machinery behind BOTH
+  // q85's SimHash near-dup and Multimodal.imageNearDup's perceptual-
+  // hash image dedup, factored to Dedup.hammingNearDup64) exercised on
+  // FIXED signature fixtures both engines derive identically: a 60-bit
+  // md5 hash of each doc's (source, n_chars-band) group, XOR the low 3
+  // bits of doc_id — so within-group pairs sit at Hamming ≤ 3 by
+  // construction while the group structure stresses the mega-bucket
+  // cap (sf0.1's big groups cap bands 1-3 and survive only through
+  // band 0's split sub-buckets). The dHash/aHash pixel expressions
+  // themselves are spec-pinned (MultimodalSpec), like SimHash64 —
+  // DuckDB cannot decode images, so the oracle checks the stage that
+  // SQL can replay: banding, cap, pair expansion, bit_count verify.
+  private val q166 = Q(
+    "q166_phash_banding",
+    (s, d) => {
+      val packed = Tables.documents(s, d).select(col("doc_id"),
+        expr("CAST(conv(substring(md5(concat(source, '#', " +
+            "CAST(n_chars DIV 32 AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+          .bitwiseXOR(col("doc_id") % 8).as("packed"))
+      graft.ext.Dedup.hammingNearDup64(s, packed)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH sig AS (
+        SELECT doc_id,
+          xor(CAST(('0x' || substr(md5(source || '#'
+                || CAST(n_chars // 32 AS VARCHAR)), 1, 15)) AS BIGINT),
+              doc_id % 8) AS packed
+        FROM documents),
+      lanes AS (
+        SELECT doc_id, packed, CAST(l.generate_series AS INTEGER) AS band,
+          (packed // CAST(pow(2, l.generate_series * 16) AS BIGINT)) % 65536 AS bval
+        FROM sig, generate_series(0, 3) l),
+      sized AS (
+        SELECT doc_id, packed, band, bval,
+          count(*) OVER (PARTITION BY band, bval) AS bsize
+        FROM lanes),
+      small AS (
+        SELECT doc_id, packed, band, bval FROM sized
+        WHERE bsize BETWEEN 2 AND 10),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(bit_count(xor(a.packed, b.packed)) AS BIGINT) AS hamming
+        FROM small a JOIN small b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id, hamming FROM pairs
+      WHERE hamming <= 3 ORDER BY a_id, b_id"""))
+
   val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165)
+    q165, q166)
 }

@@ -199,6 +199,105 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(out(0).getAs[Array[Byte]]("payload_small")) == "hlowrd")
   }
 
+  // ---------------------------------------------------------- perceptual hash
+
+  private def grayImg(w: Int, h: Int)(v: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = math.max(0, math.min(255, v(x, y)))
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    img
+  }
+
+  /** Smooth deterministic test pattern — low-frequency so box-averaged
+    * grid cells survive resizing/JPEG with their comparison signs. */
+  private def pattern(w: Int, h: Int, fx: Double, fy: Double, phase: Double) =
+    grayImg(w, h) { (x, y) =>
+      (127.5 * (1 + math.sin(2 * math.Pi *
+        ((x + 0.5) / w * fx + (y + 0.5) / h * fy) + phase))).round.toInt
+    }
+
+  private def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic box-average resize (no platform-dependent AWT scaler). */
+  private def resizeBox(img: java.awt.image.BufferedImage, tw: Int, th: Int) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    grayImg(tw, th) { (tx, ty) =>
+      val (x0, x1) = (tx * w / tw, math.max(tx * w / tw + 1, (tx + 1) * w / tw))
+      val (y0, y1) = (ty * h / th, math.max(ty * h / th + 1, (ty + 1) * h / th))
+      var acc = 0L; var n = 0
+      for (y <- y0 until y1; x <- x0 until x1) { acc += img.getRGB(x, y) & 0xff; n += 1 }
+      (acc.toDouble / n).round.toInt
+    }
+  }
+
+  test("imageHashes: dHash/aHash bit semantics pinned on constructed fixtures") {
+    import spark.implicits._
+    // 9×8 strictly-increasing-in-x ramp: every horizontal comparison is
+    // 'right > left' → all 64 dHash bits set
+    val ramp = enc(grayImg(9, 8)((x, _) => x * 28), "png")
+    // 8×8 left-half black / right-half white: aHash bits exactly the
+    // bright columns 4..7 of each row → 0xF0 per byte
+    val halves = enc(grayImg(8, 8)((x, _) => if (x < 4) 0 else 255), "png")
+    val out = Multimodal.imageHashes(spark,
+        Seq((1L, ramp), (2L, halves)).toDF("media_id", "payload"))
+      .orderBy("media_id").collect()
+    assert(out(0).getLong(1) == -1L) // dhash: all 64 bits
+    assert(out(1).getLong(2) == 0xF0F0F0F0F0F0F0F0L) // ahash: right half
+    // lossless re-encode (PNG → BMP) decodes to identical pixels →
+    // identical hashes
+    val bmp = enc(grayImg(9, 8)((x, _) => x * 28), "bmp")
+    val again = Multimodal.imageHashes(spark,
+      Seq((3L, bmp)).toDF("media_id", "payload")).collect()
+    assert(again(0).getLong(1) == -1L)
+  }
+
+  test("imageNearDup: resized/re-encoded copies collide, distinct patterns don't, junk drops") {
+    import spark.implicits._
+    // 6 distinct smooth patterns; per pattern: base PNG + box-resized
+    // PNG + lossless BMP + lossy JPEG re-encode. Near-dup must pair
+    // every variant with its base and never cross patterns.
+    // frequencies kept within dHash's stable band (≤ ~2.5 periods over
+    // the 9-cell grid): beyond that the grid undersamples the pattern
+    // and box-resize legitimately flips > 3 comparison bits — a
+    // property of the algorithm, not the plumbing under test
+    val shapes = Seq((1.0, 0.0, 0.0), (2.0, 1.0, 1.1), (1.0, 2.0, 2.2),
+      (2.0, 2.0, 0.7), (0.0, 2.0, 1.9), (1.0, 3.0, 2.9))
+    val rows = shapes.zipWithIndex.flatMap { case ((fx, fy, ph), p) =>
+      val base = pattern(64, 64, fx, fy, ph)
+      Seq(
+        (p * 10L + 0L, enc(base, "png")),
+        (p * 10L + 1L, enc(resizeBox(base, 48, 48), "png")),
+        (p * 10L + 2L, enc(base, "bmp")),
+        (p * 10L + 3L, enc(base, "jpg")))
+    } :+ (999L, "definitely not an image payload".getBytes("UTF-8"))
+    val media = rows.toDF("media_id", "payload")
+    // undecodable payload → null hashes
+    val hashes = Multimodal.imageHashes(spark, media).collect()
+    assert(hashes.find(_.getLong(0) == 999L).get.isNullAt(1))
+    assert(hashes.count(r => !r.isNullAt(1)) == rows.length - 1)
+    val pairs = Multimodal.imageNearDup(spark, media, maxBucket = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no cross-pattern pair, junk row absent
+    assert(pairs.forall { case (a, b) => a / 10 == b / 10 },
+      s"cross-pattern pairs: ${pairs.filterNot(p => p._1 / 10 == p._2 / 10)}")
+    assert(!pairs.exists(p => p._1 == 999L || p._2 == 999L))
+    // every variant pairs with its base (dHash Hamming ≤ 3 survives
+    // box-resize and JPEG re-encode on smooth content)
+    shapes.indices.foreach { p =>
+      Seq(1L, 2L, 3L).foreach { v =>
+        assert(pairs.contains((p * 10L, p * 10L + v)),
+          s"pattern $p variant $v did not pair with its base: $pairs")
+      }
+    }
+  }
+
   test("metadata-only query prunes the binary column from the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("mm").toString
     Multimodal.asMedia(docs, "doc_id", "text", "image")

@@ -124,7 +124,10 @@ class PlanSpec extends SparkSpec {
       "q80_lm_score" -> 3, "q81_asof_join" -> 2,
       "q82_corpus_overlap" -> 2, "q83_dedup_within_doc" -> 1,
       "q84_source_profile" -> 2, "q85_simhash_neardup" -> 4,
-      "q86_bow_dedup" -> 2, "q87_repeated_spans" -> 2,
+      // q87 = hashed span counts (2: countDistinct two-phase) + the
+      // winner-bounded string-recovery distinct; top-k boundary and
+      // final top-k are TakeOrdered, the winner join broadcasts
+      "q86_bow_dedup" -> 2, "q87_repeated_spans" -> 3,
       "q88_dup_span_frac" -> 4, "q89_word_entropy" -> 3,
       "q34_rolling_avg" -> 2, "q90_length_zscore" -> 2,
       "q91_oov_rate" -> 3, "q92_bpe_pairs" -> 1, "q93_quality_gate" -> 5,
@@ -298,7 +301,11 @@ class PlanSpec extends SparkSpec {
       // materializes eagerly (checkpointed once for both pair sides);
       // the in-cell self-join is 2 exchanges on the derived centroid
       // key + the final orderBy
-      "q165_near_dup_ann" -> 3)
+      "q165_near_dup_ann" -> 3,
+      // q166 = q85's banding/verify machinery (hammingNearDup64) on
+      // fixture signatures: same 4-shuffle shape (bucket size agg,
+      // bucket member agg, pair distinct, orderBy) minus the simhash
+      "q166_phash_banding" -> 4)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

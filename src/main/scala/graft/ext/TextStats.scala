@@ -441,6 +441,25 @@ object TextStats {
         (col("canonical") =!= col(textCol)).as("changed"),
         md5(col("canonical")).as("canonical_hash"))
 
+  /** URL canonicalization ([[graft.functions.UrlNorm]]'s contract:
+    * lowercase scheme/host, fragment dropped, default ports dropped,
+    * tracking params stripped order-preserving, bare-root `/` dropped,
+    * public-suffix-free registered domain) as one compiled per-row
+    * expression — the key column every crawl pipeline groups, dedups
+    * and caps by before touching content. Fully narrow; malformed
+    * URLs yield NULL outputs (count with `url_norm IS NULL`). Pair
+    * with [[Corpus.dupProfileBySource]] keyed on `registered_domain`
+    * for the per-host dup profile. */
+  def urlNormalize(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.UrlNorm.register(docs.sparkSession)
+    docs.select(col(idCol), col(urlCol),
+        expr(s"url_norm($urlCol)").as("u"))
+      .select(col(idCol), col(urlCol),
+        col("u.url_norm").as("url_norm"), col("u.host").as("host"),
+        col("u.registered_domain").as("registered_domain"))
+  }
+
   /** Unicode-deep variant: NFC normalization + accent folding (NFD →
     * strip combining marks) on top of `normalize`'s casefold/whitespace
     * canon. UDF-based (no Spark builtin); narrow. */

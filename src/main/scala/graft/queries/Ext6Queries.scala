@@ -387,6 +387,113 @@ object Ext6Queries {
       SELECT a_id, b_id, hamming FROM pairs
       WHERE hamming <= 3 ORDER BY a_id, b_id"""))
 
+  // fixture URLs for q167/q168, built from document fields so both
+  // engines generate the identical raw string: mixed-case scheme/host,
+  // default and non-default ports, tracking params interleaved with
+  // real ones, fragments, bare-root and real paths, and five TLD
+  // shapes (two of them 2-level country suffixes) — every branch of
+  // UrlNorm's contract appears in the corpus
+  private val urlFixture =
+    """CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS' ELSE 'Http' END
+      || '://'
+      || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+      || upper(source) || '.'
+      || CASE doc_id % 5 WHEN 0 THEN 'Co.UK' WHEN 1 THEN 'COM'
+           WHEN 2 THEN 'Org' WHEN 3 THEN 'io' ELSE 'Com.AU' END
+      || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+           WHEN 2 THEN ':8080' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN '/'
+           ELSE '/p/' || CAST(doc_id % 97 AS STRING) END
+      || CASE doc_id % 6
+           WHEN 0 THEN '?utm_source=x&id=' || CAST(doc_id % 50 AS STRING)
+           WHEN 1 THEN '?id=' || CAST(doc_id % 50 AS STRING) || '&utm_campaign=z'
+           WHEN 2 THEN '?utm_medium=a&gclid=b'
+           WHEN 3 THEN '?a=1&fbclid=z&b=2'
+           WHEN 4 THEN ''
+           ELSE '?ref=home&x=2' END
+      || CASE WHEN doc_id % 2 = 0 THEN '#sec-' || CAST(doc_id % 9 AS STRING)
+           ELSE '' END"""
+
+  // the oracle's ANALYTIC twin pieces: DuckDB never parses — it derives
+  // what normalization must produce straight from the fixture's
+  // generative parameters, so the Spark parser is checked against an
+  // independently-constructed expected value
+  private val oracleSuffix =
+    """CASE doc_id % 5 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+         WHEN 2 THEN 'org' WHEN 3 THEN 'io' ELSE 'com.au' END"""
+  private val oracleHost =
+    s"""(CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+       || lower(source) || '.' || ($oracleSuffix)"""
+  private val oracleUrlNorm =
+    s"""(CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END) || '://'
+       || $oracleHost
+       || (CASE WHEN doc_id % 4 = 2 THEN ':8080'
+             WHEN doc_id % 4 = 0 AND doc_id % 3 = 1 THEN ':80'
+             WHEN doc_id % 4 = 1 AND doc_id % 3 <> 1 THEN ':443'
+             ELSE '' END)
+       || (CASE WHEN doc_id % 7 = 0 THEN ''
+             ELSE '/p/' || CAST(doc_id % 97 AS VARCHAR) END)
+       || (CASE doc_id % 6
+             WHEN 0 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+             WHEN 1 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+             WHEN 3 THEN '?a=1&b=2'
+             WHEN 5 THEN '?x=2'
+             ELSE '' END)"""
+
+  // --------------------------------------------------------------- q167
+  // URL canonicalization (TextStats.urlNormalize / the compiled
+  // url_norm expression): lowercase scheme+host, fragment dropped,
+  // default ports dropped (http:80 / https:443 — the fixture crosses
+  // ports with schemes so BOTH keep-and-drop cases of each port
+  // occur), tracking params stripped order-preserving, bare-root '/'
+  // dropped, public-suffix-free registered domain. Narrow per-row
+  // expression + the output orderBy.
+  private val q167 = Q(
+    "q167_url_normalize",
+    (s, d) => {
+      graft.ext.TextStats.urlNormalize(
+          Tables.documents(s, d).withColumn("url", expr(urlFixture)))
+        .select(col("doc_id"), col("url_norm"), col("host"),
+          col("registered_domain"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+        $oracleUrlNorm AS url_norm,
+        $oracleHost AS host,
+        lower(source) || '.' || ($oracleSuffix) AS registered_domain
+      FROM documents ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------- q168
+  // Per-registered-domain dup profile — q113's two-phase exact-distinct
+  // shape keyed by url_norm's registered_domain instead of the source
+  // column: the FIRST grouping every crawl pipeline runs (which domain
+  // is pumping boilerplate?). Spark derives the domain through the real
+  // URL parser; the oracle derives it analytically — a parser
+  // divergence shifts group memberships and fails the hash.
+  private val q168 = Q(
+    "q168_host_dup_profile",
+    (s, d) => {
+      graft.functions.UrlNorm.register(s)
+      graft.ext.Corpus.dupProfileBySource(
+          Tables.documents(s, d)
+            .withColumn("url", expr(urlFixture))
+            .select(col("text"),
+              expr("url_norm(url).registered_domain").as("domain")),
+          srcCol = "domain")
+        .orderBy(col("domain"))
+    },
+    Some(s"""WITH u AS (
+        SELECT text, lower(source) || '.' || ($oracleSuffix) AS domain
+        FROM documents),
+      per AS (
+        SELECT domain, md5(text) AS h, count(*) AS n
+        FROM u GROUP BY domain, md5(text))
+      SELECT domain, CAST(sum(n) AS BIGINT) AS n_docs,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        CAST((2 * (sum(n) - count(*)) * 1000000 + sum(n)) // (2 * sum(n)) AS DOUBLE)
+          / 1000000.0 AS dup_ratio
+      FROM per GROUP BY domain ORDER BY domain"""))
+
   val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166)
+    q165, q166, q167, q168)
 }

@@ -254,6 +254,50 @@ class TextStats4Spec extends SparkSpec {
     assert(nar.getDouble(0) == 3.073155, s"narrow: $nar")
   }
 
+  test("urlNormalize: the full canonicalization contract on hand-built edge cases") {
+    import spark.implicits._
+    val cases = Seq(
+      // (id, raw, expected (url_norm, host, registered_domain) — null = malformed)
+      (1L, "HTTP://WWW.Example.COM:80/Path/A?utm_source=x&q=1&ref=h#frag",
+        Some(("http://www.example.com/Path/A?q=1", "www.example.com", "example.com"))),
+      (2L, "https://Example.co.uk:443/", // default port + bare root drop
+        Some(("https://example.co.uk", "example.co.uk", "example.co.uk"))),
+      (3L, "https://a.b.Example.com:8443/x/", // non-default port + deep trailing slash kept
+        Some(("https://a.b.example.com:8443/x/", "a.b.example.com", "example.com"))),
+      (4L, "http://user:pw@Host.IO/p?gclid=1&FBCLID=2&keep=3", // userinfo + case-insensitive keys
+        Some(("http://host.io/p?keep=3", "host.io", "host.io"))),
+      (5L, "ftp://Mirror.ac.jp:21/f", // non-http scheme: port kept, 2-level suffix
+        Some(("ftp://mirror.ac.jp:21/f", "mirror.ac.jp", "mirror.ac.jp"))),
+      (6L, "http://localhost/x", // single-label host: rd = host
+        Some(("http://localhost/x", "localhost", "localhost"))),
+      (7L, "http://e.com?utm_a=1&utm_b=2", // query only, all tracking → no '?'
+        Some(("http://e.com", "e.com", "e.com"))),
+      (8L, "  http://Pad.org/t  ", // surrounding whitespace trims
+        Some(("http://pad.org/t", "pad.org", "pad.org"))),
+      (9L, "not a url", None),
+      (10L, "://nohost.com/x", None),
+      (11L, "ht tp://bad-scheme.com", None),
+      (12L, "http://", None)) // empty host
+    val out = graft.ext.TextStats.urlNormalize(
+        cases.map { case (id, raw, _) => (id, raw) }.toDF("doc_id", "url"))
+      .orderBy("doc_id").collect()
+    cases.zip(out).foreach { case ((id, raw, want), got) =>
+      assert(got.getLong(0) == id)
+      want match {
+        case Some((n, h, rd)) =>
+          assert((got.getString(2), got.getString(3), got.getString(4)) ==
+            ((n, h, rd)), s"case $id: $raw")
+        case None =>
+          assert(got.isNullAt(2) && got.isNullAt(3) && got.isNullAt(4),
+            s"case $id should be malformed: $raw → ${got}")
+      }
+    }
+    // null input row → null outputs, no crash
+    val nul = graft.ext.TextStats.urlNormalize(
+      Seq((1L, Option.empty[String])).toDF("doc_id", "url")).collect()
+    assert(nul(0).isNullAt(2))
+  }
+
   test("gopherFilter signals agree with repetition() and wordEntropy() outputs") {
     val docs = randomDocs(25, seed = 9, vocab = 10)
     val gate = TextStats.gopherFilter(docs).collect()

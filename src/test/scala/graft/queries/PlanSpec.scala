@@ -305,7 +305,10 @@ class PlanSpec extends SparkSpec {
       // q166 = q85's banding/verify machinery (hammingNearDup64) on
       // fixture signatures: same 4-shuffle shape (bucket size agg,
       // bucket member agg, pair distinct, orderBy) minus the simhash
-      "q166_phash_banding" -> 4)
+      "q166_phash_banding" -> 4,
+      // q167 = one compiled narrow expression + the output orderBy;
+      // q168 = q113's two-phase exact distinct + orderBy
+      "q167_url_normalize" -> 1, "q168_host_dup_profile" -> 3)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

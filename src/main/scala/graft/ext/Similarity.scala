@@ -313,7 +313,8 @@ object Similarity {
       maxCluster: Int = Int.MaxValue,
       capMetrics: Option[org.apache.spark.sql.Observation] = None,
       pairSalts: Int = 16): DataFrame = {
-    require(pairSalts >= 1, s"pairSalts=$pairSalts must be >= 1")
+    require(pairSalts >= 0,
+      s"pairSalts=$pairSalts must be >= 1, or 0 to derive from the census")
     graft.functions.TopKCosRound.register(spark)
     // the assignment is materialized and CONSTRAINT-FREE re-wrapped
     // BEFORE the cap's size self-join: capHotClusters joins the
@@ -352,14 +353,19 @@ object Similarity {
       cp0Blocks.foreach(_.unpersist(blocking = false))
       spark.createDataFrame(cp.rdd, cp.schema)
     }
+    // pairSalts = 0 → derive from the kept-cell census (self-join:
+    // the sample side IS the cell, pair work = c²); the census reads
+    // the checkpoint just materialized above — metadata-scale
+    val salts = if (pairSalts == 0) deriveSalts(assignedCp, "centroid", None)
+                else pairSalts
     val a = assignedCp.select(col("vec_id").as("a_id"), col("centroid"),
       col("v").as("va"), col("nrm").as("na"))
       .withColumn("_salt",
         (conv(substring(md5(col("a_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % pairSalts).cast("int"))
+          .cast("long") % salts).cast("int"))
     val b = assignedCp.select(col("vec_id").as("b_id"), col("centroid"),
       col("v").as("vb"), col("nrm").as("nb"))
-      .crossJoin(broadcast(spark.range(pairSalts)
+      .crossJoin(broadcast(spark.range(salts)
         .select(col("id").cast("int").as("_salt"))))
     // the rank is a BOUNDED per-source top-k, not a window: the pair
     // explosion (Σ cᵢ² rows) folds into ≤k-entry topk_min buffers
@@ -384,6 +390,33 @@ object Similarity {
         col("e.id").as("b_id"), col("centroid"),
         when(col("e.score") === Double.NegativeInfinity, Double.NaN)
           .otherwise(-col("e.score")).as("cosine"))
+  }
+
+  /** Adaptive pair-salt derivation — `pairSalts = 0` at any salted
+    * pair entry point opts in: the salt count comes from the OBSERVED
+    * blocking census instead of a hand-tuned knob. The largest block's
+    * pair work (|sample_b|·|members_b|; |members_b|² for the self-join
+    * forms, where the sample IS the block) splits to roughly
+    * [[TargetPairsPerSalt]] pairs per task, clamped to
+    * [1, [[MaxSalts]]]. Cost: one |blocks|-bounded aggregate over the
+    * blocked frame — for the grid forms that frame is the already-
+    * materialized assignment checkpoint, so the census is a metadata-
+    * scale job; for caller-label blocking it is one narrow extra scan.
+    * Salting never changes the pair set, so results are bit-identical
+    * at ANY salt count (spec-pinned across skew shapes). */
+  private[ext] val TargetPairsPerSalt: Long = 4L << 20
+  private[ext] val MaxSalts: Int = 256
+
+  private[ext] def deriveSalts(blocked: DataFrame, blockKey: String,
+      samplePred: Option[org.apache.spark.sql.Column]): Int = {
+    val perBlock = blocked.groupBy(col(blockKey)).agg(
+      count(lit(1)).as("_c"),
+      samplePred.fold(count(lit(1)))(p =>
+        sum(when(p, lit(1L)).otherwise(lit(0L)))).as("_s"))
+    val row = perBlock.select(max(col("_s") * col("_c")).as("m")).head()
+    val maxPairs = if (row.isNullAt(0)) 0L else row.getLong(0)
+    math.min(MaxSalts.toLong, math.max(1L,
+      (maxPairs + TargetPairsPerSalt - 1) / TargetPairsPerSalt)).toInt
   }
 
   /** Hot-centroid guard for the in-cluster self-joins: pair work is
@@ -432,7 +465,8 @@ object Similarity {
       maxCluster: Int = Int.MaxValue,
       capMetrics: Option[org.apache.spark.sql.Observation] = None,
       pairSalts: Int = 16): DataFrame = {
-    require(pairSalts >= 1, s"pairSalts=$pairSalts must be >= 1")
+    require(pairSalts >= 0,
+      s"pairSalts=$pairSalts must be >= 1, or 0 to derive from the census")
     // capped clusters are excluded from PAIR GENERATION only: their
     // members still flow to the survivor set untouched (conservative
     // keep-all — a boilerplate mega-cluster is flagged, never silently
@@ -456,14 +490,17 @@ object Similarity {
       cp0Blocks.foreach(_.unpersist(blocking = false))
       spark.createDataFrame(cp.rdd, cp.schema)
     }
+    // pairSalts = 0 → census-derived (see knnGraph)
+    val salts = if (pairSalts == 0) deriveSalts(assignedCp, "centroid", None)
+                else pairSalts
     val a = assignedCp.select(col("vec_id").as("a_id"), col("centroid"),
       col("v").as("va"), col("nrm").as("na"))
       .withColumn("_salt",
         (conv(substring(md5(col("a_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % pairSalts).cast("int"))
+          .cast("long") % salts).cast("int"))
     val b = assignedCp.select(col("vec_id").as("b_id"), col("centroid"),
       col("v").as("vb"), col("nrm").as("nb"))
-      .crossJoin(broadcast(spark.range(pairSalts)
+      .crossJoin(broadcast(spark.range(salts)
         .select(col("id").cast("int").as("_salt"))))
     // the threshold verdict goes through round_ge: the per-pair
     // BigDecimal round(,4) costs ~15× the dot product it follows, and
@@ -657,19 +694,24 @@ object Similarity {
     * unconditionally, which is pure cost when the blocking key is
     * fine-grained (many small blocks already spread across tasks).
     * Pass pairSalts > 1 when the key is coarse or skewed — q63's
-    * 10-label blocking uses 16 (51.8→15.7s at the 200k decade). */
+    * 10-label blocking uses 16 (51.8→15.7s at the 200k decade) — or
+    * 0 to derive the count from a blocking census ([[deriveSalts]]:
+    * one extra narrow scan here, since nothing is materialized). */
   def nearDupPairs(spark: SparkSession, emb: DataFrame, blockCol: String,
       samplePred: org.apache.spark.sql.Column, threshold: Double,
       pairSalts: Int = 1): DataFrame = {
-    require(pairSalts >= 1, s"pairSalts=$pairSalts must be >= 1")
+    require(pairSalts >= 0,
+      s"pairSalts=$pairSalts must be >= 1, or 0 to derive from the census")
     val base = spread(withVectors(spark, emb))
+    val salts = if (pairSalts == 0)
+      deriveSalts(base, blockCol, Some(samplePred)) else pairSalts
     val a = base.filter(samplePred)
       .select(col("vec_id").as("a_id"), col(blockCol), col("v").as("va"), col("nrm").as("na"))
       .withColumn("_salt",
         (conv(substring(md5(col("a_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % pairSalts).cast("int"))
+          .cast("long") % salts).cast("int"))
     val b = base.select(col("vec_id").as("b_id"), col(blockCol), col("v").as("vb"), col("nrm").as("nb"))
-      .crossJoin(broadcast(spark.range(pairSalts)
+      .crossJoin(broadcast(spark.range(salts)
         .select(col("id").cast("int").as("_salt"))))
     // threshold verdict via round_ge (see semanticDedupFixed — the
     // per-pair BigDecimal was the scan's dominant term); survivors are
@@ -712,7 +754,8 @@ object Similarity {
       maxCluster: Int = Int.MaxValue,
       capMetrics: Option[org.apache.spark.sql.Observation] = None,
       pairSalts: Int = 1): DataFrame = {
-    require(pairSalts >= 1, s"pairSalts=$pairSalts must be >= 1")
+    require(pairSalts >= 0,
+      s"pairSalts=$pairSalts must be >= 1, or 0 to derive from the census")
     val (cp0, cp0Blocks) = Dedup.checkpointTracked(
       assignFixed(spark, emb, centroids, dims))
     val assigned = capHotClusters(
@@ -722,15 +765,19 @@ object Similarity {
       cp0Blocks.foreach(_.unpersist(blocking = false))
       spark.createDataFrame(cp.rdd, cp.schema)
     }
+    // pairSalts = 0 → census-derived over the kept cells (pair work
+    // per cell = |sample_i|·c_i; the census reads the checkpoint)
+    val salts = if (pairSalts == 0)
+      deriveSalts(assignedCp, "centroid", Some(samplePred)) else pairSalts
     val a = assignedCp.filter(samplePred)
       .select(col("vec_id").as("a_id"), col("centroid"),
         col("v").as("va"), col("nrm").as("na"))
       .withColumn("_salt",
         (conv(substring(md5(col("a_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % pairSalts).cast("int"))
+          .cast("long") % salts).cast("int"))
     val b = assignedCp.select(col("vec_id").as("b_id"), col("centroid"),
       col("v").as("vb"), col("nrm").as("nb"))
-      .crossJoin(broadcast(spark.range(pairSalts)
+      .crossJoin(broadcast(spark.range(salts)
         .select(col("id").cast("int").as("_salt"))))
     // threshold verdict via round_ge (see nearDupPairs); the zero-norm
     // guard (cosineTopK's) keeps NaN — which fails round_ge exactly as

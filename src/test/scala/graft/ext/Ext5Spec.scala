@@ -218,6 +218,54 @@ class Ext5Spec extends SparkSpec {
     assert(Dedup.containment(spark, pairs, docs, threshold = 0.5).count() == 0)
   }
 
+  test("adaptive pair salting (pairSalts = 0): census-derived count, results bit-identical at any salt") {
+    import spark.implicits._
+    // derived counts: ceil(maxBlockPairs / TargetPairsPerSalt) in
+    // [1, MaxSalts]. samplePred counts the sample side; None = self-join
+    // (pair work = c²).
+    val one = spark.range(1000000).select(lit(0).as("blk"), col("id"))
+    assert(Similarity.deriveSalts(one, "blk", Some(col("id") < 50)) == 12,
+      "ceil(50·1e6 / 4Mi) = 12")
+    assert(Similarity.deriveSalts(one.limit(0), "blk", None) == 1)
+    assert(Similarity.deriveSalts(one, "blk", None) == Similarity.MaxSalts)
+    assert(Similarity.deriveSalts(
+      spark.range(1000).select(lit(0).as("blk"), col("id")), "blk", None) == 1)
+    // equivalence across skew shapes: a mega-cell corpus (everything
+    // lands in ~1 cell) and a spread one — derived, manual-16 and
+    // unsalted runs must return the SAME rows bit-for-bit
+    val mega = emb(Seq.tabulate(300)(i =>
+      ((1000 + i).toLong, Seq.tabulate(8)(d => if (d == 0) 50f else (i % 3).toFloat))) ++
+      Seq.tabulate(40) { i =>
+        (i.toLong, Seq.tabulate(8)(d => ((i * 37 + d * 13) % 101 - 50) * 0.9f))
+      })
+    val spreadE = emb(Seq.tabulate(120) { i =>
+      (i.toLong, Seq.tabulate(8)(d => ((i * 29 + d * 17) % 89 - 44) * 0.7f))
+    })
+    for (e <- Seq(mega, spreadE)) {
+      def dedup(s: Int) = Similarity.semanticDedupFixed(spark, e, k = 8,
+        dims = 8, pairSalts = s).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(dedup(0) == dedup(16) && dedup(0) == dedup(1))
+      def g(s: Int) = Similarity.knnGraph(spark, e, k = 2, centroids = 8,
+          dims = 8, pairSalts = s).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(4)))).sorted.toSeq
+      assert(g(0) == g(16) && g(0) == g(1))
+      def ann(s: Int) = Similarity.nearDupPairsAnn(spark, e,
+          samplePred = col("vec_id") % 3 === 0, threshold = 0.3,
+          centroids = 8, dims = 8, pairSalts = s).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(ann(0) == ann(16) && ann(0) == ann(1))
+    }
+    // caller-label blocking (nothing materialized → census is a scan):
+    // one hot label + many small ones
+    val labeled = spreadE.withColumn("label",
+      when(col("vec_id") < 80, lit(0L)).otherwise(col("vec_id") % 10))
+    def ndp(s: Int) = Similarity.nearDupPairs(spark, labeled, "label",
+        samplePred = col("vec_id") % 4 === 0, threshold = 0.3, pairSalts = s)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(ndp(0) == ndp(16) && ndp(0) == ndp(1))
+  }
+
   test("knnGraph: planted twins are mutual top-1 at cosine 1.0; ranks bounded in-cluster") {
     import spark.implicits._
     val e = emb(Seq.tabulate(40) { i =>

@@ -873,23 +873,48 @@ object Similarity {
     // centroid_id would land in the Hive default partition and never
     // be probed — an unsearchable row is worse than a dropped one
     val base = withVectors(spark, emb.filter(col("embedding").isNotNull))
-    val cents = base.filter(centroidPred)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    writeIvfFrom(spark, base, base.filter(centroidPred)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
+        col("nrm").as("cn")), path)
+  }
+
+  /** [[writeIvfIndex]] from EXPLICIT centroid vectors — the build hook
+    * for a TRAINED quantizer ([[trainIvfCentroids]]' Lloyd output, or
+    * any caller-supplied codebook) instead of seed rows. Centroid
+    * norms are recomputed with the engine's own convention
+    * (`sqrt(dot64(cv, cv))`, [[withVectors]]), so search against the
+    * written index is bit-contract-identical to a seed-built index
+    * whose seed vectors equal `centers` (IvfIndexSpec). */
+  def writeIvfIndexWith(spark: SparkSession, emb: DataFrame,
+      centers: Seq[(Long, Seq[Double])], path: String): Unit = {
+    import spark.implicits._
+    require(centers.nonEmpty, "no centroid vectors")
+    Dot64.register(spark)
+    val base = withVectors(spark, emb.filter(col("embedding").isNotNull))
+    writeIvfFrom(spark, base, centers.toDF("centroid_id", "cv")
+      .select(col("centroid_id"), col("cv"),
+        expr("sqrt(dot64(cv, cv))").as("cn")), path)
+  }
+
+  /** The shared build tail of [[writeIvfIndex]]/[[writeIvfIndexWith]]:
+    * persist the centroid table, then assignment as one compiled
+    * narrow pass (ivfAssign's rewired shape): the index BUILD is the
+    * corpus-sized cost of the IVF story, and the crossJoin + rank
+    * window it replaces exchanged corpus × centroids rows — the
+    * build's only shuffle is the cell-routing repartition feeding the
+    * partitioned write. That shuffle is NOT optional: a partitionBy
+    * write without it has EVERY scan task open a writer per cell it
+    * touches, so the index lands as tasks × cells files (measured:
+    * 32 × 4,000 = 128k ~2-row files at the 200k decade, and every
+    * probe-time scan paid the 128k listings/footers — 10s of q156's
+    * 11.6s). Routed, each cell is exactly ONE file per build and the
+    * probe scan is footer-bound no more. */
+  private def writeIvfFrom(spark: SparkSession, base: DataFrame,
+      cents: DataFrame, path: String): Unit = {
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    // assignment as one compiled narrow pass (ivfAssign's rewired
-    // shape): the index BUILD is the corpus-sized cost of the IVF
-    // story, and the crossJoin + rank window it replaces exchanged
-    // corpus × centroids rows — the build's only shuffle is the
-    // cell-routing repartition feeding the partitioned write. That
-    // shuffle is NOT optional: a partitionBy write without it has
-    // EVERY scan task open a writer per cell it touches, so the index
-    // lands as tasks × cells files (measured: 32 × 4,000 = 128k
-    // ~2-row files at the 200k decade, and every probe-time scan paid
-    // the 128k listings/footers — 10s of q156's 11.6s). Routed, each
-    // cell is exactly ONE file per build and the probe scan is
-    // footer-bound no more.
     val model = graft.functions.CentroidModelRef.collect(
-      cents.select(col("centroid_id"), col("cv"), col("cn")))
+      spark.read.parquet(s"$path/centroids")
+        .select(col("centroid_id"), col("cv"), col("cn")))
     graft.functions.CentroidTopK.register(spark, model)
     spread(base
       .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")))
@@ -899,6 +924,59 @@ object Similarity {
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/assigned")
+  }
+
+  /** Spherical-Lloyd quantizer training under the ENGINE'S OWN
+    * assignment metric: each iteration assigns the corpus to its
+    * best centroid with the compiled [[graft.functions.CentroidTopK]]
+    * pass — `(round(cosine, 4) DESC, id)`, exactly what every IVF
+    * build/probe in the engine uses — then re-centers each cell at its
+    * member mean. Training under the same metric the index assigns
+    * with is what makes the trained cells balanced AT SEARCH TIME
+    * (a Euclidean-trained codebook optimizes a different Voronoi
+    * diagram than the cosine assigner carves).
+    *
+    * Scale shape: per iteration one narrow compiled assignment (zero
+    * shuffle) + one (cells·dims)-bounded mean aggregate (the explode
+    * amplifies ×dims but collapses map-side to |cells|·dims groups);
+    * the driver holds cells·dims doubles, never corpus-proportional.
+    * Empty cells keep their previous centroid (Lloyd's convention,
+    * [[graft.ext.Clustering.kmeansFromCenters]]). Training is a
+    * build-time op, not an oracle query: the FP mean is
+    * order-nondeterministic at the ulp level, which moves no
+    * assignment the recall audit can see. */
+  def trainIvfCentroids(spark: SparkSession, emb: DataFrame,
+      seedPred: org.apache.spark.sql.Column,
+      iters: Int): Seq[(Long, Seq[Double])] = {
+    val base = withVectors(spark, emb.filter(col("embedding").isNotNull))
+    var cents: Seq[(Long, Seq[Double])] = base.filter(seedPred)
+      .select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toSeq
+    require(cents.nonEmpty, "no seed centroids")
+    import spark.implicits._
+    var i = 0
+    while (i < iters) {
+      val model = graft.functions.CentroidModelRef.collect(
+        cents.toDF("centroid_id", "cv")
+          .select(col("centroid_id"), col("cv"),
+            expr("sqrt(dot64(cv, cv))").as("cn")))
+      graft.functions.CentroidTopK.register(spark, model)
+      val updated = spread(base.select(col("v"), col("nrm")))
+        .withColumn("cid",
+          element_at(expr("centroid_topk(v, nrm, 1)"), 1)
+            .getField("centroid_id"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cid"), expr("transform(dm, e -> e.m)").as("cv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toMap
+      cents = cents.map { case (id, old) => (id, updated.getOrElse(id, old)) }
+      i += 1
+    }
+    cents
   }
 
   /** Incremental IVF index maintenance — crawls APPEND; a build-once

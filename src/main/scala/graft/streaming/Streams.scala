@@ -649,6 +649,48 @@ object Streams {
       indexPath: String): DataFrame =
     graft.ext.Similarity.assignToIndex(spark, emb, indexPath)
 
+  /** Streaming near-dup intake against a persisted IVF index — the
+    * stream twin of [[graft.ext.Similarity.nearDupPairsAnn]]'s verify
+    * stage for the crawl-intake question "is this arriving vector a
+    * near-duplicate of anything already indexed?": each arrival is
+    * assigned to its best cell ([[ivfIntake]]'s stateless narrow
+    * assignment, the pinned-centroid contract), joins that ONE cell's
+    * member list (the [[annEnrich]] reshape-once discipline: the
+    * static side reshapes once per index into one row per cell and is
+    * reused every micro-batch), and emits a row per indexed member
+    * whose 4-dp-rounded cosine clears `threshold` — (a_id = arrival,
+    * b_id = seen member, centroid_id, cosine, keep_id = smaller id),
+    * nearDupPairsAnn's output contract. A zero norm product is NaN
+    * (never an ANSI 0/0 throw) and NaN clears no threshold; an
+    * arrival equal-id to an indexed row is excluded (the self-pair
+    * filter). Stateless stream-static: one unique-cell-key inner
+    * join, no state store, no watermark latency. StreamsSpec pins
+    * stream ≡ an independently-written batch reference over the same
+    * definition. */
+  def nearDupIntake(spark: SparkSession, emb: DataFrame, indexPath: String,
+      threshold: Double): DataFrame = {
+    graft.functions.Dot64.register(spark)
+    val cells = spark.read.parquet(s"$indexPath/assigned")
+      .groupBy(col("centroid_id"))
+      .agg(collect_list(
+        struct(col("n_id"), col("vn"), col("nn"))).as("cands"))
+    graft.ext.Similarity.assignToIndex(spark, emb, indexPath)
+      .join(cells, Seq("centroid_id"))
+      .withColumn("_hits", expr(
+        s"""filter(transform(cands, c ->
+           |  struct(c.n_id AS b_id,
+           |         CASE WHEN nn * c.nn = 0.0 THEN CAST('NaN' AS DOUBLE)
+           |              ELSE round(dot64(vn, c.vn) / (nn * c.nn), 4)
+           |         END AS cosine)),
+           |  h -> h.b_id != n_id
+           |    AND h.cosine >= CAST($threshold AS DOUBLE))""".stripMargin))
+      .select(col("n_id").as("a_id"), col("centroid_id"),
+        explode(col("_hits")).as("h"))
+      .select(col("a_id"), col("h.b_id").as("b_id"), col("centroid_id"),
+        col("h.cosine").as("cosine"),
+        least(col("a_id"), col("h.b_id")).as("keep_id"))
+  }
+
   final case class CmsTok(source: String, word: String)
 
   /** Running per-source Count–Min frequency tracking on a stream: the

@@ -150,6 +150,52 @@ object Decade3Probe {
           .write.format("noop").mode("overwrite").save()
       })
 
+      // quantizer audit (round 11): TRAINED (trainIvfCentroids, 2
+      // spherical-Lloyd iterations under the engine's own cosine
+      // assignment) vs FIXED (seed rows) centroids — recall@10 vs the
+      // exact brute force and the cell-size census, both scales. The
+      // exact baseline is computed once per scale and shared.
+      val exact = graft.ext.Similarity.cosineTopK(spark, emb,
+          col("vec_id") < 200000L && col("vec_id") % 997 === 0, 10)
+        .select(col("q_id"), col("n_id")).localCheckpoint(true)
+      val nQ = exact.select(col("q_id")).distinct().count()
+      def audit(name: String, build: String => Unit): Unit = {
+        val qdir = s"$dir/quant_$name"
+        val tBuild = time { build(qdir) }
+        val tSearch = time {
+          graft.ext.Similarity.ivfTopKIndexed(spark, qdir, q,
+            nProbe = 4, k = 10).write.format("noop").mode("overwrite").save()
+        }
+        // recall at the working nProbe AND at nProbe = 1: the probe-1
+        // column is the discriminating one — it reads pure quantizer
+        // quality (is the true neighbor in the ONE best cell?), where
+        // nProbe = 4 can paper over a mediocre cell structure
+        def recall(nProbe: Int): Double = {
+          val approx = graft.ext.Similarity.ivfTopKIndexed(spark, qdir, q,
+            nProbe = nProbe, k = 10).select(col("q_id"), col("n_id"))
+          exact.join(approx, Seq("q_id", "n_id")).count().toDouble / (nQ * 10)
+        }
+        val cells = spark.read.parquet(s"$qdir/assigned")
+          .groupBy(col("centroid_id")).agg(count(lit(1)).as("c"))
+          .agg(max(col("c")), avg(col("c")), count(lit(1))).head()
+        rec(s"quantizer_$name", n, tBuild,
+          f"recall@10(nProbe=4)=${recall(4)}%.3f recall@10(nProbe=1)=${recall(1)}%.3f " +
+          f"search=$tSearch%.2fs " +
+          f"max_cell=${cells.getLong(0)} mean_cell=${cells.getDouble(1)}%.0f " +
+          f"cells=${cells.getLong(2)}")
+      }
+      audit("fixed", qdir =>
+        graft.ext.Similarity.writeIvfIndex(spark, emb, centPred, qdir))
+      var tTrain = 0.0
+      var trained: Seq[(Long, Seq[Double])] = null
+      tTrain = time {
+        trained = graft.ext.Similarity.trainIvfCentroids(spark, emb,
+          centPred, iters = 2)
+      }
+      rec("quantizer_train_2it", n, tTrain)
+      audit("trained", qdir =>
+        graft.ext.Similarity.writeIvfIndexWith(spark, emb, trained, qdir))
+
       rmTemp(dir)
     }
     println("\n| row | 200k (s) | 2M (s) | scale-up ×10 |")

@@ -34,6 +34,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(indexed.nonEmpty)
   }
 
+  test("writeIvfIndexWith(seed vectors) ≡ writeIvfIndex; trainIvfCentroids recenters to cell means") {
+    import spark.implicits._
+    val dirSeed = java.nio.file.Files.createTempDirectory("ivfw1").toString
+    val dirWith = java.nio.file.Files.createTempDirectory("ivfw2").toString
+    val centroids = col("vec_id") < 3
+    Similarity.writeIvfIndex(spark, emb, centroids, dirSeed)
+    // explicit centers = the same three seed vectors → the written
+    // index must search bit-identically (norms recomputed, not copied)
+    val seedVecs = emb.filter(centroids)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    Similarity.writeIvfIndexWith(spark, emb, seedVecs, dirWith)
+    def search(dir: String) = Similarity.ivfTopKIndexed(spark, dir,
+        emb.filter(col("vec_id") % 5 === 0), nProbe = 2, k = 3)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        java.lang.Double.doubleToLongBits(r.getDouble(4)))).toSeq
+    assert(search(dirSeed) == search(dirWith) && search(dirSeed).nonEmpty)
+    // iters = 0 returns the seeds verbatim
+    val zero = Similarity.trainIvfCentroids(spark, emb, centroids, iters = 0)
+    assert(zero == seedVecs)
+    // one iteration: each centroid moves to the MEAN of the members
+    // the engine's own (cosine, id) assignment gives it — on this
+    // fixture cluster c's members are exactly {i : i % 3 == c}
+    val one = Similarity.trainIvfCentroids(spark, emb, centroids, iters = 1)
+    val base = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    (0 until 3).foreach { c =>
+      val members = (0 until 24).filter(_ % 3 == c).map(i => base(i.toLong))
+      val mean = (0 until 4).map(d => members.map(_(d)).sum / members.length)
+      one.find(_._1 == c.toLong).get._2.zip(mean).foreach { case (got, want) =>
+        assert(math.abs(got - want) < 1e-12, s"centroid $c dim mean")
+      }
+    }
+    // a trained index is a normal index: search runs and returns k rows
+    val dirTr = java.nio.file.Files.createTempDirectory("ivfw3").toString
+    Similarity.writeIvfIndexWith(spark, emb, one, dirTr)
+    assert(search(dirTr).nonEmpty)
+  }
+
   test("probe reads are partition-pruned to the probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("ivfspec2").toString
     Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir)
@@ -167,6 +208,70 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == want)
     q.stop()
+  }
+
+  test("streaming nearDupIntake ≡ an independent batch reference (arrival × indexed cell, 4-dp cosine)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfndi").toString
+    Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir)
+    // arrivals: near-copies of indexed vectors (must pair), an
+    // orthogonal-ish vector (must not), and an id colliding with an
+    // indexed row (self-pair excluded)
+    val arrivals = Seq(
+      (100L, Array(1.02f, 0.05f, 0.05f, 0.05f)),
+      (101L, Array(0.05f, 0.98f, 0.05f, 0.05f)),
+      (102L, Array(-1.0f, 1.0f, -1.0f, 1.0f)),
+      (0L, Array(1.0f, 0.05f, 0.05f, 0.05f)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = graft.streaming.Streams.nearDupIntake(spark,
+      mem.toDF().toDF("vec_id", "embedding"), dir, threshold = 0.9)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ndintake").start()
+    mem.addData(arrivals.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val got = spark.sql("SELECT * FROM ndintake")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4)))
+      .sorted.toSeq
+    q.stop()
+    // independent batch reference: every (arrival, indexed) pair where
+    // the INDEX's own centroids put both in the same cell and the 4-dp
+    // rounded cosine clears the threshold — written from scratch
+    // (crossJoin + window-free argmax over the literal centroid table)
+    graft.functions.Dot64.register(spark)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("centroid_id"), col("cv"), col("cn"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Similarity.withVectors(spark, df)
+        .withColumn("cents", typedLit(cents))
+        .withColumn("cell", expr(
+          """array_min(transform(cents, c ->
+            |  struct(-round(dot64(v, c._2) / (nrm * c._3), 4) AS negcos,
+            |         c._1 AS cid))).cid""".stripMargin))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val aRef = assign(arrivals.toDF("vec_id", "embedding"))
+      .select(col("vec_id").as("a_id"), col("v").as("va"),
+        col("nrm").as("na"), col("cell"))
+    val bRef = assign(emb.select("vec_id", "embedding"))
+      .select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("cell"))
+    val want = aRef.join(bRef, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cosine", round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= 0.9)
+      .select(col("a_id"), col("b_id"), col("cell"), col("cosine"),
+        least(col("a_id"), col("b_id")).as("keep_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4)))
+      .sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+    assert(got.exists(_._1 == 100L) && !got.exists(_._1 == 102L))
+    assert(!got.exists(p => p._1 == 0L && p._2 == 0L)) // self-pair excluded
   }
 
   test("null embeddings are excluded from assignment — no Hive default partition ever lands") {

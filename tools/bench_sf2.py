@@ -1,0 +1,214 @@
+#!/usr/bin/env python3
+"""Documents-axis THIRD decade (500,000 docs) -> BENCH_sf2.md.
+
+bench_sf1.py's replication shape, x10 again: replica 0 is the sf1
+corpus (50,000 docs = sf0.1 x10 near-dup replicas) verbatim; replicas
+1..9 shift doc_id by k*10^9 and append a second per-replica marker
+token. Every sf0.1 base doc therefore has ~100 near-duplicate clones,
+so PAIR DENSITY rises ~10x along with the x10 row count - exactly the
+axis the suite's top wall rows (winnow/dedup/components/calibration,
+all text-axis) were never measured on. The embeddings axis has three
+decades of evidence (BENCH_sfe + Decade3Probe); this is the text
+axis's third decade.
+
+DuckDB replays run in a SUBPROCESS per shot with a hard timeout and a
+20 GB spill cap (35 GB free on this host): at this scale several
+replays are expected to DNF - that is a finding, recorded per row,
+not a crash.
+
+Usage: python3 tools/bench_sf2.py [--skip-build] [--runs N]
+Needs /tmp/sf1 built (tools/bench_sf1.py) or builds both layers here.
+RUN ON A QUIET MACHINE (see bench_sf1.py's warning).
+"""
+import argparse, json, multiprocessing, os, re, subprocess, sys, time
+
+import duckdb
+
+SF01 = "/root/testdata/sf0.1"
+SF2 = "/tmp/sf2"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DUCK_TIMEOUT_S = 900
+
+# the winnow/dedup/components/calibration family - the suite's top
+# sf0.1 wall rows, all text-axis - plus the span/banding rows that
+# ride the same pair density and the incremental paths that must stay
+# flat when the seen corpus is 100x the increment
+QUERIES = ["q52_lsh_candidates", "q65_dedup_clusters",
+           "q72_verify_candidates", "q85_simhash_neardup",
+           "q87_repeated_spans", "q88_dup_span_frac",
+           "q94_minhash_calibration", "q102_star_components",
+           "q103_incremental_dedup", "q133_winnowing",
+           "q136_winnow_candidates", "q137_dedup_corpus_winnow",
+           "q151_dedup_savings", "q152_incremental_winnow",
+           "q160_incremental_winnow_indexed", "q163_winnow_index_merged",
+           "q166_phash_banding"]
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def build():
+    os.makedirs(SF2, exist_ok=True)
+    con = duckdb.connect()
+    # layer 1 (sf1): 10 near-dup replicas of sf0.1 (bench_sf1's shape)
+    sf1 = " UNION ALL ".join(
+        ["SELECT * FROM read_parquet('%s/documents.parquet')" % SF01] +
+        [f"""SELECT doc_id + {k} * 10000000 AS doc_id,
+                    text || ' r{k}' AS text, lang, source,
+                    n_chars + {len(f' r{k}')} AS n_chars
+             FROM read_parquet('{SF01}/documents.parquet')"""
+         for k in range(1, 10)])
+    # layer 2 (sf2): 10 near-dup replicas of sf1
+    reps = " UNION ALL ".join(
+        ["SELECT * FROM sf1"] +
+        [f"""SELECT doc_id + {k} * 1000000000 AS doc_id,
+                    text || ' s{k}' AS text, lang, source,
+                    n_chars + {len(f' s{k}')} AS n_chars
+             FROM sf1""" for k in range(1, 10)])
+    con.execute(f"CREATE VIEW sf1 AS ({sf1})")
+    con.execute(f"COPY ({reps}) TO '{SF2}/documents.parquet' (FORMAT PARQUET)")
+    n, = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF2}/documents.parquet')").fetchone()
+    for t in TABLES:
+        if t == "documents":
+            continue
+        dst = f"{SF2}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+    print(f"[build] {SF2}/documents.parquet: {n} docs")
+
+
+def _duck_shot(sql, q):
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    con.execute("SET max_temp_directory_size='20GB'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF2}/{t}.parquet')")
+    t0 = time.time()
+    con.execute(sql).fetchall()
+    return time.time() - t0
+
+
+def _duck_worker(sql, q, ret):
+    try:
+        ret["t"] = _duck_shot(sql, q)
+    except Exception as e:
+        ret["err"] = f"{type(e).__name__}: {e}"[:200]
+
+
+def time_duckdb(runs):
+    oracle = json.load(open("/tmp/verify_out/oracle_sql.json"))
+    out, spread, note = {}, {}, {}
+    for q in QUERIES:
+        sql = oracle[q]
+        shots, failed = [], None
+        for _ in range(runs):
+            # subprocess per shot: a replay that hangs past the timeout
+            # (recursive CC / composed winnow at 500k docs) is killed and
+            # recorded as DNF instead of wedging the whole artifact
+            mgr = multiprocessing.Manager()
+            ret = mgr.dict()
+            p = multiprocessing.Process(target=_duck_worker, args=(sql, q, ret))
+            p.start()
+            p.join(DUCK_TIMEOUT_S)
+            if p.is_alive():
+                p.terminate()
+                p.join()
+                failed = f"timeout >{DUCK_TIMEOUT_S}s"
+                break
+            if "err" in ret:
+                failed = ret["err"]
+                break
+            shots.append(ret["t"])
+        if failed:
+            out[q], spread[q], note[q] = float("nan"), float("nan"), failed
+            done = f" after {len(shots)} clean shot(s)" if shots else ""
+            print(f"[duckdb] {q:34s} DNF{done} ({failed})")
+        else:
+            out[q], spread[q], note[q] = min(shots), max(shots) / min(shots), ""
+            print(f"[duckdb] {q:34s} {out[q]:.2f}s (spread {spread[q]:.2f}x)")
+    return out, spread, note
+
+
+def time_spark(runs):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF2, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_BENCH_RUNS=str(runs),
+               SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    p = subprocess.run(
+        ["sbt", "-batch", "runMain graft.tools.QBench " + " ".join(QUERIES)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=7200)
+    out, spread = {}, {}
+    for m in re.finditer(
+            r"\[qbench\] (\S+)\s+min=([0-9.]+)s runs=Vector\(([0-9., ]+)\)",
+            p.stdout):
+        shots = [float(x) for x in m.group(3).split(",")]
+        out[m.group(1)] = float(m.group(2))
+        spread[m.group(1)] = max(shots) / min(shots)
+        print(f"[spark]  {m.group(1):34s} {float(m.group(2)):.2f}s "
+              f"(spread {spread[m.group(1)]:.2f}x)")
+    missing = [q for q in QUERIES if q not in out]
+    if missing:
+        sys.stderr.write(p.stdout[-3000:] + p.stderr[-2000:])
+        raise SystemExit(f"spark timings missing for {missing}")
+    return out, spread
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+    if not args.skip_build:
+        build()
+    sp, sps = time_spark(args.runs)
+    dk, dks, dnote = time_duckdb(args.runs)
+    # sf1 comparison column from the committed BENCH_sf1.md table
+    sf1 = {}
+    sf1_md = os.path.join(REPO, "BENCH_sf1.md")
+    if os.path.exists(sf1_md):
+        for m in re.finditer(r"\| (q\S+) \| ([0-9.]+) \|", open(sf1_md).read()):
+            sf1[m.group(1)] = float(m.group(2))
+    lines = [
+        "# BENCH_sf2 — 100× documents (500,000 docs), Spark vs DuckDB",
+        "",
+        "Built by `tools/bench_sf2.py`: the sf1 corpus (50k docs, 10 near-dup",
+        "replicas of sf0.1) replicated ×10 again with a second marker token —",
+        "~100 near-dup clones per base doc, so pair density scales with the",
+        "row count. min-of-%d per engine, 32 threads both, same parquet;" % args.runs,
+        f"DuckDB shots subprocess-isolated (timeout {DUCK_TIMEOUT_S}s, 20 GB spill cap).",
+        "",
+        "| query | spark sf2 (s) | duckdb sf2 (s) | ratio sf2 | spark sf1 (s) | scale-up ×10 | spread sp/dk |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for q in QUERIES:
+        g = sp[q] / sf1[q] if sf1.get(q, 0) > 0 else float("nan")
+        if dk[q] != dk[q]:
+            lines.append(f"| {q} | {sp[q]:.2f} | DNF ({dnote[q]}) | — "
+                         f"| {sf1.get(q, float('nan')):.2f} | {g:.1f}× "
+                         f"| {sps[q]:.2f}×/— |")
+        else:
+            r = sp[q] / dk[q] if dk[q] > 0 else float("inf")
+            lines.append(f"| {q} | {sp[q]:.2f} | {dk[q]:.2f} | {r:.2f}× "
+                         f"| {sf1.get(q, float('nan')):.2f} | {g:.1f}× "
+                         f"| {sps[q]:.2f}×/{dks[q]:.2f}× |")
+    ok = [q for q in QUERIES if dk[q] == dk[q]]
+    tot_s = sum(sp[q] for q in QUERIES)
+    tot_d = sum(dk[q] for q in ok)
+    lines += ["",
+              f"**Spark total (all {len(QUERIES)} rows): {tot_s:.1f}s. DuckDB "
+              f"total over its {len(ok)} surviving rows: {tot_d:.1f}s "
+              f"(Spark on the same {len(ok)}: "
+              f"{sum(sp[q] for q in ok):.1f}s).**", ""]
+    md = os.path.join(REPO, "BENCH_sf2.md")
+    tail = ""
+    if os.path.exists(md):
+        prev = open(md).read()
+        if "## Analysis" in prev:
+            tail = "\n" + prev[prev.index("## Analysis"):]
+    with open(md, "w") as f:
+        f.write("\n".join(lines) + tail + "\n")
+    print(f"\nwrote BENCH_sf2.md; spark total {tot_s:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1404,34 +1404,66 @@ object Dedup {
       k: Int = 20, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val counts = spanKeyRows(docs, spanWords, idCol, textCol)
-      .groupBy(col("spanh"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"))
-      .filter(col("n_docs") >= minDocs)
-    val top = counts
-      .orderBy(col("n_docs").desc, col("n_occ").desc).limit(k).collect()
-    if (top.isEmpty)
-      return Seq.empty[(String, Long, Long)].toDF("span", "n_docs", "n_occ")
-    val (bd, bo) = (top.last.getLong(1), top.last.getLong(2))
-    // every hash at-or-above the k-th (n_docs, n_occ) — the span-string
-    // tiebreak can only resolve after recovery, so boundary ties all
-    // come back (bounded by the tie population, the same set a string-
-    // keyed TakeOrdered would compare)
-    val winners = counts.filter(col("n_docs") > bd ||
-      (col("n_docs") === bd && col("n_occ") >= bo))
-    docs
-      .filter(size(split(col(textCol), " ")) >= spanWords)
-      .select(split(col(textCol), " ").as("w"),
-        posexplode(expr(s"gram_keys($textCol)")).as(Seq("i", "t")))
-      .select(col("w"), col("i"), col("t.h").as("spanh"))
-      .join(broadcast(winners), Seq("spanh"))
-      .select(
-        array_join(slice(col("w"), col("i") + 1, lit(spanWords)), " ").as("span"),
-        col("n_docs"), col("n_occ"))
-      .distinct()
-      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
-      .limit(k)
+    // the duplicated-span count table feeds BOTH the boundary pick and
+    // the winner filter — checkpointed so the corpus-wide counting
+    // aggregate runs ONCE. Each hash also carries its lexicographically
+    // smallest (doc_id, position) occurrence as a REPRESENTATIVE: the
+    // hash↔span bijection means any occurrence recovers the same
+    // string, so the recovery pass never re-enumerates grams — it
+    // slices exactly the ≤ k+ties representative docs (the first-cut
+    // rewrite re-ran gram_keys over the whole corpus to find winner
+    // strings: 4.9s → 4.2s → this shape).
+    val (cnts, cntBlocks) = checkpointTracked {
+      graft.functions.GramKeys.register(spark, Seq(spanWords),
+        graft.functions.MinHash48.MaxShinglePos - 1)
+      docs
+        .filter(size(split(col(textCol), " ")) >= spanWords)
+        .select(col(idCol).as("doc_id"),
+          posexplode(expr(s"gram_keys($textCol)")).as(Seq("i", "t")))
+        .select(col("doc_id"), col("i"), col("t.h").as("spanh"))
+        // explicit two-stage regroup instead of
+        // countDistinct + count + min(struct) in one aggregate: the
+        // mixed distinct/non-distinct rewrite plans through an Expand
+        // that DOUBLES the 10⁷-row span stream with the struct aboard
+        // (measured +0.4s at sf1); per-(spanh, doc) partials then a
+        // spanh roll-up carry the same information through one
+        // ordinary exchange
+        .groupBy(col("spanh"), col("doc_id"))
+        .agg(count(lit(1)).as("_c"), min(col("i")).as("_mi"))
+        .groupBy(col("spanh"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_c")).as("n_occ"),
+          min(struct(col("doc_id"), col("_mi").as("i"))).as("rep"))
+        .filter(col("n_docs") >= minDocs)
+    }
+    try {
+      val top = cnts
+        .orderBy(col("n_docs").desc, col("n_occ").desc).limit(k).collect()
+      if (top.isEmpty)
+        return Seq.empty[(String, Long, Long)].toDF("span", "n_docs", "n_occ")
+      val (bd, bo) = (top.last.getLong(1), top.last.getLong(2))
+      // every hash at-or-above the k-th (n_docs, n_occ) — the
+      // span-string tiebreak can only resolve after recovery, so
+      // boundary ties all come back (bounded by the tie population,
+      // the same set a string-keyed TakeOrdered would compare)
+      val winners = cnts.filter(col("n_docs") > bd ||
+          (col("n_docs") === bd && col("n_occ") >= bo))
+        .select(col("n_docs"), col("n_occ"),
+          col("rep.doc_id").as("_rep_doc"), col("rep.i").as("_rep_i"))
+      // the result is ≤ k rows BY CONTRACT: collect it and return a
+      // local frame, so the checkpoint blocks release before returning
+      // instead of being pinned by a lazy consumer
+      val rows = docs
+        .select(col(idCol).as("_rep_doc"), split(col(textCol), " ").as("w"))
+        .join(broadcast(winners), Seq("_rep_doc"))
+        .select(
+          array_join(slice(col("w"), col("_rep_i") + 1, lit(spanWords)), " ").as("span"),
+          col("n_docs"), col("n_occ"))
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+        .limit(k)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      rows.toSeq.toDF("span", "n_docs", "n_occ")
+    } finally cntBlocks.foreach(_.unpersist(blocking = false))
   }
 
   /** (doc_id, spanh) rows: the 64-bit sequence hash of each word

@@ -356,10 +356,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
-  test("q87: top-k repeated spans is TakeOrdered, never a full sort") {
-    val p = planOf("q87_repeated_spans")
-    assert(p.contains("TakeOrderedAndProject"), p)
-    assert(p.contains("partial_"), p) // span counts combine map-side
+  test("q87: top-k repeated spans returns a k-bounded LOCAL frame, checkpoint released") {
+    // the counting aggregate + recovery run eagerly inside the
+    // operator (TakeOrdered boundary + broadcast winner join — plan
+    // shapes pinned by the shuffle budget above); the returned frame
+    // is the ≤k collected result, so no lazy consumer can pin the
+    // counts checkpoint and the blocks are released before return
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = Registry.queries("q87_repeated_spans")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan"), p)
+    assert(df.count() <= 20)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"q87 leaked checkpoint blocks: $leaked")
   }
 
   test("q90: group stats broadcast back — no stddev window over the corpus") {

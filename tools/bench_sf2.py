@@ -27,7 +27,7 @@ import duckdb
 SF01 = "/root/testdata/sf0.1"
 SF2 = "/tmp/sf2"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DUCK_TIMEOUT_S = 900
+DUCK_TIMEOUT_S = 600
 
 # the winnow/dedup/components/calibration family - the suite's top
 # sf0.1 wall rows, all text-axis - plus the span/banding rows that
@@ -60,7 +60,7 @@ def build():
     # layer 2 (sf2): 10 near-dup replicas of sf1
     reps = " UNION ALL ".join(
         ["SELECT * FROM sf1"] +
-        [f"""SELECT doc_id + {k} * 1000000000 AS doc_id,
+        [f"""SELECT doc_id + {k * 1000000000} AS doc_id,
                     text || ' s{k}' AS text, lang, source,
                     n_chars + {len(f' s{k}')} AS n_chars
              FROM sf1""" for k in range(1, 10)])
@@ -93,7 +93,9 @@ def _duck_worker(sql, q, ret):
     try:
         ret["t"] = _duck_shot(sql, q)
     except Exception as e:
-        ret["err"] = f"{type(e).__name__}: {e}"[:200]
+        # first line only: multi-line DuckDB messages would break the
+        # generated markdown table row
+        ret["err"] = f"{type(e).__name__}: {e}".splitlines()[0][:120]
 
 
 def time_duckdb(runs):

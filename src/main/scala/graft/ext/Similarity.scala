@@ -1259,25 +1259,42 @@ object Similarity {
     * agree on. Scale shape = cosineTopK's: the query side is the small
     * broadcast-able batch; at 100 TB the candidate side rides an ANN
     * index ([[ivfPqSearch]]) instead of the cross join — the CONTRACT
-    * (per-label-mismatch top-k) is what this operator pins. */
+    * (per-label-mismatch top-k) is what this operator pins. Ranking is
+    * a BOUNDED per-query top-k ([[graft.functions.TopKCosRound]] — the
+    * engine's last rank window over a pair stream, retired round 11):
+    * the |q|·n pair stream folds into ≤k-entry buffers map-side where
+    * the join generates it, the exchange carries |q|·k entries, and
+    * the k-bounded winners pick their neighbor labels back up through
+    * one broadcast join into the corpus scan. Same (cosine DESC 4-dp,
+    * n_id) contract via negated +0.0-normalized scores — oracle
+    * unchanged (q120). */
   def hardNegatives(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int,
       labelCol: String = "label"): DataFrame = {
+    graft.functions.TopKCosRound.register(spark)
     val base = withVectors(spark, emb)
     val qv = base.filter(queryPred)
       .select(col("vec_id").as("q_id"), col(labelCol).as("q_label"),
         col("v").as("vq"), col("nrm").as("nq"))
-    val cand = base.select(col("vec_id").as("n_id"),
-      col(labelCol).as("n_label"), col("v").as("vn"), col("nrm").as("nn"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
-    qv.crossJoin(cand)
+    val picked = qv.crossJoin(base.select(col("vec_id").as("n_id"),
+        col(labelCol).as("n_label"), col("v").as("vn"), col("nrm").as("nn")))
       .filter(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
-      .withColumn("cosine", round(expr("dot64(vq, vn)") / (col("nq") * col("nn")), 4))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .withColumn("_raw", expr("dot64(vq, vn)") / (col("nq") * col("nn")))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(expr(s"topk_cos_round(_raw, n_id, $k, 4)").as("tk"))
+      .select(col("q_id"), col("q_label"),
+        posexplode(col("tk")).as(Seq("i", "e")))
       .select(col("q_id"), col("q_label").cast("long").as("q_label"),
-        col("rank"), col("n_id"), col("n_label").cast("long").as("n_label"),
-        col("cosine"))
+        (col("i") + 1).cast("long").as("rank"), col("e.id").as("n_id"),
+        when(col("e.score") === Double.NegativeInfinity, Double.NaN)
+          .otherwise(-col("e.score")).as("cosine"))
+    // neighbor labels for the ≤ |q|·k winners only: broadcast the
+    // picked set into one narrow corpus scan
+    base.select(col("vec_id").as("n_id"),
+        col(labelCol).cast("long").as("n_label"))
+      .join(broadcast(picked), Seq("n_id"))
+      .select(col("q_id"), col("q_label"), col("rank"), col("n_id"),
+        col("n_label"), col("cosine"))
   }
 
   /** First 6 hex chars of md5(s) as a long — the driver-side spelling

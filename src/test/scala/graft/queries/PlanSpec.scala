@@ -160,8 +160,9 @@ class PlanSpec extends SparkSpec {
       // crossJoin + rank-window exchanges are GONE — what remains is
       // the spread repartition, the rerank/bounded-k stages, and the
       // final orderBy
-      // round-6 q120+ batch (PlanAudit on this commit): q120 mirrors
-      // q54 (rank window + orderBy; the pair join is broadcast);
+      // round-6 q120+ batch (PlanAudit on this commit): q120 = the
+      // bounded topk_cos_round aggregate + the winner label join-back
+      // (round 11 — the engine's last pair-stream rank window retired);
       // q121's 1 is the orderBy (the projection itself is narrow);
       // q123's SMJ is the corpus-sized docs⋈clusters join (clusters'
       // fixpoint runs eagerly at plan time); q124 = feature histogram +

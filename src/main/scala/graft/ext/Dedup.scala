@@ -1338,6 +1338,96 @@ object Dedup {
       .distinct() // a pair sharing several bands appears once per band
   }
 
+  /** The 4×16-bit band rows of a packed-64 signature frame —
+    * `(doc_id, packed, band, bval)`, the shared narrow generator
+    * behind [[hammingNearDup64]]'s bucketing and the persisted-index
+    * forms below. */
+  private[graft] def hammingBands(packedDf: DataFrame): DataFrame =
+    packedDf.select(col("doc_id"), col("packed"),
+      posexplode(expr(
+        "transform(sequence(0, 3), i -> shiftright(packed, i * 16) & 65535)"))
+        .as(Seq("band", "bval")))
+
+  /** Persist a packed-64 Hamming signature index — the
+    * build-once/intake-many layout for CONTENT near-dup at crawl
+    * intake (perceptual image hashes via [[graft.multimodal.Multimodal
+    * .imageHashes]], SimHash, any 64-bit sketch): `path/sigs`
+    * (doc_id, packed) and `path/bsize` (band, bval, n) — the
+    * band-bucket census is METADATA-scale (≤ 4·65536 rows regardless
+    * of corpus size), so intakes read bucket sizes without ever
+    * re-counting the signature table, exactly as [[writeWinnowIndex]]
+    * persists fingerprint document frequencies. */
+  def writeHammingIndex(spark: SparkSession, packedDf: DataFrame,
+      path: String): Unit = {
+    packedDf.select(col("doc_id"), col("packed"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    hammingBands(spark.read.parquet(s"$path/sigs"))
+      .groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/bsize")
+  }
+
+  /** Append new signatures to a [[writeHammingIndex]] directory: the
+    * signature rows append, and the band census updates by METADATA
+    * ARITHMETIC — old census + increment counts summed per bucket
+    * (both tables ≤ 4·65536 rows) — never a recount of the seen
+    * signatures (the [[mergeWinnowIndexes]] df-sum discipline). */
+  def appendHammingIndex(spark: SparkSession, packedDf: DataFrame,
+      path: String): Unit = {
+    val inc = packedDf.select(col("doc_id"), col("packed"))
+    inc.write.mode("append").parquet(s"$path/sigs")
+    val merged = spark.read.parquet(s"$path/bsize")
+      .unionByName(hammingBands(inc)
+        .groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n")))
+      .groupBy(col("band"), col("bval")).agg(sum(col("n")).as("n"))
+      .collect() // metadata-scale: ≤ 4·65536 rows by construction
+    import spark.implicits._
+    merged.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      .toDF("band", "bval", "n")
+      .write.mode("overwrite").parquet(s"$path/bsize")
+  }
+
+  /** Incremental Hamming near-dup intake: pairs each NEW signature
+    * with the INDEXED signatures within Hamming ≤ `maxDist`, without
+    * ever shuffling or re-counting the seen side — the q103/q160
+    * crawl-increment discipline applied to content signatures:
+    *
+    *  - bucket sizes come from the PERSISTED census (`path/bsize`,
+    *    metadata-scale), so the mega-bucket guard costs one broadcast
+    *    of a ≤262k-row table: buckets whose INDEXED size exceeds
+    *    `maxBucket` contribute no candidates (a solid-color/boilerplate
+    *    bucket at crawl scale would otherwise pair every arrival
+    *    against millions of members — same deterministic whole-bucket
+    *    drop as [[hammingNearDup64]], observable by reading bsize);
+    *  - the increment's band rows (4 per arrival, increment-bounded)
+    *    BROADCAST into ONE scan of the signature table — the seen side
+    *    is scanned, never shuffled;
+    *  - verification is the exact packed `bit_count`, and a pair
+    *    sharing several bands emits once.
+    *
+    * Output: (a_id = new, b_id = seen, hamming). Pinned ≡ the
+    * brute-force new×seen pair filter on under-cap fixtures
+    * (Ext6Spec), and oracle-checked end to end by q169. */
+  def hammingIntake(spark: SparkSession, newPacked: DataFrame,
+      path: String, maxDist: Int = 3, maxBucket: Int = 10): DataFrame = {
+    val small = spark.read.parquet(s"$path/bsize")
+      .filter(col("n") <= maxBucket).select(col("band"), col("bval"))
+    val nb = hammingBands(newPacked
+        .select(col("doc_id"), col("packed")))
+      .select(col("doc_id").as("a_id"), col("packed").as("pa"),
+        col("band"), col("bval"))
+      .join(broadcast(small), Seq("band", "bval")) // guard pre-scan
+    hammingBands(spark.read.parquet(s"$path/sigs"))
+      .select(col("doc_id").as("b_id"), col("packed").as("pb"),
+        col("band"), col("bval"))
+      .join(broadcast(nb), Seq("band", "bval"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("pa"), col("pb"))
+      .distinct() // several shared bands → one pair
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Exact cap diagnostics for [[simhashNearDup]] as a standalone
     * one-row aggregate — the always-correct companion to its zero-cost
     * `capMetrics` observation, exactly as [[lshCapStats]] is to

@@ -425,11 +425,35 @@ object Multimodal {
   def imageNearDup(spark: SparkSession, media: DataFrame,
       maxDist: Int = 3, maxBucket: Int = 10, useAhash: Boolean = false,
       capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val hcol = if (useAhash) "ahash" else "dhash"
     graft.ext.Dedup.hammingNearDup64(spark,
-      imageHashes(spark, media)
-        .filter(col(hcol).isNotNull)
-        .select(col("media_id").as("doc_id"), col(hcol).as("packed")),
-      maxDist, maxBucket, capMetrics)
+      imagePacked(spark, media, useAhash), maxDist, maxBucket, capMetrics)
   }
+
+  private def imagePacked(spark: SparkSession, media: DataFrame,
+      useAhash: Boolean): DataFrame = {
+    val hcol = if (useAhash) "ahash" else "dhash"
+    imageHashes(spark, media)
+      .filter(col(hcol).isNotNull)
+      .select(col("media_id").as("doc_id"), col(hcol).as("packed"))
+  }
+
+  /** Persist an image-content dedup index ([[graft.ext.Dedup
+    * .writeHammingIndex]] over [[imageHashes]]) — hash once at crawl
+    * time, intake forever: arriving images check against the indexed
+    * corpus without re-decoding a single seen image. */
+  def writeImageHashIndex(spark: SparkSession, media: DataFrame,
+      path: String, useAhash: Boolean = false): Unit =
+    graft.ext.Dedup.writeHammingIndex(spark,
+      imagePacked(spark, media, useAhash), path)
+
+  /** Image near-dup intake at crawl time: decode + hash the ARRIVING
+    * batch only, pair against a [[writeImageHashIndex]] directory
+    * ([[graft.ext.Dedup.hammingIntake]] — indexed side scanned, never
+    * shuffled or re-decoded). Output (a_id = arrival media_id,
+    * b_id = indexed media_id, hamming). */
+  def imageDupIntake(spark: SparkSession, media: DataFrame, path: String,
+      maxDist: Int = 3, maxBucket: Int = 10,
+      useAhash: Boolean = false): DataFrame =
+    graft.ext.Dedup.hammingIntake(spark,
+      imagePacked(spark, media, useAhash), path, maxDist, maxBucket)
 }

@@ -352,14 +352,25 @@ object Ext6Queries {
   // themselves are spec-pinned (MultimodalSpec), like SimHash64 —
   // DuckDB cannot decode images, so the oracle checks the stage that
   // SQL can replay: banding, cap, pair expansion, bit_count verify.
+  /** The q166/q169 fixture signatures (both engines derive them
+    * identically — see q166's comment). */
+  private def phashFixture(s: SparkSession, d: String) =
+    Tables.documents(s, d).select(col("doc_id"),
+      expr("CAST(conv(substring(md5(concat(source, '#', " +
+          "CAST(n_chars DIV 32 AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        .bitwiseXOR(col("doc_id") % 8).as("packed"))
+
+  private val phashSigSql =
+    """SELECT doc_id,
+         xor(CAST(('0x' || substr(md5(source || '#'
+               || CAST(n_chars // 32 AS VARCHAR)), 1, 15)) AS BIGINT),
+             doc_id % 8) AS packed
+       FROM documents"""
+
   private val q166 = Q(
     "q166_phash_banding",
     (s, d) => {
-      val packed = Tables.documents(s, d).select(col("doc_id"),
-        expr("CAST(conv(substring(md5(concat(source, '#', " +
-            "CAST(n_chars DIV 32 AS STRING))), 1, 15), 16, 10) AS BIGINT)")
-          .bitwiseXOR(col("doc_id") % 8).as("packed"))
-      graft.ext.Dedup.hammingNearDup64(s, packed)
+      graft.ext.Dedup.hammingNearDup64(s, phashFixture(s, d))
         .orderBy(col("a_id"), col("b_id"))
     },
     Some("""WITH sig AS (
@@ -494,6 +505,56 @@ object Ext6Queries {
           / 1000000.0 AS dup_ratio
       FROM per GROUP BY domain ORDER BY domain"""))
 
+  // --------------------------------------------------------------- q169
+  // Incremental Hamming intake against a PERSISTED signature index
+  // (Dedup.writeHammingIndex/hammingIntake — the crawl-intake path of
+  // the perceptual-hash image-dedup family): the seen side (doc_id %
+  // 7 ≠ 0 on q166's fixture signatures) is indexed once into the
+  // build-once fixture dir; the query pairs the remaining seventh
+  // against it — seen signatures scanned, never shuffled, bucket
+  // sizes from the persisted metadata-scale census. The oracle
+  // replays the seen-side census, cap, band join and bit_count verify
+  // from scratch.
+  private val q169 = Q(
+    "q169_phash_intake",
+    (s, d) => {
+      val dir = Fixtures.dir("hamidx", d) { p =>
+        graft.ext.Dedup.writeHammingIndex(s,
+          phashFixture(s, d).filter(col("doc_id") % 7 =!= 0), p)
+      }
+      graft.ext.Dedup.hammingIntake(s,
+          phashFixture(s, d).filter(col("doc_id") % 7 === 0), dir)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH sig AS ($phashSigSql),
+      seen AS (SELECT * FROM sig WHERE doc_id % 7 <> 0),
+      newb AS (SELECT * FROM sig WHERE doc_id % 7 = 0),
+      ls AS (
+        SELECT doc_id, packed, CAST(l.generate_series AS INTEGER) AS band,
+          (packed // CAST(pow(2, l.generate_series * 16) AS BIGINT)) % 65536 AS bval
+        FROM seen, generate_series(0, 3) l),
+      bs AS (
+        SELECT band, bval FROM (
+          SELECT band, bval, count(*) AS n FROM ls GROUP BY band, bval)
+        WHERE n <= 10),
+      ln AS (
+        SELECT doc_id, packed, CAST(l.generate_series AS INTEGER) AS band,
+          (packed // CAST(pow(2, l.generate_series * 16) AS BIGINT)) % 65536 AS bval
+        FROM newb, generate_series(0, 3) l),
+      pairs AS (
+        SELECT DISTINCT n.doc_id AS a_id, s.doc_id AS b_id,
+          n.packed AS pa, s.packed AS pb
+        FROM ln n
+        JOIN bs ON bs.band = n.band AND bs.bval = n.bval
+        JOIN ls s ON s.band = n.band AND s.bval = n.bval
+          AND s.doc_id <> n.doc_id),
+      ham AS (
+        SELECT a_id, b_id,
+          CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+        FROM pairs)
+      SELECT a_id, b_id, hamming FROM ham
+      WHERE hamming <= 3 ORDER BY a_id, b_id"""))
+
   val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166, q167, q168)
+    q165, q166, q167, q168, q169)
 }

@@ -691,6 +691,56 @@ object Streams {
         least(col("a_id"), col("h.b_id")).as("keep_id"))
   }
 
+  /** Streaming Hamming near-dup intake against a persisted
+    * [[graft.ext.Dedup.writeHammingIndex]] directory — the stream twin
+    * of [[graft.ext.Dedup.hammingIntake]] for content signatures
+    * (perceptual image hashes, SimHash): each arriving (doc_id,
+    * packed) row checks its four 16-bit bands against the index's
+    * band buckets and emits (a_id = arrival, b_id = indexed, hamming)
+    * for every indexed signature within `maxDist`.
+    *
+    * Stateless stream-static ([[annEnrich]]'s discipline): the
+    * signature table reshapes ONCE per index into one row per
+    * under-cap (band, bval) bucket (over-cap buckets — the
+    * solid-color/boilerplate case, sized by the PERSISTED
+    * metadata-scale census — are dropped statically, the batch form's
+    * guard), the stream side takes four unique-key left joins (one
+    * per band), and one expression concatenates the probed buckets,
+    * DEDUPES pairs that share several bands (`array_distinct` — a
+    * streaming `distinct` would need a state store; this needs none),
+    * drops self-ids and verifies the exact packed `bit_count`.
+    * Ext6Spec pins stream ≡ the batch intake. */
+  def hammingIntake(spark: SparkSession, packedStream: DataFrame,
+      indexPath: String, maxDist: Int = 3, maxBucket: Int = 10): DataFrame = {
+    val small = spark.read.parquet(s"$indexPath/bsize")
+      .filter(col("n") <= maxBucket).select(col("band"), col("bval"))
+    val buckets = graft.ext.Dedup.hammingBands(
+        spark.read.parquet(s"$indexPath/sigs"))
+      .join(small, Seq("band", "bval"))
+      .groupBy(col("band"), col("bval"))
+      .agg(collect_list(struct(col("doc_id"), col("packed"))).as("ms"))
+    val base = packedStream.select(col("doc_id"), col("packed"))
+      .withColumn("_b", expr(
+        "transform(sequence(0, 3), i -> shiftright(packed, i * 16) & 65535)"))
+    val joined = (0 until 4).foldLeft(base) { (df, b) =>
+      df.withColumn(s"_bv_$b", expr(s"_b[$b]"))
+        .join(buckets.filter(col("band") === b)
+            .select(col("bval").as(s"_bv_$b"), col("ms").as(s"_ms_$b")),
+          Seq(s"_bv_$b"), "left_outer")
+    }
+    val lists = (0 until 4).map(b => s"_ms_$b").mkString(", ")
+    joined
+      .withColumn("_hits", expr(
+        s"""filter(array_distinct(
+           |         flatten(filter(array($lists), a -> a IS NOT NULL))),
+           |  m -> m.doc_id != doc_id
+           |    AND bit_count(packed ^ m.packed) <= $maxDist)""".stripMargin))
+      .select(col("doc_id").as("a_id"), col("packed").as("_pa"),
+        explode(col("_hits")).as("m"))
+      .select(col("a_id"), col("m.doc_id").as("b_id"),
+        expr("CAST(bit_count(_pa ^ m.packed) AS BIGINT)").as("hamming"))
+  }
+
   final case class CmsTok(source: String, word: String)
 
   /** Running per-source Count–Min frequency tracking on a stream: the

@@ -266,6 +266,124 @@ class Ext5Spec extends SparkSpec {
     assert(ndp(0) == ndp(16) && ndp(0) == ndp(1))
   }
 
+  test("hamming index: intake ≡ brute force, append ≡ rebuild, cap drops, stream ≡ batch") {
+    import spark.implicits._
+    // seen signatures: three 4-bit-noise families around distinct base
+    // patterns + one degenerate family (60 copies of one signature —
+    // the over-cap bucket)
+    def fam(base: Long, n: Int, off: Long) =
+      Seq.tabulate(n)(i => ((off + i).toLong, base ^ (i % 4).toLong))
+    val seen = fam(0x1234567812345678L, 8, 0) ++
+      fam(0x0F0F00FF11223344L, 8, 100) ++
+      fam(0x7777000012121212L, 8, 200) ++
+      Seq.tabulate(60)(i => ((300 + i).toLong, 0x4242424242424242L))
+    val fresh = Seq(
+      (900L, 0x1234567812345679L), // 1 bit from family A → pairs
+      (901L, 0x0F0F00FF11223347L), // 2 bits from family B → pairs
+      (902L, 0x4242424242424240L), // near the DEGENERATE family → capped, no pairs
+      (903L, 0x5A5A5A5A5A5A5A5AL)) // far from everything → no pairs
+    val seenDf = seen.toDF("doc_id", "packed")
+    val freshDf = fresh.toDF("doc_id", "packed")
+    val dir = java.nio.file.Files.createTempDirectory("hamidx").toString
+    Dedup.writeHammingIndex(spark, seenDf, dir)
+    val got = Dedup.hammingIntake(spark, freshDf, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    // brute force over UNDER-CAP seen buckets: pairs with ≥1 shared
+    // 16-bit band and Hamming ≤ 3 (the degenerate family's bucket
+    // holds 60 > 10 members in every band → contributes nothing)
+    val undercap = seen.filter(_._2 != 0x4242424242424242L)
+    val want = (for {
+      (a, pa) <- fresh
+      (b, pb) <- undercap
+      if (0 until 4).exists(i => ((pa >> (i * 16)) & 0xffffL) == ((pb >> (i * 16)) & 0xffffL))
+      h = java.lang.Long.bitCount(pa ^ pb)
+      if h <= 3
+    } yield (a, b, h.toLong)).sorted
+    assert(got == want && got.nonEmpty)
+    assert(!got.exists(_._1 == 902L) && !got.exists(_._1 == 903L))
+    // append ≡ rebuild: same census, same intake verdicts
+    val dirApp = java.nio.file.Files.createTempDirectory("hamapp").toString
+    val dirAll = java.nio.file.Files.createTempDirectory("hamall").toString
+    val extra = fam(0x1234567812345678L, 5, 500).toDF("doc_id", "packed")
+    Dedup.writeHammingIndex(spark, seenDf, dirApp)
+    Dedup.appendHammingIndex(spark, extra, dirApp)
+    Dedup.writeHammingIndex(spark, seenDf.unionByName(extra), dirAll)
+    def census(p: String) = spark.read.parquet(s"$p/bsize")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(census(dirApp) == census(dirAll))
+    def intake(p: String) = Dedup.hammingIntake(spark, freshDf, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(intake(dirApp) == intake(dirAll))
+    // streaming twin ≡ batch on the same index
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.streaming.Streams.hammingIntake(spark,
+        mem.toDF().toDF("doc_id", "packed"), dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hamintake").start()
+    mem.addData(fresh.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM hamintake")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    q.stop()
+    assert(streamed == got)
+  }
+
+  test("image hash index: resized copy of an indexed image pairs at intake, junk drops") {
+    import spark.implicits._
+    // reuse MultimodalSpec's pattern approach inline: indexed corpus =
+    // three distinct smooth gradients; intake = a box-resized copy of
+    // one + an undecodable payload
+    def gray(w: Int, h: Int)(v: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = math.max(0, math.min(255, v(x, y)))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    def pat(w: Int, h: Int, fx: Double, fy: Double, ph: Double) =
+      gray(w, h)((x, y) => (127.5 * (1 + math.sin(2 * math.Pi *
+        ((x + 0.5) / w * fx + (y + 0.5) / h * fy) + ph))).round.toInt)
+    def enc(img: java.awt.image.BufferedImage) = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b)
+      b.toByteArray
+    }
+    def resize(img: java.awt.image.BufferedImage, tw: Int, th: Int) =
+      gray(tw, th) { (tx, ty) =>
+        val (x0, x1) = (tx * img.getWidth / tw,
+          math.max(tx * img.getWidth / tw + 1, (tx + 1) * img.getWidth / tw))
+        val (y0, y1) = (ty * img.getHeight / th,
+          math.max(ty * img.getHeight / th + 1, (ty + 1) * img.getHeight / th))
+        var acc = 0L; var n = 0
+        for (y <- y0 until y1; x <- x0 until x1) {
+          acc += img.getRGB(x, y) & 0xff; n += 1
+        }
+        (acc.toDouble / n).round.toInt
+      }
+    val shapes = Seq((1.0, 0.0, 0.0), (2.0, 1.0, 1.1), (1.0, 2.0, 2.2))
+    val corpus = shapes.zipWithIndex.map { case ((fx, fy, ph), i) =>
+      (i.toLong, enc(pat(64, 64, fx, fy, ph)))
+    }.toDF("media_id", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("imgidx").toString
+    graft.multimodal.Multimodal.writeImageHashIndex(spark, corpus, dir)
+    val arrivals = Seq(
+      (100L, enc(resize(pat(64, 64, 2.0, 1.0, 1.1), 48, 48))),
+      (101L, "not an image at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val pairs = graft.multimodal.Multimodal.imageDupIntake(spark,
+        arrivals, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 1L)), s"resized copy must pair: $pairs")
+    assert(pairs.forall(_._2 == 1L), s"no cross-pattern pair: $pairs")
+    assert(!pairs.exists(_._1 == 101L))
+  }
+
   test("knnGraph: planted twins are mutual top-1 at cosine 1.0; ranks bounded in-cluster") {
     import spark.implicits._
     val e = emb(Seq.tabulate(40) { i =>

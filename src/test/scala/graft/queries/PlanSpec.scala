@@ -309,7 +309,12 @@ class PlanSpec extends SparkSpec {
       "q166_phash_banding" -> 4,
       // q167 = one compiled narrow expression + the output orderBy;
       // q168 = q113's two-phase exact distinct + orderBy
-      "q167_url_normalize" -> 1, "q168_host_dup_profile" -> 3)
+      "q167_url_normalize" -> 1, "q168_host_dup_profile" -> 3,
+      // q169 = persisted-index Hamming intake: seen sigs SCANNED
+      // (broadcast increment bands + broadcast census guard — both
+      // joins broadcast), the 2 shuffles are the pair distinct and
+      // the output orderBy
+      "q169_phash_intake" -> 2)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -1406,7 +1406,16 @@ object Dedup {
     *
     * Output: (a_id = new, b_id = seen, hamming). Pinned ≡ the
     * brute-force new×seen pair filter on under-cap fixtures
-    * (Ext6Spec), and oracle-checked end to end by q169. */
+    * (Ext5Spec), and oracle-checked end to end by q169.
+    *
+    * SIZE `maxBucket` TO THE CORPUS: the 16-bit band space holds 4·2¹⁶
+    * buckets, so at n signatures the MEAN bucket carries ~n/2¹⁶
+    * members per band — a cap below that drops most LEGITIMATE
+    * buckets, not just degenerate ones (band-space saturation;
+    * ScaleProbe's `hamming-intake` census measures it at 2M sigs:
+    * cap 10 keeps 4% of the true pairs, cap ≈ 10× the mean keeps them
+    * all while still dropping the 100k-copy degenerate bucket). Read
+    * `path/bsize` — it IS the distribution — before picking. */
   def hammingIntake(spark: SparkSession, newPacked: DataFrame,
       path: String, maxDist: Int = 3, maxBucket: Int = 10): DataFrame = {
     val small = spark.read.parquet(s"$path/bsize")

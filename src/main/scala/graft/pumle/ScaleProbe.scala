@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val onlyWinnowPrune = args.headOption.contains("winnow-prune")
-    val nSims = if (onlyWinnowPrune) 4
+    val onlyHamming = args.headOption.contains("hamming-intake")
+    val nSims = if (onlyWinnowPrune || onlyHamming) 4
       else args.headOption.map(_.toInt).getOrElse(4)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -30,6 +31,11 @@ object ScaleProbe {
 
     if (onlyWinnowPrune) {
       winnowMergePruneCensus(spark)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("hamming-intake")) {
+      hammingIntakeCensus(spark)
       spark.stop()
       return
     }
@@ -837,6 +843,82 @@ object ScaleProbe {
         f"merge $secsM%.1fs vs $secsP%.1fs; 10k-doc increment " +
         f"$incFull%.1fs → $incPruned%.1fs, verdicts equal ($k1%d kept)")
       rmTemp(root)
+  }
+
+  /** Persisted-Hamming-index scale census (standalone `hamming-intake`
+    * arg): 2,000,000 seen signatures — near-dup families of 8 around
+    * md5-derived bases (XOR-noise low bits, the perceptual-hash
+    * corpus shape) with 5% collapsed onto ONE degenerate signature
+    * (the solid-color/boilerplate mega-bucket a crawl always has) —
+    * then a 10k-signature crawl increment through
+    * [[graft.ext.Dedup.hammingIntake]] and a 10k append through
+    * [[graft.ext.Dedup.appendHammingIndex]]. What the numbers must
+    * show: intake cost is one seen-side SCAN + broadcast work (flat
+    * in increment size), the append's census merge is metadata-scale
+    * arithmetic, and the 100k-copy degenerate bucket contributes
+    * ZERO pair work (guarded by the persisted census, not by luck). */
+  private def hammingIntakeCensus(spark: SparkSession): Unit = {
+    def rmTemp(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    def sigs(lo: Long, hi: Long) = spark.range(lo, hi, 1, 32).select(
+      col("id").as("doc_id"),
+      when(col("id") % 20 === 0, lit(0x4242424242424242L))
+        .otherwise(expr(
+          """CAST(conv(substring(md5(CAST(id DIV 8 AS STRING)), 1, 15),
+            |          16, 10) AS BIGINT) ^ (id % 4)""".stripMargin))
+        .as("packed"))
+    val dir = java.nio.file.Files.createTempDirectory("hamscale").toString
+    val tB = System.nanoTime()
+    graft.ext.Dedup.writeHammingIndex(spark, sigs(0, 2000000), dir)
+    val secsB = (System.nanoTime() - tB) / 1e9
+    val nB = spark.read.parquet(s"$dir/bsize").count()
+    // the increment is NEAR-DUPS of scattered seen families (base ^ 3,
+    // ≤ 2 bits from every family member) plus the same 5% degenerate
+    // share — a crawl increment that actually matches seen content
+    val inc = spark.range(0, 10000, 1, 8).select(
+      (col("id") + 2000000L).as("doc_id"),
+      when(col("id") % 20 === 0, lit(0x4242424242424242L))
+        .otherwise(expr(
+          """CAST(conv(substring(md5(CAST((id * 193) % 250000 AS STRING)),
+            |          1, 15), 16, 10) AS BIGINT) ^ 3""".stripMargin))
+        .as("packed"))
+    // two cap settings: the default 10 (exposes BAND-SPACE SATURATION —
+    // at 2M sigs the mean 16-bit bucket holds ~n·4/262k ≈ 30 members,
+    // so a cap below the mean drops most LEGITIMATE buckets) and a
+    // scale-sized 300 (≈ 10× the mean; the hammingIntake doc's sizing
+    // rule). Warm once, then min-of-2 (the winnow census' protocol).
+    def timeIntake(cap: Int): (Double, Long) = {
+      graft.ext.Dedup.hammingIntake(spark, inc, dir, maxBucket = cap).count()
+      var best = Double.MaxValue
+      var pairs = 0L
+      for (_ <- 0 until 2) {
+        val t = System.nanoTime()
+        pairs = graft.ext.Dedup.hammingIntake(spark, inc, dir,
+          maxBucket = cap).count()
+        best = math.min(best, (System.nanoTime() - t) / 1e9)
+      }
+      (best, pairs)
+    }
+    val (tightS, tightP) = timeIntake(10)
+    val (sizedS, sizedP) = timeIntake(300)
+    // the degenerate signature (100k-copy bucket, far above EITHER
+    // cap) must pair nothing: 500 of the increment's 10k rows carry it
+    val degPairs = graft.ext.Dedup.hammingIntake(spark,
+        inc.filter(col("packed") === 0x4242424242424242L), dir,
+        maxBucket = 300).count()
+    val tA = System.nanoTime()
+    graft.ext.Dedup.appendHammingIndex(spark, sigs(2010000, 2020000), dir)
+    val secsA = (System.nanoTime() - tA) / 1e9
+    println(f"[probe] hamming intake: 2M sigs indexed in $secsB%.1fs " +
+      f"($nB%d census rows); 10k increment cap=10 $tightS%.1fs " +
+      f"($tightP%d pairs — saturation-dropped), cap=300 $sizedS%.1fs " +
+      f"($sizedP%d pairs); degenerate 100k-copy bucket: $degPairs%d " +
+      f"pairs (census-guarded at either cap); 10k append $secsA%.1fs " +
+      f"(census merged by arithmetic)")
+    rmTemp(dir)
   }
 
 }

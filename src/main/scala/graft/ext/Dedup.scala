@@ -1414,12 +1414,18 @@ object Dedup {
     * buckets, not just degenerate ones (band-space saturation;
     * ScaleProbe's `hamming-intake` census measures it at 2M sigs:
     * cap 10 keeps 4% of the true pairs, cap ≈ 10× the mean keeps them
-    * all while still dropping the 100k-copy degenerate bucket). Read
-    * `path/bsize` — it IS the distribution — before picking. */
+    * all while still dropping the 100k-copy degenerate bucket). Pass
+    * `maxBucket = 0` to DERIVE the cap from the persisted census
+    * ([[deriveHammingCap]]: 10 × the mean bucket size, floor 10 —
+    * free, the census is already on disk), or read `path/bsize` — it
+    * IS the distribution — and pick explicitly. */
   def hammingIntake(spark: SparkSession, newPacked: DataFrame,
       path: String, maxDist: Int = 3, maxBucket: Int = 10): DataFrame = {
+    require(maxBucket >= 0,
+      s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
+    val cap = if (maxBucket == 0) deriveHammingCap(spark, path) else maxBucket
     val small = spark.read.parquet(s"$path/bsize")
-      .filter(col("n") <= maxBucket).select(col("band"), col("bval"))
+      .filter(col("n") <= cap).select(col("band"), col("bval"))
     val nb = hammingBands(newPacked
         .select(col("doc_id"), col("packed")))
       .select(col("doc_id").as("a_id"), col("packed").as("pa"),
@@ -1435,6 +1441,19 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** The census-derived bucket cap for a [[writeHammingIndex]]
+    * directory: 10 × the mean per-band bucket occupancy
+    * (nSigs / 2¹⁶), floor 10 — the sizing rule ScaleProbe's
+    * `hamming-intake` census measured (mean-relative caps keep the
+    * planted pair set while a 100k-copy degenerate bucket stays ~3
+    * orders of magnitude above the cap). One aggregate over the
+    * metadata-scale census table; opt in with `maxBucket = 0`. */
+  def deriveHammingCap(spark: SparkSession, path: String): Int = {
+    val row = spark.read.parquet(s"$path/bsize").agg(sum(col("n"))).head()
+    val total = (if (row.isNullAt(0)) 0L else row.getLong(0)) / 4
+    math.max(10L, 10L * ((total + 65535) / 65536)).toInt
   }
 
   /** Exact cap diagnostics for [[simhashNearDup]] as a standalone

@@ -712,8 +712,14 @@ object Streams {
     * Ext6Spec pins stream ≡ the batch intake. */
   def hammingIntake(spark: SparkSession, packedStream: DataFrame,
       indexPath: String, maxDist: Int = 3, maxBucket: Int = 10): DataFrame = {
+    require(maxBucket >= 0,
+      s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
+    // maxBucket = 0 → the batch form's census-derived cap (free: the
+    // census is persisted; the static side is built once per stream)
+    val cap = if (maxBucket == 0)
+      graft.ext.Dedup.deriveHammingCap(spark, indexPath) else maxBucket
     val small = spark.read.parquet(s"$indexPath/bsize")
-      .filter(col("n") <= maxBucket).select(col("band"), col("bval"))
+      .filter(col("n") <= cap).select(col("band"), col("bval"))
     val buckets = graft.ext.Dedup.hammingBands(
         spark.read.parquet(s"$indexPath/sigs"))
       .join(small, Seq("band", "bval"))

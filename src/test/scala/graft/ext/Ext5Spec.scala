@@ -315,6 +315,17 @@ class Ext5Spec extends SparkSpec {
     def intake(p: String) = Dedup.hammingIntake(spark, freshDf, p)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(intake(dirApp) == intake(dirAll))
+    // derived cap (maxBucket = 0): floor 10 at this tiny index, so
+    // verdicts equal the explicit default; the formula itself checked
+    // against a hand-written census (10 × ceil(mean occupancy))
+    assert(Dedup.deriveHammingCap(spark, dir) == 10)
+    assert(Dedup.hammingIntake(spark, freshDf, dir, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq == got)
+    val capDir = java.nio.file.Files.createTempDirectory("hamcap").toString
+    Seq((0, 0L, 8000000L)).toDF("band", "bval", "n")
+      .write.parquet(s"$capDir/bsize")
+    assert(Dedup.deriveHammingCap(spark, capDir) == 310) // 10·ceil(2M/65536)
     // streaming twin ≡ batch on the same index
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -456,4 +456,40 @@ object Multimodal {
       useAhash: Boolean = false): DataFrame =
     graft.ext.Dedup.hammingIntake(spark,
       imagePacked(spark, media, useAhash), path, maxDist, maxBucket)
+
+  /** Video-content near-dup via SHARED FRAMES — the multimodal stack
+    * composed end to end: [[sampleFrames]] explodes each container
+    * into ≤ `maxFrames` strided frames, [[imageHashes]] dHashes every
+    * frame, [[graft.ext.Dedup.hammingNearDup64]] finds near-dup frame
+    * pairs, and the roll-up counts them per VIDEO pair — two videos
+    * sharing re-encoded/resized copies of `minFrames`+ frames are
+    * near-dups even when their byte streams share nothing. Output
+    * `(a_id, b_id, n_frame_pairs)`, a_id < b_id.
+    *
+    * Scale shape: everything upstream of the banding is narrow
+    * (explode → decode → hash per frame, bytes never leave the
+    * executor), the banding is the capped 4×16 machinery (a static
+    * title card shared by half the corpus is the mega-bucket case —
+    * capped, observable), and the roll-up is one partial-aggregable
+    * groupBy on video-id pairs. Frame identity rides
+    * `media_id · 2²⁰ + frame_idx` (maxFrames is bounded far below
+    * 2²⁰), so the frame pair stream carries flat longs. */
+  def videoNearDup(spark: SparkSession, media: DataFrame,
+      stride: Int = 1, maxFrames: Int = 64, maxDist: Int = 3,
+      maxBucket: Int = 10, minFrames: Int = 1): DataFrame = {
+    require(maxFrames < (1 << 20), s"maxFrames=$maxFrames ≥ 2^20")
+    val frames = sampleFrames(spark, media, stride, maxFrames)
+      .select((col("media_id") * (1L << 20) + col("frame_idx")).as("media_id"),
+        col("frame_png").as("payload"))
+    graft.ext.Dedup.hammingNearDup64(spark,
+        imagePacked(spark, frames, useAhash = false), maxDist, maxBucket)
+      .select(expr(s"a_id DIV ${1L << 20}").as("a_id"),
+        expr(s"b_id DIV ${1L << 20}").as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_frame_pairs"))
+      .filter(col("n_frame_pairs") >= minFrames)
+  }
 }

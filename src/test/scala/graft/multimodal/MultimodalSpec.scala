@@ -298,6 +298,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoNearDup: containers sharing frames pair, disjoint ones don't") {
+    import spark.implicits._
+    def gif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      baos.toByteArray
+    }
+    def p(fx: Double, fy: Double, ph: Double) = pattern(48, 48, fx, fy, ph)
+    // A and B share two patterns (B's copies re-rendered — the GIF
+    // writer re-palettizes, so bytes differ while content matches);
+    // C is disjoint
+    val a = gif(Seq(p(1, 0, 0.0), p(2, 1, 1.1), p(1, 2, 2.2)))
+    val b = gif(Seq(p(2, 1, 1.1), p(1, 2, 2.2), p(2, 2, 0.7)))
+    val c = gif(Seq(p(0, 2, 1.9), p(1, 3, 2.9)))
+    val media = Seq((1L, a), (2L, b), (3L, c)).toDF("media_id", "payload")
+    val pairs = Multimodal.videoNearDup(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(t => (t._1, t._2)).toSet == Set((1L, 2L)),
+      s"only A-B may pair: ${pairs.mkString(", ")}")
+    assert(pairs.head._3 >= 2, s"A and B share two frames: ${pairs.head}")
+    // minFrames filters weak overlaps
+    assert(Multimodal.videoNearDup(spark, media, minFrames = 3).count() <=
+      (if (pairs.head._3 >= 3) 1 else 0))
+  }
+
   test("metadata-only query prunes the binary column from the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("mm").toString
     Multimodal.asMedia(docs, "doc_id", "text", "image")

@@ -25,5 +25,14 @@ object Functions {
     HllRegs.register(spark)
     AdcSum.register(spark)
     TopKMin.register(spark)
+    TopKMinRound.register(spark)
+    TopKCosRound.register(spark)
+    RoundGe.register(spark)
+    UrlNorm.register(spark)
+    // model-bound expressions (CentroidTopK, AdcTopKMulti, PqEncode,
+    // SqEncode, BloomDecontam, BigramLm, QcScore, DsirScore, BpeTokens,
+    // WinnowKeys, GramKeys, ChunkWords) bind at their call sites — a
+    // registration needs the model/parameters, so there is no
+    // parameter-free default to install here
   }
 }

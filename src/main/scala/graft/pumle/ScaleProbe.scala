@@ -904,6 +904,10 @@ object ScaleProbe {
     }
     val (tightS, tightP) = timeIntake(10)
     val (sizedS, sizedP) = timeIntake(300)
+    // the census-derived cap (maxBucket = 0 → deriveHammingCap) must
+    // land in the sized regime on its own
+    val derivedCap = graft.ext.Dedup.deriveHammingCap(spark, dir)
+    val (derS, derP) = timeIntake(0)
     // the degenerate signature (100k-copy bucket, far above EITHER
     // cap) must pair nothing: 500 of the increment's 10k rows carry it
     val degPairs = graft.ext.Dedup.hammingIntake(spark,
@@ -915,7 +919,8 @@ object ScaleProbe {
     println(f"[probe] hamming intake: 2M sigs indexed in $secsB%.1fs " +
       f"($nB%d census rows); 10k increment cap=10 $tightS%.1fs " +
       f"($tightP%d pairs — saturation-dropped), cap=300 $sizedS%.1fs " +
-      f"($sizedP%d pairs); degenerate 100k-copy bucket: $degPairs%d " +
+      f"($sizedP%d pairs), derived cap=$derivedCap%d $derS%.1fs " +
+      f"($derP%d pairs); degenerate 100k-copy bucket: $degPairs%d " +
       f"pairs (census-guarded at either cap); 10k append $secsA%.1fs " +
       f"(census merged by arithmetic)")
     rmTemp(dir)

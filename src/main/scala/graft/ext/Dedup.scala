@@ -1361,29 +1361,48 @@ object Dedup {
       path: String): Unit = {
     packedDf.select(col("doc_id"), col("packed"))
       .write.mode("overwrite").parquet(s"$path/sigs")
+    rebuildHammingCensus(spark, path)
+  }
+
+  /** Recount `path/bsize` from `path/sigs` — the census recovery/
+    * repair pass: one scan of the signature table + a metadata-scale
+    * aggregate (4·2¹⁶ buckets max). Run it after a failed
+    * [[appendHammingIndex]] (sigs appended, census not yet updated)
+    * — an UNDERCOUNTED census quietly weakens the mega-bucket guard
+    * [[hammingIntake]] relies on, so repair beats limping on. */
+  def rebuildHammingCensus(spark: SparkSession, path: String): Unit =
     hammingBands(spark.read.parquet(s"$path/sigs"))
       .groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/bsize")
-  }
 
   /** Append new signatures to a [[writeHammingIndex]] directory: the
     * signature rows append, and the band census updates by METADATA
     * ARITHMETIC — old census + increment counts summed per bucket
     * (both tables ≤ 4·65536 rows) — never a recount of the seen
-    * signatures (the [[mergeWinnowIndexes]] df-sum discipline). */
+    * signatures (the [[mergeWinnowIndexes]] df-sum discipline).
+    *
+    * The increment materializes ONCE (tracked localCheckpoint,
+    * released on exit) before either write — evaluating the caller's
+    * frame twice would let a non-deterministic input desynchronize
+    * sigs and bsize silently. A failure BETWEEN the sigs append and
+    * the census overwrite still leaves the two inconsistent: recover
+    * with [[rebuildHammingCensus]] before the next intake. */
   def appendHammingIndex(spark: SparkSession, packedDf: DataFrame,
       path: String): Unit = {
-    val inc = packedDf.select(col("doc_id"), col("packed"))
-    inc.write.mode("append").parquet(s"$path/sigs")
-    val merged = spark.read.parquet(s"$path/bsize")
-      .unionByName(hammingBands(inc)
-        .groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n")))
-      .groupBy(col("band"), col("bval")).agg(sum(col("n")).as("n"))
-      .collect() // metadata-scale: ≤ 4·65536 rows by construction
-    import spark.implicits._
-    merged.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
-      .toDF("band", "bval", "n")
-      .write.mode("overwrite").parquet(s"$path/bsize")
+    val (inc, blocks) = checkpointTracked(
+      packedDf.select(col("doc_id"), col("packed")))
+    try {
+      inc.write.mode("append").parquet(s"$path/sigs")
+      val merged = spark.read.parquet(s"$path/bsize")
+        .unionByName(hammingBands(inc)
+          .groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n")))
+        .groupBy(col("band"), col("bval")).agg(sum(col("n")).as("n"))
+        .collect() // metadata-scale: ≤ 4·65536 rows by construction
+      import spark.implicits._
+      merged.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("band", "bval", "n")
+        .write.mode("overwrite").parquet(s"$path/bsize")
+    } finally blocks.foreach(_.unpersist(blocking = false))
   }
 
   /** Incremental Hamming near-dup intake: pairs each NEW signature

@@ -264,7 +264,7 @@ object Multimodal {
     * Fully narrow flatMap: no shuffle, undecodable payloads contribute
     * zero rows (skip-don't-crash), reader disposed per payload. */
   def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 1,
-      maxFrames: Int = 64): DataFrame = {
+      maxFrames: Int = 64, maxPixels: Long = DefaultMaxPixels): DataFrame = {
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -272,34 +272,44 @@ object Multimodal {
         it.flatMap { case (id, payload) =>
           val frames = scala.collection.mutable.ArrayBuffer
             .empty[(Long, Int, Int, Int, Array[Byte])]
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(payload))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (readers.hasNext) {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis)
-              val n =
-                try reader.getNumImages(true)
-                catch { case _: java.io.IOException => 0 }
-              var i = 0
-              while (i < n && frames.length < maxFrames) {
-                val img =
-                  try reader.read(i)
-                  catch {
-                    case _: java.io.IOException => null
-                    case _: IndexOutOfBoundsException => null
+          // same skip-don't-crash surface as decodeBounded: header
+          // dimensions gate each frame BEFORE its buffer allocates,
+          // and any plugin throw (NonFatal, not just IOException —
+          // JDK readers raise RuntimeExceptions on crafted payloads)
+          // skips the frame/payload instead of failing the task.
+          val iis =
+            try javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (iis != null) {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n =
+                  try reader.getNumImages(true)
+                  catch { case scala.util.control.NonFatal(_) => 0 }
+                var i = 0
+                while (i < n && frames.length < maxFrames) {
+                  val img =
+                    try {
+                      val w = reader.getWidth(i).toLong
+                      val h = reader.getHeight(i).toLong
+                      if (w <= 0 || h <= 0 || w * h > maxPixels) null
+                      else reader.read(i)
+                    } catch { case scala.util.control.NonFatal(_) => null }
+                  if (img != null) {
+                    val baos = new java.io.ByteArrayOutputStream()
+                    javax.imageio.ImageIO.write(img, "png", baos)
+                    frames += ((id, i, img.getWidth, img.getHeight,
+                      baos.toByteArray))
                   }
-                if (img != null) {
-                  val baos = new java.io.ByteArrayOutputStream()
-                  javax.imageio.ImageIO.write(img, "png", baos)
-                  frames += ((id, i, img.getWidth, img.getHeight,
-                    baos.toByteArray))
+                  i += stride
                 }
-                i += stride
-              }
-            } finally { reader.dispose(); iis.close() }
-          } else iis.close()
+              } finally { reader.dispose(); iis.close() }
+            } else iis.close()
+          }
           frames
         }
       }.toDF("media_id", "frame_idx", "width", "height", "frame_png")
@@ -330,15 +340,14 @@ object Multimodal {
     * Undecodable payloads yield NULL hashes (skip-don't-crash;
     * [[imageNearDup]] drops them). Narrow mapPartitions — bytes never
     * leave the executor, exactly [[extractFeatures]]' flow. */
-  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+  def imageHashes(spark: SparkSession, media: DataFrame,
+      maxPixels: Long = DefaultMaxPixels): DataFrame = {
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, payload) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+          val img = decodeBounded(payload, maxPixels)
           if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
             (id, Option.empty[Long], Option.empty[Long])
           else {
@@ -369,6 +378,46 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "dhash", "ahash")
+  }
+
+  /** The default decode-size ceiling (pixels): 32M covers every real
+    * photo format through 8K stills at ~128 MB of INT_RGB buffer,
+    * while a decompression bomb (a few-KB payload declaring a
+    * billion-pixel canvas) is rejected from its HEADER. */
+  val DefaultMaxPixels: Long = 32000000L
+
+  /** Decode `payload` to a BufferedImage, or null when it is
+    * undecodable OR declares more than `maxPixels` pixels. The
+    * declared dimensions are read from the container header
+    * (`ImageReader.getWidth/getHeight`) BEFORE the full-frame buffer
+    * allocates, so a decompression-bomb payload yields a NULL hash
+    * instead of an executor OOM — and ANY decoder throw is a skip,
+    * never a task failure: JDK image plugins raise RuntimeExceptions
+    * (CMMException, IllegalArgumentException, IndexOutOfBounds) on
+    * crafted/truncated payloads, not just IOException, so the catch
+    * is NonFatal, the documented skip-don't-crash contract. */
+  private def decodeBounded(payload: Array[Byte],
+      maxPixels: Long): java.awt.image.BufferedImage = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (iis == null) null
+    else try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) null
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val w = reader.getWidth(0).toLong
+          val h = reader.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > maxPixels) null
+          else reader.read(0)
+        } catch { case scala.util.control.NonFatal(_) => null }
+        finally reader.dispose()
+      }
+    } finally iis.close()
   }
 
   /** Luma box-average of `img` onto a `gw`×`gh` grid (row-major
@@ -478,9 +527,19 @@ object Multimodal {
       stride: Int = 1, maxFrames: Int = 64, maxDist: Int = 3,
       maxBucket: Int = 10, minFrames: Int = 1): DataFrame = {
     require(maxFrames < (1 << 20), s"maxFrames=$maxFrames ≥ 2^20")
+    // the id side of the packing is guarded IN-PLAN (media ids are
+    // data, not a parameter a require can see): an id outside
+    // [0, 2^43) would overflow the ·2²⁰ shift and silently corrupt
+    // pair identities after the DIV roll-up, so it raises with a
+    // named error instead. One codegen'd CASE — no extra pass.
+    val packedId = when(
+      col("media_id") >= 0 && col("media_id") < lit(1L << 43),
+      col("media_id") * (1L << 20) + col("frame_idx"))
+      .otherwise(raise_error(concat(
+        lit("videoNearDup: media_id outside [0, 2^43) packing range: "),
+        col("media_id").cast("string"))))
     val frames = sampleFrames(spark, media, stride, maxFrames)
-      .select((col("media_id") * (1L << 20) + col("frame_idx")).as("media_id"),
-        col("frame_png").as("payload"))
+      .select(packedId.as("media_id"), col("frame_png").as("payload"))
     graft.ext.Dedup.hammingNearDup64(spark,
         imagePacked(spark, frames, useAhash = false), maxDist, maxBucket)
       .select(expr(s"a_id DIV ${1L << 20}").as("a_id"),

@@ -668,9 +668,28 @@ object Streams {
     * stream ≡ an independently-written batch reference over the same
     * definition. */
   def nearDupIntake(spark: SparkSession, emb: DataFrame, indexPath: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxCluster: Int = Int.MaxValue): DataFrame = {
+    require(maxCluster >= 1, s"maxCluster=$maxCluster must be >= 1")
     graft.functions.Dot64.register(spark)
-    val cells = spark.read.parquet(s"$indexPath/assigned")
+    val assigned = spark.read.parquet(s"$indexPath/assigned")
+    // hot-cell guard, the batch twin's (nearDupPairsAnn →
+    // capHotClusters) conservative semantics on the STATIC side: a
+    // boilerplate mega-cell would otherwise collect into one multi-GB
+    // row and pair every arrival against its full membership. Cells
+    // over the cap are excluded from the static side ENTIRELY (whole
+    // cell, deterministic — kept cells' verdicts bit-identical), and
+    // the census that decides it is one metadata-scale aggregate over
+    // the assigned table at stream start — read the same aggregate to
+    // observe what a cap would drop before picking one.
+    val underCap =
+      if (maxCluster == Int.MaxValue) assigned
+      else assigned.join(
+        broadcast(assigned.groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("_csize"))
+          .filter(col("_csize") <= maxCluster)
+          .select(col("centroid_id"))),
+        Seq("centroid_id"))
+    val cells = underCap
       .groupBy(col("centroid_id"))
       .agg(collect_list(
         struct(col("n_id"), col("vn"), col("nn"))).as("cands"))

@@ -312,6 +312,16 @@ class Ext5Spec extends SparkSpec {
     def census(p: String) = spark.read.parquet(s"$p/bsize")
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(census(dirApp) == census(dirAll))
+    // crash recovery: simulate an append that died between the sigs
+    // write and the census overwrite (bsize stale at the PRE-append
+    // counts) — rebuildHammingCensus recounts to the true census
+    val stale = spark.read.parquet(s"$dir/bsize")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      .toDF("band", "bval", "n")
+    stale.write.mode("overwrite").parquet(s"$dirApp/bsize")
+    assert(census(dirApp) != census(dirAll)) // desynchronized
+    Dedup.rebuildHammingCensus(spark, dirApp)
+    assert(census(dirApp) == census(dirAll)) // repaired
     def intake(p: String) = Dedup.hammingIntake(spark, freshDf, p)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(intake(dirApp) == intake(dirAll))

@@ -274,6 +274,56 @@ class IvfIndexSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 0L && p._2 == 0L)) // self-pair excluded
   }
 
+  test("nearDupIntake maxCluster drops over-cap cells entirely, kept cells bit-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed corpus: cell 0 hot (18 members), cells 1 and 2 hold 3 each
+    val skew = (Seq.tabulate(3) { c =>
+      val b = Array(0.05f, 0.05f, 0.05f, 0.05f); b(c) = 1.0f
+      (c.toLong, b)
+    } ++ Seq.tabulate(17) { i =>
+      val b = Array(0.05f, 0.05f, 0.05f, 0.05f); b(0) = 1.0f + (i + 1) * 0.005f
+      ((3 + i).toLong, b)
+    } ++ Seq.tabulate(4) { i =>
+      val c = 1 + (i % 2)
+      val b = Array(0.05f, 0.05f, 0.05f, 0.05f); b(c) = 1.0f + (i / 2 + 1) * 0.005f
+      ((20 + i).toLong, b)
+    }).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfndcap").toString
+    Similarity.writeIvfIndex(spark, skew, col("vec_id") < 3, dir)
+    val arrivals = Seq(
+      (100L, Array(1.02f, 0.05f, 0.05f, 0.05f)),  // lands in the hot cell
+      (101L, Array(0.05f, 0.98f, 0.05f, 0.05f)))  // lands in a small cell
+    def run(cap: Int) = {
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.Streams.nearDupIntake(spark,
+          mem.toDF().toDF("vec_id", "embedding"), dir, threshold = 0.9,
+          maxCluster = cap)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"ndcap$cap").start()
+      mem.addData(arrivals.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.sql(s"SELECT * FROM ndcap$cap").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4)))
+        .sorted.toSeq
+      q.stop(); got
+    }
+    val all = run(Int.MaxValue)
+    assert(all.exists(_._1 == 100L) && all.exists(_._1 == 101L))
+    // the cell census IS the observable the cap is sized from
+    val sizes = spark.read.parquet(s"$dir/assigned")
+      .groupBy("centroid_id").count().collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap // partition col infers as int
+    val cap = sizes.values.min.toInt
+    assert(sizes.values.exists(_ > cap)) // the hot cell is over it
+    val capped = run(cap)
+    // over-cap cells contribute nothing; kept cells verbatim
+    assert(capped == all.filter(p => sizes(p._3) <= cap))
+    assert(!capped.exists(_._1 == 100L) && capped.exists(_._1 == 101L))
+  }
+
   test("null embeddings are excluded from assignment — no Hive default partition ever lands") {
     import spark.implicits._
     val withNulls = emb.unionByName(

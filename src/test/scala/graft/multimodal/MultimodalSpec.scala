@@ -298,6 +298,68 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageHashes: maxPixels gates from the header — oversized/bomb payloads yield NULL hashes") {
+    import spark.implicits._
+    val img = enc(grayImg(16, 16)((x, y) => (x * y) % 256), "png") // 256 px
+    val ok = Multimodal.imageHashes(spark,
+      Seq((1L, img)).toDF("media_id", "payload")).collect()
+    assert(!ok(0).isNullAt(1))
+    // a ceiling below the declared 256 pixels rejects PRE-decode
+    val rej = Multimodal.imageHashes(spark,
+      Seq((1L, img)).toDF("media_id", "payload"), maxPixels = 255L).collect()
+    assert(rej(0).isNullAt(1) && rej(0).isNullAt(2))
+    // crafted decompression bomb: a VALID PNG header declaring a
+    // 10⁹×10⁹ canvas with no pixel data behind it — the header bound
+    // must reject it without ever allocating the canvas (a decode
+    // attempt would OOM the executor) and without failing the task
+    val bomb = bombPng(1000000000, 1000000000)
+    val b = Multimodal.imageHashes(spark,
+      Seq((2L, bomb)).toDF("media_id", "payload")).collect()
+    assert(b(0).isNullAt(1) && b(0).isNullAt(2))
+    // sampleFrames shares the per-frame guard
+    assert(Multimodal.sampleFrames(spark,
+      Seq((3L, img)).toDF("media_id", "payload"), maxPixels = 255L).count() == 0)
+    assert(Multimodal.sampleFrames(spark,
+      Seq((4L, bomb)).toDF("media_id", "payload")).count() == 0)
+  }
+
+  test("videoNearDup raises a named error on media ids outside the 2^43 packing range") {
+    import spark.implicits._
+    val png = enc(pattern(48, 48, 1.0, 0.0, 0.0), "png")
+    val media = Seq((1L << 43, png)).toDF("media_id", "payload")
+    val e = intercept[Exception] {
+      Multimodal.videoNearDup(spark, media).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("packing range")),
+      s"unexpected failure chain: ${messages(e).mkString(" | ")}")
+    // in-range ids pass through the guard unchanged
+    assert(Multimodal.videoNearDup(spark,
+      Seq(((1L << 43) - 1, png)).toDF("media_id", "payload")).count() == 0)
+  }
+
+  /** A syntactically valid PNG signature + IHDR chunk (correct CRC)
+    * declaring a `w`×`h` canvas, with no pixel data — the
+    * decompression-bomb shape: tiny payload, enormous declared
+    * allocation. */
+  private def bombPng(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val crc = new java.util.zip.CRC32()
+    crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdr)
+    val chunk = java.nio.ByteBuffer.allocate(4 + 4 + 13 + 4)
+      .putInt(13).put("IHDR".getBytes("US-ASCII")).put(ihdr)
+      .putInt(crc.getValue.toInt)
+    out.write(chunk.array())
+    out.toByteArray
+  }
+
   test("videoNearDup: containers sharing frames pair, disjoint ones don't") {
     import spark.implicits._
     def gif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {

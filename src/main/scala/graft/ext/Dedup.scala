@@ -1275,9 +1275,14 @@ object Dedup {
     * `dropped_buckets` / `dropped_doc_slots` after the first action on
     * the result; use [[simhashCapStats]] when an always-exact answer is
     * required (AQE empty-relation propagation can erase the observed
-    * subtree when every bucket is capped). */
+    * subtree when every bucket is capped).
+    *
+    * `maxBucket` DEFAULTS TO 0 = census-derived ([[hammingNearDup64]]'s
+    * in-plan derivation — ScaleProbe measured the old fixed default
+    * sitting below the MEAN bucket size at 2M signatures, silently
+    * keeping ~4% of true pairs); pass an explicit cap to pin it. */
   def simhashNearDup(spark: SparkSession, docs: DataFrame, maxDist: Int = 3,
-      maxBucket: Int = 10, idCol: String = "doc_id",
+      maxBucket: Int = 0, idCol: String = "doc_id",
       textCol: String = "text",
       capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val lanes = simhashLanes(docs, idCol, textCol)
@@ -1305,24 +1310,38 @@ object Dedup {
     * exact lane match on ≥1 band → candidate (pigeonhole-complete for
     * distance ≤ 3), mega-buckets dropped pre-collect at `maxBucket`
     * with observable drop stats, exact `bit_count(xor)` verification,
-    * one row per pair. */
+    * one row per pair.
+    *
+    * `maxBucket = 0` (the DEFAULT) derives the cap from the census the
+    * filter already computes — [[deriveHammingCap]]'s rule (10 × the
+    * mean per-band bucket occupancy, floor 10) evaluated IN-PLAN: the
+    * corpus total is a global window sum over the metadata-scale
+    * census (≤ 4·2¹⁶ rows — one window partition is fine), so
+    * derivation adds no job and no second corpus scan, and stays fully
+    * lazy/stream-composable. The fixed default it replaces was a
+    * measured recall scale-killer: at 2M signatures the MEAN band
+    * bucket holds ~30 members, so cap 10 sat below the mean and kept
+    * ~4% of true pairs (band-space saturation — ScaleProbe's
+    * `hamming-intake` census). An explicit cap still applies verbatim
+    * (floor 1); the drop stats always report against the cap in
+    * effect. */
   def hammingNearDup64(spark: SparkSession, packedDf: DataFrame,
-      maxDist: Int = 3, maxBucket: Int = 10,
+      maxDist: Int = 3, maxBucket: Int = 0,
       capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(maxBucket >= 0,
+      s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
     val packed = packedDf.select(col("doc_id"), col("packed"))
-    val buckets = packed.select(col("doc_id"), col("packed"),
-      posexplode(expr(
-        "transform(sequence(0, 3), i -> shiftright(packed, i * 16) & 65535)"))
-        .as(Seq("band", "bval")))
-    val sized0 = buckets.groupBy(col("band"), col("bval"))
-      .agg(count(lit(1)).as("bsize"))
+    val buckets = hammingBands(packed)
+    val sized0 = withHammingCap(
+      buckets.groupBy(col("band"), col("bval"))
+        .agg(count(lit(1)).as("bsize")), maxBucket)
     val sized = capMetrics.fold(sized0)(o => sized0.observe(o,
-      sum(when(col("bsize") > maxBucket, lit(1L)).otherwise(lit(0L)))
+      sum(when(col("bsize") > col("_cap"), lit(1L)).otherwise(lit(0L)))
         .as("dropped_buckets"),
-      sum(when(col("bsize") > maxBucket, col("bsize")).otherwise(lit(0L)))
+      sum(when(col("bsize") > col("_cap"), col("bsize")).otherwise(lit(0L)))
         .as("dropped_doc_slots")))
     val small = sized
-      .filter(col("bsize").between(2, maxBucket))
+      .filter(col("bsize").between(lit(2), col("_cap")))
       .select(col("band"), col("bval"))
     buckets.join(small, Seq("band", "bval")) // mega-buckets die pre-collect
       .groupBy(col("band"), col("bval"))
@@ -1347,6 +1366,23 @@ object Dedup {
       posexplode(expr(
         "transform(sequence(0, 3), i -> shiftright(packed, i * 16) & 65535)"))
         .as(Seq("band", "bval")))
+
+  /** Attach the effective bucket cap as a `_cap` column to a
+    * `(band, bval, bsize)` census frame: a literal for an explicit
+    * `maxBucket`, or — for `maxBucket = 0` — [[deriveHammingCap]]'s
+    * exact integer rule computed IN-PLAN (total signatures =
+    * Σ bsize / 4 via a global window; the census is metadata-scale,
+    * ≤ 4·2¹⁶ rows, so the single window partition costs nothing).
+    * Keeping derivation inside the plan means the derived-cap path
+    * stays as lazy as the explicit one — no extra job, no checkpoint,
+    * and the census is still computed exactly once. */
+  private def withHammingCap(census: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == 0)
+      census.withColumn("_tot", sum(col("bsize")).over())
+        .withColumn("_cap",
+          expr("greatest(10L, 10L * ((_tot DIV 4 + 65535) DIV 65536))"))
+        .drop("_tot")
+    else census.withColumn("_cap", lit(maxBucket.toLong))
 
   /** Persist a packed-64 Hamming signature index — the
     * build-once/intake-many layout for CONTENT near-dup at crawl
@@ -1433,13 +1469,13 @@ object Dedup {
     * buckets, not just degenerate ones (band-space saturation;
     * ScaleProbe's `hamming-intake` census measures it at 2M sigs:
     * cap 10 keeps 4% of the true pairs, cap ≈ 10× the mean keeps them
-    * all while still dropping the 100k-copy degenerate bucket). Pass
-    * `maxBucket = 0` to DERIVE the cap from the persisted census
-    * ([[deriveHammingCap]]: 10 × the mean bucket size, floor 10 —
-    * free, the census is already on disk), or read `path/bsize` — it
-    * IS the distribution — and pick explicitly. */
+    * all while still dropping the 100k-copy degenerate bucket).
+    * `maxBucket = 0` (the DEFAULT) DERIVES the cap from the persisted
+    * census ([[deriveHammingCap]]: 10 × the mean bucket size, floor
+    * 10 — free, the census is already on disk); read `path/bsize` —
+    * it IS the distribution — to pick explicitly. */
   def hammingIntake(spark: SparkSession, newPacked: DataFrame,
-      path: String, maxDist: Int = 3, maxBucket: Int = 10): DataFrame = {
+      path: String, maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
     require(maxBucket >= 0,
       s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
     val cap = if (maxBucket == 0) deriveHammingCap(spark, path) else maxBucket
@@ -1483,19 +1519,25 @@ object Dedup {
     * survived, and the hottest bucket. Narrow lane computation + two
     * partial-aggregable shuffles, no join. */
   def simhashCapStats(spark: SparkSession, docs: DataFrame,
-      maxBucket: Int = 10, idCol: String = "doc_id",
+      maxBucket: Int = 0, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    simhashLanes(docs, idCol, textCol)
-      .select(posexplode(col("lanes")).as(Seq("band", "bval")))
-      .groupBy(col("band"), col("bval"))
-      .agg(count(lit(1)).as("bsize"))
+    require(maxBucket >= 0,
+      s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
+    // maxBucket = 0 → the same in-plan census-derived cap the default
+    // [[simhashNearDup]] applies, so the diagnostics report against
+    // the cap the dedup actually uses
+    withHammingCap(
+      simhashLanes(docs, idCol, textCol)
+        .select(posexplode(col("lanes")).as(Seq("band", "bval")))
+        .groupBy(col("band"), col("bval"))
+        .agg(count(lit(1)).as("bsize")), maxBucket)
       .agg(
-        sum(when(col("bsize") > maxBucket, lit(1L)).otherwise(lit(0L)))
+        sum(when(col("bsize") > col("_cap"), lit(1L)).otherwise(lit(0L)))
           .as("dropped_buckets"),
-        sum(when(col("bsize") > maxBucket, col("bsize")).otherwise(lit(0L)))
+        sum(when(col("bsize") > col("_cap"), col("bsize")).otherwise(lit(0L)))
           .as("dropped_doc_slots"),
-        sum(when(col("bsize").between(2, maxBucket), lit(1L)).otherwise(lit(0L)))
-          .as("kept_buckets"),
+        sum(when(col("bsize").between(lit(2), col("_cap")), lit(1L))
+          .otherwise(lit(0L))).as("kept_buckets"),
         max(col("bsize")).as("max_bucket_size"))
   }
 

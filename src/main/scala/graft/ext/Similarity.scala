@@ -307,12 +307,16 @@ object Similarity {
     * `maxCluster` (+ `capMetrics`) to exclude boilerplate mega-clusters
     * from the quadratic pair work with an observable drop — see
     * [[capHotClusters]]. Capped members emit no rows (like
-    * singletons); kept clusters are bit-identical to unguarded. */
+    * singletons); kept clusters are bit-identical to unguarded.
+    * `pairSalts` defaults to 0 = census-derived ([[deriveSalts]] over
+    * the already-materialized assignment — metadata-scale); salting
+    * never changes the pair set, so any explicit count gives
+    * bit-identical results. */
   def knnGraph(spark: SparkSession, emb: DataFrame, k: Int = 3,
       centroids: Int = 16, dims: Int = 64,
       maxCluster: Int = Int.MaxValue,
       capMetrics: Option[org.apache.spark.sql.Observation] = None,
-      pairSalts: Int = 16): DataFrame = {
+      pairSalts: Int = 0): DataFrame = {
     require(pairSalts >= 0,
       s"pairSalts=$pairSalts must be >= 1, or 0 to derive from the census")
     graft.functions.TopKCosRound.register(spark)
@@ -392,9 +396,9 @@ object Similarity {
           .otherwise(-col("e.score")).as("cosine"))
   }
 
-  /** Adaptive pair-salt derivation — `pairSalts = 0` at any salted
-    * pair entry point opts in: the salt count comes from the OBSERVED
-    * blocking census instead of a hand-tuned knob. The largest block's
+  /** Adaptive pair-salt derivation — `pairSalts = 0`, the DEFAULT at
+    * every salted pair entry point: the salt count comes from the
+    * OBSERVED blocking census instead of a hand-tuned knob. The largest block's
     * pair work (|sample_b|·|members_b|; |members_b|² for the self-join
     * forms, where the sample IS the block) splits to roughly
     * [[TargetPairsPerSalt]] pairs per task, clamped to
@@ -464,7 +468,7 @@ object Similarity {
       k: Int = 16, threshold: Double = 0.35, dims: Int = 64,
       maxCluster: Int = Int.MaxValue,
       capMetrics: Option[org.apache.spark.sql.Observation] = None,
-      pairSalts: Int = 16): DataFrame = {
+      pairSalts: Int = 0): DataFrame = {
     require(pairSalts >= 0,
       s"pairSalts=$pairSalts must be >= 1, or 0 to derive from the census")
     // capped clusters are excluded from PAIR GENERATION only: their
@@ -689,17 +693,16 @@ object Similarity {
     * a deterministic md5 sub-salt, the corpus side replicates
     * ×`pairSalts`: identical pair set, largest task ÷pairSalts.
     *
-    * Salting is OPT-IN (default 1 = the plain block join): the
-    * replication multiplies the corpus side's shuffle ×pairSalts
-    * unconditionally, which is pure cost when the blocking key is
-    * fine-grained (many small blocks already spread across tasks).
-    * Pass pairSalts > 1 when the key is coarse or skewed — q63's
-    * 10-label blocking uses 16 (51.8→15.7s at the 200k decade) — or
-    * 0 to derive the count from a blocking census ([[deriveSalts]]:
-    * one extra narrow scan here, since nothing is materialized). */
+    * Salting defaults to CENSUS-DERIVED (`pairSalts = 0`): the count
+    * comes from the observed blocking census ([[deriveSalts]] — one
+    * extra narrow scan here, since nothing is materialized), which
+    * lands at 1 (the plain block join — replication is pure cost)
+    * when the key is fine-grained and scales up for coarse or skewed
+    * keys: q63's 10-label blocking needs 16 (51.8→15.7s at the 200k
+    * decade). Any explicit count gives the identical pair set. */
   def nearDupPairs(spark: SparkSession, emb: DataFrame, blockCol: String,
       samplePred: org.apache.spark.sql.Column, threshold: Double,
-      pairSalts: Int = 1): DataFrame = {
+      pairSalts: Int = 0): DataFrame = {
     require(pairSalts >= 0,
       s"pairSalts=$pairSalts must be >= 1, or 0 to derive from the census")
     val base = spread(withVectors(spark, emb))
@@ -747,13 +750,14 @@ object Similarity {
     * InferFiltersFromConstraints otherwise), boilerplate mega-cells
     * can be excluded observably (`maxCluster` + `capMetrics` —
     * capped cells emit no pairs), and dense cells spread over
-    * `pairSalts` tasks (opt-in, identical pair set). */
+    * `pairSalts` tasks (default 0 = census-derived over the kept
+    * cells; identical pair set at any count). */
   def nearDupPairsAnn(spark: SparkSession, emb: DataFrame,
       samplePred: org.apache.spark.sql.Column, threshold: Double,
       centroids: Int = 16, dims: Int = 64,
       maxCluster: Int = Int.MaxValue,
       capMetrics: Option[org.apache.spark.sql.Observation] = None,
-      pairSalts: Int = 1): DataFrame = {
+      pairSalts: Int = 0): DataFrame = {
     require(pairSalts >= 0,
       s"pairSalts=$pairSalts must be >= 1, or 0 to derive from the census")
     val (cp0, cp0Blocks) = Dedup.checkpointTracked(

@@ -470,9 +470,13 @@ object Multimodal {
     * VERBATIM — the SimHash near-dup machinery, swapped onto pixel
     * signatures. Pigeonhole-complete for Hamming ≤ 3 up to the
     * mega-bucket cap (solid-color corpora collapse into one bucket —
-    * cap + observe, the q99 discipline). Undecodable payloads drop. */
+    * cap + observe, the q99 discipline). Undecodable payloads drop.
+    * `maxBucket` defaults to 0 = census-derived (the
+    * [[graft.ext.Dedup.hammingNearDup64]] in-plan rule — the fixed
+    * default was measured below the mean bucket size at 2M
+    * signatures, silently losing recall). */
   def imageNearDup(spark: SparkSession, media: DataFrame,
-      maxDist: Int = 3, maxBucket: Int = 10, useAhash: Boolean = false,
+      maxDist: Int = 3, maxBucket: Int = 0, useAhash: Boolean = false,
       capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     graft.ext.Dedup.hammingNearDup64(spark,
       imagePacked(spark, media, useAhash), maxDist, maxBucket, capMetrics)
@@ -501,7 +505,7 @@ object Multimodal {
     * shuffled or re-decoded). Output (a_id = arrival media_id,
     * b_id = indexed media_id, hamming). */
   def imageDupIntake(spark: SparkSession, media: DataFrame, path: String,
-      maxDist: Int = 3, maxBucket: Int = 10,
+      maxDist: Int = 3, maxBucket: Int = 0,
       useAhash: Boolean = false): DataFrame =
     graft.ext.Dedup.hammingIntake(spark,
       imagePacked(spark, media, useAhash), path, maxDist, maxBucket)
@@ -525,7 +529,7 @@ object Multimodal {
     * 2²⁰), so the frame pair stream carries flat longs. */
   def videoNearDup(spark: SparkSession, media: DataFrame,
       stride: Int = 1, maxFrames: Int = 64, maxDist: Int = 3,
-      maxBucket: Int = 10, minFrames: Int = 1): DataFrame = {
+      maxBucket: Int = 0, minFrames: Int = 1): DataFrame = {
     require(maxFrames < (1 << 20), s"maxFrames=$maxFrames ≥ 2^20")
     // the id side of the packing is guarded IN-PLAN (media ids are
     // data, not a parameter a require can see): an id outside

@@ -916,13 +916,31 @@ object ScaleProbe {
     val tA = System.nanoTime()
     graft.ext.Dedup.appendHammingIndex(spark, sigs(2010000, 2020000), dir)
     val secsA = (System.nanoTime() - tA) / 1e9
+    // the BATCH path at the same 2M (hammingNearDup64 corpus-wide, not
+    // the increment): the DEFAULT (maxBucket = 0 → census-derived
+    // in-plan) against the old fixed 10 that round 11 measured losing
+    // ~96% of true pairs to band-space saturation. Single shot per
+    // cap — the pair COUNTS are the finding (deterministic); wall
+    // time is context. The derived cap must land in the sized regime
+    // with no knob touched.
+    def timeBatch(cap: Int): (Double, Long) = {
+      val t = System.nanoTime()
+      val pairs = graft.ext.Dedup.hammingNearDup64(spark, sigs(0, 2000000),
+        maxBucket = cap).count()
+      ((System.nanoTime() - t) / 1e9, pairs)
+    }
+    val (bTightS, bTightP) = timeBatch(10)
+    val (bDerS, bDerP) = timeBatch(0)
     println(f"[probe] hamming intake: 2M sigs indexed in $secsB%.1fs " +
       f"($nB%d census rows); 10k increment cap=10 $tightS%.1fs " +
       f"($tightP%d pairs — saturation-dropped), cap=300 $sizedS%.1fs " +
       f"($sizedP%d pairs), derived cap=$derivedCap%d $derS%.1fs " +
       f"($derP%d pairs); degenerate 100k-copy bucket: $degPairs%d " +
       f"pairs (census-guarded at either cap); 10k append $secsA%.1fs " +
-      f"(census merged by arithmetic)")
+      f"(census merged by arithmetic); BATCH 2M cap=10 $bTightS%.1fs " +
+      f"($bTightP%d pairs) vs DEFAULT derived $bDerS%.1fs ($bDerP%d " +
+      f"pairs — ${100.0 * bTightP / math.max(1L, bDerP)}%.1f%% kept by " +
+      f"the old fixed cap)")
     rmTemp(dir)
   }
 

@@ -730,7 +730,7 @@ object Streams {
     * drops self-ids and verifies the exact packed `bit_count`.
     * Ext6Spec pins stream ≡ the batch intake. */
   def hammingIntake(spark: SparkSession, packedStream: DataFrame,
-      indexPath: String, maxDist: Int = 3, maxBucket: Int = 10): DataFrame = {
+      indexPath: String, maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
     require(maxBucket >= 0,
       s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
     // maxBucket = 0 → the batch form's census-derived cap (free: the

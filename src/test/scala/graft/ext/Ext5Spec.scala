@@ -353,6 +353,34 @@ class Ext5Spec extends SparkSpec {
     assert(streamed == got)
   }
 
+  test("hammingNearDup64 default cap: census-derived, recovers pairs the fixed cap lost") {
+    // 70,000 signatures → deriveHammingCap's rule lands at
+    // 10·ceil(70000/65536) = 20; a planted 15-member family (base ^
+    // low-2-bit noise) fills its band-1..3 buckets with exactly 15
+    // members — ABOVE the old fixed default (10), below the derived
+    // cap. At cap 10 only within-(i%4)-subgroup pairs survive through
+    // band 0's split sub-buckets (the round-11 saturation finding in
+    // miniature); the DEFAULT (derived) keeps all C(15,2) = 105.
+    val bg = spark.range(0, 69985).select(col("id").as("doc_id"),
+      expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        .as("packed"))
+    val fam = spark.range(0, 15).select((col("id") + 900000L).as("doc_id"),
+      expr(s"${0x3C3C5A5A77881122L}L ^ (id % 4)").as("packed"))
+    val packedDf = bg.unionByName(fam)
+    def run(cap: Int) = Dedup.hammingNearDup64(spark, packedDf, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val derived = Dedup.hammingNearDup64(spark, packedDf) // DEFAULT = derive
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // derived ≡ the well-chosen manual cap the formula prescribes
+    assert(derived == run(20))
+    // bucket keep-set grows monotonically with the cap → pair subset
+    val fixed10 = run(10)
+    assert(fixed10.subsetOf(derived))
+    def planted(s: Set[(Long, Long, Long)]) = s.count(_._1 >= 900000L)
+    assert(planted(derived) == 105) // all C(15,2) pairs, Hamming ≤ 2
+    assert(planted(fixed10) == 21)  // within-subgroup only: 3·C(4,2) + C(3,2)
+  }
+
   test("image hash index: resized copy of an indexed image pairs at intake, junk drops") {
     import spark.implicits._
     // reuse MultimodalSpec's pattern approach inline: indexed corpus =

@@ -123,7 +123,10 @@ class PlanSpec extends SparkSpec {
       "q78_weighted_sample" -> 1, "q79_mix_resample" -> 3,
       "q80_lm_score" -> 3, "q81_asof_join" -> 2,
       "q82_corpus_overlap" -> 2, "q83_dedup_within_doc" -> 1,
-      "q84_source_profile" -> 2, "q85_simhash_neardup" -> 4,
+      // q85/q99/q166: +1 exchange in round 12 — the census-derived
+      // default bucket cap is a global window sum over the
+      // metadata-scale band census (SinglePartition on ≤ 4·2¹⁶ rows)
+      "q84_source_profile" -> 2, "q85_simhash_neardup" -> 5,
       // q87 = hashed span counts (2: countDistinct two-phase) + the
       // winner-bounded string-recovery distinct; top-k boundary and
       // final top-k are TakeOrdered, the winner join broadcasts
@@ -134,7 +137,7 @@ class PlanSpec extends SparkSpec {
       "q94_minhash_calibration" -> 3, "q95_norm_profile" -> 2,
       "q96_quality_gate_narrow" -> 1, "q35_debounce" -> 2,
       "q97_source_leakage" -> 4, "q98_normalize" -> 1,
-      "q99_simhash_cap_stats" -> 2, "q100_bpe_encode" -> 1,
+      "q99_simhash_cap_stats" -> 3, "q100_bpe_encode" -> 1,
       "q101_bpe_encode_fast" -> 1, "q102_star_components" -> 1,
       "q103_incremental_dedup" -> 9, "q104_dedup_corpus" -> 4,
       "q105_incremental_recompute" -> 9,
@@ -306,7 +309,7 @@ class PlanSpec extends SparkSpec {
       // q166 = q85's banding/verify machinery (hammingNearDup64) on
       // fixture signatures: same 4-shuffle shape (bucket size agg,
       // bucket member agg, pair distinct, orderBy) minus the simhash
-      "q166_phash_banding" -> 4,
+      "q166_phash_banding" -> 5,
       // q167 = one compiled narrow expression + the output orderBy;
       // q168 = q113's two-phase exact distinct + orderBy
       "q167_url_normalize" -> 1, "q168_host_dup_profile" -> 3,

@@ -501,4 +501,69 @@ object Corpus {
           - col("s").cast("double") / col("n"), 6).as("label_entropy"))
       .orderBy(col(sourceCol))
   }
+
+  /** The crawl-intake pipeline composed END TO END — every stage a
+    * web-crawl increment passes between fetch and corpus admission,
+    * chained in the order production runs them:
+    *
+    *  1. URL canonicalization + URL-level dedup
+    *     ([[graft.functions.UrlNorm]]): one survivor (min id) per
+    *     normalized URL — the same page fetched under tracking params
+    *     / casing / default ports is ONE arrival. Un-canonicalizable
+    *     URLs (url_norm NULL) pass through: a malformed URL is not
+    *     evidence of duplication.
+    *  2. Exact content dedup WITHIN the increment ([[graft.ext.Dedup
+    *     .exact]]'s min-id rule): mirrors fetched under different URLs.
+    *  3. Quality gate ([[graft.ext.TextStats.gopherFilterNarrow]],
+    *     keep = reason_mask 0): junk never reaches the near-dup join.
+    *  4. Exact + near-dup verdict against the SEEN corpus snapshot
+    *     ([[graft.ext.Dedup.dedupIncrementalPersisted]]: content-hash
+    *     anti-join, band-bucket candidates against the persisted
+    *     snapshot under the seen-side bucket cap, true-Jaccard
+    *     verify) — seen TEXT is never rescanned.
+    *
+    * Output: the admitted arrival rows — arrivals' columns plus
+    * `url_norm`. Stage ORDER is load-bearing for cost only (each stage
+    * shrinks the next stage's input, and the narrow gate runs before
+    * the near-dup join): the admitted SET equals running the stages
+    * one by one, which CorpusSpec pins and q170 oracle-checks end to
+    * end against an independent engine.
+    *
+    * Scale shape: stages 1-2 are increment-bounded window dedups (one
+    * exchange each, no corpus side — the increment, not the corpus,
+    * pays them), stage 3 is fully narrow, and stage 4 is the q103
+    * discipline (snapshot bucket census caps degenerate buckets,
+    * increment-bounded candidate pairs). */
+  def crawlIntake(spark: SparkSession, arrivals: DataFrame,
+      snapshot: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.UrlNorm.register(spark)
+    val normed = arrivals.withColumn("url_norm",
+      expr(s"url_norm($urlCol).url_norm"))
+    // min-id-per-key via a window, not an aggregate + self-join: one
+    // exchange on the key, and the increment frame threads through
+    // with all its columns intact
+    val s1 = normed
+      .withColumn("_kmin",
+        min(col(idCol)).over(Window.partitionBy(col("url_norm"))))
+      .filter(col("url_norm").isNull || col(idCol) === col("_kmin"))
+      .drop("_kmin")
+    val s2 = s1
+      .withColumn("_kmin",
+        min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))))
+      .filter(col(idCol) === col("_kmin"))
+      .drop("_kmin")
+    val s3 = graft.ext.TextStats.gopherFilterNarrow(s2, textCol = textCol)
+      .filter(col("keep"))
+      .drop("n_words", "dup_word_frac", "top_bigram_frac", "entropy",
+        "reason_mask", "keep")
+      // stage 4 references its input three times (band buckets, verify
+      // shingles, final anti-join): materialize the gated increment
+      // ONCE — increment-bounded blocks — instead of replaying the
+      // window dedups + gate per reference (q103's snapshot-side
+      // discipline applied to the increment side)
+      .localCheckpoint(true)
+    graft.ext.Dedup.dedupIncrementalPersisted(spark, s3, snapshot,
+      idCol = idCol, textCol = textCol)
+  }
 }

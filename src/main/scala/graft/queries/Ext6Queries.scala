@@ -555,6 +555,131 @@ object Ext6Queries {
       SELECT a_id, b_id, hamming FROM ham
       WHERE hamming <= 3 ORDER BY a_id, b_id"""))
 
+  // --------------------------------------------------------------- q170
+  // The crawl-intake pipeline composed END TO END (Corpus.crawlIntake):
+  // q167's URL canonicalization → URL-level dedup → q50's exact
+  // content dedup within the increment → q93's Gopher gate → q103's
+  // incremental exact+near-dup verdict against the seen snapshot. Every
+  // stage is oracle-checked on its own (q167/q50/q93/q103); this row
+  // pins the INTEGRATION contract — stage wiring, survivor threading,
+  // column passthrough — against an independent engine replaying the
+  // same stage sequence. Arrivals = doc_id % 3 = 0 with q167's URL
+  // fixture; seen = the q103 snapshot side.
+  private val q170 = Q(
+    "q170_crawl_intake",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val arrivals = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("url", expr(urlFixture))
+      val snapshot = graft.ext.Dedup.incrementalSnapshot(s,
+          docs.filter(col("doc_id") % 3 =!= 0))
+        .localCheckpoint(true) // q103's materialized-artifact stand-in
+      graft.ext.Corpus.crawlIntake(s, arrivals, snapshot)
+        .select(col("doc_id"), col("url_norm"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${ExtQueries.shingleCte},
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(sh),1,12)) AS BIGINT) AS h48 FROM sh),
+      sig AS (
+        SELECT doc_id,
+          min(xor(h48, ${ExtQueries.salts(0)})) AS m0,
+          min(xor(h48, ${ExtQueries.salts(1)})) AS m1,
+          min(xor(h48, ${ExtQueries.salts(2)})) AS m2,
+          min(xor(h48, ${ExtQueries.salts(3)})) AS m3
+        FROM h GROUP BY doc_id),
+      buckets AS (
+        SELECT doc_id, 0 AS band, m0 AS bucket FROM sig UNION ALL
+        SELECT doc_id, 1, m1 FROM sig UNION ALL
+        SELECT doc_id, 2, m2 FROM sig UNION ALL
+        SELECT doc_id, 3, m3 FROM sig),
+      u AS (
+        SELECT doc_id, $oracleUrlNorm AS url_norm, lang, source, text
+        FROM documents WHERE doc_id % 3 = 0),
+      s1 AS (
+        SELECT doc_id, url_norm, lang, source, text FROM (
+          SELECT u.*, min(doc_id) OVER (PARTITION BY url_norm) AS kmin FROM u)
+        WHERE doc_id = kmin),
+      s2 AS (
+        SELECT doc_id, url_norm, lang, source, text FROM (
+          SELECT s1.*, min(doc_id) OVER (PARTITION BY md5(text)) AS kmin FROM s1)
+        WHERE doc_id = kmin),
+      gw AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM s2 WHERE text IS NOT NULL),
+      gnarrow AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+          round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                / CAST(len(ws) AS DOUBLE), 6) AS dup_word_frac
+        FROM gw),
+      gbg AS (
+        SELECT doc_id,
+          ws[CAST(g.generate_series AS INT)] || ' ' ||
+          ws[CAST(g.generate_series AS INT) + 1] AS bg
+        FROM gw, generate_series(1, 4096) g
+        WHERE len(ws) >= 2 AND g.generate_series <= len(ws) - 1),
+      gbgc AS (SELECT doc_id, bg, count(*) AS c FROM gbg GROUP BY doc_id, bg),
+      gtb AS (
+        SELECT doc_id,
+          round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+        FROM gbgc GROUP BY doc_id),
+      gwd AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM s2 WHERE text IS NOT NULL),
+      gcw AS (SELECT doc_id, w, count(*) AS c FROM gwd GROUP BY doc_id, w),
+      gagg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS t,
+          sum(CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) * c) AS s
+        FROM gcw GROUP BY doc_id),
+      gent AS (
+        SELECT doc_id,
+          round(round(ln(CAST(t AS DOUBLE)), 9) - CAST(s AS DOUBLE) / t, 6)
+            + 0.0 AS entropy
+        FROM gagg),
+      s3 AS (
+        SELECT n.doc_id
+        FROM gnarrow n
+        LEFT JOIN gtb ON gtb.doc_id = n.doc_id
+        JOIN gent e ON e.doc_id = n.doc_id
+        WHERE n.n_words >= 20 AND n.n_words <= 10000
+          AND n.dup_word_frac <= 0.6
+          AND coalesce(gtb.top_bigram_frac, 0.0) <= 0.06
+          AND e.entropy >= 2.8),
+      notexact AS (
+        SELECT s2.doc_id, s2.url_norm, s2.lang, s2.source
+        FROM s2 JOIN s3 USING (doc_id)
+        WHERE NOT EXISTS (
+          SELECT 1 FROM documents s
+          WHERE s.doc_id % 3 <> 0 AND md5(s.text) = md5(s2.text))),
+      sbuckets AS (
+        SELECT doc_id, band, bucket FROM (
+          SELECT b.doc_id, b.band, b.bucket,
+                 count(*) OVER (PARTITION BY b.band, b.bucket) AS bsize
+          FROM buckets b WHERE b.doc_id % 3 <> 0)
+        WHERE bsize <= 10),
+      cand AS (
+        SELECT DISTINCT bn.doc_id AS new_id, bs.doc_id AS seen_id
+        FROM buckets bn
+        JOIN notexact ne ON ne.doc_id = bn.doc_id
+        JOIN sbuckets bs ON bs.band = bn.band AND bs.bucket = bn.bucket),
+      counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.new_id, c.seen_id, count(*) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.new_id
+        JOIN sh sb ON sb.doc_id = c.seen_id AND sb.sh = sa.sh
+        GROUP BY c.new_id, c.seen_id),
+      neardup AS (
+        SELECT DISTINCT c.new_id
+        FROM cand c
+        JOIN counts ca ON ca.doc_id = c.new_id
+        JOIN counts cb ON cb.doc_id = c.seen_id
+        LEFT JOIN inter i ON i.new_id = c.new_id AND i.seen_id = c.seen_id
+        WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
+              / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.7)
+      SELECT doc_id, url_norm, lang, source FROM notexact
+      WHERE doc_id NOT IN (SELECT new_id FROM neardup)
+      ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166, q167, q168, q169)
+    q165, q166, q167, q168, q169, q170)
 }

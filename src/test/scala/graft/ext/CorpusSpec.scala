@@ -248,4 +248,50 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("outlier")).toMap
     assert(got(90L) && got(91L), "both the 4x and the extreme doc must flag")
   }
+
+  test("crawlIntake ≡ the manual stage sequence; every stage drops its planted case") {
+    import spark.implicits._
+    def words(p: String) = (0 until 25).map(i => s"$p$i").mkString(" ")
+    val textA = words("alpha") // seen verbatim
+    val textB = words("beta")  // seen; arrival 24 is a near-dup of it
+    val textC = words("fresh") // unique, gate-passing
+    val textD = words("delta") // unique, gate-passing (malformed-URL doc)
+    val nearB = textB.split(" ").init.mkString(" ") + " zzz" // 24/25 words shared
+    val junk = Seq.fill(30)("spam").mkString(" ")            // fails dup-word + entropy
+    val seen = Seq((1L, textA, "s"), (2L, textB, "s"))
+      .toDF("doc_id", "text", "source")
+    val arrivals = Seq(
+      // 10 and 12 normalize to the SAME URL → stage 1 keeps 10 …
+      (10L, textA, "HTTP://WWW.Example.COM:80/page?utm_source=x&id=1"),
+      (12L, words("twelve"), "http://www.example.com/page?id=1&fbclid=zz"),
+      // … and 10 then falls to the exact-vs-seen verdict in stage 4
+      (15L, textC, "https://a.example.org/c1"),   // admitted
+      (18L, textC, "https://b.example.org/c2"),   // exact dup WITHIN → stage 2
+      (21L, junk, "https://c.example.org/junk"),  // gate → stage 3
+      (24L, nearB, "https://d.example.org/near"), // near-dup of seen → stage 4
+      (27L, textD, "not a url"))                  // url_norm NULL passes through
+      .toDF("doc_id", "text", "url")
+    val snapshot = Dedup.incrementalSnapshot(spark, seen).localCheckpoint(true)
+    val got = Corpus.crawlIntake(spark, arrivals, snapshot)
+    val gotIds = got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotIds == Seq(15L, 27L))
+    // url_norm threads through to the output (canonical for 15, NULL for 27)
+    val byId = got.collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("url_norm"))).toMap
+    assert(byId(15L).contains("https://a.example.org/c1") && byId(27L).isEmpty)
+    // the composition ≡ running the four stages one by one
+    val normed = TextStats.urlNormalize(arrivals).select("doc_id", "url_norm")
+    val keep1 = normed.filter(col("url_norm").isNotNull)
+      .groupBy("url_norm").agg(min("doc_id").as("doc_id")).select("doc_id")
+      .unionByName(normed.filter(col("url_norm").isNull).select("doc_id"))
+    val a1 = arrivals.join(keep1, Seq("doc_id"), "left_semi")
+    val a2 = a1.join(
+      Dedup.exact(a1).select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val a3 = a2.join(
+      TextStats.gopherFilterNarrow(a2).filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val manual = Dedup.dedupIncrementalPersisted(spark, a3, snapshot)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(manual == gotIds)
+  }
 }

@@ -317,7 +317,12 @@ class PlanSpec extends SparkSpec {
       // (broadcast increment bands + broadcast census guard — both
       // joins broadcast), the 2 shuffles are the pair distinct and
       // the output orderBy
-      "q169_phash_intake" -> 2)
+      "q169_phash_intake" -> 2,
+      // q170 = the composed crawl intake: the gated increment
+      // materializes eagerly (URL/hash window dedups + narrow gate run
+      // once, in the checkpoint job), so the returned plan is q103's
+      // increment shape — verify joins + final anti join + orderBy
+      "q170_crawl_intake" -> 9)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -142,10 +142,42 @@ def build():
     print(f"[build] {SF1}/documents.parquet: {n} docs")
 
 
-def time_duckdb(runs):
+# a row whose max/min shot ratio exceeds this shipped CONTAMINATED in
+# round 11 (q166 at sf2, spread 2.70x - a background blip landed inside
+# one shot): rows over the bar are auto re-measured so adjudication
+# notes stay about floors, never about measurement noise
+SPREAD_BAR = 1.5
+MAX_REMEASURE = 2
+
+
+def respread(kind, timer, runs, out, spread):
+    """Re-measure rows whose spread exceeds SPREAD_BAR (up to
+    MAX_REMEASURE attempts), keeping the min across attempts and the
+    LAST attempt's spread. DNF rows (NaN spread) are left alone."""
+    for attempt in range(MAX_REMEASURE):
+        bad = sorted(q for q in out
+                     if spread[q] == spread[q] and spread[q] > SPREAD_BAR)
+        if not bad:
+            return
+        print(f"[respread] {kind} attempt {attempt + 1}: re-measuring "
+              f"{len(bad)} row(s) over {SPREAD_BAR}x: {', '.join(bad)}")
+        res = timer(runs, bad)
+        nout, nspread = res[0], res[1]
+        for q in bad:
+            if q in nout and nout[q] == nout[q]:
+                out[q] = min(out[q], nout[q])
+                spread[q] = nspread[q]
+    bad = sorted(q for q in out
+                 if spread[q] == spread[q] and spread[q] > SPREAD_BAR)
+    if bad:
+        print(f"[respread] {kind}: still over the bar after "
+              f"{MAX_REMEASURE} re-measures: {', '.join(bad)}")
+
+
+def time_duckdb(runs, queries=None):
     oracle = json.load(open("/tmp/verify_out/oracle_sql.json"))
     out, spread = {}, {}
-    for q in QUERIES:
+    for q in (queries or QUERIES):
         sql = oracle[q]
         shots = []
         failed = None
@@ -184,11 +216,12 @@ def time_duckdb(runs):
     return out, spread
 
 
-def time_spark(runs):
+def time_spark(runs, queries=None):
+    queries = queries or QUERIES
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF1, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_RUNS=str(runs))
     p = subprocess.run(
-        ["sbt", "-batch", "runMain graft.tools.QBench " + " ".join(QUERIES)],
+        ["sbt", "-batch", "runMain graft.tools.QBench " + " ".join(queries)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
     out, spread = {}, {}
     for m in re.finditer(
@@ -199,7 +232,7 @@ def time_spark(runs):
         spread[m.group(1)] = max(shots) / min(shots)
         print(f"[spark]  {m.group(1):30s} {float(m.group(2)):.2f}s "
               f"(spread {spread[m.group(1)]:.2f}x)")
-    missing = [q for q in QUERIES if q not in out]
+    missing = [q for q in queries if q not in out]
     if missing:
         sys.stderr.write(p.stdout[-3000:] + p.stderr[-2000:])
         raise SystemExit(f"spark timings missing for {missing}")
@@ -214,7 +247,9 @@ def main():
     if not args.skip_build:
         build()
     sp, sps = time_spark(args.runs)
+    respread("spark", time_spark, args.runs, sp, sps)
     dk, dks = time_duckdb(args.runs)
+    respread("duckdb", time_duckdb, args.runs, dk, dks)
     # sf0.1 comparison column from the committed full-suite bench.json
     b01 = json.load(open(os.path.join(REPO, "bench.json")))["queries"]
     lines = [

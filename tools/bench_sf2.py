@@ -98,10 +98,41 @@ def _duck_worker(sql, q, ret):
         ret["err"] = f"{type(e).__name__}: {e}".splitlines()[0][:120]
 
 
-def time_duckdb(runs):
+# round-11's q166 sf2 row shipped contaminated (spread 2.70x - a
+# background blip inside one shot): rows over this bar are auto
+# re-measured so adjudication notes are about floors, not noise
+SPREAD_BAR = 1.5
+MAX_REMEASURE = 2
+
+
+def respread(kind, timer, runs, out, spread):
+    """Re-measure rows whose max/min shot spread exceeds SPREAD_BAR (up
+    to MAX_REMEASURE attempts): min across attempts, the LAST attempt's
+    spread. DNF rows (NaN) are a finding, not noise - left alone."""
+    for attempt in range(MAX_REMEASURE):
+        bad = sorted(q for q in out
+                     if spread[q] == spread[q] and spread[q] > SPREAD_BAR)
+        if not bad:
+            return
+        print(f"[respread] {kind} attempt {attempt + 1}: re-measuring "
+              f"{len(bad)} row(s) over {SPREAD_BAR}x: {', '.join(bad)}")
+        res = timer(runs, bad)
+        nout, nspread = res[0], res[1]
+        for q in bad:
+            if q in nout and nout[q] == nout[q]:
+                out[q] = min(out[q], nout[q])
+                spread[q] = nspread[q]
+    bad = sorted(q for q in out
+                 if spread[q] == spread[q] and spread[q] > SPREAD_BAR)
+    if bad:
+        print(f"[respread] {kind}: still over the bar after "
+              f"{MAX_REMEASURE} re-measures: {', '.join(bad)}")
+
+
+def time_duckdb(runs, queries=None):
     oracle = json.load(open("/tmp/verify_out/oracle_sql.json"))
     out, spread, note = {}, {}, {}
-    for q in QUERIES:
+    for q in (queries or QUERIES):
         sql = oracle[q]
         shots, failed = [], None
         for _ in range(runs):
@@ -132,12 +163,13 @@ def time_duckdb(runs):
     return out, spread, note
 
 
-def time_spark(runs):
+def time_spark(runs, queries=None):
+    queries = queries or QUERIES
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF2, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_RUNS=str(runs),
                SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
     p = subprocess.run(
-        ["sbt", "-batch", "runMain graft.tools.QBench " + " ".join(QUERIES)],
+        ["sbt", "-batch", "runMain graft.tools.QBench " + " ".join(queries)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=7200)
     out, spread = {}, {}
     for m in re.finditer(
@@ -148,7 +180,7 @@ def time_spark(runs):
         spread[m.group(1)] = max(shots) / min(shots)
         print(f"[spark]  {m.group(1):34s} {float(m.group(2)):.2f}s "
               f"(spread {spread[m.group(1)]:.2f}x)")
-    missing = [q for q in QUERIES if q not in out]
+    missing = [q for q in queries if q not in out]
     if missing:
         sys.stderr.write(p.stdout[-3000:] + p.stderr[-2000:])
         raise SystemExit(f"spark timings missing for {missing}")
@@ -163,7 +195,9 @@ def main():
     if not args.skip_build:
         build()
     sp, sps = time_spark(args.runs)
+    respread("spark", time_spark, args.runs, sp, sps)
     dk, dks, dnote = time_duckdb(args.runs)
+    respread("duckdb", time_duckdb, args.runs, dk, dks)
     # sf1 comparison column from the committed BENCH_sf1.md table
     sf1 = {}
     sf1_md = os.path.join(REPO, "BENCH_sf1.md")

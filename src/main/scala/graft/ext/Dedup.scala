@@ -1395,7 +1395,16 @@ object Dedup {
     * persists fingerprint document frequencies. */
   def writeHammingIndex(spark: SparkSession, packedDf: DataFrame,
       path: String): Unit = {
+    // routed write at the CONFIGURED shuffle width: bounded file count
+    // at any corpus size (a 100 TB-scan input would otherwise mirror
+    // its 10k+ scan splits into 10k+ small files) while keeping the
+    // intake's seen-side scan parallel — AQE byte-sizing here would
+    // coalesce a mid-size corpus (2M sigs ≈ 32 MB) into ONE file = one
+    // scan task, the compactIvfIndex filesPerCell=1 pathology. Big
+    // per-file sizes stay scannable: parquet splits by row group.
     packedDf.select(col("doc_id"), col("packed"))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"))
       .write.mode("overwrite").parquet(s"$path/sigs")
     rebuildHammingCensus(spark, path)
   }
@@ -1409,6 +1418,7 @@ object Dedup {
   def rebuildHammingCensus(spark: SparkSession, path: String): Unit =
     hammingBands(spark.read.parquet(s"$path/sigs"))
       .groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n"))
+      .coalesce(1) // ≤ 4·2¹⁶ rows — every intake reads this whole
       .write.mode("overwrite").parquet(s"$path/bsize")
 
   /** Append new signatures to a [[writeHammingIndex]] directory: the
@@ -1428,7 +1438,13 @@ object Dedup {
     val (inc, blocks) = checkpointTracked(
       packedDf.select(col("doc_id"), col("packed")))
     try {
-      inc.write.mode("append").parquet(s"$path/sigs")
+      // routed append (writeHammingIndex's discipline): the increment
+      // re-shuffles on doc_id with AQE-sized output, so a small crawl
+      // increment lands as ~ONE file instead of one file per upstream
+      // partition — sigs decays by one file per crawl, not
+      // tasks-per-crawl, and [[compactHammingIndex]] undoes even that
+      inc.repartition(col("doc_id"))
+        .write.mode("append").parquet(s"$path/sigs")
       val merged = spark.read.parquet(s"$path/bsize")
         .unionByName(hammingBands(inc)
           .groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n")))
@@ -1437,8 +1453,47 @@ object Dedup {
       import spark.implicits._
       merged.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
         .toDF("band", "bval", "n")
+        .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/bsize")
     } finally blocks.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Compact a [[writeHammingIndex]] directory's signature files:
+    * [[appendHammingIndex]] adds ~one file per crawl increment, and
+    * after N crawls every intake's seen-side scan pays N file
+    * open/footer costs — the flat-table cousin of the IVF index's
+    * per-cell decay ([[graft.ext.Similarity.compactIvfIndex]]). When
+    * the file LISTING (metadata-scale, no data read) exceeds
+    * `maxFiles`, the signature table rewrites once through the same
+    * AQE-sized doc_id shuffle the build uses; below the threshold this
+    * is a listing and nothing else, so calling it after every append
+    * is safe. Rows are bit-preserved and the band census counts only
+    * rows, so `bsize` needs no rebuild and intake results are
+    * bit-equal before/after (Ext5Spec pins both, and idempotence:
+    * a second call compacts nothing). Not safe concurrently with
+    * readers (the overwrite swaps the whole table); run between crawl
+    * increments, where appends already serialize. Returns the file
+    * count compacted away, 0 if under the threshold. */
+  def compactHammingIndex(spark: SparkSession, path: String,
+      maxFiles: Int = 64): Long = {
+    require(maxFiles >= 1, s"maxFiles=$maxFiles must be >= 1")
+    val sigs = new org.apache.hadoop.fs.Path(s"$path/sigs")
+    val fs = sigs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(sigs)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    if (nFiles <= maxFiles) return 0L
+    // materialize BEFORE the overwrite (the write target is the scan's
+    // own source path); release via the backing RDDs, as everywhere.
+    // Rewrite width = the build's configured-width routing, clamped to
+    // maxFiles so the rewrite itself can never re-trip the threshold
+    // (idempotence — a second call always lists and returns 0).
+    val width = math.min(maxFiles,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val (cp, blocks) = checkpointTracked(
+      spark.read.parquet(s"$path/sigs").repartition(width, col("doc_id")))
+    try cp.write.mode("overwrite").parquet(s"$path/sigs")
+    finally blocks.foreach(_.unpersist(blocking = false))
+    nFiles.toLong
   }
 
   /** Incremental Hamming near-dup intake: pairs each NEW signature

@@ -916,6 +916,22 @@ object ScaleProbe {
     val tA = System.nanoTime()
     graft.ext.Dedup.appendHammingIndex(spark, sigs(2010000, 2020000), dir)
     val secsA = (System.nanoTime() - tA) / 1e9
+    // index lifecycle at crawl cadence: 9 more appends (10 total),
+    // intake latency on the fragmented sigs table, then
+    // compactHammingIndex and the same intake again — the small-files
+    // decay and its listing-driven repair, measured
+    for (a <- 1 until 10)
+      graft.ext.Dedup.appendHammingIndex(spark,
+        sigs(2020000L + a * 10000L, 2030000L + a * 10000L), dir)
+    def sigFiles = new java.io.File(s"$dir/sigs").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val fragFiles = sigFiles
+    val (fragS, _) = timeIntake(300)
+    val tC = System.nanoTime()
+    val nComp = graft.ext.Dedup.compactHammingIndex(spark, dir, maxFiles = 32)
+    val secsC = (System.nanoTime() - tC) / 1e9
+    val compFiles = sigFiles
+    val (compS, _) = timeIntake(300)
     // the BATCH path at the same 2M (hammingNearDup64 corpus-wide, not
     // the increment): the DEFAULT (maxBucket = 0 → census-derived
     // in-plan) against the old fixed 10 that round 11 measured losing
@@ -937,7 +953,10 @@ object ScaleProbe {
       f"($sizedP%d pairs), derived cap=$derivedCap%d $derS%.1fs " +
       f"($derP%d pairs); degenerate 100k-copy bucket: $degPairs%d " +
       f"pairs (census-guarded at either cap); 10k append $secsA%.1fs " +
-      f"(census merged by arithmetic); BATCH 2M cap=10 $bTightS%.1fs " +
+      f"(census merged by arithmetic); lifecycle: 10 appends → " +
+      f"$fragFiles%d sig files, intake $fragS%.1fs; compact " +
+      f"($nComp%d files, $secsC%.1fs) → $compFiles%d files, intake " +
+      f"$compS%.1fs; BATCH 2M cap=10 $bTightS%.1fs " +
       f"($bTightP%d pairs) vs DEFAULT derived $bDerS%.1fs ($bDerP%d " +
       f"pairs — ${100.0 * bTightP / math.max(1L, bDerP)}%.1f%% kept by " +
       f"the old fixed cap)")

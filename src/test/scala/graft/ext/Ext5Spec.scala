@@ -353,6 +353,51 @@ class Ext5Spec extends SparkSpec {
     assert(streamed == got)
   }
 
+  test("hamming index lifecycle: routed files, compaction idempotent, intake bit-equal") {
+    import spark.implicits._
+    def fam(base: Long, n: Int, off: Long) =
+      Seq.tabulate(n)(i => ((off + i).toLong, base ^ (i % 4).toLong))
+    val seen = (fam(0x1234567812345678L, 8, 0) ++
+      fam(0x0F0F00FF11223344L, 8, 100)).toDF("doc_id", "packed")
+    val fresh = Seq((900L, 0x1234567812345679L),
+      (901L, 0x0F0F00FF11223347L)).toDF("doc_id", "packed")
+    val dir = java.nio.file.Files.createTempDirectory("hamlife").toString
+    def sigFiles = new java.io.File(s"$dir/sigs").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // fresh build routes to the configured shuffle width (4 here) —
+    // bounded regardless of the input's partitioning
+    Dedup.writeHammingIndex(spark, seen.repartition(8), dir)
+    val built = sigFiles
+    assert(built <= 4, s"fresh build not routed: $built files")
+    // the census is ONE file (every intake reads it whole)
+    assert(new java.io.File(s"$dir/bsize").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // 10 crawl appends: ~one routed file each (AQE coalesces the
+    // increment-bounded doc_id shuffle), never one per upstream task
+    for (a <- 0 until 10)
+      Dedup.appendHammingIndex(spark,
+        fam(0x7777000012121212L ^ (a.toLong << 8), 4, 1000 + a * 10)
+          .toDF("doc_id", "packed").repartition(8), dir)
+    val fragged = sigFiles
+    assert(fragged > 4 && fragged <= built + 10,
+      s"appends not routed: $built -> $fragged files")
+    def intake = Dedup.hammingIntake(spark, fresh, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val before = intake
+    assert(before.nonEmpty)
+    // compaction: listing-driven, rewrites once at ≤ maxFiles width,
+    // intake bit-equal, second call a no-op (idempotent)
+    assert(Dedup.compactHammingIndex(spark, dir, maxFiles = 4)
+      == fragged.toLong)
+    assert(sigFiles <= 4, s"compaction left $sigFiles files")
+    assert(intake == before)
+    assert(Dedup.compactHammingIndex(spark, dir, maxFiles = 4) == 0L)
+    // census untouched by compaction: rows are bit-preserved
+    assert(spark.read.parquet(s"$dir/bsize").agg(sum(col("n"))).head()
+      .getLong(0) == (16 + 40) * 4)
+  }
+
   test("hammingNearDup64 default cap: census-derived, recovers pairs the fixed cap lost") {
     // 70,000 signatures → deriveHammingCap's rule lands at
     // 10·ceil(70000/65536) = 20; a planted 15-member family (base ^

@@ -98,6 +98,37 @@ object Similarity {
           .otherwise(-col("e.score")).as("cosine"))
   }
 
+  /** [[cosineTopK]] with an OFF-CORPUS query frame: exact cosine top-k
+    * among `emb`'s vectors for every row of `queries` — the ground
+    * truth any held-out/perturbed-query ANN evaluation needs (a recall
+    * probe whose queries are corpus members saturates at 1.0 and
+    * cannot rank quantizers). Identical ranking contract and output
+    * shape to cosineTopK (4-dp rounded cosine desc, neighbor-id
+    * tie-break, NaN-first zero-norm semantics); no self-pair filter —
+    * the two sides are distinct frames by contract. Queries broadcast
+    * (the bounded-query contract), the corpus is scanned once, and the
+    * |queries|·n candidate stream folds map-side into ≤k-entry
+    * buffers. */
+  def cosineTopKAgainst(spark: SparkSession, emb: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.TopKCosRound.register(spark)
+    val qv = withVectors(spark, queries)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val cand = spread(withVectors(spark, emb)
+      .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")))
+    cand.crossJoin(broadcast(qv))
+      .withColumn("_raw",
+        when(col("nq") * col("nn") === 0.0, lit(Double.NaN))
+          .otherwise(expr("dot64(vq, vn)") / (col("nq") * col("nn"))))
+      .groupBy(col("q_id"))
+      .agg(expr(s"topk_cos_round(_raw, n_id, $k, 4)").as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("n_id"),
+        when(col("e.score") === Double.NegativeInfinity, Double.NaN)
+          .otherwise(-col("e.score")).as("cosine"))
+  }
+
   /** Hyperplane-LSH bucket assignment: md5-derived planes, sign-bit
     * bucket — the ANN path whose per-bucket search scales. Planes are
     * array-typed rows (one per plane) so each (vector, plane) dot is a

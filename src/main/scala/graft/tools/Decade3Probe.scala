@@ -150,15 +150,37 @@ object Decade3Probe {
           .write.format("noop").mode("overwrite").save()
       })
 
-      // quantizer audit (round 11): TRAINED (trainIvfCentroids, 2
-      // spherical-Lloyd iterations under the engine's own cosine
-      // assignment) vs FIXED (seed rows) centroids — recall@10 vs the
-      // exact brute force and the cell-size census, both scales. The
-      // exact baseline is computed once per scale and shared.
+      // quantizer audit (round 11, extended round 12): TRAINED
+      // (trainIvfCentroids, 2 spherical-Lloyd iterations under the
+      // engine's own cosine assignment) vs FIXED (seed rows) centroids
+      // — recall@10 vs the exact brute force and the cell-size census,
+      // both scales. The exact baseline is computed once per scale.
+      //
+      // TWO query populations. In-corpus queries (the r11 audit)
+      // SATURATE: every query IS a corpus member, so its own cell
+      // always holds it and recall reads 1.000 for any quantizer at
+      // any nProbe — useless for ranking quantizers. The round-12
+      // columns use OFF-CORPUS perturbed queries: a corpus vector +
+      // ε · deterministic per-dim pseudo-noise (no RNG — replayable),
+      // off the corpus but anchored to it, so ground truth still
+      // exists (cosineTopKAgainst) and recall spreads below 1.0 where
+      // the cell structure actually loses neighbors.
       val exact = graft.ext.Similarity.cosineTopK(spark, emb,
           col("vec_id") < 200000L && col("vec_id") % 997 === 0, 10)
         .select(col("q_id"), col("n_id")).localCheckpoint(true)
       val nQ = exact.select(col("q_id")).distinct().count()
+      def perturbed(eps: Double) = queries(n).select(
+        col("vec_id"),
+        expr(s"""transform(sequence(0, 63), d -> CAST(
+                |  CAST(embedding[d] AS DOUBLE) + $eps *
+                |  (CAST(pmod(vec_id * (d + 29) + 7, 101) AS DOUBLE) / 50.0
+                |    - 1.0) AS FLOAT))""".stripMargin).as("embedding"))
+      val epss = Seq(0.02, 0.05)
+      val pq = epss.map(e => e -> perturbed(e).localCheckpoint(true)).toMap
+      val truth = epss.map { e =>
+        e -> graft.ext.Similarity.cosineTopKAgainst(spark, emb, pq(e), 10)
+          .select(col("q_id"), col("n_id")).localCheckpoint(true)
+      }.toMap
       def audit(name: String, build: String => Unit): Unit = {
         val qdir = s"$dir/quant_$name"
         val tBuild = time { build(qdir) }
@@ -166,20 +188,24 @@ object Decade3Probe {
           graft.ext.Similarity.ivfTopKIndexed(spark, qdir, q,
             nProbe = 4, k = 10).write.format("noop").mode("overwrite").save()
         }
-        // recall at the working nProbe AND at nProbe = 1: the probe-1
-        // column is the discriminating one — it reads pure quantizer
-        // quality (is the true neighbor in the ONE best cell?), where
-        // nProbe = 4 can paper over a mediocre cell structure
         def recall(nProbe: Int): Double = {
           val approx = graft.ext.Similarity.ivfTopKIndexed(spark, qdir, q,
             nProbe = nProbe, k = 10).select(col("q_id"), col("n_id"))
           exact.join(approx, Seq("q_id", "n_id")).count().toDouble / (nQ * 10)
         }
+        def recallOff(eps: Double, nProbe: Int): Double = {
+          val approx = graft.ext.Similarity.ivfTopKIndexed(spark, qdir,
+            pq(eps), nProbe = nProbe, k = 10).select(col("q_id"), col("n_id"))
+          truth(eps).join(approx, Seq("q_id", "n_id")).count().toDouble /
+            (nQ * 10)
+        }
+        val off = (for (e <- epss; p <- Seq(1, 2, 4))
+          yield f"ε=$e%.2f@p$p=${recallOff(e, p)}%.3f").mkString(" ")
         val cells = spark.read.parquet(s"$qdir/assigned")
           .groupBy(col("centroid_id")).agg(count(lit(1)).as("c"))
           .agg(max(col("c")), avg(col("c")), count(lit(1))).head()
         rec(s"quantizer_$name", n, tBuild,
-          f"recall@10(nProbe=4)=${recall(4)}%.3f recall@10(nProbe=1)=${recall(1)}%.3f " +
+          f"in-corpus(p4)=${recall(4)}%.3f(saturates) off-corpus: $off " +
           f"search=$tSearch%.2fs " +
           f"max_cell=${cells.getLong(0)} mean_cell=${cells.getDouble(1)}%.0f " +
           f"cells=${cells.getLong(2)}")

@@ -77,6 +77,35 @@ class ExtApiSpec extends SparkSpec {
     assert(top == Map(0L -> 1L, 2L -> 3L))
   }
 
+  test("cosineTopKAgainst: off-corpus queries rank corpus vectors; ≡ cosineTopK modulo self") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    // off-corpus query: a perturbed copy of vec 0 — its nearest corpus
+    // vector must be 0 itself, then 1
+    val off = Seq((100L, Array(0.99f, 0.02f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.cosineTopKAgainst(spark, emb, off, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("n_id")))
+    assert(got.toSeq == Seq((1L, 0L), (2L, 1L)))
+    // for queries drawn FROM the corpus, Against ranks the query itself
+    // first (cosine 1.0 — no self filter: the sides are distinct frames
+    // by contract) and then agrees with cosineTopK's list verbatim
+    val inQ = emb.filter(col("vec_id").isin(0L, 2L))
+    val against = Similarity.cosineTopKAgainst(spark, emb, inQ, k = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cosine")))
+    assert(against.filter(_._2 == 1L).forall(t => t._3 == t._1 && t._4 == 1.0))
+    val shifted = against.filter(_._2 > 1L)
+      .map(t => (t._1, t._2 - 1L, t._3)).sorted.toSeq
+    val plain = Similarity.cosineTopK(spark, emb, col("vec_id").isin(0L, 2L), k = 2)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("n_id"))).sorted.toSeq
+    assert(shifted == plain)
+  }
+
   test("cosineTopK/knnGraph rank zero-norm vectors (NaN cosine) FIRST — the DESC window contract") {
     import spark.implicits._
     // vec 9 is the zero vector: cosine(q, 9) = 0/0 = NaN, which

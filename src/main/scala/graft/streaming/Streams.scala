@@ -174,10 +174,15 @@ object Streams {
     * never read (the snapshot carries hash/sig/shingles), matching the
     * batch operator's scan discipline. Null-text docs are dropped at
     * intake (stream contract), where the batch operator passes them
-    * through. `docs` needs (doc_id, text, ts). */
+    * through. `docs` needs (doc_id, text, ts); `keepCols` names extra
+    * input columns to carry through to the output, and an EMPTY
+    * `watermark` means the caller already set one upstream (Spark
+    * disallows redefining it) — both for composed intakes, see
+    * [[crawlIntake]]. */
   def incrementalDedup(spark: SparkSession, docs: DataFrame,
       snapshot: DataFrame, bands: Int = 4, maxBucket: Int = 10,
-      threshold: Double = 0.7, watermark: String = "10 minutes"): DataFrame = {
+      threshold: Double = 0.7, watermark: String = "10 minutes",
+      keepCols: Seq[String] = Nil): DataFrame = {
     graft.functions.MinHash48.register(spark)
     graft.functions.Shingles8.register(spark)
     val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
@@ -188,8 +193,9 @@ object Streams {
         count(lit(1)).as("bsize"))
       .filter(col("bsize") <= maxBucket)
       .drop("bsize")
-    val base = docs.filter(col("text").isNotNull)
-      .withWatermark("ts", watermark)
+    val base0 = docs.filter(col("text").isNotNull)
+    val base = (if (watermark.isEmpty) base0
+                else base0.withWatermark("ts", watermark))
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicatesWithinWatermark("content_hash")
       .join(snapshot.select(col("content_hash")).distinct(),
@@ -216,7 +222,47 @@ object Streams {
     }.mkString("greatest(", ", ", ")")
     joined.withColumn("max_j", expr(maxJ))
       .filter(col("max_j") < threshold)
-      .select(col("doc_id"), col("ts"), col("text"))
+      .select((Seq("doc_id", "ts", "text") ++ keepCols).map(col): _*)
+  }
+
+  /** Streaming twin of [[graft.ext.Corpus.crawlIntake]] — the full
+    * crawl-admission chain at ARRIVAL latency: URL canonicalization
+    * (narrow compiled `url_norm`) + within-stream URL dedup
+    * (watermark-bounded state; the stream's arrival order replaces the
+    * batch form's min-id rule — first fetch of a URL wins), the narrow
+    * Gopher gate, then [[incrementalDedup]]'s exact + near-dup verdict
+    * against the persisted seen snapshot (its content-hash state IS
+    * the batch form's within-increment exact dedup). The batch form
+    * gates AFTER its exact stage and this twin gates before it; exact
+    * duplicates share their text, so the gate verdict is identical for
+    * every member of a hash group and the admitted SET is unchanged —
+    * StreamsSpec pins stream ≡ batch on ordered micro-batches.
+    * Un-canonicalizable URLs (url_norm NULL) bypass the URL-dedup
+    * state and flow straight to the gate, the batch form's null rule.
+    *
+    * State: exactly TWO watermark-bounded dedup states (url_norm,
+    * content hash) — everything else narrow or stream-static. Output:
+    * admitted arrivals as (doc_id, ts, text, url_norm). `docs` needs
+    * (doc_id, text, ts, url). */
+  def crawlIntake(spark: SparkSession, docs: DataFrame,
+      snapshot: DataFrame, watermark: String = "10 minutes",
+      bands: Int = 4, maxBucket: Int = 10,
+      threshold: Double = 0.7): DataFrame = {
+    graft.functions.UrlNorm.register(spark)
+    // the watermark is defined ONCE, upstream of both stateful dedups
+    // (Spark disallows redefining it mid-plan); both union branches
+    // descend from this node, so it propagates through the union
+    val normed = docs.withColumn("url_norm", expr("url_norm(url).url_norm"))
+      .withWatermark("ts", watermark)
+    val urlDeduped = normed.filter(col("url_norm").isNotNull)
+      .dropDuplicatesWithinWatermark("url_norm")
+      .unionByName(normed.filter(col("url_norm").isNull))
+    val gated = graft.ext.TextStats.gopherFilterNarrow(urlDeduped)
+      .filter(col("keep"))
+      .drop("n_words", "dup_word_frac", "top_bigram_frac", "entropy",
+        "reason_mask", "keep")
+    incrementalDedup(spark, gated, snapshot, bands, maxBucket, threshold,
+      watermark = "", keepCols = Seq("url_norm"))
   }
 
   final case class WinnowSeenCand(seen_id: Long, sh_s: Seq[String])

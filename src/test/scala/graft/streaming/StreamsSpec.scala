@@ -533,6 +533,53 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream crawl intake ≡ batch crawlIntake: every stage drops its planted case") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(p: String) = (0 until 25).map(i => s"$p$i").mkString(" ")
+    val textA = words("alpha"); val textB = words("beta")
+    val textC = words("fresh"); val textD = words("delta")
+    val nearB = textB.split(" ").init.mkString(" ") + " zzz"
+    val junk = Seq.fill(30)("spam").mkString(" ")
+    val seen = Seq((1L, textA, "s"), (2L, textB, "s"))
+      .toDF("doc_id", "text", "source")
+    val snapshot = graft.ext.Dedup.incrementalSnapshot(spark, seen)
+      .localCheckpoint(true)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val arrivals = Seq(
+      // 10/12 normalize to the SAME URL → the url_norm state keeps 10,
+      // which then falls to the exact-vs-seen stage
+      (10L, textA, "HTTP://WWW.Example.COM:80/page?utm_source=x&id=1", t0),
+      (12L, words("twelve"), "http://www.example.com/page?id=1&fbclid=zz", t0),
+      (15L, textC, "https://a.example.org/c1", t0),   // admitted
+      (18L, textC, "https://b.example.org/c2", t0),   // exact dup within stream
+      (21L, junk, "https://c.example.org/junk", t0),  // gate
+      (24L, nearB, "https://d.example.org/near", t0), // near-dup of seen
+      (27L, textD, "not a url", t0))                  // url_norm NULL passes
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "url", "ts")
+    val q = Streams.crawlIntake(spark, docs, snapshot)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("crawlin").start()
+    // one micro-batch per arrival, in id order: the within-stream
+    // dedup states keep the FIRST arrival, which this ordering makes
+    // exactly the batch form's min-id survivor
+    arrivals.foreach { a => mem.addData(a); q.processAllAvailable() }
+    val got = spark.sql("SELECT doc_id, url_norm FROM crawlin").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got.keySet == Set(15L, 27L), s"stream admitted ${got.keySet}")
+    assert(got(15L).contains("https://a.example.org/c1") && got(27L).isEmpty)
+    val batch = graft.ext.Corpus.crawlIntake(spark,
+        arrivals.map(a => (a._1, a._2, a._3)).toDF("doc_id", "text", "url"),
+        snapshot)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == got.keySet, s"stream ${got.keySet} != batch $batch")
+    // TWO stateful ops exactly: the url_norm dedup + the content-hash
+    // dedup; the gate is narrow, the snapshot joins stream-static
+    assert(q.lastProgress.stateOperators.length == 2)
+    q.stop()
+  }
+
   test("watermarked window aggregation over an event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -35,7 +35,8 @@ object ScaleProbe {
       return
     }
     if (args.headOption.contains("hamming-intake")) {
-      hammingIntakeCensus(spark)
+      hammingIntakeCensus(spark,
+        args.lift(1).map(_.toLong).getOrElse(2000000L))
       spark.stop()
       return
     }
@@ -857,7 +858,8 @@ object ScaleProbe {
     * in increment size), the append's census merge is metadata-scale
     * arithmetic, and the 100k-copy degenerate bucket contributes
     * ZERO pair work (guarded by the persisted census, not by luck). */
-  private def hammingIntakeCensus(spark: SparkSession): Unit = {
+  private def hammingIntakeCensus(spark: SparkSession,
+      n: Long = 2000000L): Unit = {
     def rmTemp(path: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -872,24 +874,25 @@ object ScaleProbe {
         .as("packed"))
     val dir = java.nio.file.Files.createTempDirectory("hamscale").toString
     val tB = System.nanoTime()
-    graft.ext.Dedup.writeHammingIndex(spark, sigs(0, 2000000), dir)
+    graft.ext.Dedup.writeHammingIndex(spark, sigs(0, n), dir)
     val secsB = (System.nanoTime() - tB) / 1e9
     val nB = spark.read.parquet(s"$dir/bsize").count()
     // the increment is NEAR-DUPS of scattered seen families (base ^ 3,
     // ≤ 2 bits from every family member) plus the same 5% degenerate
     // share — a crawl increment that actually matches seen content
     val inc = spark.range(0, 10000, 1, 8).select(
-      (col("id") + 2000000L).as("doc_id"),
+      (col("id") + n).as("doc_id"),
       when(col("id") % 20 === 0, lit(0x4242424242424242L))
         .otherwise(expr(
-          """CAST(conv(substring(md5(CAST((id * 193) % 250000 AS STRING)),
+          s"""CAST(conv(substring(md5(CAST((id * 193) % ${n / 8} AS STRING)),
             |          1, 15), 16, 10) AS BIGINT) ^ 3""".stripMargin))
         .as("packed"))
-    // two cap settings: the default 10 (exposes BAND-SPACE SATURATION —
-    // at 2M sigs the mean 16-bit bucket holds ~n·4/262k ≈ 30 members,
-    // so a cap below the mean drops most LEGITIMATE buckets) and a
-    // scale-sized 300 (≈ 10× the mean; the hammingIntake doc's sizing
-    // rule). Warm once, then min-of-2 (the winnow census' protocol).
+    // two cap settings: the old fixed default 10 (exposes BAND-SPACE
+    // SATURATION — at n sigs the mean 16-bit bucket holds ~n/2¹⁶
+    // members, so a cap below the mean drops most LEGITIMATE buckets)
+    // and a scale-sized 10× the mean (the deriveHammingCap rule).
+    // Warm once, then min-of-2 (the winnow census' protocol).
+    val sizedCap = math.max(10L, 10L * ((n + 65535) / 65536)).toInt
     def timeIntake(cap: Int): (Double, Long) = {
       graft.ext.Dedup.hammingIntake(spark, inc, dir, maxBucket = cap).count()
       var best = Double.MaxValue
@@ -903,18 +906,18 @@ object ScaleProbe {
       (best, pairs)
     }
     val (tightS, tightP) = timeIntake(10)
-    val (sizedS, sizedP) = timeIntake(300)
+    val (sizedS, sizedP) = timeIntake(sizedCap)
     // the census-derived cap (maxBucket = 0 → deriveHammingCap) must
     // land in the sized regime on its own
     val derivedCap = graft.ext.Dedup.deriveHammingCap(spark, dir)
     val (derS, derP) = timeIntake(0)
-    // the degenerate signature (100k-copy bucket, far above EITHER
+    // the degenerate signature (n/20-copy bucket, far above EITHER
     // cap) must pair nothing: 500 of the increment's 10k rows carry it
     val degPairs = graft.ext.Dedup.hammingIntake(spark,
         inc.filter(col("packed") === 0x4242424242424242L), dir,
-        maxBucket = 300).count()
+        maxBucket = sizedCap).count()
     val tA = System.nanoTime()
-    graft.ext.Dedup.appendHammingIndex(spark, sigs(2010000, 2020000), dir)
+    graft.ext.Dedup.appendHammingIndex(spark, sigs(n + 10000, n + 20000), dir)
     val secsA = (System.nanoTime() - tA) / 1e9
     // index lifecycle at crawl cadence: 9 more appends (10 total),
     // intake latency on the fragmented sigs table, then
@@ -922,44 +925,60 @@ object ScaleProbe {
     // decay and its listing-driven repair, measured
     for (a <- 1 until 10)
       graft.ext.Dedup.appendHammingIndex(spark,
-        sigs(2020000L + a * 10000L, 2030000L + a * 10000L), dir)
+        sigs(n + 20000L + a * 10000L, n + 30000L + a * 10000L), dir)
     def sigFiles = new java.io.File(s"$dir/sigs").listFiles()
       .count(_.getName.endsWith(".parquet"))
     val fragFiles = sigFiles
-    val (fragS, _) = timeIntake(300)
+    val (fragS, _) = timeIntake(sizedCap)
     val tC = System.nanoTime()
     val nComp = graft.ext.Dedup.compactHammingIndex(spark, dir, maxFiles = 32)
     val secsC = (System.nanoTime() - tC) / 1e9
     val compFiles = sigFiles
-    val (compS, _) = timeIntake(300)
-    // the BATCH path at the same 2M (hammingNearDup64 corpus-wide, not
+    val (compS, _) = timeIntake(sizedCap)
+    // the BATCH path at the same n (hammingNearDup64 corpus-wide, not
     // the increment): the DEFAULT (maxBucket = 0 → census-derived
     // in-plan) against the old fixed 10 that round 11 measured losing
     // ~96% of true pairs to band-space saturation. Single shot per
     // cap — the pair COUNTS are the finding (deterministic); wall
     // time is context. The derived cap must land in the sized regime
-    // with no knob touched.
-    def timeBatch(cap: Int): (Double, Long) = {
-      val t = System.nanoTime()
-      val pairs = graft.ext.Dedup.hammingNearDup64(spark, sigs(0, 2000000),
-        maxBucket = cap).count()
-      ((System.nanoTime() - t) / 1e9, pairs)
-    }
-    val (bTightS, bTightP) = timeBatch(10)
-    val (bDerS, bDerP) = timeBatch(0)
-    println(f"[probe] hamming intake: 2M sigs indexed in $secsB%.1fs " +
+    // with no knob touched. GATED at ≤ 4M sigs (no-silent-caps: at
+    // 20M the mean 16-bit bucket holds ~305 members, so corpus-wide
+    // banding's kept pair volume is Σc² ≈ tens of billions — the
+    // 4-band/16-bit space stops pruning and the INCREMENT intake is
+    // the only sane shape; that cliff is the finding, printed here).
+    val (bTightS, bTightP, bDerS, bDerP) =
+      if (n <= 4000000L) {
+        def timeBatch(cap: Int): (Double, Long) = {
+          val t = System.nanoTime()
+          val pairs = graft.ext.Dedup.hammingNearDup64(spark, sigs(0, n),
+            maxBucket = cap).count()
+          ((System.nanoTime() - t) / 1e9, pairs)
+        }
+        val (a1, p1) = timeBatch(10)
+        val (a2, p2) = timeBatch(0)
+        (a1, p1, a2, p2)
+      } else {
+        println(s"[probe] hamming BATCH rows SKIPPED at n=$n (> 4M): " +
+          s"mean bucket ~${n / 65536} members — corpus-wide 4×16 " +
+          "banding no longer prunes at this density (kept pair volume " +
+          "Σc² is tens of billions); use the increment intake, more " +
+          "bands, or a wider band space")
+        (Double.NaN, -1L, Double.NaN, -1L)
+      }
+    println(f"[probe] hamming intake: $n%d sigs indexed in $secsB%.1fs " +
       f"($nB%d census rows); 10k increment cap=10 $tightS%.1fs " +
-      f"($tightP%d pairs — saturation-dropped), cap=300 $sizedS%.1fs " +
-      f"($sizedP%d pairs), derived cap=$derivedCap%d $derS%.1fs " +
-      f"($derP%d pairs); degenerate 100k-copy bucket: $degPairs%d " +
-      f"pairs (census-guarded at either cap); 10k append $secsA%.1fs " +
-      f"(census merged by arithmetic); lifecycle: 10 appends → " +
-      f"$fragFiles%d sig files, intake $fragS%.1fs; compact " +
-      f"($nComp%d files, $secsC%.1fs) → $compFiles%d files, intake " +
-      f"$compS%.1fs; BATCH 2M cap=10 $bTightS%.1fs " +
-      f"($bTightP%d pairs) vs DEFAULT derived $bDerS%.1fs ($bDerP%d " +
-      f"pairs — ${100.0 * bTightP / math.max(1L, bDerP)}%.1f%% kept by " +
-      f"the old fixed cap)")
+      f"($tightP%d pairs — saturation-dropped), cap=$sizedCap%d " +
+      f"$sizedS%.1fs ($sizedP%d pairs), derived cap=$derivedCap%d " +
+      f"$derS%.1fs ($derP%d pairs); degenerate ${n / 20}%d-copy " +
+      f"bucket: $degPairs%d pairs (census-guarded at either cap); " +
+      f"10k append $secsA%.1fs (census merged by arithmetic); " +
+      f"lifecycle: 10 appends → $fragFiles%d sig files, intake " +
+      f"$fragS%.1fs; compact ($nComp%d files, $secsC%.1fs) → " +
+      f"$compFiles%d files, intake $compS%.1fs; BATCH $n%d cap=10 " +
+      f"$bTightS%.1fs ($bTightP%d pairs) vs DEFAULT derived " +
+      f"$bDerS%.1fs ($bDerP%d pairs — " +
+      f"${100.0 * bTightP / math.max(1L, bDerP)}%.1f%% kept by the " +
+      f"old fixed cap; -1 = skipped at this n)")
     rmTemp(dir)
   }
 

@@ -542,17 +542,26 @@ object Corpus {
       expr(s"url_norm($urlCol).url_norm"))
     // min-id-per-key via a window, not an aggregate + self-join: one
     // exchange on the key, and the increment frame threads through
-    // with all its columns intact
-    val s1 = normed
-      .withColumn("_kmin",
-        min(col(idCol)).over(Window.partitionBy(col("url_norm"))))
-      .filter(col("url_norm").isNull || col(idCol) === col("_kmin"))
-      .drop("_kmin")
-    val s2 = s1
-      .withColumn("_kmin",
-        min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))))
-      .filter(col(idCol) === col("_kmin"))
-      .drop("_kmin")
+    // with all its columns intact. NULL-key rows (malformed URLs here,
+    // null texts below) ROUTE AROUND the window instead of through it:
+    // they all pass the filter anyway, and a hash partitioner sends
+    // every NULL to ONE partition — a crawl increment heavy in
+    // malformed URLs would sort its whole malformed cohort on a single
+    // task for nothing.
+    def keepMinPer(df: DataFrame, key: org.apache.spark.sql.Column) = {
+      val keyed = df.withColumn("_k", key)
+      keyed.filter(col("_k").isNotNull)
+        .withColumn("_kmin",
+          min(col(idCol)).over(Window.partitionBy(col("_k"))))
+        .filter(col(idCol) === col("_kmin"))
+        .drop("_kmin")
+        .unionByName(keyed.filter(col("_k").isNull))
+        .drop("_k")
+    }
+    val s1 = keepMinPer(normed, col("url_norm"))
+    // NULL text forms no content-hash group (it cannot equal another
+    // row's hash); the gate below drops it regardless
+    val s2 = keepMinPer(s1, md5(col(textCol)))
     val s3 = graft.ext.TextStats.gopherFilterNarrow(s2, textCol = textCol)
       .filter(col("keep"))
       .drop("n_words", "dup_word_frac", "top_bigram_frac", "entropy",

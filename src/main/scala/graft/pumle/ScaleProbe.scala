@@ -974,11 +974,12 @@ object ScaleProbe {
       f"10k append $secsA%.1fs (census merged by arithmetic); " +
       f"lifecycle: 10 appends → $fragFiles%d sig files, intake " +
       f"$fragS%.1fs; compact ($nComp%d files, $secsC%.1fs) → " +
-      f"$compFiles%d files, intake $compS%.1fs; BATCH $n%d cap=10 " +
-      f"$bTightS%.1fs ($bTightP%d pairs) vs DEFAULT derived " +
-      f"$bDerS%.1fs ($bDerP%d pairs — " +
-      f"${100.0 * bTightP / math.max(1L, bDerP)}%.1f%% kept by the " +
-      f"old fixed cap; -1 = skipped at this n)")
+      f"$compFiles%d files, intake $compS%.1fs; " + (
+      if (bDerP < 0) f"BATCH rows SKIPPED at n=$n%d (see above)"
+      else f"BATCH $n%d cap=10 $bTightS%.1fs ($bTightP%d pairs) vs " +
+        f"DEFAULT derived $bDerS%.1fs ($bDerP%d pairs — " +
+        f"${100.0 * bTightP / math.max(1L, bDerP)}%.1f%% kept by the " +
+        f"old fixed cap)"))
     rmTemp(dir)
   }
 

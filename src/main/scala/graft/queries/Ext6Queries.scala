@@ -387,9 +387,15 @@ object Ext6Queries {
         SELECT doc_id, packed, band, bval,
           count(*) OVER (PARTITION BY band, bval) AS bsize
         FROM lanes),
+      -- census-derived DEFAULT cap (deriveHammingCap's integer rule,
+      -- = 10 at the sf gates) — the oracle tracks the engine's default
+      -- at ANY corpus size
+      cap AS (
+        SELECT greatest(10, 10 * ((count(*) + 65535) // 65536)) AS c
+        FROM sig),
       small AS (
-        SELECT doc_id, packed, band, bval FROM sized
-        WHERE bsize BETWEEN 2 AND 10),
+        SELECT doc_id, packed, band, bval FROM sized, cap
+        WHERE bsize BETWEEN 2 AND cap.c),
       pairs AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(bit_count(xor(a.packed, b.packed)) AS BIGINT) AS hamming
@@ -533,10 +539,15 @@ object Ext6Queries {
         SELECT doc_id, packed, CAST(l.generate_series AS INTEGER) AS band,
           (packed // CAST(pow(2, l.generate_series * 16) AS BIGINT)) % 65536 AS bval
         FROM seen, generate_series(0, 3) l),
+      -- the intake derives its cap from the PERSISTED census (sum n / 4
+      -- = seen signature count) — replayed here from the seen side
+      cap AS (
+        SELECT greatest(10, 10 * ((count(*) + 65535) // 65536)) AS c
+        FROM seen),
       bs AS (
         SELECT band, bval FROM (
-          SELECT band, bval, count(*) AS n FROM ls GROUP BY band, bval)
-        WHERE n <= 10),
+          SELECT band, bval, count(*) AS n FROM ls GROUP BY band, bval), cap
+        WHERE n <= cap.c),
       ln AS (
         SELECT doc_id, packed, CAST(l.generate_series AS INTEGER) AS band,
           (packed // CAST(pow(2, l.generate_series * 16) AS BIGINT)) % 65536 AS bval
@@ -596,9 +607,13 @@ object Ext6Queries {
         SELECT doc_id, $oracleUrlNorm AS url_norm, lang, source, text
         FROM documents WHERE doc_id % 3 = 0),
       s1 AS (
+        -- NULL url_norm passes through (un-canonicalizable URLs are
+        -- not evidence of duplication — the engine's stage-1 rule);
+        -- the fixture's URLs all parse, but the oracle must model the
+        -- stage it checks, not the fixture that happens to feed it
         SELECT doc_id, url_norm, lang, source, text FROM (
           SELECT u.*, min(doc_id) OVER (PARTITION BY url_norm) AS kmin FROM u)
-        WHERE doc_id = kmin),
+        WHERE doc_id = kmin OR url_norm IS NULL),
       s2 AS (
         SELECT doc_id, url_norm, lang, source, text FROM (
           SELECT s1.*, min(doc_id) OVER (PARTITION BY md5(text)) AS kmin FROM s1)

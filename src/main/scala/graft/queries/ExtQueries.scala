@@ -1146,7 +1146,16 @@ object ExtQueries {
       sized AS (
         SELECT doc_id, lane, lv, count(*) OVER (PARTITION BY lane, lv) AS bsize
         FROM sig),
-      small AS (SELECT doc_id, lane, lv FROM sized WHERE bsize BETWEEN 2 AND 10),
+      -- the census-derived DEFAULT cap (deriveHammingCap's integer
+      -- rule: 10 x ceil(n / 65536), floor 10) replayed over the same
+      -- signature population, so the oracle tracks the engine at ANY
+      -- scale (= 10 at the sf gates)
+      cap AS (
+        SELECT greatest(10, 10 * ((count(*) + 65535) // 65536)) AS c
+        FROM documents WHERE text IS NOT NULL),
+      small AS (
+        SELECT doc_id, lane, lv FROM sized, cap
+        WHERE bsize BETWEEN 2 AND cap.c),
       pairs AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM small a JOIN small b
@@ -1628,13 +1637,17 @@ object ExtQueries {
         SELECT doc_id, lane,
           CAST(sum(CASE WHEN v >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS lv
         FROM votes GROUP BY doc_id, lane),
-      sized AS (SELECT lane, lv, count(*) AS bsize FROM sig GROUP BY lane, lv)
+      sized AS (SELECT lane, lv, count(*) AS bsize FROM sig GROUP BY lane, lv),
+      -- census-derived DEFAULT cap (see q85): = 10 at the sf gates
+      cap AS (
+        SELECT greatest(10, 10 * ((count(*) + 65535) // 65536)) AS c
+        FROM documents WHERE text IS NOT NULL)
       SELECT
-        CAST(sum(CASE WHEN bsize > 10 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
-        CAST(sum(CASE WHEN bsize > 10 THEN bsize ELSE 0 END) AS BIGINT) AS dropped_doc_slots,
-        CAST(sum(CASE WHEN bsize BETWEEN 2 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS kept_buckets,
+        CAST(sum(CASE WHEN bsize > cap.c THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
+        CAST(sum(CASE WHEN bsize > cap.c THEN bsize ELSE 0 END) AS BIGINT) AS dropped_doc_slots,
+        CAST(sum(CASE WHEN bsize BETWEEN 2 AND cap.c THEN 1 ELSE 0 END) AS BIGINT) AS kept_buckets,
         CAST(max(bsize) AS BIGINT) AS max_bucket_size
-      FROM sized"""))
+      FROM sized, cap"""))
 
   // --------------------------------------------------------------- q100
   // BPE encode with a FIXED literal merge table (the learned-merge

@@ -169,8 +169,12 @@ object Decade3Probe {
           col("vec_id") < 200000L && col("vec_id") % 997 === 0, 10)
         .select(col("q_id"), col("n_id")).localCheckpoint(true)
       val nQ = exact.select(col("q_id")).distinct().count()
+      // fresh ids (anchor + 10⁹): a perturbed query must NOT reuse its
+      // anchor's corpus id — ivfTopKIndexed's q_id ≠ n_id self-filter
+      // would silently drop the anchor from the approx side while the
+      // ground truth ranks it, deflating every recall number
       def perturbed(eps: Double) = queries(n).select(
-        col("vec_id"),
+        (col("vec_id") + 1000000000L).as("vec_id"),
         expr(s"""transform(sequence(0, 63), d -> CAST(
                 |  CAST(embedding[d] AS DOUBLE) + $eps *
                 |  (CAST(pmod(vec_id * (d + 29) + 7, 101) AS DOUBLE) / 50.0

@@ -161,7 +161,16 @@ def respread(kind, timer, runs, out, spread):
             return
         print(f"[respread] {kind} attempt {attempt + 1}: re-measuring "
               f"{len(bad)} row(s) over {SPREAD_BAR}x: {', '.join(bad)}")
-        res = timer(runs, bad)
+        # a failed RE-measure must never discard the completed primary
+        # pass: keep the measured floors and report, don't raise
+        # (time_spark raises SystemExit on a missing line; subprocess
+        # can raise TimeoutExpired)
+        try:
+            res = timer(runs, bad)
+        except BaseException as e:
+            print(f"[respread] {kind} re-measure failed ({e}); "
+                  f"keeping primary measurements")
+            return
         nout, nspread = res[0], res[1]
         for q in bad:
             if q in nout and nout[q] == nout[q]:

@@ -536,7 +536,24 @@ object Corpus {
     * increment-bounded candidate pairs). */
   def crawlIntake(spark: SparkSession, arrivals: DataFrame,
       snapshot: DataFrame, urlCol: String = "url",
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    crawlIntakeTracked(spark, arrivals, snapshot, urlCol, idCol, textCol)._1
+
+  /** [[crawlIntake]] plus a RELEASE HANDLE for the gated increment's
+    * checkpoint blocks. `crawlIntake` materializes the gated increment
+    * EAGERLY at call time (one increment-bounded Spark job — the
+    * frame is referenced three times downstream) and the returned
+    * frame reads those blocks lazily, so they must outlive the
+    * caller's consumption; the handle is how a long-lived session
+    * (one intake per crawl increment, indefinitely) returns that
+    * storage instead of accumulating it until RDD GC: consume the
+    * returned frame fully (write/collect), then call `release()`.
+    * `crawlIntake` itself leaves release to RDD GC — fine for one-shot
+    * jobs, not for intake loops. */
+  def crawlIntakeTracked(spark: SparkSession, arrivals: DataFrame,
+      snapshot: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, () => Unit) = {
     graft.functions.UrlNorm.register(spark)
     val normed = arrivals.withColumn("url_norm",
       expr(s"url_norm($urlCol).url_norm"))
@@ -566,13 +583,15 @@ object Corpus {
       .filter(col("keep"))
       .drop("n_words", "dup_word_frac", "top_bigram_frac", "entropy",
         "reason_mask", "keep")
-      // stage 4 references its input three times (band buckets, verify
-      // shingles, final anti-join): materialize the gated increment
-      // ONCE — increment-bounded blocks — instead of replaying the
-      // window dedups + gate per reference (q103's snapshot-side
-      // discipline applied to the increment side)
-      .localCheckpoint(true)
-    graft.ext.Dedup.dedupIncrementalPersisted(spark, s3, snapshot,
-      idCol = idCol, textCol = textCol)
+    // stage 4 references its input three times (band buckets, verify
+    // shingles, final anti-join): materialize the gated increment
+    // ONCE — increment-bounded blocks, tracked so the caller can
+    // return them — instead of replaying the window dedups + gate per
+    // reference (q103's snapshot-side discipline applied to the
+    // increment side)
+    val (s3cp, blocks) = graft.ext.Dedup.checkpointTracked(s3)
+    (graft.ext.Dedup.dedupIncrementalPersisted(spark, s3cp, snapshot,
+       idCol = idCol, textCol = textCol),
+     () => blocks.foreach(_.unpersist(blocking = false)))
   }
 }

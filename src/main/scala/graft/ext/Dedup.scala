@@ -1280,7 +1280,11 @@ object Dedup {
     * `maxBucket` DEFAULTS TO 0 = census-derived ([[hammingNearDup64]]'s
     * in-plan derivation — ScaleProbe measured the old fixed default
     * sitting below the MEAN bucket size at 2M signatures, silently
-    * keeping ~4% of true pairs); pass an explicit cap to pin it. */
+    * keeping ~4% of true pairs); pass an explicit cap to pin it.
+    * Past ~4M documents the 4×16-bit band space saturates (see
+    * [[hammingNearDup64]]'s SCALE BOUNDARY note) — corpus-wide runs at
+    * that size belong on [[simhashNearDup128]], whose 32-bit bands
+    * keep pruning at any feasible corpus. */
   def simhashNearDup(spark: SparkSession, docs: DataFrame, maxDist: Int = 3,
       maxBucket: Int = 0, idCol: String = "doc_id",
       textCol: String = "text",
@@ -1317,14 +1321,29 @@ object Dedup {
     * mean per-band bucket occupancy, floor 10) evaluated IN-PLAN: the
     * corpus total is a global window sum over the metadata-scale
     * census (≤ 4·2¹⁶ rows — one window partition is fine), so
-    * derivation adds no job and no second corpus scan, and stays fully
-    * lazy/stream-composable. The fixed default it replaces was a
-    * measured recall scale-killer: at 2M signatures the MEAN band
-    * bucket holds ~30 members, so cap 10 sat below the mean and kept
-    * ~4% of true pairs (band-space saturation — ScaleProbe's
+    * derivation adds no job and no second corpus scan and stays lazy.
+    * (BATCH only: the global non-time window is rejected by streaming
+    * analysis — a streaming caller must pass an explicit cap or use
+    * [[graft.streaming.Streams.hammingIntake]], which derives the cap
+    * driver-side from the persisted census.) The fixed default it
+    * replaces was a measured recall scale-killer: at 2M signatures the
+    * MEAN band bucket holds ~30 members, so cap 10 sat below the mean
+    * and kept ~4% of true pairs (band-space saturation — ScaleProbe's
     * `hamming-intake` census). An explicit cap still applies verbatim
     * (floor 1); the drop stats always report against the cap in
-    * effect. */
+    * effect.
+    *
+    * SCALE BOUNDARY (~4M signatures): the derived cap tracks the mean
+    * bucket (10 × n/2¹⁶), so it is deliberately UNBOUNDED — and past
+    * ~4M signatures the 16-bit band space itself saturates: kept pair
+    * volume grows as Σc² ≈ n²/2¹⁶ per band (at 20M sigs the mean
+    * bucket holds ~305 members — tens of billions of candidate pairs;
+    * ScaleProbe gates its corpus-wide row off there for exactly this
+    * reason). Above that, corpus-wide dedup belongs on the 32-bit-band
+    * machinery — [[hammingNearDup128]] / [[simhashNearDup128]], whose
+    * band space (2³²) does not saturate at any feasible corpus — or on
+    * the increment-bounded [[hammingIntake]]; an explicit cap bounds
+    * the work but reintroduces the measured recall loss. */
   def hammingNearDup64(spark: SparkSession, packedDf: DataFrame,
       maxDist: Int = 3, maxBucket: Int = 0,
       capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
@@ -1383,6 +1402,119 @@ object Dedup {
           expr("greatest(10L, 10L * ((_tot DIV 4 + 65535) DIV 65536))"))
         .drop("_tot")
     else census.withColumn("_cap", lit(maxBucket.toLong))
+
+  /** 128-bit SimHash lanes per doc — `(doc_id, lanes)` with eight
+    * 16-bit lanes ([[graft.functions.SimHash128]]; lanes 0–3 ≡
+    * `simhash64`'s). Null text drops (no signature to compare). */
+  def simhashLanes128(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.SimHash128.register(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), expr(s"simhash128($textCol)").as("lanes"))
+  }
+
+  /** 128-bit SimHash Hamming near-dup — the corpus-wide batch shape
+    * that SURVIVES the fourth decade: [[simhashNearDup]]'s banding/
+    * verify discipline on a 128-bit signature with FOUR 32-BIT bands.
+    * Pigeonhole completeness is unchanged (any pair within Hamming ≤ 3
+    * = bands − 1 agrees exactly on ≥ 1 band), but the bucket space per
+    * band is 2³² instead of 2¹⁶ — the mean bucket holds n/2³² members,
+    * below ONE until the corpus passes four billion documents, so the
+    * band space never saturates and the kept pair volume stays
+    * ∝ the true duplicate structure, not n²/bucket-space (the measured
+    * ~4M-signature cliff of the 64-bit form — see
+    * [[hammingNearDup64]]'s SCALE BOUNDARY note; ScaleProbe's
+    * `hamming128` census measures this shape returning the full
+    * planted pair set at 20M signatures, where the 64-bit batch row
+    * gates off).
+    *
+    * Distance semantics: `maxDist` applies to the 128-bit signature —
+    * a strictly FINER similarity test than the same distance on 64
+    * bits (twice the bits must agree), which is the point: wider
+    * signatures buy precision AND scale together. */
+  def simhashNearDup128(spark: SparkSession, docs: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 0, idCol: String = "doc_id",
+      textCol: String = "text",
+      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    // eight 16-bit lanes pack into TWO longs (the hammingNearDup64
+    // packing argument ×2): every shuffled row / collected member
+    // carries 3 flat longs, and the Hamming check is two bit_counts
+    val packed = simhashLanes128(docs, idCol, textCol).select(col("doc_id"),
+      expr("lanes[0] | shiftleft(lanes[1], 16) | shiftleft(lanes[2], 32)" +
+        " | shiftleft(lanes[3], 48)").as("lo"),
+      expr("lanes[4] | shiftleft(lanes[5], 16) | shiftleft(lanes[6], 32)" +
+        " | shiftleft(lanes[7], 48)").as("hi"))
+    hammingNearDup128(spark, packed, maxDist, maxBucket, capMetrics)
+  }
+
+  /** Hamming near-dup search over ANY 128-bit signature held as two
+    * packed longs `(doc_id, lo, hi)` — [[hammingNearDup64]]'s
+    * machinery on four 32-BIT bands (band b = bits [32b, 32b+32) of
+    * hi·2⁶⁴+lo). Same semantics, caps and observability; exact
+    * verification is `bit_count(lo⊕lo') + bit_count(hi⊕hi') ≤
+    * maxDist`; one row per pair.
+    *
+    * `maxBucket = 0` (the DEFAULT) derives the cap with the same
+    * 10×-mean rule (10 × n/2³², floor 10 — the floor governs at any
+    * feasible corpus). Unlike the 64-bit path the band census here is
+    * O(n) rows (most 32-bit buckets are singletons), so the derivation
+    * total comes from a ONE-ROW count aggregate over the signature
+    * frame broadcast into the census — never a single-partition window
+    * over an n-scale frame. The count prunes to a narrow scan
+    * (Catalyst drops the signature projection under count), and the
+    * broadcast keeps the whole path lazy — batch only, as with the
+    * 64-bit derivation. */
+  def hammingNearDup128(spark: SparkSession, packedDf: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 0,
+      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(maxBucket >= 0,
+      s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
+    val packed = packedDf.select(col("doc_id"), col("lo"), col("hi"))
+    val buckets = hammingBands128(packed)
+    val census = buckets.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("bsize"))
+    val sized0 =
+      if (maxBucket == 0)
+        census.crossJoin(broadcast(packed.groupBy().agg(
+          expr("greatest(10L, 10L * ((count(1) + 4294967295) DIV 4294967296))")
+            .as("_cap"))))
+      else census.withColumn("_cap", lit(maxBucket.toLong))
+    val sized = capMetrics.fold(sized0)(o => sized0.observe(o,
+      sum(when(col("bsize") > col("_cap"), lit(1L)).otherwise(lit(0L)))
+        .as("dropped_buckets"),
+      sum(when(col("bsize") > col("_cap"), col("bsize")).otherwise(lit(0L)))
+        .as("dropped_doc_slots")))
+    val small = sized
+      .filter(col("bsize").between(lit(2), col("_cap")))
+      .select(col("band"), col("bval"))
+    buckets.join(small, Seq("band", "bval")) // mega-buckets die pre-collect
+      .groupBy(col("band"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("lo"), col("hi"))))
+        .as("ms"))
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)), y ->
+          |    struct(x.doc_id AS a_id, y.doc_id AS b_id,
+          |           x.lo AS la, y.lo AS lb,
+          |           x.hi AS ha, y.hi AS hb))))""".stripMargin)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        expr("CAST(bit_count(p.la ^ p.lb) + bit_count(p.ha ^ p.hb) AS BIGINT)")
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct() // a pair sharing several bands appears once per band
+  }
+
+  /** The 4×32-bit band rows of a two-long 128-bit signature frame —
+    * `(doc_id, lo, hi, band, bval)`, [[hammingBands]]' wider cousin
+    * behind [[hammingNearDup128]]. The 32-bit extraction masks the
+    * arithmetic shift back to an unsigned band value. */
+  private[graft] def hammingBands128(packedDf: DataFrame): DataFrame =
+    packedDf.select(col("doc_id"), col("lo"), col("hi"),
+      posexplode(expr(
+        """transform(sequence(0, 3), b ->
+          |  IF(b < 2, shiftright(lo, b * 32),
+          |            shiftright(hi, (b - 2) * 32)) & 4294967295)"""
+          .stripMargin)).as(Seq("band", "bval")))
 
   /** Persist a packed-64 Hamming signature index — the
     * build-once/intake-many layout for CONTENT near-dup at crawl
@@ -1471,9 +1603,18 @@ object Dedup {
     * rows, so `bsize` needs no rebuild and intake results are
     * bit-equal before/after (Ext5Spec pins both, and idempotence:
     * a second call compacts nothing). Not safe concurrently with
-    * readers (the overwrite swaps the whole table); run between crawl
+    * readers (the swap replaces the whole table); run between crawl
     * increments, where appends already serialize. Returns the file
-    * count compacted away, 0 if under the threshold. */
+    * count compacted away, 0 if under the threshold.
+    *
+    * CRASH SAFETY: the rewrite lands in `path/sigs.compact.tmp` while
+    * `path/sigs` — the only durable copy — stays untouched, then swaps
+    * in by rename (sigs → sigs.compact.old, tmp → sigs, delete old).
+    * A crash anywhere before the first rename loses nothing (delete
+    * the orphaned tmp dir); a crash between the two renames leaves no
+    * `sigs` but a complete `sigs.compact.old` — rename it back. The
+    * only non-recoverable window of the previous in-place overwrite
+    * (checkpoint blocks as the sole copy of the table) is gone. */
   def compactHammingIndex(spark: SparkSession, path: String,
       maxFiles: Int = 64): Long = {
     require(maxFiles >= 1, s"maxFiles=$maxFiles must be >= 1")
@@ -1482,17 +1623,22 @@ object Dedup {
     val nFiles = fs.listStatus(sigs)
       .count(_.getPath.getName.endsWith(".parquet"))
     if (nFiles <= maxFiles) return 0L
-    // materialize BEFORE the overwrite (the write target is the scan's
-    // own source path); release via the backing RDDs, as everywhere.
     // Rewrite width = the build's configured-width routing, clamped to
     // maxFiles so the rewrite itself can never re-trip the threshold
-    // (idempotence — a second call always lists and returns 0).
+    // (idempotence — a second call always lists and returns 0). The
+    // write streams source → tmp (different paths, so no
+    // materialization is needed and the durable table is never the
+    // write target).
     val width = math.min(maxFiles,
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
-    val (cp, blocks) = checkpointTracked(
-      spark.read.parquet(s"$path/sigs").repartition(width, col("doc_id")))
-    try cp.write.mode("overwrite").parquet(s"$path/sigs")
-    finally blocks.foreach(_.unpersist(blocking = false))
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/sigs.compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/sigs.compact.old")
+    fs.delete(tmp, true); fs.delete(old, true) // orphans of a past crash
+    spark.read.parquet(s"$path/sigs").repartition(width, col("doc_id"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(sigs, old), s"compactHammingIndex: rename $sigs → $old failed")
+    require(fs.rename(tmp, sigs), s"compactHammingIndex: rename $tmp → $sigs failed")
+    fs.delete(old, true)
     nFiles.toLong
   }
 

@@ -903,15 +903,32 @@ object Similarity {
     * corpus text is never rescanned and never reshuffled at query
     * time. */
   def writeIvfIndex(spark: SparkSession, emb: DataFrame,
-      centroidPred: org.apache.spark.sql.Column, path: String): Unit = {
+      centroidPred: org.apache.spark.sql.Column, path: String,
+      trainIters: Int = DefaultTrainIters): Unit = {
     // null embeddings excluded ([[ivfAssign]]'s contract): a NULL
     // centroid_id would land in the Hive default partition and never
     // be probed — an unsearchable row is worse than a dropped one
     val base = withVectors(spark, emb.filter(col("embedding").isNotNull))
-    writeIvfFrom(spark, base, base.filter(centroidPred)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
-        col("nrm").as("cn")), path)
+    if (trainIters <= 0)
+      writeIvfFrom(spark, base, base.filter(centroidPred)
+        .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
+          col("nrm").as("cn")), path)
+    else
+      writeIvfIndexWith(spark, emb,
+        trainIvfCentroidsBalanced(spark, emb, centroidPred, trainIters), path)
   }
+
+  /** The default quantizer-training depth for [[writeIvfIndex]]: the
+    * TRAINED quantizer is the default build because the off-corpus
+    * recall audit proved its win is real and large (recall@10 at
+    * nProbe = 1: 0.45 seed-rows vs 0.96 trained at the 2M decade —
+    * BENCH_sfe), and two Lloyd iterations capture most of it at two
+    * narrow corpus passes each. `trainIters = 0` is the explicit
+    * cheap option: seed rows verbatim — the SQL-replayable assignment
+    * contract the oracle queries (q66/q116/q156/q158) pin, and the
+    * right choice when centroids were already trained elsewhere
+    * ([[writeIvfIndexWith]]). */
+  val DefaultTrainIters: Int = 2
 
   /** [[writeIvfIndex]] from EXPLICIT centroid vectors — the build hook
     * for a TRAINED quantizer ([[trainIvfCentroids]]' Lloyd output, or
@@ -984,12 +1001,22 @@ object Similarity {
       seedPred: org.apache.spark.sql.Column,
       iters: Int): Seq[(Long, Seq[Double])] = {
     val base = withVectors(spark, emb.filter(col("embedding").isNotNull))
-    var cents: Seq[(Long, Seq[Double])] = base.filter(seedPred)
+    val seeds: Seq[(Long, Seq[Double])] = base.filter(seedPred)
       .select(col("vec_id"), col("v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
       .sortBy(_._1).toSeq
-    require(cents.nonEmpty, "no seed centroids")
+    require(seeds.nonEmpty, "no seed centroids")
+    lloydIterate(spark, base, seeds, iters)
+  }
+
+  /** The Lloyd loop shared by [[trainIvfCentroids]] and
+    * [[trainIvfCentroidsBalanced]]: per iteration one narrow compiled
+    * assignment + one (cells·dims)-bounded mean aggregate; empty cells
+    * keep their previous centroid. */
+  private def lloydIterate(spark: SparkSession, base: DataFrame,
+      cents0: Seq[(Long, Seq[Double])], iters: Int): Seq[(Long, Seq[Double])] = {
     import spark.implicits._
+    var cents = cents0
     var i = 0
     while (i < iters) {
       val model = graft.functions.CentroidModelRef.collect(
@@ -1012,6 +1039,54 @@ object Similarity {
       i += 1
     }
     cents
+  }
+
+  /** [[trainIvfCentroids]] plus ONE hot-cell split pass — the
+    * concentration guard the 2M off-corpus audit flagged on the plain
+    * trained quantizer (max cell 31,250 vs the seed build's 9,987 —
+    * a 3×-hotter cell is a 3×-slower probe of that cell at search
+    * time). After the Lloyd iterations, every cell holding more than
+    * `splitFactor` × the mean member count receives a SECOND centroid
+    * placed on the cell's farthest member (min 4-dp cosine to the
+    * trained centroid, vec_id tie-break — the k-center step, applied
+    * only where concentration was measured; new ids allocate past the
+    * existing max so seed-derived ids never collide), then one final
+    * Lloyd iteration rebalances the split pairs. Cost: one extra
+    * narrow assignment + |cells|-bounded aggregate for the census, and
+    * the one rebalance iteration — nothing corpus-quadratic. No hot
+    * cell → bit-identical to [[trainIvfCentroids]] output
+    * (IvfIndexSpec pins both directions). */
+  def trainIvfCentroidsBalanced(spark: SparkSession, emb: DataFrame,
+      seedPred: org.apache.spark.sql.Column, iters: Int,
+      splitFactor: Double = 4.0): Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
+    val base = withVectors(spark, emb.filter(col("embedding").isNotNull))
+    val cents = trainIvfCentroids(spark, emb, seedPred, iters)
+    val model = graft.functions.CentroidModelRef.collect(
+      cents.toDF("centroid_id", "cv")
+        .select(col("centroid_id"), col("cv"),
+          expr("sqrt(dot64(cv, cv))").as("cn")))
+    graft.functions.CentroidTopK.register(spark, model)
+    val census = spread(base.select(col("vec_id"), col("v"), col("nrm")))
+      .withColumn("a", element_at(expr("centroid_topk(v, nrm, 1)"), 1))
+      .select(col("a.centroid_id").as("cid"), col("a.cos").as("cos"),
+        col("vec_id"), col("v"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("v"), struct(col("cos"), col("vec_id"))).as("far"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toIndexedSeq))
+    val totalN = census.map(_._2).sum
+    val mean = totalN.toDouble / math.max(1, cents.length)
+    val hot = census.filter(_._2 > splitFactor * mean).sortBy(_._1)
+    if (hot.isEmpty) cents
+    else {
+      val maxId = cents.map(_._1).max
+      val splits = hot.zipWithIndex.map { case ((_, _, far), i) =>
+        (maxId + 1 + i, far: Seq[Double])
+      }
+      lloydIterate(spark, base, cents ++ splits, 1)
+    }
   }
 
   /** Incremental IVF index maintenance — crawls APPEND; a build-once
@@ -1110,7 +1185,20 @@ object Similarity {
     * Not safe concurrently with readers of the same cells (swap is
     * per-partition, not transactional); run it between crawl
     * increments, where appendIvfIndex already serializes.
-    * Returns the number of cells compacted. */
+    *
+    * CRASH SAFETY: the fragmented cells' rows are materialized as
+    * localCheckpoint blocks (NOT durable) before the dynamic-overwrite
+    * commit replaces those cells' directories — a JVM crash inside the
+    * commit window can lose the cells being rewritten (untouched cells
+    * are never at risk). Recovery is a rebuild of the lost cells from
+    * the source embeddings (`writeIvfIndexWith` against the persisted
+    * `path/centroids` restores the exact assignment — the centroid
+    * table is never touched by compaction); where the source corpus is
+    * gone, snapshot `path/assigned` before compacting. The
+    * flat-table cousin [[graft.ext.Dedup.compactHammingIndex]] swaps
+    * by rename and has no such window; per-cell dynamic overwrite
+    * keeps compaction cost ∝ fragmentation, which at index scale is
+    * worth the documented (bounded, commit-phase-only) hazard. */
   def compactIvfIndex(spark: SparkSession, path: String,
       filesPerCell: Int = 1): Long = {
     require(filesPerCell >= 1, s"filesPerCell=$filesPerCell must be >= 1")

@@ -18,6 +18,7 @@ object Functions {
     Dot64.register(spark)
     SimHash16.register(spark)
     SimHash64.register(spark)
+    SimHash128.register(spark)
     XorFp48.register(spark)
     GopherStats.register(spark)
     CovMoments.register(spark)

@@ -482,6 +482,29 @@ object Multimodal {
       imagePacked(spark, media, useAhash), maxDist, maxBucket, capMetrics)
   }
 
+  /** Image near-dup on the COMBINED 128-bit perceptual signature
+    * (lo = dHash, hi = aHash) through [[graft.ext.Dedup
+    * .hammingNearDup128]]'s 4×32-bit banding — the corpus-wide batch
+    * shape for image dedup past the 64-bit form's ~4M-signature
+    * band-saturation boundary (see [[graft.ext.Dedup
+    * .hammingNearDup64]]'s SCALE BOUNDARY note). One decode pass
+    * yields both hashes, so the signature costs nothing extra.
+    * Semantics: `maxDist` spans BOTH hashes — a pair must survive the
+    * gradient test and the global-brightness test TOGETHER (≈ halves
+    * the per-hash tolerance vs [[imageNearDup]] at the same maxDist;
+    * raise maxDist to ~2× the single-hash setting for comparable
+    * recall with strictly better precision). Rows where either hash
+    * is NULL drop (undecodable payloads). */
+  def imageNearDup128(spark: SparkSession, media: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 0,
+      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    graft.ext.Dedup.hammingNearDup128(spark,
+      imageHashes(spark, media)
+        .filter(col("dhash").isNotNull && col("ahash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("dhash").as("lo"),
+          col("ahash").as("hi")),
+      maxDist, maxBucket, capMetrics)
+
   private def imagePacked(spark: SparkSession, media: DataFrame,
       useAhash: Boolean): DataFrame = {
     val hcol = if (useAhash) "ahash" else "dhash"

@@ -40,6 +40,12 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (args.headOption.contains("hamming128")) {
+      hamming128BatchCensus(spark,
+        args.lift(1).map(_.toLong).getOrElse(2000000L))
+      spark.stop()
+      return
+    }
 
     // probe artifacts are tens of GB at the 10M decades — delete each
     // section's directory once its numbers are printed, or repeated
@@ -423,7 +429,7 @@ object ScaleProbe {
               |  END AS FLOAT))""".stripMargin).as("embedding"))
     val ivfDir = java.nio.file.Files.createTempDirectory("ivfcompact").toString
     graft.ext.Similarity.writeIvfIndex(spark, clustered(0, nVec),
-      col("vec_id") % 1000 === 0, ivfDir)
+      col("vec_id") % 1000 === 0, ivfDir, trainIters = 0) // seed build: the probe's decade series is pinned to it
     graft.ext.Similarity.compactIvfIndex(spark, ivfDir)
     for (a <- 0 until 10) {
       graft.ext.Similarity.appendIvfIndex(spark,
@@ -961,8 +967,9 @@ object ScaleProbe {
         println(s"[probe] hamming BATCH rows SKIPPED at n=$n (> 4M): " +
           s"mean bucket ~${n / 65536} members — corpus-wide 4×16 " +
           "banding no longer prunes at this density (kept pair volume " +
-          "Σc² is tens of billions); use the increment intake, more " +
-          "bands, or a wider band space")
+          "Σc² is tens of billions); use hammingNearDup128 (32-bit " +
+          "bands — the `hamming128` probe measures it at this n) or " +
+          "the increment intake")
         (Double.NaN, -1L, Double.NaN, -1L)
       }
     println(f"[probe] hamming intake: $n%d sigs indexed in $secsB%.1fs " +
@@ -981,6 +988,56 @@ object ScaleProbe {
         f"${100.0 * bTightP / math.max(1L, bDerP)}%.1f%% kept by the " +
         f"old fixed cap)"))
     rmTemp(dir)
+  }
+
+  /** Corpus-wide 128-bit Hamming near-dup census (standalone
+    * `hamming128` arg) — the batch shape past the 64-bit form's
+    * band-saturation boundary: n signatures as near-dup families of 8
+    * (shared 120-bit md5 base split across the two packed longs,
+    * XOR-noise in lo's low 2 bits → pairwise distance ≤ 2) with the
+    * 5% degenerate mega-signature, through
+    * [[graft.ext.Dedup.hammingNearDup128]] at the DEFAULT derived
+    * cap. What the numbers must show: the returned pair count EQUALS
+    * the analytically-planted truth (Σ C(m,2) over each family's
+    * non-degenerate members — the 4×32-band space does not saturate,
+    * so nothing is silently dropped and no gating is needed at any
+    * measured n), and the n/20-copy degenerate bucket contributes
+    * ZERO pairs (capped in all four bands). */
+  private def hamming128BatchCensus(spark: SparkSession,
+      n: Long = 2000000L): Unit = {
+    val deg = 0x4242424242424242L
+    val sigs = spark.range(0, n, 1, 32).select(
+      col("id").as("doc_id"),
+      when(col("id") % 20 === 0, lit(deg))
+        .otherwise(expr(
+          """CAST(conv(substring(md5(CAST(id DIV 8 AS STRING)), 1, 15),
+            |          16, 10) AS BIGINT) ^ (id % 4)""".stripMargin))
+        .as("lo"),
+      when(col("id") % 20 === 0, lit(deg))
+        .otherwise(expr(
+          """CAST(conv(substring(md5(CAST(id DIV 8 AS STRING)), 17, 15),
+            |          16, 10) AS BIGINT)""".stripMargin))
+        .as("hi"))
+    // planted truth, computed analytically from the generator: every
+    // within-family non-degenerate pair sits at distance ≤ 2 (lo noise
+    // only); cross-family distances are ~60 bits (independent md5) and
+    // the degenerate bucket must be capped out
+    val truth = spark.range(0, n, 1, 32)
+      .filter(col("id") % 20 =!= 0)
+      .groupBy((col("id") / 8).cast("long").as("fam"))
+      .agg(count(lit(1)).as("m"))
+      .agg(sum(expr("m * (m - 1) DIV 2")).as("p"))
+      .head().getLong(0)
+    val t0 = System.nanoTime()
+    val pairs = graft.ext.Dedup.hammingNearDup128(spark, sigs).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val degPairs = graft.ext.Dedup.hammingNearDup128(spark,
+      sigs.filter(col("lo") === deg)).count()
+    println(f"[probe] hamming128 BATCH: n=$n%d sigs, derived cap, " +
+      f"$pairs%d pairs in $secs%.1fs vs planted $truth%d — " +
+      (if (pairs == truth) "MATCH (no gating, no silent drop)"
+       else f"MISMATCH (${pairs - truth}%+d)") +
+      f"; degenerate ${n / 20}%d-copy bucket alone: $degPairs%d pairs")
   }
 
 }

@@ -315,7 +315,8 @@ object Ext2Queries {
       val emb = Tables.embeddings(s, d)
       val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
       graft.ext.Similarity.writeIvfIndex(s, emb,
-        centroidPred = col("vec_id") % 50 === 0, dir)
+        centroidPred = col("vec_id") % 50 === 0, dir,
+        trainIters = 0) // q66's SQL-replayable seed assignment
       graft.ext.Similarity.ivfTopKIndexed(s, dir,
           emb.filter(col("vec_id") % 97 === 0), nProbe = 2, k = 5)
         .orderBy(col("q_id"), col("rank"))

@@ -46,7 +46,8 @@ object Ext6Queries {
     (s, d) => {
       val idx = Fixtures.dir("ivfidx", d) { p =>
         graft.ext.Similarity.writeIvfIndex(s, Tables.embeddings(s, d),
-          centroidPred = col("vec_id") % 50 === 0, p)
+          centroidPred = col("vec_id") % 50 === 0, p,
+          trainIters = 0) // q66's SQL-replayable seed assignment
       }
       graft.ext.Similarity.ivfTopKIndexed(s, idx,
           Tables.embeddings(s, d).filter(col("vec_id") % 97 === 0),
@@ -94,7 +95,8 @@ object Ext6Queries {
         val emb = Tables.embeddings(s, d)
         graft.ext.Similarity.writeIvfIndex(s,
           emb.filter(col("vec_id") % 3 =!= 0 || col("vec_id") % 50 === 0),
-          centroidPred = col("vec_id") % 50 === 0, p)
+          centroidPred = col("vec_id") % 50 === 0, p,
+          trainIters = 0) // q66's SQL-replayable seed assignment
         graft.ext.Similarity.appendIvfIndex(s,
           emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 50 =!= 0), p)
       }
@@ -695,6 +697,74 @@ object Ext6Queries {
       WHERE doc_id NOT IN (SELECT new_id FROM neardup)
       ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q171
+  // 128-bit SimHash near-dup over 4×32-bit bands (Dedup
+  // .simhashNearDup128) — the corpus-wide batch shape that survives
+  // the 64-bit form's ~4M-signature band-saturation boundary (q85's
+  // machinery with a 2³² bucket space per band; ScaleProbe measures it
+  // returning the full planted set at 20M signatures where the 64-bit
+  // row gates off). The oracle recomputes all EIGHT 16-bit lanes
+  // relationally (q85's vote formulation ×8 — lanes 0–3 are q85's
+  // exactly), packs lane pairs into 32-bit band values, and replays
+  // the same derived cap + banding + Σ-lane bit_count verification.
+  // Distance ≤ 3 on 128 bits is a strictly finer test than q85's on
+  // 64: the sf corpora hold pairs at every distance 1..16, so the
+  // threshold discriminates on both sides.
+  private val q171 = Q(
+    "q171_simhash128_neardup",
+    (s, d) => {
+      graft.ext.Dedup.simhashNearDup128(s, Tables.documents(s, d))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH words AS (
+        SELECT doc_id, u.w FROM documents, unnest(string_split(text, ' ')) AS u(w)),
+      lane_h AS (
+        SELECT doc_id, CAST(l.generate_series AS INTEGER) AS lane,
+          CAST(('0x' || substr(md5(w), CAST(l.generate_series * 4 + 1 AS INT), 4)) AS BIGINT) AS h
+        FROM words, generate_series(0, 7) l),
+      votes AS (
+        SELECT doc_id, lane, CAST(b.generate_series AS INTEGER) AS b,
+          sum(CASE WHEN (h // CAST(pow(2, b.generate_series) AS BIGINT)) % 2 = 1
+                   THEN 1 ELSE -1 END) AS v
+        FROM lane_h, generate_series(0, 15) b
+        GROUP BY doc_id, lane, b.generate_series),
+      sig AS (
+        SELECT doc_id, lane,
+          CAST(sum(CASE WHEN v >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS lv
+        FROM votes GROUP BY doc_id, lane),
+      -- lane pairs (2b, 2b+1) pack into the 32-bit band value the
+      -- engine extracts from its two packed longs
+      bands AS (
+        SELECT a.doc_id, a.lane // 2 AS band, a.lv + b.lv * 65536 AS bval
+        FROM sig a JOIN sig b
+          ON b.doc_id = a.doc_id AND b.lane = a.lane + 1
+        WHERE a.lane % 2 = 0),
+      sized AS (
+        SELECT doc_id, band, bval, count(*) OVER (PARTITION BY band, bval) AS bsize
+        FROM bands),
+      -- the census-derived DEFAULT cap at 32-bit bands (10 x
+      -- ceil(n / 2^32), floor 10 — the floor governs at any feasible
+      -- corpus), replayed over the same signature population
+      cap AS (
+        SELECT greatest(10, 10 * ((count(*) + 4294967295) // 4294967296)) AS c
+        FROM documents WHERE text IS NOT NULL),
+      small AS (
+        SELECT doc_id, band, bval FROM sized, cap
+        WHERE bsize BETWEEN 2 AND cap.c),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM small a JOIN small b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT p.a_id, p.b_id,
+          CAST(sum(bit_count(xor(sa.lv, sb.lv))) AS BIGINT) AS hamming
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.a_id
+        JOIN sig sb ON sb.doc_id = p.b_id AND sb.lane = sa.lane
+        GROUP BY p.a_id, p.b_id)
+      SELECT a_id, b_id, hamming FROM ham
+      WHERE hamming <= 3 ORDER BY a_id, b_id"""))
+
   val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166, q167, q168, q169, q170)
+    q165, q166, q167, q168, q169, q170, q171)
 }

@@ -79,7 +79,8 @@ object Decade3Probe {
 
       // IVF index build (centroid_topk narrow assign + routed write)
       rec("ivf_build", n, time {
-        graft.ext.Similarity.writeIvfIndex(spark, emb, centPred, s"$dir/ivf")
+        graft.ext.Similarity.writeIvfIndex(spark, emb, centPred, s"$dir/ivf",
+          trainIters = 0) // seed build: the decade series baseline
       }, { val f = cellFiles(s"$dir/ivf", "assigned")
            s"cells=${f.length} files/cell max=${f.max}" })
 
@@ -215,7 +216,8 @@ object Decade3Probe {
           f"cells=${cells.getLong(2)}")
       }
       audit("fixed", qdir =>
-        graft.ext.Similarity.writeIvfIndex(spark, emb, centPred, qdir))
+        graft.ext.Similarity.writeIvfIndex(spark, emb, centPred, qdir,
+          trainIters = 0)) // the audit's explicit seed arm
       var tTrain = 0.0
       var trained: Seq[(Long, Seq[Double])] = null
       tTrain = time {

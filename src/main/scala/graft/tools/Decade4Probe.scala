@@ -94,7 +94,8 @@ object Decade4Probe {
       val q = queries(n).localCheckpoint(true)
 
       rec("ivf_build", n, time {
-        graft.ext.Similarity.writeIvfIndex(spark, emb, centPred, s"$dir/ivf")
+        graft.ext.Similarity.writeIvfIndex(spark, emb, centPred, s"$dir/ivf",
+          trainIters = 0) // seed build: the decade series baseline
       }, { val f = cellFiles(s"$dir/ivf", "assigned")
            s"cells=${f.length} files/cell max=${f.max}" })
 

@@ -426,6 +426,69 @@ class Ext5Spec extends SparkSpec {
     assert(planted(fixed10) == 21)  // within-subgroup only: 3·C(4,2) + C(3,2)
   }
 
+  test("hammingNearDup128: brute-force-equal at dist ≤ 3, derived cap, lanes extend simhash64") {
+    import spark.implicits._
+    graft.functions.Functions.registerAll(spark)
+    // lane identity: simhash128's lanes 0–3 are simhash64's exactly
+    // (same md5 bytes), so the 128-bit signature EXTENDS the 64-bit
+    // one rather than rehashing it
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"), (3L, ""))
+      .toDF("doc_id", "text")
+    docs.selectExpr("simhash64(text) AS s64", "simhash128(text) AS s128")
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1).take(4))
+        assert(r.getSeq[Long](1).length == 8)
+      }
+
+    // planted fixture: md5-random background (120 effective bits — no
+    // accidental dist ≤ 3 pairs), a 6-member family at pairwise lo
+    // distance ≤ 2, and a 40-copy degenerate signature (the
+    // solid-color bucket: 40 > derived cap 10 in all four bands)
+    val bg = spark.range(0, 2000).select(col("id").as("doc_id"),
+      expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        .as("lo"),
+      expr("CAST(conv(substring(md5(CAST(id AS STRING)), 17, 15), 16, 10) AS BIGINT)")
+        .as("hi"))
+    val fam = spark.range(0, 6).select((col("id") + 90000L).as("doc_id"),
+      expr(s"${0x1122334455667788L}L ^ (id % 4)").as("lo"),
+      lit(0x0123456789abcdefL).as("hi"))
+    val deg = spark.range(0, 40).select((col("id") + 95000L).as("doc_id"),
+      lit(0x4242L).as("lo"), lit(0x4242L).as("hi"))
+    val packed = bg.unionByName(fam).unionByName(deg)
+
+    val got = Dedup.hammingNearDup128(spark, packed) // DEFAULT derived cap
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // brute-force truth on the driver (2046 rows), minus the capped
+    // degenerate family — banding must find EVERY under-cap pair at
+    // dist ≤ 3 (4-band/32-bit pigeonhole), and nothing else survives
+    // the exact verify
+    val rows = packed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val truth = (for {
+      i <- rows.indices.iterator
+      j <- (i + 1) until rows.length
+      d = java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2) +
+        java.lang.Long.bitCount(rows(i)._3 ^ rows(j)._3)
+      if d <= 3
+      if !(rows(i)._2 == 0x4242L && rows(i)._3 == 0x4242L &&
+        rows(j)._2 == 0x4242L && rows(j)._3 == 0x4242L)
+      a = math.min(rows(i)._1, rows(j)._1)
+      b = math.max(rows(i)._1, rows(j)._1)
+    } yield (a, b, d.toLong)).toSet
+    assert(got == truth)
+    assert(got.count(_._1 >= 90000L) == 15) // all C(6,2) planted pairs
+    // derived default ≡ the explicit cap its rule prescribes
+    // (n = 2046 → greatest(10, 10·ceil(n/2³²)) = 10)
+    val explicit = Dedup.hammingNearDup128(spark, packed, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(explicit == got)
+    // cap drop observable, same contract as the 64-bit form
+    val obs = new org.apache.spark.sql.Observation()
+    Dedup.hammingNearDup128(spark, packed, capMetrics = Some(obs)).count()
+    assert(obs.get("dropped_buckets").asInstanceOf[Long] == 4L) // deg × 4 bands
+  }
+
   test("image hash index: resized copy of an indexed image pairs at intake, junk drops") {
     import spark.implicits._
     // reuse MultimodalSpec's pattern approach inline: indexed corpus =

@@ -22,7 +22,7 @@ class IvfIndexSpec extends SparkSpec {
   test("ivfTopKIndexed returns exactly what inline ivfTopK returns") {
     val dir = java.nio.file.Files.createTempDirectory("ivfspec").toString
     val centroids = col("vec_id") < 3 // one seed per cluster
-    Similarity.writeIvfIndex(spark, emb, centroids, dir)
+    Similarity.writeIvfIndex(spark, emb, centroids, dir, trainIters = 0)
     val indexed = Similarity.ivfTopKIndexed(spark, dir,
         emb.filter(col("vec_id") % 5 === 0), nProbe = 2, k = 3)
       .orderBy("q_id", "rank").collect().toSeq
@@ -39,7 +39,7 @@ class IvfIndexSpec extends SparkSpec {
     val dirSeed = java.nio.file.Files.createTempDirectory("ivfw1").toString
     val dirWith = java.nio.file.Files.createTempDirectory("ivfw2").toString
     val centroids = col("vec_id") < 3
-    Similarity.writeIvfIndex(spark, emb, centroids, dirSeed)
+    Similarity.writeIvfIndex(spark, emb, centroids, dirSeed, trainIters = 0)
     // explicit centers = the same three seed vectors → the written
     // index must search bit-identically (norms recomputed, not copied)
     val seedVecs = emb.filter(centroids)
@@ -77,7 +77,7 @@ class IvfIndexSpec extends SparkSpec {
 
   test("probe reads are partition-pruned to the probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("ivfspec2").toString
-    Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir)
+    Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir, trainIters = 0)
     // a single query vector probing 1 cell: the assigned scan must carry
     // a centroid_id partition filter (pruned at file-listing time)
     val one = Similarity.ivfTopKIndexed(spark, dir,
@@ -98,12 +98,12 @@ class IvfIndexSpec extends SparkSpec {
     val centroids = col("vec_id") < 3
     // incremental: build on the first crawl (centroid seeds + ids < 16),
     // then append the rest in TWO increments (appends must compose)
-    Similarity.writeIvfIndex(spark, emb.filter(col("vec_id") < 16), centroids, dirInc)
+    Similarity.writeIvfIndex(spark, emb.filter(col("vec_id") < 16), centroids, dirInc, trainIters = 0)
     Similarity.appendIvfIndex(spark,
       emb.filter(col("vec_id") >= 16 && col("vec_id") < 20), dirInc)
     Similarity.appendIvfIndex(spark, emb.filter(col("vec_id") >= 20), dirInc)
     // full rebuild over the merged corpus
-    Similarity.writeIvfIndex(spark, emb, centroids, dirFull)
+    Similarity.writeIvfIndex(spark, emb, centroids, dirFull, trainIters = 0)
     // identical cell assignment, row for row
     def rows(d: String) = spark.read.parquet(s"$d/assigned")
       // partition-column inference reads centroid_id back as INT
@@ -125,7 +125,7 @@ class IvfIndexSpec extends SparkSpec {
   test("compactIvfIndex: fragmented cells → filesPerCell, untouched cells untouched, search bit-equal") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivfcomp").toString
-    Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir)
+    Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir, trainIters = 0)
     def files(cell: Long) = new java.io.File(s"$dir/assigned/centroid_id=$cell")
       .listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
     // the routed build writes exactly ONE file per cell (the
@@ -165,7 +165,7 @@ class IvfIndexSpec extends SparkSpec {
   test("appendIvfIndex assignment is fully narrow (no shuffle, no join)") {
     val dir = java.nio.file.Files.createTempDirectory("ivfappN").toString
     Similarity.writeIvfIndex(spark, emb.filter(col("vec_id") < 16),
-      col("vec_id") < 3, dir)
+      col("vec_id") < 3, dir, trainIters = 0)
     // replicate the append's assignment plan (the write itself hides the
     // frame): literal centroid array + array_min argmin over the increment
     graft.functions.Dot64.register(spark)
@@ -190,7 +190,7 @@ class IvfIndexSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
-    Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir)
+    Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir, trainIters = 0)
     val mem = MemoryStream[(Long, Array[Float])]
     val out = graft.streaming.Streams.annEnrich(spark,
       mem.toDF().toDF("vec_id", "embedding"), dir, nProbe = 2, k = 3)
@@ -215,7 +215,7 @@ class IvfIndexSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ivfndi").toString
-    Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir)
+    Similarity.writeIvfIndex(spark, emb, col("vec_id") < 3, dir, trainIters = 0)
     // arrivals: near-copies of indexed vectors (must pair), an
     // orthogonal-ish vector (must not), and an id colliding with an
     // indexed row (self-pair excluded)
@@ -291,7 +291,7 @@ class IvfIndexSpec extends SparkSpec {
       ((20 + i).toLong, b)
     }).toDF("vec_id", "embedding")
     val dir = java.nio.file.Files.createTempDirectory("ivfndcap").toString
-    Similarity.writeIvfIndex(spark, skew, col("vec_id") < 3, dir)
+    Similarity.writeIvfIndex(spark, skew, col("vec_id") < 3, dir, trainIters = 0)
     val arrivals = Seq(
       (100L, Array(1.02f, 0.05f, 0.05f, 0.05f)),  // lands in the hot cell
       (101L, Array(0.05f, 0.98f, 0.05f, 0.05f)))  // lands in a small cell
@@ -324,6 +324,72 @@ class IvfIndexSpec extends SparkSpec {
     assert(!capped.exists(_._1 == 100L) && capped.exists(_._1 == 101L))
   }
 
+  test("DEFAULT build is the balanced-trained quantizer; seed path only on explicit trainIters = 0") {
+    import spark.implicits._
+    // default ≡ writeIvfIndexWith(trainIvfCentroidsBalanced(..., 2)):
+    // the trained path is what a bare writeIvfIndex call gets
+    val dirDef = java.nio.file.Files.createTempDirectory("ivfdef1").toString
+    val dirWith = java.nio.file.Files.createTempDirectory("ivfdef2").toString
+    val centroids = col("vec_id") < 3
+    Similarity.writeIvfIndex(spark, emb, centroids, dirDef)
+    Similarity.writeIvfIndexWith(spark, emb,
+      Similarity.trainIvfCentroidsBalanced(spark, emb, centroids, iters = 2),
+      dirWith)
+    def search(dir: String) = Similarity.ivfTopKIndexed(spark, dir,
+        emb.filter(col("vec_id") % 5 === 0), nProbe = 2, k = 3)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        java.lang.Double.doubleToLongBits(r.getDouble(4)))).toSeq
+    assert(search(dirDef) == search(dirWith) && search(dirDef).nonEmpty)
+    // balanced fixture (cells 8/8/8, splitFactor 4 → no hot cell):
+    // the split pass is a no-op and balanced ≡ plain trained
+    assert(Similarity.trainIvfCentroidsBalanced(spark, emb, centroids, 2)
+      == Similarity.trainIvfCentroids(spark, emb, centroids, 2))
+    // and the default differs from the seed build (the training moved
+    // centroids off the seed rows — the r12 audit's whole point)
+    val dirSeed = java.nio.file.Files.createTempDirectory("ivfdef3").toString
+    Similarity.writeIvfIndex(spark, emb, centroids, dirSeed, trainIters = 0)
+    val seedCents = spark.read.parquet(s"$dirSeed/centroids")
+      .select("cv").collect().map(_.getSeq[Double](0)).toSet
+    val defCents = spark.read.parquet(s"$dirDef/centroids")
+      .select("cv").collect().map(_.getSeq[Double](0)).toSet
+    assert(seedCents != defCents)
+  }
+
+  test("hot-cell split: balanced training bounds the max cell and keeps every vector assigned") {
+    import spark.implicits._
+    // 2 seed cells, one of them degenerate-hot: 40 members in a tight
+    // blob around axis 0 (two distinguishable sub-lobes), 4 members on
+    // axis 1 — mean 22, factor 1.5 → the 40-cell must split
+    val skew = (Seq.tabulate(40) { i =>
+      val b = Array(0.05f, 0.05f, 0.05f, 0.05f)
+      // two sub-lobes inside the hot cell: dims 2/3 offsets alternate
+      b(0) = 1.0f; b(2 + i % 2) = 0.3f + (i / 2) * 0.002f
+      (i.toLong, b)
+    } ++ Seq.tabulate(4) { i =>
+      val b = Array(0.05f, 0.05f, 0.05f, 0.05f); b(1) = 1.0f + i * 0.01f
+      ((40 + i).toLong, b)
+    }).toDF("vec_id", "embedding")
+    val seeds = col("vec_id") === 0 || col("vec_id") === 40
+    def maxCell(cents: Seq[(Long, Seq[Double])]) = {
+      val dir = java.nio.file.Files.createTempDirectory("ivfsplit").toString
+      Similarity.writeIvfIndexWith(spark, skew, cents, dir)
+      val sizes = spark.read.parquet(s"$dir/assigned")
+        .groupBy("centroid_id").count().collect().map(_.getLong(1))
+      (sizes.max, sizes.sum)
+    }
+    val plain = Similarity.trainIvfCentroids(spark, skew, seeds, 2)
+    val balanced = Similarity.trainIvfCentroidsBalanced(spark, skew, seeds, 2,
+      splitFactor = 1.5)
+    assert(balanced.length == plain.length + 1) // exactly the hot cell split
+    // new centroid id allocates past the existing max — no collision
+    assert(balanced.map(_._1).distinct.length == balanced.length)
+    val (mPlain, nPlain) = maxCell(plain)
+    val (mBal, nBal) = maxCell(balanced)
+    assert(nBal == nPlain)   // every vector still assigned exactly once
+    assert(mBal < mPlain, s"$mBal !< $mPlain") // concentration measurably bounded
+  }
+
   test("null embeddings are excluded from assignment — no Hive default partition ever lands") {
     import spark.implicits._
     val withNulls = emb.unionByName(
@@ -338,7 +404,7 @@ class IvfIndexSpec extends SparkSpec {
     // persisted index + append: no __HIVE_DEFAULT_PARTITION__ directory
     // (a NULL partition is invisible to every probe's cell filter)
     val dir = java.nio.file.Files.createTempDirectory("ivfnull").toString
-    Similarity.writeIvfIndex(spark, withNulls, col("vec_id") < 3, dir)
+    Similarity.writeIvfIndex(spark, withNulls, col("vec_id") < 3, dir, trainIters = 0)
     Similarity.appendIvfIndex(spark,
       Seq((102L, null.asInstanceOf[Array[Float]], 2))
         .toDF("vec_id", "embedding", "label"), dir)

@@ -322,7 +322,13 @@ class PlanSpec extends SparkSpec {
       // materializes eagerly (URL/hash window dedups + narrow gate run
       // once, in the checkpoint job), so the returned plan is q103's
       // increment shape — verify joins + final anti join + orderBy
-      "q170_crawl_intake" -> 9)
+      "q170_crawl_intake" -> 9,
+      // q171 = hammingNearDup128: census groupBy + bucket-join/
+      // collect + pair distinct + orderBy; the derived cap rides a
+      // ONE-ROW broadcast (count aggregate → BroadcastNestedLoopJoin),
+      // never a shuffle — one exchange FEWER than q85, whose 64-bit
+      // census affords a global window
+      "q171_simhash128_neardup" -> 4)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -256,7 +256,7 @@ class StreamsSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
     val dir = java.nio.file.Files.createTempDirectory("ivfstream2").toString
     graft.ext.Similarity.writeIvfIndex(spark, emb.filter(col("vec_id") < 12),
-      col("vec_id") < 3, dir)
+      col("vec_id") < 3, dir, trainIters = 0) // seed contract under test
     val mem = MemoryStream[(Long, Array[Float])]
     val sinkDir = java.nio.file.Files.createTempDirectory("ivfsink").toString
     val q = Streams.ivfIntake(spark,

@@ -74,16 +74,13 @@ object Bench {
       }.min
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    def runSuite(): (Seq[(String, Double)], Seq[Double]) = {
-      val calib = collection.mutable.ArrayBuffer[Double]()
-      // warm the probe's own codegen/JIT path once UNTIMED — without this
-      // the first shot systematically reads ~1.3x the later ones on a
-      // quiet host (compilation, not contention), flagging every run
-      // NOISY and defeating the adjudication
-      calibrate()
-      calib += calibrate()
-      val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
-        if (i == sorted.length / 2) calib += calibrate()
+    // (name, min-of-runs, spread) — spread = max/min across the
+    // successful shots (NaN below 2 successes): the r12 postmortem's
+    // per-row evidence, persisted so a judge can adjudicate a slow row
+    // without re-running the world
+    def measure(names: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, Double, Double)] =
+      names.map { case (name, fn) =>
         val times = (1 to runs).map { _ =>
           // isolation (cache/storage cleanup of whatever ran before) happens
           // BEFORE the clock starts — the timing is the query alone, not the
@@ -98,10 +95,25 @@ object Bench {
             }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
-        name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+        val good = times.filter(_ >= 0)
+        (name,
+          if (good.nonEmpty) good.min else -1.0,
+          if (good.length >= 2) good.max / good.min else Double.NaN)
       }
+    def runSuite(): (Seq[(String, Double, Double)], Seq[Double]) = {
+      val calib = collection.mutable.ArrayBuffer[Double]()
+      // warm the probe's own codegen/JIT path once UNTIMED — without this
+      // the first shot systematically reads ~1.3x the later ones on a
+      // quiet host (compilation, not contention), flagging every run
+      // NOISY and defeating the adjudication
+      calibrate()
       calib += calibrate()
-      (results, calib.toSeq)
+      val (front, back) = sorted.splitAt(sorted.length / 2)
+      val r1 = measure(front)
+      calib += calibrate()
+      val r2 = measure(back)
+      calib += calibrate()
+      (r1 ++ r2, calib.toSeq)
     }
     def dispersion(calib: Seq[Double]): Double = calib.max / calib.min
     // A run whose calibration probe disperses >1.3x was measured under
@@ -117,15 +129,81 @@ object Bench {
           f"[bench] calibration dispersion ${dispersion(first._2)}%.3f > 1.3 — re-running suite once")
         Seq(first, runSuite())
       } else Seq(first)
-    val (results, calib) = attempts.minBy(a => dispersion(a._2))
+    val (results0, calib) = attempts.minBy(a => dispersion(a._2))
     val noise = dispersion(calib)
     val allNoise = attempts.map(a => f"${dispersion(a._2)}%.3f").mkString("[", ",", "]")
     val calibJson = calib.map(t => f"$t%.3f").mkString("[", ",", "]")
+
+    // PER-ROW respread guard (the r12 lesson: BENCH_r12 shipped with
+    // two ~20s rows that re-measure at 0.45s on a quiet host — the
+    // suite-level calibration guard alone kept the better-but-still-
+    // dirty attempt). Two flags, tools/bench_sf2.py's semantics:
+    //  - within-run spread > 1.5x (a blip landed inside one shot);
+    //  - value > 3x the row's TRAILING floor (min across every
+    //    BENCH_r*.json in the cwd — min self-heals past a
+    //    contaminated prior round).
+    // BOTH flags require > 0.5s absolute: sub-second rows jitter by
+    // scheduling, not contention (the first respread shakedown flagged
+    // 65 rows, 60+ of them 0.1-0.5s floor noise — 10 wasted minutes).
+    // Flagged rows re-measure up to 2 times: min across attempts, the
+    // last attempt's spread; rows still over the trailing bar after
+    // that are persisted in "respread_over" — a finding, not noise.
+    val SpreadBar = 1.5
+    val trailing: Map[String, Double] = {
+      val dir = java.nio.file.Paths.get(".")
+      val rx = """"(q[^"]+)":(-?[0-9][0-9.eE+-]*)""".r
+      val files = java.nio.file.Files.list(dir).iterator()
+      val acc = collection.mutable.Map[String, Double]()
+      files.forEachRemaining { p =>
+        if (p.getFileName.toString.matches("BENCH_r\\d+\\.json")) {
+          val txt = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          rx.findAllMatchIn(txt).foreach { m =>
+            val v = m.group(2).toDouble
+            if (v >= 0) acc.get(m.group(1)) match {
+              case Some(old) => if (v < old) acc(m.group(1)) = v
+              case None => acc(m.group(1)) = v
+            }
+          }
+        }
+      }
+      acc.toMap
+    }
+    val byName = collection.mutable.LinkedHashMap(
+      results0.map { case (n, v, sp) => n -> (v, sp) }: _*)
+    def flaggedNow: Seq[String] = byName.iterator.collect {
+      case (n, (v, sp)) if v > 0.5 &&
+        ((!sp.isNaN && sp > SpreadBar) ||
+          trailing.get(n).exists(r => v > 3 * r)) => n
+    }.toSeq
+    val remeasured = collection.mutable.LinkedHashSet[String]()
+    var attempt = 0
+    while (attempt < 2 && flaggedNow.nonEmpty) {
+      val bad = flaggedNow
+      System.err.println(s"[bench] respread attempt ${attempt + 1}: " +
+        s"re-measuring ${bad.length} row(s): ${bad.mkString(", ")}")
+      remeasured ++= bad
+      val qmap = SparkEntry.queries
+      measure(bad.map(n => n -> qmap(n))).foreach { case (n, v, sp) =>
+        if (v >= 0) byName(n) = (math.min(byName(n)._1, v), sp)
+      }
+      attempt += 1
+    }
+    val stillOver = flaggedNow
+    if (stillOver.nonEmpty)
+      System.err.println("[bench] respread: still over the bar after " +
+        s"$attempt re-measure(s): ${stillOver.mkString(", ")}")
+    val results = byName.toSeq.map { case (n, (v, _)) => n -> v }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spreads = byName.toSeq.collect { case (k, (_, sp)) if !sp.isNaN =>
+      s"\"" + k + "\":" + f"$sp%.3f" }.mkString("{", ",", "}")
+    val respreadJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val overJson = stillOver.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","calibration":$calibJson,"noise":${f"$noise%.3f"},"attempt_noise":$allNoise}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","calibration":$calibJson,"noise":${f"$noise%.3f"},"attempt_noise":$allNoise,"spreads":$spreads,"respread":$respreadJson,"respread_over":$overJson}"""
     // Full per-query map goes to a known FILE: sbt wraps stdout in [info]
     // prefixes (broke round 1) and at 80 queries the full line overflows
     // the driver's stdout tail-capture window (broke round 4:

@@ -594,4 +594,37 @@ object Corpus {
        idCol = idCol, textCol = textCol),
      () => blocks.foreach(_.unpersist(blocking = false)))
   }
+
+  /** MIXED-increment crawl intake — a real crawl increment is text +
+    * media, and one call admits both arms:
+    *
+    *  - text arrivals run [[crawlIntake]]'s full chain (url_norm →
+    *    URL dedup → exact content dedup → Gopher gate → incremental
+    *    exact+near-dup verdict vs the text snapshot);
+    *  - media arrivals decode + perceptual-hash ONCE
+    *    ([[graft.multimodal.Multimodal.imageHashes]]), exact-dedup
+    *    within the increment and near-dup-check against the persisted
+    *    image-hash index ([[graft.multimodal.Multimodal
+    *    .imageIntakeAdmit]] — indexed images never re-decoded,
+    *    signature table scanned never shuffled).
+    *
+    * Returns `(admittedDocs, admittedMedia)` — admittedMedia carries
+    * `(media_id, packed)` so the caller can [[graft.ext.Dedup
+    * .appendHammingIndex]] the admitted hashes and make this increment
+    * visible to the next (the text arm's snapshot discipline). The two
+    * arms are independent plans (no cross-modal join — a page's text
+    * and its images dedup on their own merits); each stage is
+    * oracle-checked on its own (q170 text end-to-end, q172 the media
+    * admission), and CorpusSpec pins the composition ≡ the manual
+    * stage sequence on real PNG payloads.
+    * [[graft.streaming.Streams.crawlIntakeMixed]] is the
+    * arrival-latency twin. */
+  def crawlIntakeMixed(spark: SparkSession, arrivals: DataFrame,
+      snapshot: DataFrame, media: DataFrame, imageIndexPath: String,
+      urlCol: String = "url", idCol: String = "doc_id",
+      textCol: String = "text", maxDist: Int = 3,
+      useAhash: Boolean = false): (DataFrame, DataFrame) =
+    (crawlIntake(spark, arrivals, snapshot, urlCol, idCol, textCol),
+     graft.multimodal.Multimodal.imageIntakeAdmit(spark, media,
+       imageIndexPath, maxDist, 0, useAhash))
 }

@@ -1699,6 +1699,43 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Admission VERDICT of a signature increment against a persisted
+    * [[writeHammingIndex]] directory — the media arm of the composed
+    * crawl intake ([[graft.ext.Corpus.crawlIntakeMixed]]): the
+    * pair-producing [[hammingIntake]] turned into the decision a crawl
+    * actually needs, with the text pipeline's stage discipline:
+    *
+    *  1. EXACT dedup WITHIN the increment — first (smallest) doc_id
+    *     per identical signature wins, the media twin of crawlIntake's
+    *     content-hash stage (identical bytes hash to the identical
+    *     signature; the window routes on the signature, one
+    *     increment-bounded exchange);
+    *  2. survivors pair against the INDEX ([[hammingIntake]] — seen
+    *     side scanned never shuffled, persisted-census bucket cap) and
+    *     any arrival within `maxDist` of an indexed signature drops.
+    *
+    * Output: the admitted `(doc_id, packed)` rows. NULL signatures
+    * drop (an undecodable payload upstream has nothing to compare —
+    * admit/reject it on its own metadata, not here). Intra-increment
+    * NEAR-dups both survive (matching the text intake's contract:
+    * arrivals are judged against the SEEN corpus; increment-internal
+    * near-dups are the next index append's business). Oracle-checked
+    * end to end by q172 on the q166/q169 fixture signatures. */
+  def hammingIntakeAdmit(spark: SparkSession, packedDf: DataFrame,
+      path: String, maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("packed"))
+    val s1 = packedDf.select(col("doc_id"), col("packed"))
+      .filter(col("packed").isNotNull)
+      .withColumn("_kmin", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("_kmin"))
+      .drop("_kmin")
+    val dup = hammingIntake(spark, s1, path, maxDist, maxBucket)
+      .select(col("a_id").as("doc_id")).distinct()
+    // the dup-id side is increment-bounded (≤ the arrivals) — never
+    // let the anti-join sort-merge the increment against it
+    s1.join(broadcast(dup), Seq("doc_id"), "left_anti")
+  }
+
   /** The census-derived bucket cap for a [[writeHammingIndex]]
     * directory: 10 × the mean per-band bucket occupancy
     * (nSigs / 2¹⁶), floor 10 — the sizing rule ScaleProbe's

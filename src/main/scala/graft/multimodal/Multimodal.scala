@@ -347,37 +347,48 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, payload) =>
-          val img = decodeBounded(payload, maxPixels)
-          if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
-            (id, Option.empty[Long], Option.empty[Long])
-          else {
-            val d = grayGrid(img, 9, 8)
-            var dhash = 0L
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                if (d(y * 9 + x + 1) > d(y * 9 + x))
-                  dhash |= 1L << (y * 8 + x)
-                x += 1
-              }
-              y += 1
-            }
-            val a = grayGrid(img, 8, 8)
-            var mean = 0.0
-            var i = 0
-            while (i < 64) { mean += a(i); i += 1 }
-            mean /= 64.0
-            var ahash = 0L
-            i = 0
-            while (i < 64) {
-              if (a(i) > mean) ahash |= 1L << i
-              i += 1
-            }
-            (id, Some(dhash), Some(ahash))
-          }
+          val (dh, ah) = hashPayload(payload, maxPixels)
+          (id, dh, ah)
         }
       }.toDF("media_id", "dhash", "ahash")
+  }
+
+  /** Decode + dHash/aHash ONE payload — [[imageHashes]]' per-row core,
+    * factored so callers that must thread extra columns through the
+    * hash (the streaming intake carries its event-time column) share
+    * the exact bit semantics instead of a re-implementation. (None,
+    * None) = undecodable/oversized payload (skip-don't-crash). */
+  private[graft] def hashPayload(payload: Array[Byte],
+      maxPixels: Long = DefaultMaxPixels): (Option[Long], Option[Long]) = {
+    val img = decodeBounded(payload, maxPixels)
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+      (Option.empty[Long], Option.empty[Long])
+    else {
+      val d = grayGrid(img, 9, 8)
+      var dhash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (d(y * 9 + x + 1) > d(y * 9 + x))
+            dhash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      val a = grayGrid(img, 8, 8)
+      var mean = 0.0
+      var i = 0
+      while (i < 64) { mean += a(i); i += 1 }
+      mean /= 64.0
+      var ahash = 0L
+      i = 0
+      while (i < 64) {
+        if (a(i) > mean) ahash |= 1L << i
+        i += 1
+      }
+      (Some(dhash), Some(ahash))
+    }
   }
 
   /** The default decode-size ceiling (pixels): 32M covers every real
@@ -532,6 +543,22 @@ object Multimodal {
       useAhash: Boolean = false): DataFrame =
     graft.ext.Dedup.hammingIntake(spark,
       imagePacked(spark, media, useAhash), path, maxDist, maxBucket)
+
+  /** Image ADMISSION at crawl time — [[imageDupIntake]]'s pair stream
+    * turned into the verdict the composed crawl intake consumes
+    * ([[graft.ext.Dedup.hammingIntakeAdmit]] over [[imageHashes]]):
+    * exact dedup within the arriving batch (first media_id per
+    * identical hash wins), then survivors with NO indexed signature
+    * within `maxDist` admit. Arriving images decode ONCE; the indexed
+    * corpus is never re-decoded. Output `(media_id, packed)` — the
+    * admitted rows' hashes, ready for [[graft.ext.Dedup
+    * .appendHammingIndex]] so the next increment sees this one. */
+  def imageIntakeAdmit(spark: SparkSession, media: DataFrame, path: String,
+      maxDist: Int = 3, maxBucket: Int = 0,
+      useAhash: Boolean = false): DataFrame =
+    graft.ext.Dedup.hammingIntakeAdmit(spark,
+        imagePacked(spark, media, useAhash), path, maxDist, maxBucket)
+      .select(col("doc_id").as("media_id"), col("packed"))
 
   /** Video-content near-dup via SHARED FRAMES — the multimodal stack
     * composed end to end: [[sampleFrames]] explodes each container

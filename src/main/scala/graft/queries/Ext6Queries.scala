@@ -765,6 +765,65 @@ object Ext6Queries {
       SELECT a_id, b_id, hamming FROM ham
       WHERE hamming <= 3 ORDER BY a_id, b_id"""))
 
+  // --------------------------------------------------------------- q172
+  // Media ADMISSION at crawl intake (Dedup.hammingIntakeAdmit — the
+  // verdict form of q169's pair intake, and the media arm of
+  // Corpus.crawlIntakeMixed): exact dedup WITHIN the increment (first
+  // doc_id per identical signature wins), then survivors with no
+  // indexed signature within Hamming ≤ 3 admit. Exercised on the
+  // q166/q169 fixture signatures against the same persisted index
+  // (DuckDB cannot decode images — the oracle checks the stage SQL can
+  // replay: within-increment window dedup, persisted-census cap, band
+  // join, bit_count verify, anti-join). The pixel decode+hash above
+  // this stage is spec-pinned (MultimodalSpec; CorpusSpec pins the
+  // composed crawlIntakeMixed ≡ manual stages on real PNGs).
+  private val q172 = Q(
+    "q172_phash_intake_admit",
+    (s, d) => {
+      val dir = Fixtures.dir("hamidx", d) { p =>
+        graft.ext.Dedup.writeHammingIndex(s,
+          phashFixture(s, d).filter(col("doc_id") % 7 =!= 0), p)
+      }
+      graft.ext.Dedup.hammingIntakeAdmit(s,
+          phashFixture(s, d).filter(col("doc_id") % 7 === 0), dir)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH sig AS ($phashSigSql),
+      seen AS (SELECT * FROM sig WHERE doc_id % 7 <> 0),
+      newb0 AS (SELECT * FROM sig WHERE doc_id % 7 = 0),
+      -- stage 1: exact dedup within the increment (min doc_id per
+      -- identical signature)
+      newb AS (
+        SELECT doc_id, packed FROM (
+          SELECT n.*, min(doc_id) OVER (PARTITION BY packed) AS kmin
+          FROM newb0 n)
+        WHERE doc_id = kmin),
+      ls AS (
+        SELECT doc_id, packed, CAST(l.generate_series AS INTEGER) AS band,
+          (packed // CAST(pow(2, l.generate_series * 16) AS BIGINT)) % 65536 AS bval
+        FROM seen, generate_series(0, 3) l),
+      cap AS (
+        SELECT greatest(10, 10 * ((count(*) + 65535) // 65536)) AS c
+        FROM seen),
+      bs AS (
+        SELECT band, bval FROM (
+          SELECT band, bval, count(*) AS n FROM ls GROUP BY band, bval), cap
+        WHERE n <= cap.c),
+      ln AS (
+        SELECT doc_id, packed, CAST(l.generate_series AS INTEGER) AS band,
+          (packed // CAST(pow(2, l.generate_series * 16) AS BIGINT)) % 65536 AS bval
+        FROM newb, generate_series(0, 3) l),
+      dup AS (
+        SELECT DISTINCT n.doc_id
+        FROM ln n
+        JOIN bs ON bs.band = n.band AND bs.bval = n.bval
+        JOIN ls s ON s.band = n.band AND s.bval = n.bval
+          AND s.doc_id <> n.doc_id
+        WHERE bit_count(xor(n.packed, s.packed)) <= 3)
+      SELECT doc_id, packed FROM newb
+      WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+      ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166, q167, q168, q169, q170, q171)
+    q165, q166, q167, q168, q169, q170, q171, q172)
 }

@@ -776,7 +776,23 @@ object Streams {
     * drops self-ids and verifies the exact packed `bit_count`.
     * Ext6Spec pins stream ≡ the batch intake. */
   def hammingIntake(spark: SparkSession, packedStream: DataFrame,
-      indexPath: String, maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
+      indexPath: String, maxDist: Int = 3, maxBucket: Int = 0): DataFrame =
+    hammingProbed(spark, packedStream.select(col("doc_id"), col("packed")),
+        indexPath, maxDist, maxBucket)
+      .select(col("doc_id").as("a_id"), col("packed").as("_pa"),
+        explode(col("_hits")).as("m"))
+      .select(col("a_id"), col("m.doc_id").as("b_id"),
+        expr("CAST(bit_count(_pa ^ m.packed) AS BIGINT)").as("hamming"))
+
+  /** The shared stream-static probe behind [[hammingIntake]] (pair
+    * emission) and [[hammingIntakeAdmit]] (admission verdict): input
+    * columns pass through untouched plus a `_hits` array of the
+    * indexed signatures within `maxDist` (empty = no near-dup seen).
+    * Extra input columns (event time for the admit form's watermarked
+    * dedup) ride along — every added column is a plain projection or
+    * unique-key left join, all stateless. */
+  private def hammingProbed(spark: SparkSession, packedStream: DataFrame,
+      indexPath: String, maxDist: Int, maxBucket: Int): DataFrame = {
     require(maxBucket >= 0,
       s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
     // maxBucket = 0 → the batch form's census-derived cap (free: the
@@ -790,7 +806,7 @@ object Streams {
       .join(small, Seq("band", "bval"))
       .groupBy(col("band"), col("bval"))
       .agg(collect_list(struct(col("doc_id"), col("packed"))).as("ms"))
-    val base = packedStream.select(col("doc_id"), col("packed"))
+    val base = packedStream
       .withColumn("_b", expr(
         "transform(sequence(0, 3), i -> shiftright(packed, i * 16) & 65535)"))
     val joined = (0 until 4).foldLeft(base) { (df, b) =>
@@ -806,11 +822,75 @@ object Streams {
            |         flatten(filter(array($lists), a -> a IS NOT NULL))),
            |  m -> m.doc_id != doc_id
            |    AND bit_count(packed ^ m.packed) <= $maxDist)""".stripMargin))
-      .select(col("doc_id").as("a_id"), col("packed").as("_pa"),
-        explode(col("_hits")).as("m"))
-      .select(col("a_id"), col("m.doc_id").as("b_id"),
-        expr("CAST(bit_count(_pa ^ m.packed) AS BIGINT)").as("hamming"))
+      .drop("_b" +: (0 until 4).flatMap(b => Seq(s"_bv_$b", s"_ms_$b")): _*)
   }
+
+  /** Streaming ADMISSION against a persisted Hamming index — the
+    * stream twin of [[graft.ext.Dedup.hammingIntakeAdmit]] and the
+    * media arm of [[crawlIntakeMixed]]: arrivals `(doc_id, ts,
+    * packed)` dedup exactly within the stream (first arrival per
+    * identical signature wins — `dropDuplicatesWithinWatermark`, the
+    * [[crawlIntake]] URL-stage discipline; ONE watermark-bounded
+    * state), then survivors with an empty indexed-hit list admit
+    * (stateless stream-static probe). Output: the admitted
+    * `(doc_id, ts, packed)` rows. StreamsSpec pins stream ≡ batch
+    * admits on ordered micro-batches. */
+  def hammingIntakeAdmit(spark: SparkSession, packedStream: DataFrame,
+      indexPath: String, watermark: String = "10 minutes",
+      maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
+    val deduped = packedStream
+      .select(col("doc_id"), col("ts"), col("packed"))
+      .filter(col("packed").isNotNull)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("packed")
+    hammingProbed(spark, deduped, indexPath, maxDist, maxBucket)
+      .filter(size(col("_hits")) === 0)
+      .drop("_hits")
+  }
+
+  /** Streaming image admission — [[hammingIntakeAdmit]] fed by
+    * per-micro-batch decode + perceptual hash (`(media_id, ts,
+    * payload)` in, admitted `(media_id, ts, packed)` out). The hash is
+    * [[graft.multimodal.Multimodal.imageHashes]]' exact per-row core
+    * ([[graft.multimodal.Multimodal.hashPayload]] — shared code, not a
+    * re-implementation), run as a stateless narrow map: bytes never
+    * leave the executor, undecodable payloads drop, and the indexed
+    * corpus is never re-decoded. */
+  def imageIntakeAdmit(spark: SparkSession, media: DataFrame,
+      indexPath: String, watermark: String = "10 minutes",
+      maxDist: Int = 3, maxBucket: Int = 0, useAhash: Boolean = false,
+      maxPixels: Long = graft.multimodal.Multimodal.DefaultMaxPixels)
+      : DataFrame = {
+    import spark.implicits._
+    val hashed = media.select(col("media_id"), col("ts"), col("payload"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, ts, payload) =>
+          val (dh, ah) = graft.multimodal.Multimodal.hashPayload(payload, maxPixels)
+          (id, ts, if (useAhash) ah else dh)
+        }
+      }.toDF("doc_id", "ts", "packed")
+    hammingIntakeAdmit(spark, hashed, indexPath, watermark, maxDist, maxBucket)
+      .select(col("doc_id").as("media_id"), col("ts"), col("packed"))
+  }
+
+  /** MIXED-increment crawl intake at arrival latency — the stream twin
+    * of [[graft.ext.Corpus.crawlIntakeMixed]]: text arrivals through
+    * [[crawlIntake]]'s admission chain, media arrivals through
+    * [[imageIntakeAdmit]]'s decode-once hash + index probe. Returns
+    * `(admittedDocs, admittedMedia)` — two independent streaming
+    * frames (start a query per arm; no cross-modal state). Total
+    * state: crawlIntake's two watermark-bounded dedups + the media
+    * arm's one signature dedup. */
+  def crawlIntakeMixed(spark: SparkSession, docs: DataFrame,
+      snapshot: DataFrame, media: DataFrame, imageIndexPath: String,
+      watermark: String = "10 minutes", bands: Int = 4,
+      maxBucket: Int = 10, threshold: Double = 0.7, maxDist: Int = 3,
+      useAhash: Boolean = false): (DataFrame, DataFrame) =
+    (crawlIntake(spark, docs, snapshot, watermark, bands, maxBucket, threshold),
+     imageIntakeAdmit(spark, media, imageIndexPath, watermark, maxDist,
+       maxBucket = 0, useAhash = useAhash))
 
   final case class CmsTok(source: String, word: String)
 

@@ -294,4 +294,85 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(manual == gotIds)
   }
+
+  // -- mixed-increment intake fixtures (MultimodalSpec's smooth-pattern
+  //    discipline: low-frequency so box-resize preserves hash bits) --
+  private def grayImg(w: Int, h: Int)(v: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = math.max(0, math.min(255, v(x, y)))
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    img
+  }
+  private def pattern(fx: Double, fy: Double, phase: Double) =
+    grayImg(64, 64) { (x, y) =>
+      (127.5 * (1 + math.sin(2 * math.Pi *
+        ((x + 0.5) / 64 * fx + (y + 0.5) / 64 * fy) + phase))).round.toInt
+    }
+  private def enc(img: java.awt.image.BufferedImage,
+      fmt: String = "png"): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+  private def resizeBox(img: java.awt.image.BufferedImage, tw: Int, th: Int) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    grayImg(tw, th) { (tx, ty) =>
+      val (x0, x1) = (tx * w / tw, math.max(tx * w / tw + 1, (tx + 1) * w / tw))
+      val (y0, y1) = (ty * h / th, math.max(ty * h / th + 1, (ty + 1) * h / th))
+      var acc = 0L; var n = 0
+      for (y <- y0 until y1; x <- x0 until x1) { acc += img.getRGB(x, y) & 0xff; n += 1 }
+      (acc.toDouble / n).round.toInt
+    }
+  }
+
+  test("crawlIntakeMixed: one call admits a text+media increment ≡ the manual stage sequence") {
+    import spark.implicits._
+    def words(p: String) = (0 until 25).map(i => s"$p$i").mkString(" ")
+    // text arm: one admitted, one exact dup of seen (dropped)
+    val seen = Seq((1L, words("alpha"), "s")).toDF("doc_id", "text", "source")
+    val snapshot = Dedup.incrementalSnapshot(spark, seen).localCheckpoint(true)
+    val arrivals = Seq(
+      (10L, words("fresh"), "https://a.example.org/c1"),
+      (11L, words("alpha"), "https://b.example.org/c2")) // exact dup of seen
+      .toDF("doc_id", "text", "url")
+    // media arm: seen index = patterns P0, P1; increment = resized P0
+    // copy (near-dup of indexed → drop), fresh P2 (admit), P2 re-encode
+    // (identical pixels → identical dHash → within-increment EXACT dup
+    // of 11, min id wins), junk (undecodable → drop)
+    val p0 = pattern(1.0, 0.0, 0.0)
+    val p1 = pattern(2.0, 1.0, 1.1)
+    val p2 = pattern(1.0, 2.0, 2.2)
+    val idxDir = java.nio.file.Files.createTempDirectory("miximg").toString
+    graft.multimodal.Multimodal.writeImageHashIndex(spark,
+      Seq((100L, enc(p0)), (101L, enc(p1))).toDF("media_id", "payload"), idxDir)
+    val media = Seq(
+      (10L, enc(resizeBox(p0, 48, 48))),
+      (11L, enc(p2)),
+      (12L, enc(p2, "bmp")), // byte-different container, identical pixels
+      (13L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val (gotDocs, gotMedia) = Corpus.crawlIntakeMixed(spark, arrivals,
+      snapshot, media, idxDir)
+    assert(gotDocs.select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L))
+    val mediaIds = gotMedia.collect().map(_.getLong(0)).toSet
+    assert(mediaIds == Set(11L), s"media admitted $mediaIds")
+    // text arm ≡ crawlIntake verbatim; media arm ≡ the manual stages
+    // (hash once → exact within increment → index pair anti-join)
+    assert(Corpus.crawlIntake(spark, arrivals, snapshot)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L))
+    val packed = graft.multimodal.Multimodal.imageHashes(spark, media)
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id").as("doc_id"), col("dhash").as("packed"))
+    val s1 = packed.join(
+      packed.groupBy("packed").agg(min("doc_id").as("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val manual = s1.join(
+      Dedup.hammingIntake(spark, s1, idxDir).select(col("a_id").as("doc_id"))
+        .distinct(), Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(manual == mediaIds)
+  }
 }

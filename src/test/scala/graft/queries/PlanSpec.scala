@@ -62,6 +62,12 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length <= 1, p) // only the orderBy
   }
 
+  test("q172: admission anti-join broadcasts the increment-bounded dup side") {
+    val p = planOf("q172_phash_intake_admit")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q64: document frequency is a partial-aggregable groupBy, not a word window") {
     val p = planOf("q64_tfidf_topk")
     // the df stage must show map-side combine (partial HashAggregate) —
@@ -328,7 +334,12 @@ class PlanSpec extends SparkSpec {
       // ONE-ROW broadcast (count aggregate → BroadcastNestedLoopJoin),
       // never a shuffle — one exchange FEWER than q85, whose 64-bit
       // census affords a global window
-      "q171_simhash128_neardup" -> 4)
+      "q171_simhash128_neardup" -> 4,
+      // q172 = hammingIntakeAdmit: within-increment window dedup (1) +
+      // the q169 intake (distinct = 1) + pair-id distinct (1) +
+      // orderBy; the anti-join BROADCASTS its increment-bounded dup
+      // side (plan-pinned below: no SortMergeJoin anywhere in it)
+      "q172_phash_intake_admit" -> 4)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

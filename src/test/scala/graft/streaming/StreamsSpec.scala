@@ -580,6 +580,92 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream media admission ≡ batch hammingIntakeAdmit; real PNG arm admits/rejects") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // signature level: index holds an 8-member family; arrivals =
+    // near-dup of it (reject), a fresh signature (admit), an exact
+    // intra-stream dup of the fresh one (watermark state drops it),
+    // and a NULL (nothing to compare — drops)
+    val seen = Seq.tabulate(8)(i => (i.toLong, 0x1234567812345678L ^ (i % 4).toLong))
+      .toDF("doc_id", "packed")
+    val dir = java.nio.file.Files.createTempDirectory("hamadm").toString
+    graft.ext.Dedup.writeHammingIndex(spark, seen, dir)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val arrivals = Seq(
+      (900L, t0, Some(0x1234567812345679L)), // Hamming 1 of indexed
+      (901L, t0, Some(0x7777777777777777L)), // fresh
+      (902L, t0, Some(0x7777777777777777L)), // intra-stream exact dup
+      (903L, t0, Option.empty[Long]))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Option[Long])]
+    val q = Streams.hammingIntakeAdmit(spark,
+        mem.toDF().toDF("doc_id", "ts", "packed"), dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hamadmit").start()
+    arrivals.foreach { a => mem.addData(a); q.processAllAvailable() }
+    val streamed = spark.sql("SELECT doc_id FROM hamadmit")
+      .collect().map(_.getLong(0)).toSet
+    // exactly ONE stateful op: the watermarked signature dedup — the
+    // index probe is stream-static
+    assert(q.lastProgress.stateOperators.length == 1)
+    q.stop()
+    assert(streamed == Set(901L), s"stream admitted $streamed")
+    // batch twin on the same arrivals (id order = arrival order, so
+    // first-arrival-wins ≡ min-id-wins)
+    val batch = graft.ext.Dedup.hammingIntakeAdmit(spark,
+        arrivals.map(a => (a._1, a._3)).toDF("doc_id", "packed"), dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == streamed, s"stream $streamed != batch $batch")
+
+    // payload arm: decode-once hash per micro-batch — a resized copy
+    // of an indexed image rejects, a fresh pattern admits, junk drops
+    def grayImg(w: Int, h: Int)(v: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = math.max(0, math.min(255, v(x, y)))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    def pat(fx: Double, fy: Double, ph: Double) = grayImg(64, 64) { (x, y) =>
+      (127.5 * (1 + math.sin(2 * math.Pi *
+        ((x + 0.5) / 64 * fx + (y + 0.5) / 64 * fy) + ph))).round.toInt
+    }
+    def resize(img: java.awt.image.BufferedImage, tw: Int, th: Int) =
+      grayImg(tw, th) { (tx, ty) =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (x0, x1) = (tx * w / tw, math.max(tx * w / tw + 1, (tx + 1) * w / tw))
+        val (y0, y1) = (ty * h / th, math.max(ty * h / th + 1, (ty + 1) * h / th))
+        var acc = 0L; var n = 0
+        for (y <- y0 until y1; x <- x0 until x1) { acc += img.getRGB(x, y) & 0xff; n += 1 }
+        (acc.toDouble / n).round.toInt
+      }
+    def enc(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val p0 = pat(1.0, 0.0, 0.0)
+    val imgDir = java.nio.file.Files.createTempDirectory("imgadm").toString
+    graft.multimodal.Multimodal.writeImageHashIndex(spark,
+      Seq((100L, enc(p0))).toDF("media_id", "payload"), imgDir)
+    val memI = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val qi = Streams.imageIntakeAdmit(spark,
+        memI.toDF().toDF("media_id", "ts", "payload"), imgDir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("imgadmit").start()
+    memI.addData(
+      (10L, t0, enc(resize(p0, 48, 48))),        // near-dup of indexed
+      (11L, t0, enc(pat(1.0, 2.0, 2.2))),        // fresh
+      (12L, t0, "junk".getBytes("UTF-8")))       // undecodable
+    qi.processAllAvailable()
+    val admitted = spark.sql("SELECT media_id FROM imgadmit")
+      .collect().map(_.getLong(0)).toSet
+    qi.stop()
+    assert(admitted == Set(11L), s"image stream admitted $admitted")
+  }
+
   test("watermarked window aggregation over an event stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

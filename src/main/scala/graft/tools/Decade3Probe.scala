@@ -227,6 +227,11 @@ object Decade3Probe {
       rec("quantizer_train_2it", n, tTrain)
       audit("trained", qdir =>
         graft.ext.Similarity.writeIvfIndexWith(spark, emb, trained, qdir))
+      // the DEFAULT build (trained + hot-cell split, writeIvfIndex with
+      // no knob touched): recall must hold the trained numbers with
+      // max_cell bounded — the round-13 default's acceptance row
+      audit("default", qdir =>
+        graft.ext.Similarity.writeIvfIndex(spark, emb, centPred, qdir))
 
       rmTemp(dir)
     }

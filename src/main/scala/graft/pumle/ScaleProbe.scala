@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val onlyWinnowPrune = args.headOption.contains("winnow-prune")
-    val onlyHamming = args.headOption.contains("hamming-intake")
+    val onlyHamming = args.headOption.contains("hamming-intake") ||
+      args.headOption.contains("hamming128")
     val nSims = if (onlyWinnowPrune || onlyHamming) 4
       else args.headOption.map(_.toInt).getOrElse(4)
     val spark = SparkSession.builder()

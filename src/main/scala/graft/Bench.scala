@@ -149,24 +149,36 @@ object Bench {
     // last attempt's spread; rows still over the trailing bar after
     // that are persisted in "respread_over" — a finding, not noise.
     val SpreadBar = 1.5
+    // Trailing floors come from PARSED JSON, not a text regex: only the
+    // "queries" timing map counts (a regex over the raw file would also
+    // ingest the "spreads" map — ratios ~1.0-1.5 that would permanently
+    // poison every floor — and query names quoted inside the escaped
+    // "tail" string), and only from rounds measured at THIS sf (a floor
+    // from a smaller scale factor would flag every legitimately-slower
+    // row as 3x-over and trigger two full re-measures of the suite).
+    // The driver's BENCH_r{N}.json wraps Bench's own output under
+    // "parsed"; a bare Bench artifact is the object itself.
     val trailing: Map[String, Double] = {
-      val dir = java.nio.file.Paths.get(".")
-      val rx = """"(q[^"]+)":(-?[0-9][0-9.eE+-]*)""".r
-      val files = java.nio.file.Files.list(dir).iterator()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val acc = collection.mutable.Map[String, Double]()
-      files.forEachRemaining { p =>
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      try files.iterator().forEachRemaining { p =>
         if (p.getFileName.toString.matches("BENCH_r\\d+\\.json")) {
-          val txt = new String(java.nio.file.Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8)
-          rx.findAllMatchIn(txt).foreach { m =>
-            val v = m.group(2).toDouble
-            if (v >= 0) acc.get(m.group(1)) match {
-              case Some(old) => if (v < old) acc(m.group(1)) = v
-              case None => acc(m.group(1)) = v
+          try {
+            val root = mapper.readTree(p.toFile)
+            val node = if (root.has("parsed")) root.get("parsed") else root
+            if (node != null && !node.isNull &&
+                node.path("sf").asText("") == sfDir &&
+                node.path("queries").isObject) {
+              val qn = node.get("queries")
+              qn.fieldNames().forEachRemaining { name =>
+                val v = qn.get(name).asDouble(-1.0)
+                if (v >= 0 && acc.get(name).forall(v < _)) acc(name) = v
+              }
             }
-          }
+          } catch { case scala.util.control.NonFatal(_) => () } // not ours
         }
-      }
+      } finally files.close()
       acc.toMap
     }
     val byName = collection.mutable.LinkedHashMap(

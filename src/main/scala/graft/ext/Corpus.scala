@@ -618,13 +618,73 @@ object Corpus {
     * admission), and CorpusSpec pins the composition ≡ the manual
     * stage sequence on real PNG payloads.
     * [[graft.streaming.Streams.crawlIntakeMixed]] is the
-    * arrival-latency twin. */
+    * arrival-latency twin.
+    *
+    * Like [[crawlIntake]], this form leaves the text arm's checkpoint
+    * blocks to RDD GC — fine for one-shot jobs; a long-lived
+    * per-increment intake LOOP should call [[crawlIntakeMixedTracked]]
+    * (or the 128-bit [[crawlIntakeMixed128]]) and `release()` after
+    * consuming each increment's results. */
   def crawlIntakeMixed(spark: SparkSession, arrivals: DataFrame,
       snapshot: DataFrame, media: DataFrame, imageIndexPath: String,
       urlCol: String = "url", idCol: String = "doc_id",
       textCol: String = "text", maxDist: Int = 3,
-      useAhash: Boolean = false): (DataFrame, DataFrame) =
-    (crawlIntake(spark, arrivals, snapshot, urlCol, idCol, textCol),
+      useAhash: Boolean = false): (DataFrame, DataFrame) = {
+    val (docs, mediaAdm, _) = crawlIntakeMixedTracked(spark, arrivals,
+      snapshot, media, imageIndexPath, urlCol, idCol, textCol, maxDist,
+      useAhash)
+    (docs, mediaAdm)
+  }
+
+  /** [[crawlIntakeMixed]] plus the text arm's RELEASE HANDLE
+    * ([[crawlIntakeTracked]]'s contract carried through the
+    * composition): the intake-loop form. A mixed intake is the API a
+    * per-increment crawl loop calls indefinitely, and the text arm
+    * materializes its gated increment eagerly (increment-bounded
+    * checkpoint blocks) — without the handle each iteration leaks
+    * those blocks until RDD GC, the exact accumulation
+    * `crawlIntakeTracked` exists to prevent. Consume BOTH returned
+    * frames fully (write/collect), then call `release()`; the media
+    * arm holds no checkpoint state, so the one handle returns
+    * everything the call pinned. */
+  def crawlIntakeMixedTracked(spark: SparkSession, arrivals: DataFrame,
+      snapshot: DataFrame, media: DataFrame, imageIndexPath: String,
+      urlCol: String = "url", idCol: String = "doc_id",
+      textCol: String = "text", maxDist: Int = 3,
+      useAhash: Boolean = false): (DataFrame, DataFrame, () => Unit) = {
+    val (docs, release) = crawlIntakeTracked(spark, arrivals, snapshot,
+      urlCol, idCol, textCol)
+    (docs,
      graft.multimodal.Multimodal.imageIntakeAdmit(spark, media,
-       imageIndexPath, maxDist, 0, useAhash))
+       imageIndexPath, maxDist, 0, useAhash),
+     release)
+  }
+
+  /** MIXED-increment crawl intake on the 128-BIT media signature —
+    * [[crawlIntakeMixedTracked]] with the media arm admitting on the
+    * combined dHash‖aHash signature against a [[graft.multimodal
+    * .Multimodal.writeImageHashIndex128]] directory
+    * ([[graft.multimodal.Multimodal.imageIntakeAdmit128]]): the
+    * non-saturating form — at O(100M+) indexed images the 64-bit
+    * index's per-arrival candidate set grows with the corpus while
+    * this one's stays duplicate-structure-bounded. The signature is
+    * strictly finer (both perceptual tests must agree within
+    * `maxDist`), and it is already computed — one decode pass yields
+    * both hashes. Returns `(admittedDocs, admittedMedia, release)`;
+    * admittedMedia carries `(media_id, lo, hi)` for
+    * [[graft.ext.Dedup.appendHammingIndex128]].
+    * [[graft.streaming.Streams.crawlIntakeMixed128]] is the
+    * arrival-latency twin. */
+  def crawlIntakeMixed128(spark: SparkSession, arrivals: DataFrame,
+      snapshot: DataFrame, media: DataFrame, imageIndexPath: String,
+      urlCol: String = "url", idCol: String = "doc_id",
+      textCol: String = "text", maxDist: Int = 3)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val (docs, release) = crawlIntakeTracked(spark, arrivals, snapshot,
+      urlCol, idCol, textCol)
+    (docs,
+     graft.multimodal.Multimodal.imageIntakeAdmit128(spark, media,
+       imageIndexPath, maxDist),
+     release)
+  }
 }

@@ -605,6 +605,27 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       verifyThreshold: Double = 0.7,
       deepGraphs: Boolean = false): DataFrame = {
+    val (afterExact, _, confirmed, release) = winnowCorpusStages(spark,
+      docs, k, w, maxDf, minShared, idCol, textCol, verifyThreshold)
+    val dropNearDup = (if (deepGraphs) clustersAltStar(spark, confirmed)
+      else clusters(spark, confirmed))
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    release()
+    afterExact.join(dropNearDup, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupCorpusWinnow]]'s exact → candidate → verify stages, shared
+    * with the pair-volume census ([[winnowCorpusPairCensus]]) so the
+    * census measures the CHAIN'S OWN frames, never a replica that
+    * could drift: returns (exact survivors, candidate pairs
+    * [checkpointed], verified pairs, release). Callers consume the
+    * frames, then `release()` (checkpoint blocks + the survivor
+    * cache). */
+  private def winnowCorpusStages(spark: SparkSession, docs: DataFrame,
+      k: Int, w: Int, maxDf: Int, minShared: Int, idCol: String,
+      textCol: String, verifyThreshold: Double)
+      : (DataFrame, DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
     val afterExact = docs
@@ -620,13 +641,32 @@ object Dedup {
       if (verifyThreshold > 0.0)
         verifyCheckpointed(spark, pairs, afterExact, verifyThreshold, idCol, textCol)
       else pairs
-    val dropNearDup = (if (deepGraphs) clustersAltStar(spark, confirmed)
-      else clusters(spark, confirmed))
-      .filter(col("node") =!= col("cluster_id"))
-      .select(col("node").as(idCol))
-    pairsRdds.foreach(_.unpersist(blocking = false))
-    afterExact.unpersist(blocking = false)
-    afterExact.join(dropNearDup, Seq(idCol), "left_anti")
+    (afterExact, pairs, confirmed, () => {
+      pairsRdds.foreach(_.unpersist(blocking = false))
+      afterExact.unpersist(blocking = false)
+    })
+  }
+
+  /** Pair-volume census for the [[dedupCorpusWinnow]] chain — the
+    * measurement that DECOMPOSES a scale-up reading into (pair growth
+    * × per-pair cost): one row `(n_docs, n_exact_survivors,
+    * n_candidates, n_verified)` counted off the chain's own stage
+    * frames (shared construction, so the census cannot drift from the
+    * operator). A capped chain whose wall grows faster than rows
+    * should show the growth HERE (fixture pair density), with per-pair
+    * cost flat — if candidates hold flat and the wall still grows, the
+    * plan regressed. Used by bench_sf3's census table. */
+  def winnowCorpusPairCensus(spark: SparkSession, docs: DataFrame,
+      k: Int = 3, w: Int = 4, maxDf: Int = 10, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text",
+      verifyThreshold: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val (afterExact, pairs, confirmed, release) = winnowCorpusStages(spark,
+      docs, k, w, maxDf, minShared, idCol, textCol, verifyThreshold)
+    val out = (docs.count(), afterExact.count(), pairs.count(),
+      confirmed.count())
+    release()
+    Seq(out).toDF("n_docs", "n_exact_survivors", "n_candidates", "n_verified")
   }
 
   /** Chunk-level corpus dedup (the CCNet/Gopher "line dedup" shape,
@@ -873,6 +913,22 @@ object Dedup {
       snapshot: DataFrame, maxDf: Int = 10, minShared: Int = 2,
       threshold: Double = 0.7, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, w: Int = 4): DataFrame = {
+    val (notExact, _, scored) = incrementalWinnowStages(spark, newDocs,
+      snapshot, maxDf, minShared, idCol, textCol, k, w)
+    val nearDup = scored.filter(col("jaccard") >= threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    notExact.join(nearDup, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupIncrementalWinnow]]'s exact → candidate → verify stages,
+    * shared with [[winnowIncrementalPairCensus]] (same construction →
+    * the census cannot drift from the operator): returns (exact
+    * survivors, candidate pairs [checkpointed, candidate-bounded],
+    * scored pairs with their exact `jaccard`). */
+  private def incrementalWinnowStages(spark: SparkSession,
+      newDocs: DataFrame, snapshot: DataFrame, maxDf: Int, minShared: Int,
+      idCol: String, textCol: String, k: Int, w: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     // (k, w) must match what the snapshot was fingerprinted with
     // (winnowSnapshot's arguments) — the persisted-directory form
     // reads them from the index itself (readWinnowIndexParams)
@@ -906,12 +962,26 @@ object Dedup {
       .select(col("doc_id").as("seen_id"), col("shingles").as("sh_s"))
     val inter = size(array_intersect(col("sh_n"), col("sh_s")))
     val union = size(col("sh_n")) + size(col("sh_s")) - inter
-    val nearDup = cand.join(setsN, Seq("new_id")).join(setsS, Seq("seen_id"))
+    val scored = cand.join(setsN, Seq("new_id")).join(setsS, Seq("seen_id"))
       .withColumn("jaccard",
         when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union.cast("double")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id").as(idCol)).distinct()
-    notExact.join(nearDup, Seq(idCol), "left_anti")
+    (notExact, cand, scored)
+  }
+
+  /** Pair-volume census for the [[dedupIncrementalWinnow]] chain —
+    * [[winnowCorpusPairCensus]]'s decomposition for the increment
+    * shape: one row `(n_new, n_exact_survivors, n_candidates,
+    * n_verified)` counted off the chain's own stage frames. */
+  def winnowIncrementalPairCensus(spark: SparkSession, newDocs: DataFrame,
+      snapshot: DataFrame, maxDf: Int = 10, minShared: Int = 2,
+      threshold: Double = 0.7, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, w: Int = 4): DataFrame = {
+    import spark.implicits._
+    val (notExact, cand, scored) = incrementalWinnowStages(spark, newDocs,
+      snapshot, maxDf, minShared, idCol, textCol, k, w)
+    Seq((newDocs.count(), notExact.count(), cand.count(),
+      scored.filter(col("jaccard") >= threshold).count()))
+      .toDF("n_new", "n_exact_survivors", "n_candidates", "n_verified")
   }
 
   /** The DIRECTORY form of the winnow index: `path/docs` =
@@ -1253,9 +1323,19 @@ object Dedup {
       .select(col(idCol).as("doc_id"), expr(s"simhash64($textCol)").as("lanes"))
   }
 
-  /** SimHash Hamming near-dup search: banding over the four 16-bit
-    * lanes (exact lane match on ≥1 band → candidate), then exact
-    * Hamming verification `Σ bit_count(lane_a XOR lane_b) <= maxDist`.
+  /** SimHash Hamming near-dup search on the CHEAP 64-bit signature:
+    * banding over the four 16-bit lanes (exact lane match on ≥1 band →
+    * candidate), then exact Hamming verification
+    * `Σ bit_count(lane_a XOR lane_b) <= maxDist`.
+    *
+    * WHICH FORM TO USE: [[simhashNearDup128]] is the documented
+    * DEFAULT for corpus-wide near-dup — its 32-bit band space never
+    * saturates (measured returning the exact planted pair set at 20M
+    * signatures, the decade where this form must gate off), at the
+    * cost of one extra packed long per row. THIS form is the
+    * cheap-signature option: below ~4M documents the two produce the
+    * same recall discipline and this one shuffles a third less per
+    * row.
     *
     * Pigeonhole guarantee: any pair within Hamming distance ≤ 3 (=
     * bands−1) differs in at most 3 of the 64 bits, so at least one of
@@ -1347,6 +1427,7 @@ object Dedup {
   def hammingNearDup64(spark: SparkSession, packedDf: DataFrame,
       maxDist: Int = 3, maxBucket: Int = 0,
       capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    requirePigeonhole(maxDist)
     require(maxBucket >= 0,
       s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
     val packed = packedDf.select(col("doc_id"), col("packed"))
@@ -1375,6 +1456,21 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct() // a pair sharing several bands appears once per band
   }
+
+  /** Reject a `maxDist` the FOUR-band pigeonhole cannot serve: with 4
+    * bands, a true pair is guaranteed to agree exactly on ≥ 1 band only
+    * when its differing bits number ≤ 3 (= bands − 1) — at maxDist 4+ a
+    * pair whose differing bits land one per band shares NO band and is
+    * SILENTLY dropped, a recall hole no cap diagnostic would surface.
+    * Every 4-band entry point (64- and 128-bit near-dup, the persisted
+    * intakes, the stream twins) calls this instead of quietly degrading;
+    * a wider radius needs a different bander (maxDist + 1 bands), not a
+    * bigger parameter. */
+  private[graft] def requirePigeonhole(maxDist: Int): Unit =
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist=$maxDist outside [0, 3]: 4-band LSH is pigeonhole-complete " +
+        "only for Hamming <= 3 — larger radii would silently lose recall " +
+        "(pairs whose differing bits span all four bands share no band)")
 
   /** The 4×16-bit band rows of a packed-64 signature frame —
     * `(doc_id, packed, band, bval)`, the shared narrow generator
@@ -1413,9 +1509,11 @@ object Dedup {
       .select(col(idCol).as("doc_id"), expr(s"simhash128($textCol)").as("lanes"))
   }
 
-  /** 128-bit SimHash Hamming near-dup — the corpus-wide batch shape
-    * that SURVIVES the fourth decade: [[simhashNearDup]]'s banding/
-    * verify discipline on a 128-bit signature with FOUR 32-BIT bands.
+  /** 128-bit SimHash Hamming near-dup — THE corpus-wide batch
+    * entry point (the documented default; [[simhashNearDup]] is the
+    * cheap-signature option for sub-4M corpora): [[simhashNearDup]]'s
+    * banding/verify discipline on a 128-bit signature with FOUR
+    * 32-BIT bands.
     * Pigeonhole completeness is unchanged (any pair within Hamming ≤ 3
     * = bands − 1 agrees exactly on ≥ 1 band), but the bucket space per
     * band is 2³² instead of 2¹⁶ — the mean bucket holds n/2³² members,
@@ -1467,6 +1565,7 @@ object Dedup {
   def hammingNearDup128(spark: SparkSession, packedDf: DataFrame,
       maxDist: Int = 3, maxBucket: Int = 0,
       capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    requirePigeonhole(maxDist)
     require(maxBucket >= 0,
       s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
     val packed = packedDf.select(col("doc_id"), col("lo"), col("hi"))
@@ -1524,7 +1623,15 @@ object Dedup {
     * band-bucket census is METADATA-scale (≤ 4·65536 rows regardless
     * of corpus size), so intakes read bucket sizes without ever
     * re-counting the signature table, exactly as [[writeWinnowIndex]]
-    * persists fingerprint document frequencies. */
+    * persists fingerprint document frequencies.
+    *
+    * SCALE BOUNDARY (~O(100M) indexed signatures): the 16-bit band
+    * census mean (~n/2¹⁶) makes every arrival's candidate set grow
+    * linearly in n/2¹⁶ even though the intake stays increment-bounded
+    * — an index that will grow past that belongs on the 128-bit
+    * lifecycle ([[writeHammingIndex128]] and family), whose 2³² band
+    * space keeps per-arrival candidates duplicate-structure-bounded at
+    * any feasible corpus. */
   def writeHammingIndex(spark: SparkSession, packedDf: DataFrame,
       path: String): Unit = {
     // routed write at the CONFIGURED shuffle width: bounded file count
@@ -1677,6 +1784,7 @@ object Dedup {
     * it IS the distribution — to pick explicitly. */
   def hammingIntake(spark: SparkSession, newPacked: DataFrame,
       path: String, maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
+    requirePigeonhole(maxDist)
     require(maxBucket >= 0,
       s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
     val cap = if (maxBucket == 0) deriveHammingCap(spark, path) else maxBucket
@@ -1747,6 +1855,230 @@ object Dedup {
     val row = spark.read.parquet(s"$path/bsize").agg(sum(col("n"))).head()
     val total = (if (row.isNullAt(0)) 0L else row.getLong(0)) / 4
     math.max(10L, 10L * ((total + 65535) / 65536)).toInt
+  }
+
+  // ------------------------------------------------------------------
+  // 128-bit persisted Hamming index lifecycle — [[writeHammingIndex]]'s
+  // build-once/intake-many machinery carried to the (doc_id, lo, hi)
+  // two-long signature ([[hammingNearDup128]]'s input), so crawl
+  // admission rides the NON-SATURATING 4×32-bit band family past the
+  // 64-bit index's ~O(100M)-signature boundary (where the 16-bit band
+  // census mean ~n/2¹⁶ makes every arrival's candidate set grow in n).
+  //
+  // THE CENSUS DESIGN DECISION (explicit, because the 64-bit discipline
+  // does not carry): with 2³² buckets per band the census is O(n) ROWS
+  // (almost every bucket is a singleton), not the 64-bit index's
+  // ≤ 4·2¹⁶-row metadata table, so "collect + overwrite on append" and
+  // "read whole at intake" are both wrong at scale. This index persists
+  // the census as APPEND-ONLY PARTIAL COUNTS with an aggregate-on-read
+  // contract — `path/bsize` rows are (band, bval, n) PARTIALS whose sum
+  // per (band, bval) is the true bucket size:
+  //  - the BUILD writes the fully-aggregated census (one row/bucket);
+  //  - each APPEND appends only the increment's own census
+  //    (increment-bounded work — strictly cheaper than the 64-bit
+  //    append's collect-merge, which this corpus size could not afford);
+  //  - the INTAKE never aggregates the whole census: it semi-joins the
+  //    partials against the (broadcast, ≤ 4·|increment|-row) set of
+  //    buckets the arrivals actually touch, so the guard's shuffle is
+  //    increment-bounded and the census costs one NARROW O(n) scan —
+  //    the same asymptotic the intake's signature scan already pays;
+  //  - COMPACTION folds partials back to one row per bucket.
+  // Under this contract every crash point leaves a VALID index: sigs
+  // rows are bit-preserved, census content is representation-
+  // independent (partials sum the same before and after folding), and
+  // a sigs-append that died before its census-append is repaired by
+  // [[rebuildHammingCensus128]] exactly as in the 64-bit lifecycle.
+  // ------------------------------------------------------------------
+
+  /** Persist a 128-bit Hamming signature index — `path/sigs`
+    * (doc_id, lo, hi) routed at the configured shuffle width (bounded
+    * file count at any corpus size, [[writeHammingIndex]]'s argument
+    * verbatim) and `path/bsize`, the 4×32-bit band census in the
+    * partial-count layout documented above (the build emits it fully
+    * aggregated — one row per bucket, O(n) rows by design). */
+  def writeHammingIndex128(spark: SparkSession, packedDf: DataFrame,
+      path: String): Unit = {
+    packedDf.select(col("doc_id"), col("lo"), col("hi"))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    rebuildHammingCensus128(spark, path)
+  }
+
+  /** Recount `path/bsize` from `path/sigs` — the census recovery/
+    * repair pass ([[rebuildHammingCensus]]'s 128-bit twin): one scan of
+    * the signature table + one groupBy, emitting the fully-aggregated
+    * census (which is also how compaction folds partials — fold =
+    * rebuild-shaped aggregate over the partials instead of the sigs).
+    * Run after a failed [[appendHammingIndex128]] (sigs appended,
+    * census increment not yet appended) — an undercounted census
+    * quietly weakens the mega-bucket guard. O(n) rows out — written at
+    * the aggregate's own shuffle width, never coalesce(1). */
+  def rebuildHammingCensus128(spark: SparkSession, path: String): Unit =
+    hammingBands128(spark.read.parquet(s"$path/sigs"))
+      .groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/bsize")
+
+  /** Append new signatures to a [[writeHammingIndex128]] directory:
+    * the signature rows append (AQE-sized — a small crawl increment
+    * lands as ~one file), and the census appends the INCREMENT'S OWN
+    * band counts as new partial rows — increment-bounded, never a
+    * read-modify-write of the O(n) persisted census (the design
+    * decision above; the 64-bit append's collect-merge is correct only
+    * because ITS census is metadata-scale). The increment materializes
+    * once (tracked localCheckpoint, released on exit) so a
+    * non-deterministic input cannot desynchronize sigs and bsize. A
+    * failure BETWEEN the two appends leaves the census undercounted:
+    * recover with [[rebuildHammingCensus128]] before the next intake. */
+  def appendHammingIndex128(spark: SparkSession, packedDf: DataFrame,
+      path: String): Unit = {
+    val (inc, blocks) = checkpointTracked(
+      packedDf.select(col("doc_id"), col("lo"), col("hi")))
+    try {
+      inc.repartition(col("doc_id"))
+        .write.mode("append").parquet(s"$path/sigs")
+      hammingBands128(inc)
+        .groupBy(col("band"), col("bval")).agg(count(lit(1)).as("n"))
+        .repartition(col("band"), col("bval")) // AQE-sized: ~one file
+        .write.mode("append").parquet(s"$path/bsize")
+    } finally blocks.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Compact a [[writeHammingIndex128]] directory — BOTH decay axes at
+    * once: the signature table's one-file-per-append growth
+    * ([[compactHammingIndex]]'s listing-gated rename-swap rewrite,
+    * verbatim) and the census's one-PARTIAL-per-append growth (folded
+    * by the rebuild-shaped aggregate over the partials — content is
+    * identical under the aggregate-on-read contract, so readers before
+    * and after see the same bucket sizes; Ext5Spec pins bit-equal
+    * intakes). Triggered when either table's file LISTING exceeds
+    * `maxFiles`; below the threshold this is two listings and nothing
+    * else. Returns the total file count compacted away.
+    *
+    * CRASH SAFETY: sigs swaps through `sigs.compact.tmp`/`.old` exactly
+    * as the 64-bit form (recovery documented there); the census fold
+    * swaps the same way, and because census content is representation-
+    * independent, a crash ANYWHERE in the fold leaves a readable census
+    * (worst case: the orphaned tmp dir of a fold that never swapped —
+    * deleted on the next call). Not safe concurrently with readers;
+    * run between crawl increments, where appends already serialize. */
+  def compactHammingIndex128(spark: SparkSession, path: String,
+      maxFiles: Int = 64): Long = {
+    require(maxFiles >= 1, s"maxFiles=$maxFiles must be >= 1")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val width = math.min(maxFiles,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    def swapRewrite(sub: String, rewrite: DataFrame => DataFrame): Long = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = live.getFileSystem(hconf)
+      val nFiles = fs.listStatus(live)
+        .count(_.getPath.getName.endsWith(".parquet"))
+      if (nFiles <= maxFiles) return 0L
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/$sub.compact.tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$path/$sub.compact.old")
+      fs.delete(tmp, true); fs.delete(old, true) // orphans of a past crash
+      rewrite(spark.read.parquet(live.toString))
+        .write.mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(live, old),
+        s"compactHammingIndex128: rename $live -> $old failed")
+      require(fs.rename(tmp, live),
+        s"compactHammingIndex128: rename $tmp -> $live failed")
+      fs.delete(old, true)
+      nFiles.toLong
+    }
+    swapRewrite("sigs", _.repartition(width, col("doc_id"))) +
+      swapRewrite("bsize", _.groupBy(col("band"), col("bval"))
+        .agg(sum(col("n")).as("n")))
+  }
+
+  /** The census-derived bucket cap for a [[writeHammingIndex128]]
+    * directory: 10 × the mean per-band bucket occupancy (nSigs / 2³²),
+    * floor 10 — [[deriveHammingCap]]'s rule at the 32-bit band space,
+    * where the FLOOR governs at any feasible corpus (the mean bucket
+    * stays below one until ~4B signatures). Total signatures =
+    * Σ partial counts / 4: one narrow map-side-combined scan of the
+    * census — O(n) rows by design (see the lifecycle note), the same
+    * asymptotic as the intake's own signature scan. */
+  def deriveHammingCap128(spark: SparkSession, path: String): Int = {
+    val row = spark.read.parquet(s"$path/bsize").agg(sum(col("n"))).head()
+    val total = (if (row.isNullAt(0)) 0L else row.getLong(0)) / 4
+    math.max(10L, 10L * ((total + 4294967295L) / 4294967296L)).toInt
+  }
+
+  /** Incremental 128-bit Hamming near-dup intake — [[hammingIntake]]'s
+    * crawl-increment discipline on the non-saturating signature: pairs
+    * each NEW (doc_id, lo, hi) with the INDEXED signatures within
+    * Hamming ≤ `maxDist` (summed over both longs), seen side scanned
+    * never shuffled. The guard differs from the 64-bit form EXACTLY
+    * where the census design does: instead of broadcasting the whole
+    * (there metadata-scale) census, the arrivals' ≤ 4·|increment|
+    * distinct touched buckets broadcast INTO the census partials, and
+    * only those buckets aggregate — so the guard's shuffle is
+    * increment-bounded and the census costs one narrow scan. Buckets
+    * whose indexed size exceeds the cap contribute no candidates (the
+    * deterministic whole-bucket drop); buckets with NO indexed member
+    * drop at the same join (no partner to pair with).
+    *
+    * Output: (a_id = new, b_id = seen, hamming). `maxBucket = 0` (the
+    * DEFAULT) derives the cap via [[deriveHammingCap128]]. Pinned ≡
+    * the brute-force new×seen pair filter on under-cap fixtures
+    * (Ext5Spec) and oracle-checked end to end by q173. */
+  def hammingIntake128(spark: SparkSession, newPacked: DataFrame,
+      path: String, maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
+    requirePigeonhole(maxDist)
+    require(maxBucket >= 0,
+      s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
+    val cap = if (maxBucket == 0) deriveHammingCap128(spark, path) else maxBucket
+    val nb0 = hammingBands128(newPacked
+        .select(col("doc_id"), col("lo"), col("hi")))
+      .select(col("doc_id").as("a_id"), col("lo").as("la"),
+        col("hi").as("ha"), col("band"), col("bval"))
+    // exact sizes for TOUCHED buckets only: partials ⋉ broadcast(touched)
+    // → aggregate — increment-bounded shuffle over an O(n) narrow scan
+    val touched = nb0.select(col("band"), col("bval")).distinct()
+    val okBuckets = spark.read.parquet(s"$path/bsize")
+      .join(broadcast(touched), Seq("band", "bval"))
+      .groupBy(col("band"), col("bval")).agg(sum(col("n")).as("n"))
+      .filter(col("n") <= cap) // n >= 1 by construction: indexed + under cap
+      .select(col("band"), col("bval"))
+    val nb = nb0.join(broadcast(okBuckets), Seq("band", "bval"))
+    hammingBands128(spark.read.parquet(s"$path/sigs"))
+      .select(col("doc_id").as("b_id"), col("lo").as("lb"),
+        col("hi").as("hb"), col("band"), col("bval"))
+      .join(broadcast(nb), Seq("band", "bval"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("la"), col("lb"),
+        col("ha"), col("hb"))
+      .distinct() // several shared bands → one pair
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)")
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Admission VERDICT of a 128-bit signature increment against a
+    * persisted [[writeHammingIndex128]] directory —
+    * [[hammingIntakeAdmit]]'s two stages on the non-saturating
+    * signature: exact dedup WITHIN the increment (first doc_id per
+    * identical (lo, hi) wins — one increment-bounded exchange), then
+    * survivors with no indexed signature within `maxDist` admit
+    * ([[hammingIntake128]]; the dup side is increment-bounded and
+    * broadcast into the anti-join). Rows where either long is NULL
+    * drop (nothing to compare). Output: the admitted (doc_id, lo, hi)
+    * rows, ready for [[appendHammingIndex128]] so the next increment
+    * sees this one. Oracle-checked end to end by q174. */
+  def hammingIntakeAdmit128(spark: SparkSession, packedDf: DataFrame,
+      path: String, maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lo"), col("hi"))
+    val s1 = packedDf.select(col("doc_id"), col("lo"), col("hi"))
+      .filter(col("lo").isNotNull && col("hi").isNotNull)
+      .withColumn("_kmin", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("_kmin"))
+      .drop("_kmin")
+    val dup = hammingIntake128(spark, s1, path, maxDist, maxBucket)
+      .select(col("a_id").as("doc_id")).distinct()
+    s1.join(broadcast(dup), Seq("doc_id"), "left_anti")
   }
 
   /** Exact cap diagnostics for [[simhashNearDup]] as a standalone

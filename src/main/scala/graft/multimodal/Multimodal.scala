@@ -501,11 +501,17 @@ object Multimodal {
     * .hammingNearDup64]]'s SCALE BOUNDARY note). One decode pass
     * yields both hashes, so the signature costs nothing extra.
     * Semantics: `maxDist` spans BOTH hashes — a pair must survive the
-    * gradient test and the global-brightness test TOGETHER (≈ halves
-    * the per-hash tolerance vs [[imageNearDup]] at the same maxDist;
-    * raise maxDist to ~2× the single-hash setting for comparable
-    * recall with strictly better precision). Rows where either hash
-    * is NULL drop (undecodable payloads). */
+    * gradient test and the global-brightness test TOGETHER, so at the
+    * same maxDist this is a strictly STRICTER (higher-precision,
+    * lower-recall) test than [[imageNearDup]]'s single-hash one. The
+    * radius canNOT be widened to compensate: the 4-band LSH is
+    * pigeonhole-complete only for Hamming ≤ 3 (enforced by
+    * [[graft.ext.Dedup.hammingNearDup128]]'s `require` — at maxDist
+    * 4+ a pair whose differing bits span all four bands would be
+    * silently dropped). Callers who want the 64-bit form's looser
+    * tolerance should use [[imageNearDup]]; this form is for
+    * precision AND the >4M-signature scale path. Rows where either
+    * hash is NULL drop (undecodable payloads). */
   def imageNearDup128(spark: SparkSession, media: DataFrame,
       maxDist: Int = 3, maxBucket: Int = 0,
       capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame =
@@ -523,6 +529,16 @@ object Multimodal {
       .filter(col(hcol).isNotNull)
       .select(col("media_id").as("doc_id"), col(hcol).as("packed"))
   }
+
+  /** The 128-bit perceptual signature frame `(doc_id, lo = dHash,
+    * hi = aHash)` — [[imageNearDup128]]'s input, factored so the
+    * persisted-index forms below share it. One decode pass yields both
+    * hashes; rows where either is NULL drop (undecodable payloads). */
+  private def imagePacked128(spark: SparkSession, media: DataFrame): DataFrame =
+    imageHashes(spark, media)
+      .filter(col("dhash").isNotNull && col("ahash").isNotNull)
+      .select(col("media_id").as("doc_id"), col("dhash").as("lo"),
+        col("ahash").as("hi"))
 
   /** Persist an image-content dedup index ([[graft.ext.Dedup
     * .writeHammingIndex]] over [[imageHashes]]) — hash once at crawl
@@ -559,6 +575,44 @@ object Multimodal {
     graft.ext.Dedup.hammingIntakeAdmit(spark,
         imagePacked(spark, media, useAhash), path, maxDist, maxBucket)
       .select(col("doc_id").as("media_id"), col("packed"))
+
+  /** Persist the 128-BIT image-content dedup index ([[graft.ext.Dedup
+    * .writeHammingIndex128]] over the combined dHash‖aHash signature —
+    * [[imageNearDup128]]'s input): the build-once form whose band
+    * space never saturates, for image corpora past the 64-bit index's
+    * candidate-growth boundary (~O(100M) indexed signatures). Same
+    * decode-once economics as [[writeImageHashIndex]] — both hashes
+    * fall out of the one pixel pass. */
+  def writeImageHashIndex128(spark: SparkSession, media: DataFrame,
+      path: String): Unit =
+    graft.ext.Dedup.writeHammingIndex128(spark,
+      imagePacked128(spark, media), path)
+
+  /** 128-bit image near-dup intake at crawl time — [[imageDupIntake]]
+    * on the combined signature against a [[writeImageHashIndex128]]
+    * directory ([[graft.ext.Dedup.hammingIntake128]]: touched-bucket
+    * census guard, indexed side scanned never shuffled or re-decoded).
+    * Output (a_id = arrival media_id, b_id = indexed media_id,
+    * hamming over both hashes). */
+  def imageDupIntake128(spark: SparkSession, media: DataFrame,
+      path: String, maxDist: Int = 3, maxBucket: Int = 0): DataFrame =
+    graft.ext.Dedup.hammingIntake128(spark,
+      imagePacked128(spark, media), path, maxDist, maxBucket)
+
+  /** 128-bit image ADMISSION at crawl time — [[imageIntakeAdmit]] on
+    * the combined dHash‖aHash signature ([[graft.ext.Dedup
+    * .hammingIntakeAdmit128]]): exact dedup within the arriving batch
+    * (first media_id per identical signature pair wins), then
+    * survivors with no indexed signature within `maxDist` (summed over
+    * both hashes — the stricter, higher-precision test) admit.
+    * Arrivals decode once; output `(media_id, lo, hi)` — the admitted
+    * rows' signatures, ready for [[graft.ext.Dedup
+    * .appendHammingIndex128]] so the next increment sees this one. */
+  def imageIntakeAdmit128(spark: SparkSession, media: DataFrame,
+      path: String, maxDist: Int = 3, maxBucket: Int = 0): DataFrame =
+    graft.ext.Dedup.hammingIntakeAdmit128(spark,
+        imagePacked128(spark, media), path, maxDist, maxBucket)
+      .select(col("doc_id").as("media_id"), col("lo"), col("hi"))
 
   /** Video-content near-dup via SHARED FRAMES — the multimodal stack
     * composed end to end: [[sampleFrames]] explodes each container

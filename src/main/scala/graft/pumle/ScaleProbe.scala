@@ -18,7 +18,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val onlyWinnowPrune = args.headOption.contains("winnow-prune")
     val onlyHamming = args.headOption.contains("hamming-intake") ||
-      args.headOption.contains("hamming128")
+      args.headOption.contains("hamming128") ||
+      args.headOption.contains("hamming128-intake")
     val nSims = if (onlyWinnowPrune || onlyHamming) 4
       else args.headOption.map(_.toInt).getOrElse(4)
     val spark = SparkSession.builder()
@@ -43,6 +44,12 @@ object ScaleProbe {
     }
     if (args.headOption.contains("hamming128")) {
       hamming128BatchCensus(spark,
+        args.lift(1).map(_.toLong).getOrElse(2000000L))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("hamming128-intake")) {
+      hamming128IntakeCensus(spark,
         args.lift(1).map(_.toLong).getOrElse(2000000L))
       spark.stop()
       return
@@ -1004,6 +1011,120 @@ object ScaleProbe {
     * so nothing is silently dropped and no gating is needed at any
     * measured n), and the n/20-copy degenerate bucket contributes
     * ZERO pairs (capped in all four bands). */
+  /** Persisted 128-BIT Hamming index scale census (standalone
+    * `hamming128-intake` arg) — [[hammingIntakeCensus]]'s protocol on
+    * the non-saturating lifecycle ([[graft.ext.Dedup
+    * .writeHammingIndex128]] family): n seen signatures (near-dup
+    * families of 8 on a shared 120-bit md5 base, lo-noise low 2 bits,
+    * 5% collapsed onto one degenerate signature), built as WRITE(half)
+    * + APPEND(half) so the aggregate-on-read census carries two
+    * generations of partials at scale, then a 10k crawl increment
+    * through [[graft.ext.Dedup.hammingIntake128]] and the admission
+    * verdict through [[graft.ext.Dedup.hammingIntakeAdmit128]]. What
+    * the numbers must show at 20M indexed signatures (the decade where
+    * the 64-bit index's candidate growth begins to bite): the intake's
+    * returned pair count EQUALS the analytically-planted truth (every
+    * non-degenerate increment row pairs with exactly its target
+    * family's non-degenerate members — band space 2³² does not
+    * saturate), the n/20-copy degenerate bucket contributes ZERO pair
+    * work (touched-bucket census guard), the admit verdict is exactly
+    * 1 row (the within-increment survivor of the 500 degenerate
+    * arrivals — everything else matches seen content and rejects),
+    * and append + compaction stay increment-/listing-bounded. */
+  private def hamming128IntakeCensus(spark: SparkSession,
+      n: Long = 2000000L): Unit = {
+    def rmTemp(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    val deg = 0x4242424242424242L
+    def sigs(lo: Long, hi: Long) = spark.range(lo, hi, 1, 32).select(
+      col("id").as("doc_id"),
+      when(col("id") % 20 === 0, lit(deg))
+        .otherwise(expr(
+          """CAST(conv(substring(md5(CAST(id DIV 8 AS STRING)), 1, 15),
+            |          16, 10) AS BIGINT) ^ (id % 4)""".stripMargin))
+        .as("lo"),
+      when(col("id") % 20 === 0, lit(deg))
+        .otherwise(expr(
+          """CAST(conv(substring(md5(CAST(id DIV 8 AS STRING)), 17, 15),
+            |          16, 10) AS BIGINT)""".stripMargin))
+        .as("hi"))
+    val dir = java.nio.file.Files.createTempDirectory("ham128scale").toString
+    val tB = System.nanoTime()
+    graft.ext.Dedup.writeHammingIndex128(spark, sigs(0, n / 2), dir)
+    val secsW = (System.nanoTime() - tB) / 1e9
+    val tA0 = System.nanoTime()
+    graft.ext.Dedup.appendHammingIndex128(spark, sigs(n / 2, n), dir)
+    val secsA0 = (System.nanoTime() - tA0) / 1e9
+    val nB = spark.read.parquet(s"$dir/bsize").count()
+    // increment: near-dups of scattered seen families (base ^ 3 in lo —
+    // distance ≤ 3 to every non-degenerate member, 0 to the m%4==3
+    // ones) plus the same 5% degenerate share
+    val inc = spark.range(0, 10000, 1, 8).select(
+      (col("id") + n).as("doc_id"),
+      when(col("id") % 20 === 0, lit(deg))
+        .otherwise(expr(
+          s"""CAST(conv(substring(md5(CAST((id * 193) % ${n / 8} AS STRING)),
+            |          1, 15), 16, 10) AS BIGINT) ^ 3""".stripMargin))
+        .as("lo"),
+      when(col("id") % 20 === 0, lit(deg))
+        .otherwise(expr(
+          s"""CAST(conv(substring(md5(CAST((id * 193) % ${n / 8} AS STRING)),
+            |          17, 15), 16, 10) AS BIGINT)""".stripMargin))
+        .as("hi"))
+    // analytically-planted truth: each non-degenerate increment row
+    // pairs with its target family's non-degenerate members, exactly
+    val truth = spark.range(0, 10000, 1, 8)
+      .filter(col("id") % 20 =!= 0)
+      .select(expr(s"(id * 193) % ${n / 8}").as("fam"))
+      .join(spark.range(0, n, 1, 32).filter(col("id") % 20 =!= 0)
+          .groupBy((col("id") / 8).cast("long").as("fam"))
+          .agg(count(lit(1)).as("m")),
+        Seq("fam"))
+      .agg(sum(col("m"))).head().getLong(0)
+    def timeIntake(): (Double, Long) = {
+      graft.ext.Dedup.hammingIntake128(spark, inc, dir).count() // warm
+      var best = Double.MaxValue
+      var pairs = 0L
+      for (_ <- 0 until 2) {
+        val t = System.nanoTime()
+        pairs = graft.ext.Dedup.hammingIntake128(spark, inc, dir).count()
+        best = math.min(best, (System.nanoTime() - t) / 1e9)
+      }
+      (best, pairs)
+    }
+    val (intakeS, intakeP) = timeIntake()
+    val degPairs = graft.ext.Dedup.hammingIntake128(spark,
+      inc.filter(col("lo") === deg), dir).count()
+    val tAd = System.nanoTime()
+    val admitted = graft.ext.Dedup.hammingIntakeAdmit128(spark, inc, dir).count()
+    val secsAd = (System.nanoTime() - tAd) / 1e9
+    // lifecycle decay + repair at this n: 5 more appends, then compact
+    for (a <- 0 until 5)
+      graft.ext.Dedup.appendHammingIndex128(spark,
+        sigs(n + 20000L + a * 10000L, n + 30000L + a * 10000L), dir)
+    val (fragS, _) = timeIntake()
+    val tC = System.nanoTime()
+    val nComp = graft.ext.Dedup.compactHammingIndex128(spark, dir, maxFiles = 32)
+    val secsC = (System.nanoTime() - tC) / 1e9
+    val (compS, compP) = timeIntake()
+    println(f"[probe] hamming128 intake: n=$n%d sigs (write half " +
+      f"$secsW%.1fs + append half $secsA0%.1fs, census $nB%d partial " +
+      f"rows); 10k increment: $intakeP%d pairs in $intakeS%.1fs vs " +
+      f"planted $truth%d — " +
+      (if (intakeP == truth) "MATCH (no gating, no silent drop)"
+       else f"MISMATCH (${intakeP - truth}%+d)") +
+      f"; degenerate ${n / 20}%d-copy bucket alone: $degPairs%d pairs " +
+      f"(touched-census guard); admit verdict: $admitted%d row(s) in " +
+      f"$secsAd%.1fs (expected 1 — the deduped degenerate survivor); " +
+      f"5 appends → intake $fragS%.1fs; compact ($nComp%d files, " +
+      f"$secsC%.1fs) → intake $compS%.1fs" +
+      (if (compP == intakeP) "" else f" PAIRS CHANGED ${compP - intakeP}%+d"))
+    rmTemp(dir)
+  }
+
   private def hamming128BatchCensus(spark: SparkSession,
       n: Long = 2000000L): Unit = {
     val deg = 0x4242424242424242L

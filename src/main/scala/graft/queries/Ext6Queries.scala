@@ -824,6 +824,139 @@ object Ext6Queries {
       WHERE doc_id NOT IN (SELECT doc_id FROM dup)
       ORDER BY doc_id"""))
 
+  // ----------------------------------------------------------- q173/q174
+  // The 128-BIT persisted Hamming index LIFECYCLE (Dedup
+  // .writeHammingIndex128 / appendHammingIndex128 / compactHammingIndex128
+  // / hammingIntake128 / hammingIntakeAdmit128) — the build-once/
+  // intake-many machinery on the non-saturating 4×32-bit band family.
+  // The shared fixture BUILD exercises the whole lifecycle in the
+  // correctness path: the index is WRITTEN from half the seen side,
+  // APPENDED with the other half (the aggregate-on-read census contract
+  // under test: partials from two generations must sum to the true
+  // bucket sizes), then force-COMPACTED (rename-swap sigs rewrite +
+  // census fold — content must be bit-preserved). The oracle replays
+  // seen = the union, so any desync between write/append/compact and
+  // the read path fails the hash. Fixture signatures: q166's 60-bit
+  // md5 group hash as `lo` (XOR doc_id%8) plus an independent 60-bit
+  // group hash as `hi` (XOR doc_id%4) — within-group pair distances
+  // span 0..5 over the two longs, straddling the ≤3 threshold from
+  // both sides, while band 1 (lo high bits) and band 3 (hi high bits)
+  // are group-constant so big groups stress the bucket cap exactly as
+  // q166 does.
+  private def phash128Fixture(s: SparkSession, d: String) =
+    Tables.documents(s, d).select(col("doc_id"),
+      expr("CAST(conv(substring(md5(concat(source, '#', " +
+          "CAST(n_chars DIV 32 AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        .bitwiseXOR(col("doc_id") % 8).as("lo"),
+      expr("CAST(conv(substring(md5(concat('hi#', source, '#', " +
+          "CAST(n_chars DIV 32 AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        .bitwiseXOR(col("doc_id") % 4).as("hi"))
+
+  private val phash128SigSql =
+    """SELECT doc_id,
+         xor(CAST(('0x' || substr(md5(source || '#'
+               || CAST(n_chars // 32 AS VARCHAR)), 1, 15)) AS BIGINT),
+             doc_id % 8) AS lo,
+         xor(CAST(('0x' || substr(md5('hi#' || source || '#'
+               || CAST(n_chars // 32 AS VARCHAR)), 1, 15)) AS BIGINT),
+             doc_id % 4) AS hi
+       FROM documents"""
+
+  /** 4×32-bit band rows in DuckDB (Dedup.hammingBands128's extraction:
+    * bands 0-1 from lo, 2-3 from hi; the fixture's longs are 60-bit
+    * non-negative, so // and % are exact unsigned arithmetic). */
+  private def bands128Sql(src: String) =
+    s"""SELECT doc_id, lo, hi, CAST(l.generate_series AS INTEGER) AS band,
+         CASE CAST(l.generate_series AS INTEGER)
+           WHEN 0 THEN lo % 4294967296 WHEN 1 THEN lo // 4294967296
+           WHEN 2 THEN hi % 4294967296 ELSE hi // 4294967296 END AS bval
+       FROM $src, generate_series(0, 3) l"""
+
+  private def hamidx128Dir(s: SparkSession, d: String): String =
+    Fixtures.dir("hamidx128", d) { p =>
+      val seen = phash128Fixture(s, d).filter(col("doc_id") % 7 =!= 0)
+      graft.ext.Dedup.writeHammingIndex128(s,
+        seen.filter(col("doc_id") % 2 === 0), p)
+      graft.ext.Dedup.appendHammingIndex128(s,
+        seen.filter(col("doc_id") % 2 =!= 0), p)
+      graft.ext.Dedup.compactHammingIndex128(s, p, maxFiles = 4)
+    }
+
+  private val q173 = Q(
+    "q173_phash128_intake",
+    (s, d) => {
+      graft.ext.Dedup.hammingIntake128(s,
+          phash128Fixture(s, d).filter(col("doc_id") % 7 === 0),
+          hamidx128Dir(s, d))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH sig AS ($phash128SigSql),
+      seen AS (SELECT * FROM sig WHERE doc_id % 7 <> 0),
+      newb AS (SELECT * FROM sig WHERE doc_id % 7 = 0),
+      ls AS (${bands128Sql("seen")}),
+      -- the census-derived cap at 32-bit bands (10 x ceil(n / 2^32),
+      -- floor 10 — the floor governs at any feasible corpus)
+      cap AS (
+        SELECT greatest(10, 10 * ((count(*) + 4294967295) // 4294967296)) AS c
+        FROM seen),
+      bs AS (
+        SELECT band, bval FROM (
+          SELECT band, bval, count(*) AS n FROM ls GROUP BY band, bval), cap
+        WHERE n <= cap.c),
+      ln AS (${bands128Sql("newb")}),
+      pairs AS (
+        SELECT DISTINCT n.doc_id AS a_id, s.doc_id AS b_id,
+          n.lo AS la, s.lo AS lb, n.hi AS ha, s.hi AS hb
+        FROM ln n
+        JOIN bs ON bs.band = n.band AND bs.bval = n.bval
+        JOIN ls s ON s.band = n.band AND s.bval = n.bval
+          AND s.doc_id <> n.doc_id),
+      ham AS (
+        SELECT a_id, b_id,
+          CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT)
+            AS hamming
+        FROM pairs)
+      SELECT a_id, b_id, hamming FROM ham
+      WHERE hamming <= 3 ORDER BY a_id, b_id"""))
+
+  private val q174 = Q(
+    "q174_phash128_intake_admit",
+    (s, d) => {
+      graft.ext.Dedup.hammingIntakeAdmit128(s,
+          phash128Fixture(s, d).filter(col("doc_id") % 7 === 0),
+          hamidx128Dir(s, d))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH sig AS ($phash128SigSql),
+      seen AS (SELECT * FROM sig WHERE doc_id % 7 <> 0),
+      newb0 AS (SELECT * FROM sig WHERE doc_id % 7 = 0),
+      -- stage 1: exact dedup within the increment (min doc_id per
+      -- identical signature PAIR)
+      newb AS (
+        SELECT doc_id, lo, hi FROM (
+          SELECT n.*, min(doc_id) OVER (PARTITION BY lo, hi) AS kmin
+          FROM newb0 n)
+        WHERE doc_id = kmin),
+      ls AS (${bands128Sql("seen")}),
+      cap AS (
+        SELECT greatest(10, 10 * ((count(*) + 4294967295) // 4294967296)) AS c
+        FROM seen),
+      bs AS (
+        SELECT band, bval FROM (
+          SELECT band, bval, count(*) AS n FROM ls GROUP BY band, bval), cap
+        WHERE n <= cap.c),
+      ln AS (${bands128Sql("newb")}),
+      dup AS (
+        SELECT DISTINCT n.doc_id
+        FROM ln n
+        JOIN bs ON bs.band = n.band AND bs.bval = n.bval
+        JOIN ls s ON s.band = n.band AND s.bval = n.bval
+          AND s.doc_id <> n.doc_id
+        WHERE bit_count(xor(n.lo, s.lo)) + bit_count(xor(n.hi, s.hi)) <= 3)
+      SELECT doc_id, lo, hi FROM newb
+      WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+      ORDER BY doc_id"""))
+
   val qs: Seq[Q] = Seq(q156, q157, q158, q159, q160, q161, q162, q163, q164,
-    q165, q166, q167, q168, q169, q170, q171, q172)
+    q165, q166, q167, q168, q169, q170, q171, q172, q173, q174)
 }

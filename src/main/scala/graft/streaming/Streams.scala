@@ -793,6 +793,7 @@ object Streams {
     * unique-key left join, all stateless. */
   private def hammingProbed(spark: SparkSession, packedStream: DataFrame,
       indexPath: String, maxDist: Int, maxBucket: Int): DataFrame = {
+    graft.ext.Dedup.requirePigeonhole(maxDist)
     require(maxBucket >= 0,
       s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
     // maxBucket = 0 → the batch form's census-derived cap (free: the
@@ -875,6 +876,106 @@ object Streams {
       .select(col("doc_id").as("media_id"), col("ts"), col("packed"))
   }
 
+  /** The 128-bit stream-static probe — [[hammingProbed]]'s discipline
+    * on the (doc_id, lo, hi) two-long signature against a persisted
+    * [[graft.ext.Dedup.writeHammingIndex128]] directory: input columns
+    * pass through plus a `_hits` array of indexed signatures within
+    * `maxDist` (summed over both longs). The static side builds ONCE
+    * per stream: the census PARTIALS aggregate to true bucket sizes
+    * (one O(n) batch aggregate at stream setup — the stream twin is
+    * exactly where that cost amortizes over every micro-batch), the
+    * under-cap whitelist joins into one row per (band, bval) bucket of
+    * the signature table, and the stream side takes four stateless
+    * unique-key left joins on the 32-bit band values. */
+  private def hammingProbed128(spark: SparkSession, packedStream: DataFrame,
+      indexPath: String, maxDist: Int, maxBucket: Int): DataFrame = {
+    graft.ext.Dedup.requirePigeonhole(maxDist)
+    require(maxBucket >= 0,
+      s"maxBucket=$maxBucket must be >= 1, or 0 to derive from the census")
+    val cap = if (maxBucket == 0)
+      graft.ext.Dedup.deriveHammingCap128(spark, indexPath) else maxBucket
+    val small = spark.read.parquet(s"$indexPath/bsize")
+      .groupBy(col("band"), col("bval")).agg(sum(col("n")).as("n"))
+      .filter(col("n") <= cap).select(col("band"), col("bval"))
+    val buckets = graft.ext.Dedup.hammingBands128(
+        spark.read.parquet(s"$indexPath/sigs"))
+      .join(small, Seq("band", "bval"))
+      .groupBy(col("band"), col("bval"))
+      .agg(collect_list(struct(col("doc_id"), col("lo"), col("hi"))).as("ms"))
+    val base = packedStream
+      .withColumn("_b", expr(
+        """transform(sequence(0, 3), b ->
+          |  IF(b < 2, shiftright(lo, b * 32),
+          |            shiftright(hi, (b - 2) * 32)) & 4294967295)"""
+          .stripMargin))
+    val joined = (0 until 4).foldLeft(base) { (df, b) =>
+      df.withColumn(s"_bv_$b", expr(s"_b[$b]"))
+        .join(buckets.filter(col("band") === b)
+            .select(col("bval").as(s"_bv_$b"), col("ms").as(s"_ms_$b")),
+          Seq(s"_bv_$b"), "left_outer")
+    }
+    val lists = (0 until 4).map(b => s"_ms_$b").mkString(", ")
+    joined
+      .withColumn("_hits", expr(
+        s"""filter(array_distinct(
+           |         flatten(filter(array($lists), a -> a IS NOT NULL))),
+           |  m -> m.doc_id != doc_id
+           |    AND bit_count(lo ^ m.lo) + bit_count(hi ^ m.hi)
+           |          <= $maxDist)""".stripMargin))
+      .drop("_b" +: (0 until 4).flatMap(b => Seq(s"_bv_$b", s"_ms_$b")): _*)
+  }
+
+  /** Streaming ADMISSION against a persisted 128-BIT Hamming index —
+    * [[hammingIntakeAdmit]]'s two stages on the non-saturating
+    * signature (the stream twin of [[graft.ext.Dedup
+    * .hammingIntakeAdmit128]]): arrivals `(doc_id, ts, lo, hi)` dedup
+    * exactly within the stream (first arrival per identical signature
+    * pair — ONE watermark-bounded state over the two columns), then
+    * survivors with an empty indexed-hit list admit (stateless
+    * stream-static probe). Rows where either long is NULL drop.
+    * StreamsSpec pins stream ≡ batch admits. */
+  def hammingIntakeAdmit128(spark: SparkSession, packedStream: DataFrame,
+      indexPath: String, watermark: String = "10 minutes",
+      maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
+    val deduped = packedStream
+      .select(col("doc_id"), col("ts"), col("lo"), col("hi"))
+      .filter(col("lo").isNotNull && col("hi").isNotNull)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("lo", "hi")
+    hammingProbed128(spark, deduped, indexPath, maxDist, maxBucket)
+      .filter(size(col("_hits")) === 0)
+      .drop("_hits")
+  }
+
+  /** Streaming 128-bit image admission — [[hammingIntakeAdmit128]] fed
+    * by per-micro-batch decode + BOTH perceptual hashes (`(media_id,
+    * ts, payload)` in, admitted `(media_id, ts, lo, hi)` out;
+    * lo = dHash, hi = aHash — [[graft.multimodal.Multimodal
+    * .imageIntakeAdmit128]]'s signature). The hash is [[graft
+    * .multimodal.Multimodal.hashPayload]] — the batch arm's exact
+    * per-row core — as a stateless narrow map: bytes never leave the
+    * executor, undecodable payloads drop, the indexed corpus is never
+    * re-decoded. */
+  def imageIntakeAdmit128(spark: SparkSession, media: DataFrame,
+      indexPath: String, watermark: String = "10 minutes",
+      maxDist: Int = 3, maxBucket: Int = 0,
+      maxPixels: Long = graft.multimodal.Multimodal.DefaultMaxPixels)
+      : DataFrame = {
+    import spark.implicits._
+    val hashed = media.select(col("media_id"), col("ts"), col("payload"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, ts, payload) =>
+          val (dh, ah) = graft.multimodal.Multimodal.hashPayload(payload, maxPixels)
+          (id, ts, dh, ah)
+        }
+      }.toDF("doc_id", "ts", "lo", "hi")
+    hammingIntakeAdmit128(spark, hashed, indexPath, watermark, maxDist,
+        maxBucket)
+      .select(col("doc_id").as("media_id"), col("ts"), col("lo"), col("hi"))
+  }
+
   /** MIXED-increment crawl intake at arrival latency — the stream twin
     * of [[graft.ext.Corpus.crawlIntakeMixed]]: text arrivals through
     * [[crawlIntake]]'s admission chain, media arrivals through
@@ -891,6 +992,22 @@ object Streams {
     (crawlIntake(spark, docs, snapshot, watermark, bands, maxBucket, threshold),
      imageIntakeAdmit(spark, media, imageIndexPath, watermark, maxDist,
        maxBucket = 0, useAhash = useAhash))
+
+  /** [[crawlIntakeMixed]] with the media arm on the 128-BIT combined
+    * signature — the stream twin of [[graft.ext.Corpus
+    * .crawlIntakeMixed128]]: text arrivals through [[crawlIntake]]'s
+    * admission chain, media arrivals through [[imageIntakeAdmit128]]'s
+    * decode-once dual hash + non-saturating index probe. Same state
+    * budget as the 64-bit form (the media dedup keys two columns
+    * instead of one). */
+  def crawlIntakeMixed128(spark: SparkSession, docs: DataFrame,
+      snapshot: DataFrame, media: DataFrame, imageIndexPath: String,
+      watermark: String = "10 minutes", bands: Int = 4,
+      maxBucket: Int = 10, threshold: Double = 0.7, maxDist: Int = 3)
+      : (DataFrame, DataFrame) =
+    (crawlIntake(spark, docs, snapshot, watermark, bands, maxBucket, threshold),
+     imageIntakeAdmit128(spark, media, imageIndexPath, watermark, maxDist,
+       maxBucket = 0))
 
   final case class CmsTok(source: String, word: String)
 

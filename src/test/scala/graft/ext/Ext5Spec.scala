@@ -489,6 +489,121 @@ class Ext5Spec extends SparkSpec {
     assert(obs.get("dropped_buckets").asInstanceOf[Long] == 4L) // deg × 4 bands
   }
 
+  test("hamming128 index lifecycle: partial census sums true, compaction folds, intake ≡ brute force, admit verdicts") {
+    import spark.implicits._
+    // the hammingNearDup128 fixture shapes: md5-random background (120
+    // effective bits), a 6-member family at pairwise lo-distance ≤ 2,
+    // and a 40-copy degenerate signature (over the derived cap 10 in
+    // all four bands)
+    val bg = spark.range(0, 2000).select(col("id").as("doc_id"),
+      expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        .as("lo"),
+      expr("CAST(conv(substring(md5(CAST(id AS STRING)), 17, 15), 16, 10) AS BIGINT)")
+        .as("hi"))
+    val fam = spark.range(0, 6).select((col("id") + 90000L).as("doc_id"),
+      expr(s"${0x1122334455667788L}L ^ (id % 4)").as("lo"),
+      lit(0x0123456789abcdefL).as("hi"))
+    val deg = spark.range(0, 40).select((col("id") + 95000L).as("doc_id"),
+      lit(0x4242L).as("lo"), lit(0x4242L).as("hi"))
+    val seen = bg.unionByName(fam).unionByName(deg)
+    val fresh = Seq(
+      (900L, 0x1122334455667789L, 0x0123456789abcdefL), // dist 1 of family
+      (901L, 0x4242L, 0x4240L),                         // near DEGENERATE → capped
+      (902L, 0x5a5a5a5a5a5a5a5aL, 0x5a5a5a5a5a5a5a5aL)) // far → nothing
+      .toDF("doc_id", "lo", "hi")
+
+    // build = write(half) + append(half): the census PARTIALS from two
+    // generations must SUM to the true bucket sizes (the
+    // aggregate-on-read contract), and verdicts must equal a one-shot
+    // build on the union
+    val dir = java.nio.file.Files.createTempDirectory("ham128").toString
+    val dirAll = java.nio.file.Files.createTempDirectory("ham128all").toString
+    Dedup.writeHammingIndex128(spark, seen.filter(col("doc_id") % 2 === 0), dir)
+    Dedup.appendHammingIndex128(spark, seen.filter(col("doc_id") % 2 =!= 0), dir)
+    Dedup.writeHammingIndex128(spark, seen, dirAll)
+    def census(p: String) = spark.read.parquet(s"$p/bsize")
+      .groupBy(col("band"), col("bval")).agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(census(dir) == census(dirAll))
+    def intake(p: String) = Dedup.hammingIntake128(spark, fresh, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val got = intake(dir)
+    assert(got == intake(dirAll))
+
+    // brute-force truth: fresh × seen pairs at combined distance ≤ 3,
+    // excluding the over-cap degenerate bucket's members
+    val freshRows = Seq((900L, 0x1122334455667789L, 0x0123456789abcdefL),
+      (901L, 0x4242L, 0x4240L), (902L, 0x5a5a5a5a5a5a5a5aL, 0x5a5a5a5a5a5a5a5aL))
+    val seenRows = seen.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      (a, la, ha) <- freshRows
+      (b, lb, hb) <- seenRows
+      if !(lb == 0x4242L && hb == 0x4242L) // capped bucket contributes nothing
+      d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (a, b, d.toLong)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    assert(got.forall(_._1 == 900L)) // only the family probe pairs
+    assert(Dedup.deriveHammingCap128(spark, dir) == 10) // floor governs
+
+    // crash recovery: a sigs-append that died before its census append
+    // leaves bsize undercounted — rebuild recounts from sigs
+    val stale = spark.read.parquet(s"$dirAll/bsize")
+      .filter(col("bval") =!= lit(0x4242L)) // drop some buckets
+    stale.write.mode("overwrite").parquet(s"$dir/bsize.stale")
+    spark.read.parquet(s"$dir/bsize.stale").write.mode("overwrite")
+      .parquet(s"$dir/bsize")
+    assert(census(dir) != census(dirAll)) // desynchronized
+    Dedup.rebuildHammingCensus128(spark, dir)
+    assert(census(dir) == census(dirAll)) // repaired
+
+    // compaction folds BOTH tables once file listings exceed maxFiles:
+    // sigs rewrite at ≤ maxFiles width, census partials folded to one
+    // row per bucket — content identical under the read contract,
+    // intake bit-equal, second call a no-op
+    for (a <- 0 until 6)
+      Dedup.appendHammingIndex128(spark,
+        Seq((5000L + a, 0x1000L + a * 16, 0x2000L)).toDF("doc_id", "lo", "hi"),
+        dir)
+    def files(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files("sigs") > 4 && files("bsize") > 4)
+    val preCensus = census(dir)
+    val preIntake = intake(dir)
+    assert(Dedup.compactHammingIndex128(spark, dir, maxFiles = 4) > 0L)
+    assert(files("sigs") <= 4 && files("bsize") <= 4,
+      s"compaction left ${files("sigs")}/${files("bsize")} files")
+    assert(census(dir) == preCensus)
+    assert(intake(dir) == preIntake)
+    assert(Dedup.compactHammingIndex128(spark, dir, maxFiles = 4) == 0L)
+
+    // admission verdicts: intra-increment exact dup keeps the min id,
+    // near-dup of the index rejects, fresh (and capped-bucket-only)
+    // arrivals admit, null signatures drop
+    val arrivals = Seq(
+      (900L, Some(0x1122334455667789L), Some(0x0123456789abcdefL)), // near family → reject
+      (902L, Some(0x5a5a5a5a5a5a5a5aL), Some(0x5a5a5a5a5a5a5a5aL)), // fresh → admit
+      (903L, Some(0x5a5a5a5a5a5a5a5aL), Some(0x5a5a5a5a5a5a5a5aL)), // intra-dup → drop (902 wins)
+      (904L, Some(0x9999L), Option.empty[Long]))                    // null → drop
+      .toDF("doc_id", "lo", "hi")
+    val admitted = Dedup.hammingIntakeAdmit128(spark, arrivals, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(902L), s"admitted $admitted")
+
+    // the 4-band pigeonhole guard: maxDist > 3 is a loud error on every
+    // 4-band entry point, never a silent recall hole
+    for (bad <- Seq(4, 7)) {
+      intercept[IllegalArgumentException](
+        Dedup.hammingNearDup64(spark, fresh.select(col("doc_id"),
+          col("lo").as("packed")), maxDist = bad))
+      intercept[IllegalArgumentException](
+        Dedup.hammingNearDup128(spark, fresh, maxDist = bad))
+      intercept[IllegalArgumentException](
+        Dedup.hammingIntake128(spark, fresh, dir, maxDist = bad))
+    }
+  }
+
   test("image hash index: resized copy of an indexed image pairs at intake, junk drops") {
     import spark.implicits._
     // reuse MultimodalSpec's pattern approach inline: indexed corpus =

@@ -68,6 +68,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q174: 128-bit admission — every join broadcasts, seen side scanned not shuffled") {
+    val p = planOf("q174_phash128_intake_admit")
+    assert(p.contains("LeftAnti"), p)
+    // the census partials, the touched-bucket guard, the arrival bands
+    // and the dup-id side are all broadcast — a SortMergeJoin anywhere
+    // would mean an n-scale side got shuffled
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q64: document frequency is a partial-aggregable groupBy, not a word window") {
     val p = planOf("q64_tfidf_topk")
     // the df stage must show map-side combine (partial HashAggregate) —
@@ -339,7 +348,22 @@ class PlanSpec extends SparkSpec {
       // the q169 intake (distinct = 1) + pair-id distinct (1) +
       // orderBy; the anti-join BROADCASTS its increment-bounded dup
       // side (plan-pinned below: no SortMergeJoin anywhere in it)
-      "q172_phash_intake_admit" -> 4)
+      "q172_phash_intake_admit" -> 4,
+      // q173 = hammingIntake128 against the persisted 128-bit index:
+      // touched-bucket distinct (1) + the touched-census aggregate (1)
+      // + pair distinct (1) + orderBy; the census partials and the
+      // signature table are only ever on the PROBE side of broadcast
+      // joins — the seen side is scanned, never shuffled
+      "q173_phash128_intake" -> 4,
+      // q174 = hammingIntakeAdmit128: q173's intake shuffles (3) +
+      // dup-id distinct (1) + orderBy (1) + the within-increment
+      // (lo, hi) window dedup, whose exchange appears TWICE (the
+      // deduped increment feeds the intake AND the final anti-join;
+      // the diverged projections defeat ReuseExchange here, unlike
+      // q172's 64-bit shape). Every one of the 7 is increment-bounded
+      // — the persisted census and signature table are only ever
+      // scanned into the probe side of broadcast joins.
+      "q174_phash128_intake_admit" -> 7)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -29,6 +29,8 @@ import argparse, json, os, re, subprocess, sys, time
 
 import duckdb
 
+import calibration
+
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/sf1"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -255,10 +257,18 @@ def main():
     args = ap.parse_args()
     if not args.skip_build:
         build()
+    # graft.Bench's calibration discipline (round-13 gap, closed): a
+    # fixed pure-CPU probe brackets each engine leg, so a leg measured
+    # under host contention is flagged AT MEASUREMENT TIME instead of
+    # being caught (or missed) later against committed floors
+    cal = [calibration.probe()]
     sp, sps = time_spark(args.runs)
     respread("spark", time_spark, args.runs, sp, sps)
+    cal.append(calibration.probe())
     dk, dks = time_duckdb(args.runs)
     respread("duckdb", time_duckdb, args.runs, dk, dks)
+    cal.append(calibration.probe())
+    legs = calibration.report(cal, ["spark", "duckdb"])
     # sf0.1 comparison column from the committed full-suite bench.json
     b01 = json.load(open(os.path.join(REPO, "bench.json")))["queries"]
     lines = [
@@ -268,6 +278,8 @@ def main():
         "docstring). min-of-%d per engine, 32 threads both, same parquet." % args.runs,
         "Spread = max/min across shots; >1.5× means that row was measured",
         "under contention and shouldn't be trusted.",
+        "",
+        calibration.md_line(cal, legs),
         "",
         "| query | spark sf1 (s) | duckdb sf1 (s) | ratio sf1 | spark sf0.1 (s) | scale-up ×10 | spread sp/dk | adjudication |",
         "|---|---|---|---|---|---|---|---|",

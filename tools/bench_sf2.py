@@ -24,6 +24,8 @@ import argparse, json, multiprocessing, os, re, subprocess, sys, time
 
 import duckdb
 
+import calibration
+
 SF01 = "/root/testdata/sf0.1"
 SF2 = "/tmp/sf2"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -203,10 +205,17 @@ def main():
     args = ap.parse_args()
     if not args.skip_build:
         build()
+    # graft.Bench's calibration discipline (round-13 gap, closed):
+    # bracket each engine leg with a fixed pure-CPU probe so a
+    # contaminated leg is flagged at measurement time
+    cal = [calibration.probe()]
     sp, sps = time_spark(args.runs)
     respread("spark", time_spark, args.runs, sp, sps)
+    cal.append(calibration.probe())
     dk, dks, dnote = time_duckdb(args.runs)
     respread("duckdb", time_duckdb, args.runs, dk, dks)
+    cal.append(calibration.probe())
+    legs = calibration.report(cal, ["spark", "duckdb"])
     # sf1 comparison column from the committed BENCH_sf1.md table
     sf1 = {}
     sf1_md = os.path.join(REPO, "BENCH_sf1.md")
@@ -221,6 +230,8 @@ def main():
         "~100 near-dup clones per base doc, so pair density scales with the",
         "row count. min-of-%d per engine, 32 threads both, same parquet;" % args.runs,
         f"DuckDB shots subprocess-isolated (timeout {DUCK_TIMEOUT_S}s, 20 GB spill cap).",
+        "",
+        calibration.md_line(cal, legs),
         "",
         "| query | spark sf2 (s) | duckdb sf2 (s) | ratio sf2 | spark sf1 (s) | scale-up ×10 | spread sp/dk |",
         "|---|---|---|---|---|---|---|",

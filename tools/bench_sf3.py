@@ -25,6 +25,8 @@ import argparse, json, os, re, subprocess, sys, time
 
 import duckdb
 
+import calibration
+
 SF01 = "/root/testdata/sf0.1"
 SF2 = "/tmp/sf2"
 SF3 = "/tmp/sf3"
@@ -102,6 +104,27 @@ def time_spark(sfdir, runs, queries=None):
     return out, spread
 
 
+def pair_census(sfdir):
+    """Candidate/verified pair counts for the q137/q152 chains
+    (graft.tools.PairCensus — counted off the operators' own stage
+    frames): the decomposition that turns a scale-up reading into
+    (pair growth x per-pair cost). Returns {chain: row-dict}."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir, SPARK_GRAFT_CPUS="32",
+               SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    p = subprocess.run(
+        ["sbt", "-batch", "runMain graft.tools.PairCensus"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=14400)
+    out = {}
+    for m in re.finditer(r"\[paircensus\] (\{.*\})", p.stdout):
+        row = json.loads(m.group(1))
+        out[row.pop("chain")] = row
+        print(f"[census {os.path.basename(sfdir)}] {m.group(1)}")
+    if len(out) < 2:
+        sys.stderr.write(p.stdout[-3000:] + p.stderr[-2000:])
+        raise SystemExit(f"pair census incomplete at {sfdir}: {list(out)}")
+    return out
+
+
 def respread(kind, timer, runs, out, spread):
     for attempt in range(MAX_REMEASURE):
         bad = sorted(q for q in out
@@ -132,12 +155,23 @@ def main():
         build()
     print(f"[skip] corpus-quadratic-by-contract rows NOT run at 5M docs "
           f"(no-silent-caps): {', '.join(SKIPPED)}")
+    # graft.Bench's calibration discipline (the round-13 postmortem's
+    # own prescription — this harness's primary sf2 leg shipped
+    # contaminated once): bracket each leg with a fixed pure-CPU probe
+    cal = [calibration.probe()]
     s2, s2s = time_spark(SF2, args.runs)
     respread("spark-sf2", lambda r, q=None: time_spark(SF2, r, q),
              args.runs, s2, s2s)
+    cal.append(calibration.probe())
     s3, s3s = time_spark(SF3, args.runs)
     respread("spark-sf3", lambda r, q=None: time_spark(SF3, r, q),
              args.runs, s3, s3s)
+    cal.append(calibration.probe())
+    legs = calibration.report(cal, ["spark-sf2", "spark-sf3"])
+    # pair-volume census: decompose the winnow rows' scale-up into
+    # (pair growth x per-pair cost) — measured, not argued
+    c2 = pair_census(SF2)
+    c3 = pair_census(SF3)
     lines = [
         "# BENCH_sf3 — 1000× documents (5,000,000 docs), capped family only",
         "",
@@ -147,6 +181,8 @@ def main():
         "so the ×10 factor is same-session. No DuckDB column: the oracle",
         "replays of this family already DNF at sf2; correctness is pinned at",
         "the sf0.01 driver gate.",
+        "",
+        calibration.md_line(cal, legs),
         "",
         "Skipped loudly (corpus-quadratic by contract, not measured at this",
         "decade): " + ", ".join(SKIPPED) + ".",
@@ -162,6 +198,26 @@ def main():
               f"**Spark sf3 total over the {len(QUERIES)}-row capped family: "
               f"{sum(s3[q] for q in QUERIES):.1f}s "
               f"(sf2: {sum(s2[q] for q in QUERIES):.1f}s).**", ""]
+    # pair-volume census table: the q137/q152 scale-up decomposed into
+    # (pair growth x per-pair cost). per-pair cost uses the BENCH wall
+    # (the chain end to end) over verified pairs; flat-or-falling
+    # microseconds/pair across the decade = pair-bounded as designed.
+    lines += [
+        "## Pair-volume census (chain stage counts, graft.tools.PairCensus)",
+        "",
+        "| chain | decade | candidates | verified | bench wall (s) | µs / verified pair |",
+        "|---|---|---|---|---|---|",
+    ]
+    for chain, bq in [("q137_corpus", "q137_dedup_corpus_winnow"),
+                      ("q152_incremental", "q152_incremental_winnow")]:
+        for label, cen, wall in [("sf2", c2[chain], s2[bq]),
+                                 ("sf3", c3[chain], s3[bq])]:
+            v = cen["n_verified"]
+            us = wall * 1e6 / v if v else float("nan")
+            lines.append(
+                f"| {chain} | {label} | {cen['n_candidates']} | {v} "
+                f"| {wall:.2f} | {us:.1f} |")
+    lines.append("")
     md = os.path.join(REPO, "BENCH_sf3.md")
     tail = ""
     if os.path.exists(md):

@@ -609,9 +609,10 @@ object Corpus {
     *    signature table scanned never shuffled).
     *
     * Returns `(admittedDocs, admittedMedia)` — admittedMedia carries
-    * `(media_id, packed)` so the caller can [[graft.ext.Dedup
-    * .appendHammingIndex]] the admitted hashes and make this increment
-    * visible to the next (the text arm's snapshot discipline). The two
+    * `(media_id, packed)` so the caller can [[graft.multimodal
+    * .Multimodal.appendImageHashIndex]] the admitted hashes and make
+    * this increment visible to the next (the text arm's snapshot
+    * discipline). The two
     * arms are independent plans (no cross-modal join — a page's text
     * and its images dedup on their own merits); each stage is
     * oracle-checked on its own (q170 text end-to-end, q172 the media
@@ -672,7 +673,7 @@ object Corpus {
     * `maxDist`), and it is already computed — one decode pass yields
     * both hashes. Returns `(admittedDocs, admittedMedia, release)`;
     * admittedMedia carries `(media_id, lo, hi)` for
-    * [[graft.ext.Dedup.appendHammingIndex128]].
+    * [[graft.multimodal.Multimodal.appendImageHashIndex128]].
     * [[graft.streaming.Streams.crawlIntakeMixed128]] is the
     * arrival-latency twin. */
   def crawlIntakeMixed128(spark: SparkSession, arrivals: DataFrame,

@@ -1988,7 +1988,12 @@ object Dedup {
     }
     swapRewrite("sigs", _.repartition(width, col("doc_id"))) +
       swapRewrite("bsize", _.groupBy(col("band"), col("bval"))
-        .agg(sum(col("n")).as("n")))
+        .agg(sum(col("n")).as("n"))
+        // the fold must land UNDER the threshold or the next call
+        // re-rewrites the whole O(n) census forever (the sigs arm's
+        // idempotence argument); coalesce merges the aggregate's
+        // output partitions without another shuffle
+        .coalesce(width))
   }
 
   /** The census-derived bucket cap for a [[writeHammingIndex128]]

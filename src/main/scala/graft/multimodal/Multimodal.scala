@@ -567,14 +567,25 @@ object Multimodal {
     * identical hash wins), then survivors with NO indexed signature
     * within `maxDist` admit. Arriving images decode ONCE; the indexed
     * corpus is never re-decoded. Output `(media_id, packed)` — the
-    * admitted rows' hashes, ready for [[graft.ext.Dedup
-    * .appendHammingIndex]] so the next increment sees this one. */
+    * admitted rows' hashes; append them with [[appendImageHashIndex]]
+    * (which restores the index's `doc_id` column name) so the next
+    * increment sees this one. */
   def imageIntakeAdmit(spark: SparkSession, media: DataFrame, path: String,
       maxDist: Int = 3, maxBucket: Int = 0,
       useAhash: Boolean = false): DataFrame =
     graft.ext.Dedup.hammingIntakeAdmit(spark,
         imagePacked(spark, media, useAhash), path, maxDist, maxBucket)
       .select(col("doc_id").as("media_id"), col("packed"))
+
+  /** Append admitted image hashes to a [[writeImageHashIndex]]
+    * directory — the other half of the intake loop
+    * ([[imageIntakeAdmit]]'s output column is `media_id`; the index
+    * tables key on `doc_id`, so appending the admitted frame directly
+    * would fail analysis — this is the documented bridge). */
+  def appendImageHashIndex(spark: SparkSession, admitted: DataFrame,
+      path: String): Unit =
+    graft.ext.Dedup.appendHammingIndex(spark,
+      admitted.select(col("media_id").as("doc_id"), col("packed")), path)
 
   /** Persist the 128-BIT image-content dedup index ([[graft.ext.Dedup
     * .writeHammingIndex128]] over the combined dHash‖aHash signature —
@@ -606,13 +617,24 @@ object Multimodal {
     * survivors with no indexed signature within `maxDist` (summed over
     * both hashes — the stricter, higher-precision test) admit.
     * Arrivals decode once; output `(media_id, lo, hi)` — the admitted
-    * rows' signatures, ready for [[graft.ext.Dedup
-    * .appendHammingIndex128]] so the next increment sees this one. */
+    * rows' signatures; append them with [[appendImageHashIndex128]]
+    * so the next increment sees this one. */
   def imageIntakeAdmit128(spark: SparkSession, media: DataFrame,
       path: String, maxDist: Int = 3, maxBucket: Int = 0): DataFrame =
     graft.ext.Dedup.hammingIntakeAdmit128(spark,
         imagePacked128(spark, media), path, maxDist, maxBucket)
       .select(col("doc_id").as("media_id"), col("lo"), col("hi"))
+
+  /** Append admitted 128-bit image signatures to a
+    * [[writeImageHashIndex128]] directory — [[appendImageHashIndex]]'s
+    * twin for the non-saturating lifecycle (renames `media_id` back to
+    * the index's `doc_id` before delegating, so the documented
+    * admit → append intake loop composes as written). */
+  def appendImageHashIndex128(spark: SparkSession, admitted: DataFrame,
+      path: String): Unit =
+    graft.ext.Dedup.appendHammingIndex128(spark,
+      admitted.select(col("media_id").as("doc_id"), col("lo"), col("hi")),
+      path)
 
   /** Video-content near-dup via SHARED FRAMES — the multimodal stack
     * composed end to end: [[sampleFrames]] explodes each container

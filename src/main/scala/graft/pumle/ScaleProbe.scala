@@ -998,19 +998,6 @@ object ScaleProbe {
     rmTemp(dir)
   }
 
-  /** Corpus-wide 128-bit Hamming near-dup census (standalone
-    * `hamming128` arg) — the batch shape past the 64-bit form's
-    * band-saturation boundary: n signatures as near-dup families of 8
-    * (shared 120-bit md5 base split across the two packed longs,
-    * XOR-noise in lo's low 2 bits → pairwise distance ≤ 2) with the
-    * 5% degenerate mega-signature, through
-    * [[graft.ext.Dedup.hammingNearDup128]] at the DEFAULT derived
-    * cap. What the numbers must show: the returned pair count EQUALS
-    * the analytically-planted truth (Σ C(m,2) over each family's
-    * non-degenerate members — the 4×32-band space does not saturate,
-    * so nothing is silently dropped and no gating is needed at any
-    * measured n), and the n/20-copy degenerate bucket contributes
-    * ZERO pairs (capped in all four bands). */
   /** Persisted 128-BIT Hamming index scale census (standalone
     * `hamming128-intake` arg) — [[hammingIntakeCensus]]'s protocol on
     * the non-saturating lifecycle ([[graft.ext.Dedup
@@ -1125,6 +1112,19 @@ object ScaleProbe {
     rmTemp(dir)
   }
 
+  /** Corpus-wide 128-bit Hamming near-dup census (standalone
+    * `hamming128` arg) — the batch shape past the 64-bit form's
+    * band-saturation boundary: n signatures as near-dup families of 8
+    * (shared 120-bit md5 base split across the two packed longs,
+    * XOR-noise in lo's low 2 bits → pairwise distance ≤ 2) with the
+    * 5% degenerate mega-signature, through
+    * [[graft.ext.Dedup.hammingNearDup128]] at the DEFAULT derived
+    * cap. What the numbers must show: the returned pair count EQUALS
+    * the analytically-planted truth (Σ C(m,2) over each family's
+    * non-degenerate members — the 4×32-band space does not saturate,
+    * so nothing is silently dropped and no gating is needed at any
+    * measured n), and the n/20-copy degenerate bucket contributes
+    * ZERO pairs (capped in all four bands). */
   private def hamming128BatchCensus(spark: SparkSession,
       n: Long = 2000000L): Unit = {
     val deg = 0x4242424242424242L

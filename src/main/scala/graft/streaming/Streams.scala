@@ -802,11 +802,18 @@ object Streams {
       graft.ext.Dedup.deriveHammingCap(spark, indexPath) else maxBucket
     val small = spark.read.parquet(s"$indexPath/bsize")
       .filter(col("n") <= cap).select(col("band"), col("bval"))
+    // PERSISTED: a stream-static join re-evaluates the static plan on
+    // EVERY micro-batch — without the persist, each trigger would
+    // re-scan the whole signature table and rebuild the bucket lists,
+    // turning the "built once per stream" contract into per-batch
+    // O(index) work. The cache lives as long as the stream (the
+    // intended lifetime of a static probe side).
     val buckets = graft.ext.Dedup.hammingBands(
         spark.read.parquet(s"$indexPath/sigs"))
       .join(small, Seq("band", "bval"))
       .groupBy(col("band"), col("bval"))
       .agg(collect_list(struct(col("doc_id"), col("packed"))).as("ms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = packedStream
       .withColumn("_b", expr(
         "transform(sequence(0, 3), i -> shiftright(packed, i * 16) & 65535)"))
@@ -897,11 +904,16 @@ object Streams {
     val small = spark.read.parquet(s"$indexPath/bsize")
       .groupBy(col("band"), col("bval")).agg(sum(col("n")).as("n"))
       .filter(col("n") <= cap).select(col("band"), col("bval"))
+    // PERSISTED (hammingProbed's argument, and more load-bearing here:
+    // the O(n) census partial aggregate is part of this static plan,
+    // so an unpersisted probe side would re-aggregate the census AND
+    // re-scan the signature table on every micro-batch)
     val buckets = graft.ext.Dedup.hammingBands128(
         spark.read.parquet(s"$indexPath/sigs"))
       .join(small, Seq("band", "bval"))
       .groupBy(col("band"), col("bval"))
       .agg(collect_list(struct(col("doc_id"), col("lo"), col("hi"))).as("ms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = packedStream
       .withColumn("_b", expr(
         """transform(sequence(0, 3), b ->

@@ -767,6 +767,16 @@ class StreamsSpec extends SparkSpec {
     val mediaBatch = mediaAdm.select("media_id").collect()
       .map(_.getLong(0)).toSet
     assert(mediaBatch == admitted, s"mixed media arm $mediaBatch != stream $admitted")
+    // the documented intake LOOP composes as written: append the
+    // admitted (media_id, lo, hi) frame through appendImageHashIndex128
+    // (the media_id -> doc_id bridge), and the same fresh image now
+    // REJECTS on the next increment because the index saw it
+    graft.multimodal.Multimodal.appendImageHashIndex128(spark, mediaAdm, imgDir)
+    val second = graft.multimodal.Multimodal.imageIntakeAdmit128(spark,
+        Seq((20L, enc(pat(1.0, 2.0, 2.2)))).toDF("media_id", "payload"),
+        imgDir)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(second.isEmpty, s"re-arrival of an appended admit re-admitted: $second")
     docsAdm.collect() // consume the text arm fully, then release
     val beforeRelease = spark.sparkContext.getPersistentRDDs.keySet
     release()

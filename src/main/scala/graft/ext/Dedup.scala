@@ -605,14 +605,44 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       verifyThreshold: Double = 0.7,
       deepGraphs: Boolean = false): DataFrame = {
+    // release BEFORE returning: a lazy consumer must not pin the
+    // corpus-scale survivor cache (the consumer pays one window replay
+    // instead — [[dedupCorpusWinnowTracked]] is the consume-once form
+    // that keeps the cache and hands the caller the release)
+    val (out, release) = dedupCorpusWinnowTracked(spark, docs, k, w,
+      maxDf, minShared, idCol, textCol, verifyThreshold, deepGraphs)
+    release()
+    out
+  }
+
+  /** [[dedupCorpusWinnow]] with the survivor cache held until the
+    * CALLER releases — the bench_sf3 census decomposition's fix, made
+    * available: the untracked form unpersists the exact-dedup survivor
+    * cache before returning its final anti-join (so a lazy consumer
+    * cannot pin corpus-scale storage), which means the consumer's one
+    * materialization REPLAYS the corpus-wide exact-dedup window — at
+    * the 5M-doc decade that replay plus full-width output is most of
+    * the chain's wall (BENCH_sf3.md round-14 analysis: candidates are
+    * ZERO there; the wall is row/output work). This form keeps the
+    * cache alive through the caller's consumption instead: consume the
+    * returned frame fully (write/collect), then `release()` — the
+    * [[graft.ext.Corpus.crawlIntakeTracked]] contract. One-shot jobs
+    * that consume exactly once should prefer this; the untracked form
+    * remains right when the result is consumed lazily/repeatedly far
+    * from the call site. ScaleProbe's `winnow-tracked` arg measures
+    * the delta; Ext5Spec pins result equality and the release. */
+  def dedupCorpusWinnowTracked(spark: SparkSession, docs: DataFrame,
+      k: Int = 3, w: Int = 4, maxDf: Int = 10, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text",
+      verifyThreshold: Double = 0.7,
+      deepGraphs: Boolean = false): (DataFrame, () => Unit) = {
     val (afterExact, _, confirmed, release) = winnowCorpusStages(spark,
       docs, k, w, maxDf, minShared, idCol, textCol, verifyThreshold)
     val dropNearDup = (if (deepGraphs) clustersAltStar(spark, confirmed)
       else clusters(spark, confirmed))
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as(idCol))
-    release()
-    afterExact.join(dropNearDup, Seq(idCol), "left_anti")
+    (afterExact.join(dropNearDup, Seq(idCol), "left_anti"), release)
   }
 
   /** [[dedupCorpusWinnow]]'s exact → candidate → verify stages, shared

@@ -19,7 +19,8 @@ object ScaleProbe {
     val onlyWinnowPrune = args.headOption.contains("winnow-prune")
     val onlyHamming = args.headOption.contains("hamming-intake") ||
       args.headOption.contains("hamming128") ||
-      args.headOption.contains("hamming128-intake")
+      args.headOption.contains("hamming128-intake") ||
+      args.headOption.contains("winnow-tracked")
     val nSims = if (onlyWinnowPrune || onlyHamming) 4
       else args.headOption.map(_.toInt).getOrElse(4)
     val spark = SparkSession.builder()
@@ -51,6 +52,12 @@ object ScaleProbe {
     if (args.headOption.contains("hamming128-intake")) {
       hamming128IntakeCensus(spark,
         args.lift(1).map(_.toLong).getOrElse(2000000L))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("winnow-tracked")) {
+      winnowTrackedCensus(spark,
+        args.lift(1).getOrElse("/tmp/sf2"))
       spark.stop()
       return
     }
@@ -1110,6 +1117,55 @@ object ScaleProbe {
       f"$secsC%.1fs) → intake $compS%.1fs" +
       (if (compP == intakeP) "" else f" PAIRS CHANGED ${compP - intakeP}%+d"))
     rmTemp(dir)
+  }
+
+  /** Tracked-vs-untracked corpus winnow dedup at scale (standalone
+    * `winnow-tracked <sfDir>` arg) — measures the delta the
+    * BENCH_sf3 round-14 census decomposition predicted: the untracked
+    * [[graft.ext.Dedup.dedupCorpusWinnow]] unpersists the exact-dedup
+    * survivor cache before returning, so the consumer's
+    * materialization replays the corpus-wide hash window; the tracked
+    * form ([[graft.ext.Dedup.dedupCorpusWinnowTracked]]) keeps the
+    * cache through consumption and releases after. Both timed end to
+    * end (noop sink consumes every output column — the full-width
+    * stream is part of the real cost), min-of-2 after a warm shot,
+    * storage isolated between shots. Equal row counts are asserted —
+    * the two forms must differ in COST only. */
+  private def winnowTrackedCensus(spark: SparkSession,
+      sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time2(run: () => Unit): Double = {
+      run() // warm
+      (0 until 2).map { _ =>
+        isolate()
+        val t = System.nanoTime()
+        run()
+        (System.nanoTime() - t) / 1e9
+      }.min
+    }
+    val untracked = time2(() =>
+      consume(graft.ext.Dedup.dedupCorpusWinnow(spark, docs)))
+    val tracked = time2 { () =>
+      val (out, release) = graft.ext.Dedup.dedupCorpusWinnowTracked(spark, docs)
+      consume(out)
+      release()
+    }
+    val nU = graft.ext.Dedup.dedupCorpusWinnow(spark, docs).count()
+    val (outT, relT) = graft.ext.Dedup.dedupCorpusWinnowTracked(spark, docs)
+    val nT = outT.count()
+    relT()
+    require(nU == nT, s"tracked changed results: $nU vs $nT")
+    println(f"[probe] winnow tracked: $sfDir%s (${docs.count()}%d docs) — " +
+      f"untracked $untracked%.1fs vs tracked $tracked%.1fs " +
+      f"(${100.0 * (untracked - tracked) / untracked}%.0f%% saved by not " +
+      f"replaying the survivor window), rows equal ($nU%d)")
   }
 
   /** Corpus-wide 128-bit Hamming near-dup census (standalone

@@ -691,6 +691,30 @@ class Ext5Spec extends SparkSpec {
     assert(math.abs(h - math.log(4)) < 1e-6, s"entropy $h != ln 4")
   }
 
+  test("dedupCorpusWinnowTracked ≡ untracked; release frees the survivor cache") {
+    import spark.implicits._
+    // planted near-dups + exact dups so every stage has work
+    val base = "the quick brown fox jumps over the lazy dog and then some more words follow here to make twenty plus"
+    val docs = (0 until 40).map { i =>
+      val t = if (i % 4 == 0) base + " shared tail one two three"
+        else if (i % 4 == 1) base + " shared tail one two four"
+        else s"unique document $i " + Seq.tabulate(25)(j => s"w$i-$j").mkString(" ")
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val plain = Dedup.dedupCorpusWinnow(spark, docs, maxDf = 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (out, release) = Dedup.dedupCorpusWinnowTracked(spark, docs, maxDf = 30)
+    val tracked = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tracked == plain)
+    release()
+    // the survivor cache and the candidate checkpoint are both gone;
+    // verify's internal candidate-bounded checkpoint may remain (RDD
+    // GC by documented design, as in the incremental form)
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leftover.size <= 1, s"tracked release left blocks: $leftover")
+  }
+
   test("dedupIncrementalWinnow: recall floor vs the persisted index, seen text untouched") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +

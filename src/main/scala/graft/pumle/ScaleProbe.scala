@@ -20,7 +20,8 @@ object ScaleProbe {
     val onlyHamming = args.headOption.contains("hamming-intake") ||
       args.headOption.contains("hamming128") ||
       args.headOption.contains("hamming128-intake") ||
-      args.headOption.contains("winnow-tracked")
+      args.headOption.contains("winnow-tracked") ||
+      args.headOption.contains("nb")
     val nSims = if (onlyWinnowPrune || onlyHamming) 4
       else args.headOption.map(_.toInt).getOrElse(4)
     val spark = SparkSession.builder()
@@ -58,6 +59,11 @@ object ScaleProbe {
     if (args.headOption.contains("winnow-tracked")) {
       winnowTrackedCensus(spark,
         args.lift(1).getOrElse("/tmp/sf2"))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("nb")) {
+      nbCensus(spark, args.lift(1).map(_.toLong).getOrElse(5000000L))
       spark.stop()
       return
     }
@@ -1166,6 +1172,62 @@ object ScaleProbe {
       f"untracked $untracked%.1fs vs tracked $tracked%.1fs " +
       f"(${100.0 * (untracked - tracked) / untracked}%.0f%% saved by not " +
       f"replaying the survivor window), rows equal ($nU%d)")
+  }
+
+  /** Trained-NB-classifier census (standalone `nb` arg, default 5M
+    * docs): a synthetic labeled corpus with ANALYTIC truth — 8 labels,
+    * each doc carrying two label-marker tokens (which appear under no
+    * other label) plus four shared fillers from a 32-token pool, so a
+    * correct multinomial NB must recover the planted label on EVERY
+    * doc (markers dominate any filler imbalance; priors are uniform).
+    * What the numbers must show: (1) train wall — two
+    * partial-aggregable shuffles over the token stream, a model-scale
+    * collect; (2) compiled-narrow classify wall — one narrow pass,
+    * zero joins; (3) the relational (oracle-shape) classify wall for
+    * contrast — it pays the ×|labels| join amplification, the
+    * doc-keyed rollup and the argmax window, which is why production
+    * scores narrow; (4) narrow prediction errors = 0 (exact planted
+    * recovery). */
+  private def nbCensus(spark: SparkSession, n: Long = 5000000L): Unit = {
+    val docs = spark.range(0, n, 1, 32).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        concat(lit("m"), (col("id") % 8).cast("string")),
+        concat(lit("m"), (col("id") % 8).cast("string")),
+        concat(lit("w"), (col("id") * 7 % 32).cast("string")),
+        concat(lit("w"), ((col("id") * 13 + 5) % 32).cast("string")),
+        concat(lit("w"), ((col("id") * 29 + 11) % 32).cast("string")),
+        concat(lit("w"), ((col("id") * 17 + 3) % 32).cast("string"))).as("text"),
+      concat(lit("L"), (col("id") % 8).cast("string")).as("lang"))
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time2(run: () => Unit): Double = {
+      run() // warm
+      (0 until 2).map { _ =>
+        isolate()
+        val t = System.nanoTime()
+        run()
+        (System.nanoTime() - t) / 1e9
+      }.min
+    }
+    val tTrain = time2(() => graft.ext.Classifier.trainNbModel(docs))
+    val model = graft.ext.Classifier.trainNbModel(docs)
+    val tNarrow = time2(() =>
+      consume(graft.ext.Classifier.nbClassifyNarrow(spark, docs, model)))
+    val tRel = time2(() =>
+      consume(graft.ext.Classifier.nbClassify(spark, docs)))
+    val errs = graft.ext.Classifier.nbClassifyNarrow(spark, docs, model)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .filter(col("pred") =!= col("lang")).count()
+    println(f"[probe] nb: $n%d docs, 8 labels, ${model.vocab.length}%d vocab — " +
+      f"train $tTrain%.1fs, classify narrow $tNarrow%.1fs " +
+      f"(relational oracle shape $tRel%.1fs), planted-label errors $errs%d")
+    require(errs == 0L, s"NB failed to recover planted labels: $errs errors")
   }
 
   /** Corpus-wide 128-bit Hamming near-dup census (standalone

@@ -23,7 +23,7 @@ object Registry {
   lazy val all: Seq[Q] =
     RelationalQueries.qs ++ SweepQueries.qs ++ PhysicsQueries.qs ++
       ExtQueries.qs ++ Ext2Queries.qs ++ Ext3Queries.qs ++ Ext4Queries.qs ++
-      Ext5Queries.qs ++ Ext6Queries.qs
+      Ext5Queries.qs ++ Ext6Queries.qs ++ Ext7Queries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -27,6 +27,51 @@ import graft.pumle.Pipeline
   */
 object Streams {
 
+  // ------------------------------------------------------------------
+  // STATIC-SIDE CACHE DISCIPLINE. A stream-static join re-executes the
+  // static sub-plan on EVERY micro-batch — Spark reuses the *plan*, not
+  // the *result* — so any reshaped static side (a groupBy/collect_list
+  // over a snapshot or index table) would silently re-run
+  // corpus-proportional work per trigger. Every such side below goes
+  // through [[staticSide]]: persisted MEMORY_AND_DISK (built once, read
+  // per batch) and REGISTERED so a long-lived driver can return the
+  // storage — the cache otherwise outlives the stream (Spark ties it to
+  // the session, not the query). Call [[releaseStaticSides]] after
+  // stopping the streams that consume them; a raw parquet/file scan
+  // with no shuffle above it is NOT routed through this (re-scanning is
+  // the intended read path and caching it would double the footprint).
+  // ------------------------------------------------------------------
+  private val staticSides =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist + register a stream-static probe/reshape side (see the
+    * cache-discipline note above). */
+  private def staticSide(df: DataFrame): DataFrame = staticSides.synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    staticSides += p
+    p
+  }
+
+  /** Release every static side this object has persisted (the tracked
+    * `release()` discipline of the batch intakes, session-wide): call
+    * after stopping the consuming streams — e.g. between crawl
+    * generations, when streams restart against a rebuilt index and the
+    * old probe caches would otherwise accumulate for the session's
+    * lifetime. Returns the number of cached frames released. Safe to
+    * call with streams still running (Spark recomputes uncached plans),
+    * but the running stream then pays the per-batch rebuild this cache
+    * exists to prevent. */
+  def releaseStaticSides(): Int = staticSides.synchronized {
+    val n = staticSides.length
+    staticSides.foreach(_.unpersist(blocking = false))
+    staticSides.clear()
+    n
+  }
+
+  /** The number of currently-registered static-side caches (spec and
+    * monitoring hook). */
+  def staticSideCount: Int = staticSides.synchronized(staticSides.length)
+
   /** Streaming bronze → golden append. `actnum` is a static (batch)
     * DataFrame — the stream-static join broadcasts it per micro-batch. */
   def bronzeIngest(
@@ -186,20 +231,25 @@ object Streams {
     graft.functions.MinHash48.register(spark)
     graft.functions.Shingles8.register(spark)
     val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
-    val bucketed = snapshot
+    // staticSide: this reshape (stack + corpus-keyed collect_list) and
+    // the exact stage's distinct hash set below would otherwise re-run
+    // over the whole snapshot on EVERY micro-batch (see the
+    // cache-discipline note at the top of this object)
+    val bucketed = staticSide(snapshot
       .selectExpr("shingles", s"stack($bands, $stack) AS (band, bucket)")
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("shingles")).as("sh_list"),
         count(lit(1)).as("bsize"))
       .filter(col("bsize") <= maxBucket)
-      .drop("bsize")
+      .drop("bsize"))
+    val seenHashes = staticSide(
+      snapshot.select(col("content_hash")).distinct())
     val base0 = docs.filter(col("text").isNotNull)
     val base = (if (watermark.isEmpty) base0
                 else base0.withWatermark("ts", watermark))
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicatesWithinWatermark("content_hash")
-      .join(snapshot.select(col("content_hash")).distinct(),
-        Seq("content_hash"), "left_anti")
+      .join(seenHashes, Seq("content_hash"), "left_anti")
       .withColumn("sig", expr("minhash48(text)"))
       .withColumn("sh_n", expr("shingles8(text)"))
     val joined = (0 until bands).foldLeft(base) { (df, b) =>
@@ -307,21 +357,25 @@ object Streams {
     // static side: kept fingerprint -> candidate (seen_id, shingles)
     // list — the df cap applies HERE, so over-cap fps never produce a
     // candidate row (the batch form's order of operations)
-    val postings = snapshot
+    // staticSide (cache-discipline note at the top of this object): the
+    // postings reshape explodes + regroups the whole snapshot — without
+    // the persist every micro-batch re-ran it
+    val postings = staticSide(snapshot
       .select(col("doc_id").as("seen_id"), col("shingles"),
         explode(col("fps")).as("fp"))
       .join(fpdf.filter(col("df") <= maxDf), Seq("fp"))
       .groupBy(col("fp"))
       .agg(collect_list(struct(col("seen_id"), col("shingles").as("sh_s")))
-        .as("cands"))
+        .as("cands")))
+    val seenHashes = staticSide(
+      snapshot.select(col("content_hash")).distinct())
     // null-text docs flow through KEPT, matching the batch twin: md5's
     // null hash never matches the exact anti-join, winnow_keys/shingles8
     // are null-propagating so they produce no fingerprints and no
     // candidates — same as a too-short doc (StreamsSpec pins it)
     docs
       .withColumn("content_hash", md5(col("text")))
-      .join(snapshot.select(col("content_hash")).distinct(),
-        Seq("content_hash"), "left_anti")
+      .join(seenHashes, Seq("content_hash"), "left_anti")
       .withColumn("sh_n", expr("shingles8(text)"))
       // explode_outer: a doc with NO fingerprints (shorter than the
       // winnow window) still flows through with a null fp and is kept
@@ -509,11 +563,14 @@ object Streams {
           typedLit(r.getSeq[Double](1)).as("cv"),
           lit(r.getDouble(2)).as("cn"))
       }
-    val cells = spark.read.parquet(s"$indexPath/assigned")
+    // staticSide (cache-discipline note at the top of this object): the
+    // cell reshape regroups the whole assigned table — without the
+    // persist every micro-batch re-scanned and re-aggregated it
+    val cells = staticSide(spark.read.parquet(s"$indexPath/assigned")
       .groupBy(col("centroid_id"))
       .agg(collect_list(
         struct(col("n_id"), col("vn"), col("nn"),
-          col("centroid_id").as("cid"))).as("cands"))
+          col("centroid_id").as("cid"))).as("cands")))
     val base = withVectors(spark, queries)
       .withColumn("_cents", array(cents.toIndexedSeq: _*))
       // per-row probe ranking: (cos desc, cid asc) == the batch wp window
@@ -578,11 +635,12 @@ object Streams {
           typedLit(r.getSeq[Double](1)).as("cv"),
           lit(r.getDouble(2)).as("cn"))
       }
-    val cells = spark.read.parquet(s"$indexPath/codes")
+    // staticSide: the annEnrich cell-reshape argument, on the codes table
+    val cells = staticSide(spark.read.parquet(s"$indexPath/codes")
       .groupBy(col("centroid_id"))
       .agg(collect_list(
         struct(col("vec_id").as("n_id"), col("codes"),
-          col("centroid_id").cast("long").as("cid"))).as("cands"))
+          col("centroid_id").cast("long").as("cid"))).as("cands")))
     val base = withVectors(spark, queries)
       .withColumn("_cents", array(cents.toIndexedSeq: _*))
       // per-row probe ranking: (cos desc 4-dp, cid asc) == the batch
@@ -649,6 +707,19 @@ object Streams {
   def qcScore(docs: DataFrame,
       model: graft.ext.Classifier.QcModel): DataFrame =
     graft.ext.Classifier.qcScoreNarrow(docs, model)
+
+  /** Multi-class NB classification on a stream (language-ID / domain
+    * attribution at arrival latency): the compiled `nb_classify`
+    * scorer is stateless — the dense model rides the plan as a
+    * reference object, the argmax is one per-row pass — so micro-batch
+    * verdicts are bit-identical to the batch scorer
+    * ([[graft.ext.Classifier.nbClassifyNarrow]]; StreamsSpec pins
+    * stream ≡ batch). Train or reload once
+    * ([[graft.ext.Classifier.trainNbModel]] /
+    * [[graft.ext.Classifier.loadNbModel]]), classify forever. */
+  def nbClassify(docs: DataFrame,
+      model: graft.functions.NbModel): DataFrame =
+    graft.ext.Classifier.nbClassifyNarrow(docs.sparkSession, docs, model)
 
   /** Fixed-grid semantic cluster assignment on a stream: the
     * [[graft.ext.Similarity.assignFixed]] argmin is stateless (the
@@ -735,10 +806,11 @@ object Streams {
           .filter(col("_csize") <= maxCluster)
           .select(col("centroid_id"))),
         Seq("centroid_id"))
-    val cells = underCap
+    // staticSide: census + reshape over the whole assigned table
+    val cells = staticSide(underCap
       .groupBy(col("centroid_id"))
       .agg(collect_list(
-        struct(col("n_id"), col("vn"), col("nn"))).as("cands"))
+        struct(col("n_id"), col("vn"), col("nn"))).as("cands")))
     graft.ext.Similarity.assignToIndex(spark, emb, indexPath)
       .join(cells, Seq("centroid_id"))
       .withColumn("_hits", expr(
@@ -802,18 +874,17 @@ object Streams {
       graft.ext.Dedup.deriveHammingCap(spark, indexPath) else maxBucket
     val small = spark.read.parquet(s"$indexPath/bsize")
       .filter(col("n") <= cap).select(col("band"), col("bval"))
-    // PERSISTED: a stream-static join re-evaluates the static plan on
+    // staticSide: a stream-static join re-evaluates the static plan on
     // EVERY micro-batch — without the persist, each trigger would
     // re-scan the whole signature table and rebuild the bucket lists,
     // turning the "built once per stream" contract into per-batch
-    // O(index) work. The cache lives as long as the stream (the
-    // intended lifetime of a static probe side).
-    val buckets = graft.ext.Dedup.hammingBands(
+    // O(index) work (cache-discipline note at the top of this object;
+    // release with [[releaseStaticSides]] after stopping the stream).
+    val buckets = staticSide(graft.ext.Dedup.hammingBands(
         spark.read.parquet(s"$indexPath/sigs"))
       .join(small, Seq("band", "bval"))
       .groupBy(col("band"), col("bval"))
-      .agg(collect_list(struct(col("doc_id"), col("packed"))).as("ms"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(collect_list(struct(col("doc_id"), col("packed"))).as("ms")))
     val base = packedStream
       .withColumn("_b", expr(
         "transform(sequence(0, 3), i -> shiftright(packed, i * 16) & 65535)"))
@@ -904,16 +975,15 @@ object Streams {
     val small = spark.read.parquet(s"$indexPath/bsize")
       .groupBy(col("band"), col("bval")).agg(sum(col("n")).as("n"))
       .filter(col("n") <= cap).select(col("band"), col("bval"))
-    // PERSISTED (hammingProbed's argument, and more load-bearing here:
+    // staticSide (hammingProbed's argument, and more load-bearing here:
     // the O(n) census partial aggregate is part of this static plan,
     // so an unpersisted probe side would re-aggregate the census AND
     // re-scan the signature table on every micro-batch)
-    val buckets = graft.ext.Dedup.hammingBands128(
+    val buckets = staticSide(graft.ext.Dedup.hammingBands128(
         spark.read.parquet(s"$indexPath/sigs"))
       .join(small, Seq("band", "bval"))
       .groupBy(col("band"), col("bval"))
-      .agg(collect_list(struct(col("doc_id"), col("lo"), col("hi"))).as("ms"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(collect_list(struct(col("doc_id"), col("lo"), col("hi"))).as("ms")))
     val base = packedStream
       .withColumn("_b", expr(
         """transform(sequence(0, 3), b ->

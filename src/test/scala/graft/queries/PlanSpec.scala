@@ -77,6 +77,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q177: compiled nb_classify keeps the plan fully narrow") {
+    val p = planOf("q177_nb_classify_narrow")
+    assert(p.contains("nb_classify"), p)
+    assert(!p.contains("Generate"), p)      // no token explode
+    assert(!p.contains("Join"), p)          // no dense-model join — ref object
+    assert(!p.contains("HashAggregate"), p) // no doc-keyed reduce-back
+    assert("Exchange".r.findAllIn(p).length <= 1, p) // only the orderBy
+  }
+
   test("q64: document frequency is a partial-aggregable groupBy, not a word window") {
     val p = planOf("q64_tfidf_topk")
     // the df stage must show map-side combine (partial HashAggregate) —
@@ -363,7 +372,21 @@ class PlanSpec extends SparkSpec {
       // q172's 64-bit shape). Every one of the 7 is increment-bounded
       // — the persisted census and signature table are only ever
       // scanned into the probe side of broadcast joins.
-      "q174_phash128_intake_admit" -> 7)
+      "q174_phash128_intake_admit" -> 7,
+      // q175 = the trained dense model: the corpus aggregates (vocab
+      // histogram, (label, token) counts, priors) run eagerly into
+      // localCheckpoints, so the returned plan is model-scale — the
+      // label-total regroup, the vocab-size singleton and the orderBy
+      "q175_nb_model" -> 3,
+      // q176 = train-and-classify (the oracle shape): q175's model
+      // exchanges (2, sans orderBy) + the doc-keyed likelihood rollup
+      // + the docs×labels join alignment + the per-doc argmax window +
+      // the orderBy — the dense model and priors ride ONLY broadcast
+      // sides (audited 6 on this commit)
+      "q176_nb_classify" -> 6,
+      // q177/q178 = the compiled-narrow scorer (model is a reference
+      // object): the output orderBy is the only exchange
+      "q177_nb_classify_narrow" -> 1, "q178_nb_model_indexed" -> 1)
     val over = Registry.all.flatMap { q =>
       budget.get(q.name).flatMap { max =>
         val p = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -480,6 +480,34 @@ class StreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming NB classification matches the batch narrow scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq.tabulate(20)(i =>
+      (i.toLong,
+       if (i % 2 == 0) "der die das und aber" else "the and but over under",
+       if (i % 2 == 0) "de" else "en"))
+      .toDF("doc_id", "text", "lang")
+    val model = graft.ext.Classifier.trainNbModel(train, vocabSize = 16)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.nbClassify(mem.toDF().toDF("doc_id", "text"), model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nbc").start()
+    val rows = Seq((30L, "der und aber"), (31L, "the but under"),
+      (32L, "entirely oov words"))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM nbc").orderBy("doc_id")
+      .collect().toSeq
+    val batch = graft.ext.Classifier.nbClassifyNarrow(spark,
+        rows.toDF("doc_id", "text"), model)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((30L, "de"), (31L, "en"), (32L, "de"))) // 32 = prior tie → label asc
+    q.stop()
+  }
+
   test("stream-static persisted-incremental dedup: batch-equivalent keeps, constant state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -790,6 +818,32 @@ class StreamsSpec extends SparkSpec {
       "crawlIntakeMixed128 release() freed nothing")
     assert(leftover.size <= 1,
       s"crawlIntakeMixed128 left unexpected blocks: $leftover")
+  }
+
+  test("static-side caches register per stream build and release on demand") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ssidx").toString
+    graft.ext.Dedup.writeHammingIndex(spark,
+      Seq((1L, 0x1234L), (2L, 0xff00L)).toDF("doc_id", "packed"), dir)
+    val before = Streams.staticSideCount
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = Streams.hammingIntakeAdmit(spark,
+        mem.toDF().toDF("doc_id", "ts", "packed"), dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssrel").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    mem.addData((10L, t0, 0x1234L), (11L, t0, 0x0f0fL))
+    q.processAllAvailable()
+    // the probe side registered exactly once for the stream's lifetime
+    assert(Streams.staticSideCount == before + 1)
+    assert(spark.sql("SELECT doc_id FROM ssrel").collect()
+      .map(_.getLong(0)).toSeq == Seq(11L)) // 10 = indexed dup, dropped
+    q.stop()
+    // release returns the storage and empties the registry — the
+    // accumulated sides of every stream this suite started so far
+    assert(Streams.releaseStaticSides() >= 1)
+    assert(Streams.staticSideCount == 0)
   }
 
   test("watermarked window aggregation over an event stream") {

@@ -880,11 +880,22 @@ object Streams {
     // turning the "built once per stream" contract into per-batch
     // O(index) work (cache-discipline note at the top of this object;
     // release with [[releaseStaticSides]] after stopping the stream).
+    // The cache is REPARTITIONED + SORTED ON THE JOIN KEY before it
+    // persists: exchange reuse does not span micro-batches, so an
+    // unpartitioned cache would still be shuffled and sorted per band
+    // per trigger — measured DOMINANT over the regroup it saves
+    // (ScaleProbe `stream-static`). Cached partitioning/ordering
+    // propagate through the per-band filter and the alias projection,
+    // so each trigger's sort-merge joins exchange only the micro-batch
+    // side; the cached side contributes a columnar scan and nothing
+    // else.
     val buckets = staticSide(graft.ext.Dedup.hammingBands(
         spark.read.parquet(s"$indexPath/sigs"))
       .join(small, Seq("band", "bval"))
       .groupBy(col("band"), col("bval"))
-      .agg(collect_list(struct(col("doc_id"), col("packed"))).as("ms")))
+      .agg(collect_list(struct(col("doc_id"), col("packed"))).as("ms"))
+      .repartition(col("bval"))
+      .sortWithinPartitions(col("bval")))
     val base = packedStream
       .withColumn("_b", expr(
         "transform(sequence(0, 3), i -> shiftright(packed, i * 16) & 65535)"))
@@ -978,12 +989,17 @@ object Streams {
     // staticSide (hammingProbed's argument, and more load-bearing here:
     // the O(n) census partial aggregate is part of this static plan,
     // so an unpersisted probe side would re-aggregate the census AND
-    // re-scan the signature table on every micro-batch)
+    // re-scan the signature table on every micro-batch). Partitioned +
+    // sorted on the join key before persisting — see hammingProbed's
+    // note: the per-trigger static-side shuffle is the dominant cost
+    // an unpartitioned cache fails to remove.
     val buckets = staticSide(graft.ext.Dedup.hammingBands128(
         spark.read.parquet(s"$indexPath/sigs"))
       .join(small, Seq("band", "bval"))
       .groupBy(col("band"), col("bval"))
-      .agg(collect_list(struct(col("doc_id"), col("lo"), col("hi"))).as("ms")))
+      .agg(collect_list(struct(col("doc_id"), col("lo"), col("hi"))).as("ms"))
+      .repartition(col("bval"))
+      .sortWithinPartitions(col("bval")))
     val base = packedStream
       .withColumn("_b", expr(
         """transform(sequence(0, 3), b ->

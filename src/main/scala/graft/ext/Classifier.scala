@@ -230,28 +230,50 @@ object Classifier {
     * localCheckpointed so the two corpus aggregates run once). */
   private[graft] def nbModelFrames(docs: DataFrame, labelCol: String,
       textCol: String, vocabSize: Int): (DataFrame, DataFrame) = {
+    val (dense, priors, _) = nbModelFramesTracked(docs, labelCol, textCol,
+      vocabSize)
+    (dense, priors)
+  }
+
+  /** [[nbModelFrames]] plus the checkpoint RELEASE HANDLE: the model
+    * computation pins four MODEL-SCALE checkpointed frames (vocab,
+    * counts, the label histogram, priors — KBs each, the q118
+    * LM-score precedent) so the two corpus aggregates run exactly
+    * once. A caller that consumes the frames eagerly
+    * ([[trainNbModel]]'s collect) releases them on exit; the lazy
+    * query forms ([[nbModel]] / [[nbClassify]]) return plans that
+    * READ these frames, so there the blocks live until RDD GC — the
+    * documented cost of the train-in-query oracle shape. */
+  private def nbModelFramesTracked(docs: DataFrame, labelCol: String,
+      textCol: String, vocabSize: Int)
+      : (DataFrame, DataFrame, () => Unit) = {
     require(vocabSize >= 1, s"vocabSize=$vocabSize must be >= 1")
+    val blocks = collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    def tracked(df: DataFrame): DataFrame = {
+      val (out, b) = Dedup.checkpointTracked(df)
+      blocks ++= b
+      out
+    }
     val labeled = docs
       .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
     val words = labeled
       .select(col(labelCol).as("label"),
         explode(split(col(textCol), " ")).as("w"))
-    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val vocab = tracked(words.groupBy(col("w")).agg(count(lit(1)).as("cu"))
       .orderBy(col("cu").desc, col("w")).limit(vocabSize)
-      .select(col("w")).localCheckpoint(true)
-    val counts = words.join(broadcast(vocab), Seq("w"))
-      .groupBy(col("label"), col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .select(col("w")))
+    val counts = tracked(words.join(broadcast(vocab), Seq("w"))
+      .groupBy(col("label"), col("w")).agg(count(lit(1)).as("c")))
     val priors = {
       // |labels| rows, checkpointed: it feeds both the per-label rows
       // and the total, and would otherwise re-scan the corpus twice
-      val n = labeled.groupBy(col(labelCol).as("label"))
-        .agg(count(lit(1)).as("n")).localCheckpoint(true)
-      n.crossJoin(broadcast(n.agg(sum(col("n")).as("n_total"))))
+      val n = tracked(labeled.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("n")))
+      tracked(n.crossJoin(broadcast(n.agg(sum(col("n")).as("n_total"))))
         .select(col("label"), col("n"),
           round(log(col("n").cast("double") / col("n_total").cast("double")), 9)
-            .cast("decimal(18,9)").as("lp"))
-        .localCheckpoint(true)
+            .cast("decimal(18,9)").as("lp")))
     }
     val tot = counts.groupBy(col("label")).agg(sum(col("c")).as("tot"))
     val vsz = vocab.agg(count(lit(1)).as("vsz"))
@@ -266,7 +288,8 @@ object Classifier {
         round(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
           (coalesce(col("tot"), lit(0L)) + col("vsz")).cast("double")), 9)
           .cast("decimal(18,9)").as("ll"))
-    (dense, priors)
+    (dense, priors,
+      () => blocks.foreach(_.unpersist(blocking = false)))
   }
 
   /** The trained dense NB likelihood table as a query result —
@@ -323,24 +346,48 @@ object Classifier {
   def trainNbModel(docs: DataFrame, labelCol: String = "lang",
       textCol: String = "text",
       vocabSize: Int = 4096): graft.functions.NbModel = {
-    val (dense, priors) = nbModelFrames(docs, labelCol, textCol, vocabSize)
-    val pRows = priors.select(col("label"), col("lp"))
-      .collect().map(r => (r.getString(0),
-        r.getDecimal(1).movePointRight(9).longValueExact()))
-      .sortBy(_._1)
-    val labels = pRows.map(_._1)
+    val (dense, priors, release) = nbModelFramesTracked(docs, labelCol,
+      textCol, vocabSize)
+    try {
+      val pRows = priors.select(col("label"), col("lp"))
+        .collect().map(r => (r.getString(0),
+          r.getDecimal(1).movePointRight(9).longValueExact()))
+      val tokRows = dense.select(col("token"), col("label"), col("ll"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getDecimal(2).movePointRight(9).longValueExact()))
+      assembleNbModel(pRows, tokRows)
+    } finally release() // model collected — the checkpoints can go
+  }
+
+  /** UTF-8 BINARY string order — Spark's `orderBy` on strings (code
+    * points), NOT Java's `String.compareTo` (UTF-16 code units): the
+    * two disagree when one string holds a supplementary-plane char
+    * (emoji label) and another a char in [U+E000, U+FFFF], and the
+    * argmax tie-break + model lane order must match the relational
+    * form's Spark sort exactly. */
+  private val utf8Order: Ordering[String] =
+    Ordering.comparatorToOrdering(
+      (a: String, b: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+
+  /** ONE model-assembly path for trained AND reloaded models (q178's
+    * disk ≡ in-memory pin rests on this being shared): labels sort in
+    * [[utf8Order]] (the tie-break-critical lane order), vocab likewise,
+    * each token's lane row fills by label index. */
+  private def assembleNbModel(pRows: Array[(String, Long)],
+      tokRows: Array[(String, String, Long)]): graft.functions.NbModel = {
+    val sorted = pRows.sortBy(_._1)(utf8Order)
+    val labels = sorted.map(_._1)
     val labelIdx = labels.zipWithIndex.toMap
-    val byTok = dense.select(col("token"), col("label"), col("ll"))
-      .collect().map(r => (r.getString(0), r.getString(1),
-        r.getDecimal(2).movePointRight(9).longValueExact()))
-      .groupBy(_._1)
-    val vocab = byTok.keys.toArray.sorted
+    val byTok = tokRows.groupBy(_._1)
+    val vocab = byTok.keys.toArray.sorted(utf8Order)
     val ll = vocab.map { t =>
       val row = new Array[Long](labels.length)
       byTok(t).foreach { case (_, l, n) => row(labelIdx(l)) = n }
       row
     }
-    new graft.functions.NbModel(labels, pRows.map(_._2), vocab, ll)
+    new graft.functions.NbModel(labels, sorted.map(_._2), vocab, ll)
   }
 
   /** Compiled-narrow NB classification against a FIXED model — the
@@ -377,23 +424,15 @@ object Classifier {
       .write.mode("overwrite").parquet(s"$path/priors")
   }
 
-  /** Reload a persisted NB model ([[writeNbModel]]). */
-  def loadNbModel(spark: SparkSession, path: String): graft.functions.NbModel = {
-    val pRows = spark.read.parquet(s"$path/priors")
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    val labels = pRows.map(_._1)
-    val labelIdx = labels.zipWithIndex.toMap
-    val byTok = spark.read.parquet(s"$path/likelihood")
-      .collect().map(r => (r.getString(1), r.getString(0), r.getLong(2)))
-      .groupBy(_._1)
-    val vocab = byTok.keys.toArray.sorted
-    val ll = vocab.map { t =>
-      val row = new Array[Long](labels.length)
-      byTok(t).foreach { case (_, l, n) => row(labelIdx(l)) = n }
-      row
-    }
-    new graft.functions.NbModel(labels, pRows.map(_._2), vocab, ll)
-  }
+  /** Reload a persisted NB model ([[writeNbModel]]) — through the same
+    * [[assembleNbModel]] path as training, so lane order and tie-break
+    * cannot diverge between a trained and a reloaded model. */
+  def loadNbModel(spark: SparkSession, path: String): graft.functions.NbModel =
+    assembleNbModel(
+      spark.read.parquet(s"$path/priors")
+        .collect().map(r => (r.getString(0), r.getLong(1))),
+      spark.read.parquet(s"$path/likelihood")
+        .collect().map(r => (r.getString(1), r.getString(0), r.getLong(2))))
 
   /** Mean log-loss of a model on a labeled corpus (spec/monitoring
     * helper — one narrow pass + one global agg). */

@@ -683,9 +683,12 @@ object Corpus {
       : (DataFrame, DataFrame, () => Unit) = {
     val (docs, release) = crawlIntakeTracked(spark, arrivals, snapshot,
       urlCol, idCol, textCol)
-    (docs,
-     graft.multimodal.Multimodal.imageIntakeAdmit128(spark, media,
-       imageIndexPath, maxDist),
-     release)
+    // the media arm's decode-once signature checkpoint releases with
+    // the text arm's increment blocks — ONE handle returns everything
+    // the call pinned (the documented contract)
+    val (mediaAdm, mediaRelease) =
+      graft.multimodal.Multimodal.imageIntakeAdmit128Tracked(spark, media,
+        imageIndexPath, maxDist)
+    (docs, mediaAdm, () => { release(); mediaRelease() })
   }
 }

@@ -29,6 +29,22 @@ object Dedup {
     (out, backing)
   }
 
+  /** [[checkpointTracked]]'s LAZY twin: the checkpoint materializes on
+    * the FIRST action over the returned frame (not at call time), so a
+    * plan with several consumers of the same expensive subtree — e.g.
+    * a decode-once media frame feeding both stages of an admit —
+    * evaluates it once without going eager. Same release contract:
+    * consume fully, then unpersist the blocks (the lineage is
+    * truncated — the frame is NOT re-computable after release). */
+  private[graft] def checkpointLazyTracked(
+      df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val out = df.localCheckpoint(false)
+    val backing = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    (out, backing)
+  }
+
   /** Exact HALF_UP 6-dp rounding of the rational i/u, in integer
     * arithmetic: `round(CAST(i/u AS DOUBLE), 6)` rounds the DOUBLE, and
     * engines disagree at decimal midpoints the binary value straddles
@@ -1508,9 +1524,14 @@ object Dedup {
     * forms below. */
   private[graft] def hammingBands(packedDf: DataFrame): DataFrame =
     packedDf.select(col("doc_id"), col("packed"),
-      posexplode(expr(
-        "transform(sequence(0, 3), i -> shiftright(packed, i * 16) & 65535)"))
-        .as(Seq("band", "bval")))
+      posexplode(expr(BandLanesSql)).as(Seq("band", "bval")))
+
+  /** The per-row 4×16-bit lane array of a `packed` long — ONE spelling
+    * shared by [[hammingBands]] and the stream probes
+    * ([[graft.streaming.Streams]]): stream/batch band parity is a
+    * bit-exact contract, so the expression must not exist twice. */
+  private[graft] val BandLanesSql: String =
+    "transform(sequence(0, 3), i -> shiftright(packed, i * 16) & 65535)"
 
   /** Attach the effective bucket cap as a `_cap` column to a
     * `(band, bval, bsize)` census frame: a literal for an explicit
@@ -1639,11 +1660,16 @@ object Dedup {
     * arithmetic shift back to an unsigned band value. */
   private[graft] def hammingBands128(packedDf: DataFrame): DataFrame =
     packedDf.select(col("doc_id"), col("lo"), col("hi"),
-      posexplode(expr(
-        """transform(sequence(0, 3), b ->
-          |  IF(b < 2, shiftright(lo, b * 32),
-          |            shiftright(hi, (b - 2) * 32)) & 4294967295)"""
-          .stripMargin)).as(Seq("band", "bval")))
+      posexplode(expr(BandLanes128Sql)).as(Seq("band", "bval")))
+
+  /** The per-row 4×32-bit lane array of a `(lo, hi)` signature — ONE
+    * spelling shared by [[hammingBands128]] and the stream probes
+    * ([[BandLanesSql]]'s argument at 128 bits). */
+  private[graft] val BandLanes128Sql: String =
+    """transform(sequence(0, 3), b ->
+      |  IF(b < 2, shiftright(lo, b * 32),
+      |            shiftright(hi, (b - 2) * 32)) & 4294967295)"""
+      .stripMargin
 
   /** Persist a packed-64 Hamming signature index — the
     * build-once/intake-many layout for CONTENT near-dup at crawl
@@ -1747,16 +1773,26 @@ object Dedup {
     * CRASH SAFETY: the rewrite lands in `path/sigs.compact.tmp` while
     * `path/sigs` — the only durable copy — stays untouched, then swaps
     * in by rename (sigs → sigs.compact.old, tmp → sigs, delete old).
-    * A crash anywhere before the first rename loses nothing (delete
-    * the orphaned tmp dir); a crash between the two renames leaves no
-    * `sigs` but a complete `sigs.compact.old` — rename it back. The
-    * only non-recoverable window of the previous in-place overwrite
-    * (checkpoint blocks as the sole copy of the table) is gone. */
+    * A crash anywhere before the first rename loses nothing (the
+    * orphaned tmp dir is deleted on the next call); a crash BETWEEN
+    * the two renames leaves no `sigs` but a complete
+    * `sigs.compact.old` — the next call detects exactly that state
+    * and renames it back BEFORE doing anything else (self-healing; no
+    * manual step). The only non-recoverable window of the previous
+    * in-place overwrite (checkpoint blocks as the sole copy of the
+    * table) is gone. */
   def compactHammingIndex(spark: SparkSession, path: String,
       maxFiles: Int = 64): Long = {
     require(maxFiles >= 1, s"maxFiles=$maxFiles must be >= 1")
     val sigs = new org.apache.hadoop.fs.Path(s"$path/sigs")
     val fs = sigs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/sigs.compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/sigs.compact.old")
+    // self-heal the between-renames crash window of a PREVIOUS call:
+    // no live table + a complete .old means the old table IS the data
+    if (!fs.exists(sigs) && fs.exists(old))
+      require(fs.rename(old, sigs),
+        s"compactHammingIndex: crash recovery rename $old → $sigs failed")
     val nFiles = fs.listStatus(sigs)
       .count(_.getPath.getName.endsWith(".parquet"))
     if (nFiles <= maxFiles) return 0L
@@ -1768,8 +1804,6 @@ object Dedup {
     // write target).
     val width = math.min(maxFiles,
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/sigs.compact.tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path/sigs.compact.old")
     fs.delete(tmp, true); fs.delete(old, true) // orphans of a past crash
     spark.read.parquet(s"$path/sigs").repartition(width, col("doc_id"))
       .write.mode("overwrite").parquet(tmp.toString)
@@ -1986,12 +2020,17 @@ object Dedup {
     * else. Returns the total file count compacted away.
     *
     * CRASH SAFETY: sigs swaps through `sigs.compact.tmp`/`.old` exactly
-    * as the 64-bit form (recovery documented there); the census fold
-    * swaps the same way, and because census content is representation-
-    * independent, a crash ANYWHERE in the fold leaves a readable census
-    * (worst case: the orphaned tmp dir of a fold that never swapped —
-    * deleted on the next call). Not safe concurrently with readers;
-    * run between crawl increments, where appends already serialize. */
+    * as the 64-bit form, INCLUDING its self-heal — a crash between the
+    * two renames of either table leaves no live dir but a complete
+    * `.old`, and the next call renames it back before listing (no
+    * manual step; until that next call, readers of the missing dir DO
+    * fail — run compaction and its recovery from the same maintenance
+    * slot). The census fold additionally benefits from representation-
+    * independence: partials and folded rows read identically, so every
+    * OTHER crash point leaves a census that is not just recoverable
+    * but already readable. Not safe concurrently with readers (the
+    * swap replaces whole dirs); run between crawl increments, where
+    * appends already serialize. */
   def compactHammingIndex128(spark: SparkSession, path: String,
       maxFiles: Int = 64): Long = {
     require(maxFiles >= 1, s"maxFiles=$maxFiles must be >= 1")
@@ -2001,11 +2040,17 @@ object Dedup {
     def swapRewrite(sub: String, rewrite: DataFrame => DataFrame): Long = {
       val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val fs = live.getFileSystem(hconf)
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/$sub.compact.tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$path/$sub.compact.old")
+      // self-heal the between-renames crash window of a PREVIOUS call
+      // (compactHammingIndex's rule): no live dir + a complete .old
+      // means the old dir IS the table — rename it back first
+      if (!fs.exists(live) && fs.exists(old))
+        require(fs.rename(old, live),
+          s"compactHammingIndex128: crash recovery rename $old → $live failed")
       val nFiles = fs.listStatus(live)
         .count(_.getPath.getName.endsWith(".parquet"))
       if (nFiles <= maxFiles) return 0L
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/$sub.compact.tmp")
-      val old = new org.apache.hadoop.fs.Path(s"$path/$sub.compact.old")
       fs.delete(tmp, true); fs.delete(old, true) // orphans of a past crash
       rewrite(spark.read.parquet(live.toString))
         .write.mode("overwrite").parquet(tmp.toString)

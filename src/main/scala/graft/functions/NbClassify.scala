@@ -71,12 +71,20 @@ final class NbModel(val labels: Array[String],
     val priorNanos: Array[Long],
     val vocab: Array[String],
     val llNanos: Array[Array[Long]]) extends Serializable {
+  require(labels.nonEmpty,
+    "NbModel needs at least one label — training saw no row with both " +
+      "a non-null label and non-null text (the relational form returns " +
+      "empty there; a label-less compiled model could only crash per row)")
   require(labels.length == priorNanos.length,
     s"${priorNanos.length} priors for ${labels.length} labels")
   require(vocab.length == llNanos.length,
     s"${llNanos.length} likelihood rows for ${vocab.length} vocab tokens")
-  require(labels.sameElements(labels.sorted),
-    "labels must be sorted ascending (the argmax tie-break contract)")
+  require(labels.indices.dropRight(1).forall(i =>
+      UTF8String.fromString(labels(i))
+        .compareTo(UTF8String.fromString(labels(i + 1))) < 0),
+    "labels must be strictly ascending in UTF-8 BINARY order — Spark's " +
+      "string sort (code points), not Java's (UTF-16 units): the argmax " +
+      "tie-break must match the relational form's orderBy exactly")
 
   @transient private lazy val tokMap: java.util.HashMap[String, Array[Long]] = {
     val m = new java.util.HashMap[String, Array[Long]](vocab.length * 2)

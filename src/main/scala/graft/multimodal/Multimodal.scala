@@ -621,9 +621,31 @@ object Multimodal {
     * so the next increment sees this one. */
   def imageIntakeAdmit128(spark: SparkSession, media: DataFrame,
       path: String, maxDist: Int = 3, maxBucket: Int = 0): DataFrame =
-    graft.ext.Dedup.hammingIntakeAdmit128(spark,
-        imagePacked128(spark, media), path, maxDist, maxBucket)
-      .select(col("doc_id").as("media_id"), col("lo"), col("hi"))
+    imageIntakeAdmit128Tracked(spark, media, path, maxDist, maxBucket)._1
+    // one-shot form: the increment-bounded signature checkpoint stays
+    // until RDD GC; intake LOOPS should call the Tracked form (or
+    // [[graft.ext.Corpus.crawlIntakeMixed128]], whose release covers it)
+
+  /** [[imageIntakeAdmit128]] plus the signature checkpoint's RELEASE
+    * handle. A LAZY checkpoint keeps the decode-once contract honest:
+    * the admit's two consumers of the signature frame (the intake's
+    * dup side and the final anti-join's left side) plan diverged
+    * projections that defeat ReuseExchange on the 128-bit shape
+    * (PlanSpec's q174 note), so without it every arriving payload
+    * would DECODE TWICE. The first action materializes the
+    * increment-bounded (media_id, lo, hi) rows once; consume the
+    * admitted frame fully, then `release()` (the frame is not
+    * re-computable after — checkpoint lineage is truncated). */
+  def imageIntakeAdmit128Tracked(spark: SparkSession, media: DataFrame,
+      path: String, maxDist: Int = 3, maxBucket: Int = 0)
+      : (DataFrame, () => Unit) = {
+    val (packed, blocks) = graft.ext.Dedup.checkpointLazyTracked(
+      imagePacked128(spark, media))
+    (graft.ext.Dedup.hammingIntakeAdmit128(spark, packed, path, maxDist,
+        maxBucket)
+      .select(col("doc_id").as("media_id"), col("lo"), col("hi")),
+     () => blocks.foreach(_.unpersist(blocking = false)))
+  }
 
   /** Append admitted 128-bit image signatures to a
     * [[writeImageHashIndex128]] directory — [[appendImageHashIndex]]'s

@@ -72,6 +72,27 @@ object Streams {
     * monitoring hook). */
   def staticSideCount: Int = staticSides.synchronized(staticSides.length)
 
+  /** Scoped static-side tracking — build ONE stream's plan inside `f`
+    * and get back (result, release) where release unpersists ONLY the
+    * caches that build registered: the per-call release-handle
+    * discipline ([[graft.ext.Corpus.crawlIntakeMixedTracked]]'s
+    * contract) for drivers running SEVERAL independent streams, where
+    * the global [[releaseStaticSides]] would also evict every OTHER
+    * running stream's probe caches and silently re-impose the
+    * per-trigger rebuild on them. Scope membership is positional
+    * (registry delta across `f`), so build streams one at a time —
+    * concurrent builders would interleave their registrations. */
+  def trackStaticSides[T](f: => T): (T, () => Unit) =
+    staticSides.synchronized {
+      val before = staticSides.length
+      val out = f
+      val mine = staticSides.slice(before, staticSides.length).toList
+      (out, () => staticSides.synchronized {
+        mine.foreach(_.unpersist(blocking = false))
+        staticSides --= mine
+      })
+    }
+
   /** Streaming bronze → golden append. `actnum` is a static (batch)
     * DataFrame — the stream-static join broadcasts it per micro-batch. */
   def bronzeIngest(
@@ -234,16 +255,24 @@ object Streams {
     // staticSide: this reshape (stack + corpus-keyed collect_list) and
     // the exact stage's distinct hash set below would otherwise re-run
     // over the whole snapshot on EVERY micro-batch (see the
-    // cache-discipline note at the top of this object)
+    // cache-discipline note at the top of this object). Both caches
+    // are REPARTITIONED + SORTED ON THEIR JOIN KEY first — exchange
+    // reuse does not span micro-batches, so an unpartitioned cache is
+    // still shuffled and sorted per trigger, which ScaleProbe's
+    // `stream-static` A/B measured DOMINANT over the reshape it saves
+    // (the hammingProbed finding, applied to every probe side here).
     val bucketed = staticSide(snapshot
       .selectExpr("shingles", s"stack($bands, $stack) AS (band, bucket)")
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("shingles")).as("sh_list"),
         count(lit(1)).as("bsize"))
       .filter(col("bsize") <= maxBucket)
-      .drop("bsize"))
+      .drop("bsize")
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket")))
     val seenHashes = staticSide(
-      snapshot.select(col("content_hash")).distinct())
+      snapshot.select(col("content_hash")).distinct()
+        .sortWithinPartitions(col("content_hash")))
     val base0 = docs.filter(col("text").isNotNull)
     val base = (if (watermark.isEmpty) base0
                 else base0.withWatermark("ts", watermark))
@@ -366,9 +395,14 @@ object Streams {
       .join(fpdf.filter(col("df") <= maxDf), Seq("fp"))
       .groupBy(col("fp"))
       .agg(collect_list(struct(col("seen_id"), col("shingles").as("sh_s")))
-        .as("cands")))
+        .as("cands"))
+      // key-partitioned + sorted before the persist (the hammingProbed
+      // finding): per-trigger joins then exchange only the stream side
+      .repartition(col("fp"))
+      .sortWithinPartitions(col("fp")))
     val seenHashes = staticSide(
-      snapshot.select(col("content_hash")).distinct())
+      snapshot.select(col("content_hash")).distinct()
+        .sortWithinPartitions(col("content_hash")))
     // null-text docs flow through KEPT, matching the batch twin: md5's
     // null hash never matches the exact anti-join, winnow_keys/shingles8
     // are null-propagating so they produce no fingerprints and no
@@ -565,12 +599,16 @@ object Streams {
       }
     // staticSide (cache-discipline note at the top of this object): the
     // cell reshape regroups the whole assigned table — without the
-    // persist every micro-batch re-scanned and re-aggregated it
+    // persist every micro-batch re-scanned and re-aggregated it; key-
+    // partitioned + sorted so per-trigger joins exchange only the
+    // stream side (the hammingProbed finding)
     val cells = staticSide(spark.read.parquet(s"$indexPath/assigned")
       .groupBy(col("centroid_id"))
       .agg(collect_list(
         struct(col("n_id"), col("vn"), col("nn"),
-          col("centroid_id").as("cid"))).as("cands")))
+          col("centroid_id").as("cid"))).as("cands"))
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions(col("centroid_id")))
     val base = withVectors(spark, queries)
       .withColumn("_cents", array(cents.toIndexedSeq: _*))
       // per-row probe ranking: (cos desc, cid asc) == the batch wp window
@@ -635,12 +673,15 @@ object Streams {
           typedLit(r.getSeq[Double](1)).as("cv"),
           lit(r.getDouble(2)).as("cn"))
       }
-    // staticSide: the annEnrich cell-reshape argument, on the codes table
+    // staticSide: the annEnrich cell-reshape argument, on the codes
+    // table; key-partitioned + sorted (the hammingProbed finding)
     val cells = staticSide(spark.read.parquet(s"$indexPath/codes")
       .groupBy(col("centroid_id"))
       .agg(collect_list(
         struct(col("vec_id").as("n_id"), col("codes"),
-          col("centroid_id").cast("long").as("cid"))).as("cands")))
+          col("centroid_id").cast("long").as("cid"))).as("cands"))
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions(col("centroid_id")))
     val base = withVectors(spark, queries)
       .withColumn("_cents", array(cents.toIndexedSeq: _*))
       // per-row probe ranking: (cos desc 4-dp, cid asc) == the batch
@@ -806,11 +847,14 @@ object Streams {
           .filter(col("_csize") <= maxCluster)
           .select(col("centroid_id"))),
         Seq("centroid_id"))
-    // staticSide: census + reshape over the whole assigned table
+    // staticSide: census + reshape over the whole assigned table; key-
+    // partitioned + sorted (the hammingProbed finding)
     val cells = staticSide(underCap
       .groupBy(col("centroid_id"))
       .agg(collect_list(
-        struct(col("n_id"), col("vn"), col("nn"))).as("cands")))
+        struct(col("n_id"), col("vn"), col("nn"))).as("cands"))
+      .repartition(col("centroid_id"))
+      .sortWithinPartitions(col("centroid_id")))
     graft.ext.Similarity.assignToIndex(spark, emb, indexPath)
       .join(cells, Seq("centroid_id"))
       .withColumn("_hits", expr(
@@ -897,8 +941,7 @@ object Streams {
       .repartition(col("bval"))
       .sortWithinPartitions(col("bval")))
     val base = packedStream
-      .withColumn("_b", expr(
-        "transform(sequence(0, 3), i -> shiftright(packed, i * 16) & 65535)"))
+      .withColumn("_b", expr(graft.ext.Dedup.BandLanesSql))
     val joined = (0 until 4).foldLeft(base) { (df, b) =>
       df.withColumn(s"_bv_$b", expr(s"_b[$b]"))
         .join(buckets.filter(col("band") === b)
@@ -1001,11 +1044,7 @@ object Streams {
       .repartition(col("bval"))
       .sortWithinPartitions(col("bval")))
     val base = packedStream
-      .withColumn("_b", expr(
-        """transform(sequence(0, 3), b ->
-          |  IF(b < 2, shiftright(lo, b * 32),
-          |            shiftright(hi, (b - 2) * 32)) & 4294967295)"""
-          .stripMargin))
+      .withColumn("_b", expr(graft.ext.Dedup.BandLanes128Sql))
     val joined = (0 until 4).foldLeft(base) { (df, b) =>
       df.withColumn(s"_bv_$b", expr(s"_b[$b]"))
         .join(buckets.filter(col("band") === b)

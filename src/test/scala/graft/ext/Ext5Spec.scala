@@ -691,6 +691,42 @@ class Ext5Spec extends SparkSpec {
     assert(math.abs(h - math.log(4)) < 1e-6, s"entropy $h != ln 4")
   }
 
+  test("compactHammingIndex(128): between-renames crash self-heals on the next call") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def crash(dir: String, sub: String): Unit = {
+      // simulate dying after rename 1 of 2: live → .old, no tmp swap
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/$sub.compact.old")
+      val fs = live.getFileSystem(hconf)
+      assert(fs.rename(live, old))
+    }
+    // 64-bit: sigs arm
+    val d64 = java.nio.file.Files.createTempDirectory("hamheal").toString
+    graft.ext.Dedup.writeHammingIndex(spark,
+      Seq((1L, 0x1111L), (2L, 0x2222L)).toDF("doc_id", "packed"), d64)
+    val probe64 = Seq((9L, 0x1111L)).toDF("doc_id", "packed")
+    val before64 = graft.ext.Dedup.hammingIntake(spark, probe64, d64)
+      .collect().map(_.getLong(1)).toSeq
+    crash(d64, "sigs")
+    assert(graft.ext.Dedup.compactHammingIndex(spark, d64, maxFiles = 64) == 0L)
+    assert(graft.ext.Dedup.hammingIntake(spark, probe64, d64)
+      .collect().map(_.getLong(1)).toSeq == before64)
+    // 128-bit: BOTH arms (sigs and the partial-count census)
+    val d128 = java.nio.file.Files.createTempDirectory("hamheal128").toString
+    graft.ext.Dedup.writeHammingIndex128(spark,
+      Seq((1L, 0x11L, 0x22L), (2L, 0x33L, 0x44L)).toDF("doc_id", "lo", "hi"),
+      d128)
+    val probe128 = Seq((9L, 0x11L, 0x22L)).toDF("doc_id", "lo", "hi")
+    val before128 = graft.ext.Dedup.hammingIntake128(spark, probe128, d128)
+      .collect().map(_.getLong(1)).toSeq
+    crash(d128, "sigs"); crash(d128, "bsize")
+    assert(graft.ext.Dedup.compactHammingIndex128(spark, d128,
+      maxFiles = 64) == 0L)
+    assert(graft.ext.Dedup.hammingIntake128(spark, probe128, d128)
+      .collect().map(_.getLong(1)).toSeq == before128)
+  }
+
   test("dedupCorpusWinnowTracked ≡ untracked; release frees the survivor cache") {
     import spark.implicits._
     // planted near-dups + exact dups so every stage has work

@@ -121,6 +121,19 @@ class NbClassifierSpec extends SparkSpec {
     assert(fromDisk == nar)
   }
 
+  test("zero-label training fails loudly (the relational form returns empty)") {
+    import spark.implicits._
+    val d = Seq((1L, null.asInstanceOf[String], "la"),
+        (2L, "p q", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    // relational: empty result, no crash
+    assert(Classifier.nbClassify(spark, d).count() == 0L)
+    // compiled: a label-less model could only crash per row — training
+    // refuses to build one
+    val e = intercept[IllegalArgumentException](Classifier.trainNbModel(d))
+    assert(e.getMessage.contains("at least one label"))
+  }
+
   test("null text drops from scoring; null label trains nothing but still scores") {
     import spark.implicits._
     val d = Seq((1L, "p q", "la"), (2L, "p p", "lb"),

@@ -800,10 +800,13 @@ class StreamsSpec extends SparkSpec {
     // (the media_id -> doc_id bridge), and the same fresh image now
     // REJECTS on the next increment because the index saw it
     graft.multimodal.Multimodal.appendImageHashIndex128(spark, mediaAdm, imgDir)
-    val second = graft.multimodal.Multimodal.imageIntakeAdmit128(spark,
+    val (secondDf, secondRelease) =
+      graft.multimodal.Multimodal.imageIntakeAdmit128Tracked(spark,
         Seq((20L, enc(pat(1.0, 2.0, 2.2)))).toDF("media_id", "payload"),
         imgDir)
+    val second = secondDf
       .select("media_id").collect().map(_.getLong(0)).toSet
+    secondRelease() // consumed — the decode-once checkpoint can go
     assert(second.isEmpty, s"re-arrival of an appended admit re-admitted: $second")
     docsAdm.collect() // consume the text arm fully, then release
     val beforeRelease = spark.sparkContext.getPersistentRDDs.keySet
@@ -844,6 +847,24 @@ class StreamsSpec extends SparkSpec {
     // accumulated sides of every stream this suite started so far
     assert(Streams.releaseStaticSides() >= 1)
     assert(Streams.staticSideCount == 0)
+    // scoped tracking: two stream builds, releasing the FIRST scope
+    // leaves the second stream's caches alone (the multi-stream driver
+    // contract — global release would evict both)
+    val (p1, rel1) = Streams.trackStaticSides {
+      Streams.hammingIntakeAdmit(spark,
+        mem.toDF().toDF("doc_id", "ts", "packed"), dir)
+    }
+    val n1 = Streams.staticSideCount
+    assert(n1 >= 1)
+    val (p2, _) = Streams.trackStaticSides {
+      Streams.hammingIntakeAdmit(spark,
+        mem.toDF().toDF("doc_id", "ts", "packed"), dir)
+    }
+    assert(Streams.staticSideCount == n1 * 2)
+    rel1()
+    assert(Streams.staticSideCount == n1)
+    assert(p1 != null && p2 != null)
+    assert(Streams.releaseStaticSides() == n1)
   }
 
   test("watermarked window aggregation over an event stream") {

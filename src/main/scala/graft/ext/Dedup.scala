@@ -105,6 +105,11 @@ object Dedup {
     * `stack` per signature. */
   def bandBuckets(spark: SparkSession, docs: DataFrame, bands: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // NOT spread here: bandBuckets' hot callers hand it increment-sized
+    // frames (dedupIncremental*'s notExact) where an extra exchange
+    // measured slower than the single-task signature pass it would
+    // parallelize; corpus-sized callers (lshCandidates, lshCapStats)
+    // spread at their own entry
     val sig = minhashSignatures(spark, docs, idCol, textCol)
     val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
     sig.selectExpr("doc_id", s"stack($bands, $stack) AS (band, bucket)")
@@ -130,10 +135,34 @@ object Dedup {
     * `lshCapStats` when an always-exact answer is required. */
   def lshCandidates(spark: SparkSession, docs: DataFrame, bands: Int = 4,
       maxBucket: Int = 10, idCol: String = "doc_id", textCol: String = "text",
-      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val sig = minhashSignatures(spark, docs, idCol, textCol)
+      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    lshCandidatesTracked(spark, docs, bands, maxBucket, idCol, textCol,
+      capMetrics)._1
+
+  /** [[lshCandidates]] handing back the RDDs behind its band-bucket
+    * checkpoint, so eager pipelines (dedupCorpus, minhashCalibration,
+    * sourceLeakage) can free them once candidates are materialized.
+    *
+    * The bucket table is SPREAD + lazily materialized ONCE: its two
+    * consumers (the bucket-size census and the id-collecting join-back)
+    * sit under DIFFERENT projections, so ReuseExchange never dedupes
+    * them and the whole signature pass — the corpus-sized cost of the
+    * operator — used to run TWICE per action (measured at the sf0.1
+    * bench: two ~0.3 s signature jobs inside every LSH query; at scale
+    * that is two full corpus scans + md5 passes where one suffices).
+    * The checkpoint is LAZY (computed by the first action, no extra
+    * eager job) and carries 3 flat columns per (doc, band). */
+  private[ext] def lshCandidatesTracked(spark: SparkSession, docs: DataFrame,
+      bands: Int = 4, maxBucket: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text",
+      capMetrics: Option[org.apache.spark.sql.Observation] = None)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    // spread BEFORE the signature expression: a one-split corpus scan
+    // would serialize the whole minhash pass on one task (Par.spread)
+    val sig = minhashSignatures(spark, Par.spreadIfBig(docs), idCol, textCol)
     val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
-    val buckets = sig.selectExpr("doc_id", s"stack($bands, $stack) AS (band, bucket)")
+    val (buckets, bucketRdds) = checkpointLazyTracked(
+      sig.selectExpr("doc_id", s"stack($bands, $stack) AS (band, bucket)"))
     val sized0 = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsize"))
     val sized = capMetrics.fold(sized0)(o => sized0.observe(o,
@@ -144,7 +173,7 @@ object Dedup {
     val small = sized
       .filter(col("bsize").between(2, maxBucket))
       .select(col("band"), col("bucket"))
-    buckets.join(small, Seq("band", "bucket")) // drops mega-buckets pre-collect
+    (buckets.join(small, Seq("band", "bucket")) // drops mega-buckets pre-collect
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(explode(expr(
@@ -153,7 +182,7 @@ object Dedup {
           |    struct(x AS a_id, y AS b_id))))""".stripMargin)).as("pair"))
       .select(col("pair.a_id"), col("pair.b_id"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+      .agg(count(lit(1)).as("n_shared_bands")), bucketRdds)
   }
 
   /** Exact cap diagnostics as a standalone one-row aggregate (OP-A5 as
@@ -166,7 +195,7 @@ object Dedup {
     * shuffles, no join — same cost shape as the signature stage. */
   def lshCapStats(spark: SparkSession, docs: DataFrame, bands: Int = 4,
       maxBucket: Int = 10, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sig = minhashSignatures(spark, docs, idCol, textCol)
+    val sig = minhashSignatures(spark, Par.spreadIfBig(docs), idCol, textCol)
     val stack = (0 until bands).map(b => s"$b, sig[$b]").mkString(", ")
     sig.selectExpr("doc_id", s"stack($bands, $stack) AS (band, bucket)")
       .groupBy(col("band"), col("bucket"))
@@ -205,6 +234,11 @@ object Dedup {
     // reference would otherwise re-evaluate the whole subtree per side
     // (exchange reuse is plan-dependent, not a guarantee)
     val (cp, cpRdds) = checkpointTracked(pairs.select(col("a_id"), col("b_id")))
+    // (probed round 14: a localCheckpoint does NOT carry its input's
+    // hash partitioning under AQE — LogicalRDD reports
+    // UnknownPartitioning — so pre-partitioning edges by the hop join
+    // key here would buy nothing; the hop joins broadcast the label
+    // side or re-exchange as AQE decides)
     val (edges, edgeRdds) = checkpointTracked(
       cp.unionAll(cp.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .distinct())
@@ -281,28 +315,42 @@ object Dedup {
     * across a full round. Output schema matches `clusters`:
     * (node, cluster_id = component minimum). */
   def clustersAltStar(spark: SparkSession, pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // Both star steps repartition BY u up front: hash(u) clusters (u, v)
+    // too, so the distinct, the per-u min aggregate AND the join-back
+    // all run on that ONE exchange within the star's plan (previously
+    // the distinct exchanged on (u, v), then the aggregate and join each
+    // re-exchanged on u — ~4 exchanges per star; guide §2.4). The
+    // explicit repartition is load-bearing: a localCheckpoint reports
+    // UnknownPartitioning under AQE (probed round 14), so each star must
+    // (re-)establish the u-clustering itself — once, not per consumer.
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u")).distinct()
       val mins = sym.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
       sym.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
+        .repartition(col("u")).distinct()
     }
+    // smallStar's input is ALWAYS a largeStar output (see the loop):
+    // every edge already oriented u > v (v ≤ old-u < new-u by the
+    // large-star re-hang) and already distinct — the general form's
+    // re-orientation pass (filter u≠v + greatest/least + a distinct
+    // exchange of the full edge set) is a no-op here and is dropped.
+    // No repartition of its own: the input is largeStar's output IN THE
+    // SAME PLAN (the round is one fused materialization — see the loop),
+    // already u-partitioned by largeStar's final repartition+distinct,
+    // so the min aggregate and the join-back are exchange-free and the
+    // double reference shares largeStar's exchanges via ReuseExchange.
     def smallStar(e: DataFrame): DataFrame = {
-      // orient each edge large→small, group smaller neighbors under u
-      val dir = e.filter(col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        .distinct()
-      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val hangNbrs = dir.join(mins, Seq("u"))
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val hangNbrs = e.join(mins, Seq("u"))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
       val hangSelf = mins.select(col("u"), col("m").as("v"))
-      hangNbrs.unionAll(hangSelf).distinct()
+      hangNbrs.unionAll(hangSelf).repartition(col("u")).distinct()
     }
     val rddsByFrame = new java.util.IdentityHashMap[DataFrame, Seq[org.apache.spark.rdd.RDD[_]]]()
     // order-independent edge-set fingerprint: read via Observation at the
@@ -328,9 +376,12 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val (ls, _) = checksum(largeStar(edges)) // intermediate; freed below
-      val (next, nextSum) = checksum(smallStar(ls))
-      release(ls)
+      // ONE materialization per round: small-star over large-star is a
+      // single fused plan (large-star's output exchange is shared by
+      // small-star's two references, so no intermediate checkpoint is
+      // needed to avoid re-evaluation — round 14; previously each round
+      // paid two checkpoint jobs and ~7 exchanges, now one job and 3)
+      val (next, nextSum) = checksum(smallStar(largeStar(edges)))
       release(edges)
       edges = next
       converged = nextSum == prevSum
@@ -382,20 +433,36 @@ object Dedup {
     * reference. `dedupCorpus` calls this directly with its own tracked
     * checkpoint so the blocks can be released once components exist. */
   private def verifyCheckpointed(spark: SparkSession, cp: DataFrame, docs: DataFrame,
-      threshold: Double, idCol: String, textCol: String): DataFrame = {
+      threshold: Double, idCol: String, textCol: String): DataFrame =
+    verifyCheckpointedTracked(spark, cp, docs, threshold, idCol, textCol)._1
+
+  /** [[verifyCheckpointed]] handing back the RDDs behind its shingle-set
+    * checkpoint so corpus pipelines (dedupCorpus, the winnow chain) can
+    * free them once components are materialized. The shingle side is
+    * SPREAD + materialized ONCE: unmaterialized, the a/b join branches
+    * each re-ran the shingles8 pass, and a one-split corpus scan
+    * serialized each run on a single task (two ~0.8 s single-task jobs
+    * inside every verify at the sf0.1 bench — half the stage's wall).
+    * The set is candidate-bounded (semi-joined to pair ids), so the
+    * checkpoint pins O(candidates) rows, same class as the pair
+    * checkpoint it sits beside. */
+  private def verifyCheckpointedTracked(spark: SparkSession, cp: DataFrame,
+      docs: DataFrame, threshold: Double, idCol: String, textCol: String)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     graft.functions.Shingles8.register(spark)
     val ids = cp.select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
-    val sets = docs.filter(col(textCol).isNotNull)
-      .join(ids, Seq(idCol), "left_semi")
-      .select(col(idCol), expr(s"shingles8($textCol)").as("sh"))
+    val (sets, setsRdds) = checkpointLazyTracked(
+      Par.spread(docs.filter(col(textCol).isNotNull)
+          .join(ids, Seq(idCol), "left_semi"))
+        .select(col(idCol), expr(s"shingles8($textCol)").as("sh")))
     val a = sets.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
     val b = sets.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    cp.join(a, Seq("a_id")).join(b, Seq("b_id"))
+    (cp.join(a, Seq("a_id")).join(b, Seq("b_id"))
       .withColumn("jaccard", ratio6(inter, union)) // exact 6-dp, engine-proof
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .select(col("a_id"), col("b_id"), col("jaccard")), setsRdds)
   }
 
   /** Asymmetric CONTAINMENT verification over candidate pairs: where
@@ -421,9 +488,12 @@ object Dedup {
     graft.functions.Shingles8.register(spark)
     val cp = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
     val ids = cp.select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
-    val sets = docs.filter(col(textCol).isNotNull)
-      .join(ids, Seq(idCol), "left_semi")
+    // spread + materialize once: both ratio directions read the same
+    // candidate-bounded shingle sets (see verifyCheckpointedTracked)
+    val sets = Par.spread(docs.filter(col(textCol).isNotNull)
+        .join(ids, Seq(idCol), "left_semi"))
       .select(col(idCol), expr(s"shingles8($textCol)").as("sh"))
+      .localCheckpoint(false) // lazy: materializes once, on the first action
     val a = sets.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
     val b = sets.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
@@ -455,14 +525,20 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.MinHash48.register(spark)
     graft.functions.Shingles8.register(spark)
-    val cp = lshCandidates(spark, docs, bands, maxBucket, idCol, textCol)
-      .select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val (cand0, bucketRdds) = lshCandidatesTracked(
+      spark, docs, bands, maxBucket, idCol, textCol)
+    val cp = cand0.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    bucketRdds.foreach(_.unpersist(blocking = false)) // cp materialized
     val ids = cp.select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
-    val side = docs.filter(col(textCol).isNotNull)
-      .join(ids, Seq(idCol), "left_semi")
+    // spread + materialize once: the a/b join branches would otherwise
+    // each re-run the signature + shingle pass, serialized on a
+    // one-split scan (two ~1.2 s single-task jobs at the sf0.1 bench)
+    val side = Par.spread(docs.filter(col(textCol).isNotNull)
+        .join(ids, Seq(idCol), "left_semi"))
       .select(col(idCol),
         expr(s"minhash48($textCol)").as("sig"),
         expr(s"shingles8($textCol)").as("sh"))
+      .localCheckpoint(false) // lazy: materializes once, on the first action
     val a = side.select(col(idCol).as("a_id"),
       col("sig").as("sig_a"), col("sh").as("sh_a"))
     val b = side.select(col(idCol).as("b_id"),
@@ -500,9 +576,12 @@ object Dedup {
   def sourceLeakage(spark: SparkSession, docs: DataFrame,
       threshold: Double = 0.2, idCol: String = "doc_id",
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
-    val pairs = verifyCandidates(spark,
-      lshCandidates(spark, docs, idCol = idCol, textCol = textCol),
-      docs, threshold, idCol, textCol)
+    val (cand0, bucketRdds) = lshCandidatesTracked(
+      spark, docs, idCol = idCol, textCol = textCol)
+    val pairs = verifyCandidates(spark, cand0, docs, threshold, idCol, textCol)
+    // verifyCandidates checkpointed the pair set eagerly — the
+    // band-bucket blocks behind it are dead now
+    bucketRdds.foreach(_.unpersist(blocking = false))
     val src = docs.select(col(idCol), col(srcCol))
     pairs
       .join(src.select(col(idCol).as("a_id"), col(srcCol).as("src_a")), Seq("a_id"))
@@ -571,14 +650,18 @@ object Dedup {
     // a single execution, and the pair set is candidate-bounded (the
     // cheap side to pin). Its blocks are tracked so they can be freed
     // the moment components are materialized below.
-    val (pairs, pairsRdds) = checkpointTracked(
-      lshCandidates(spark, afterExact, bands, maxBucket, idCol, textCol, capMetrics))
+    val (cand0, bucketRdds) = lshCandidatesTracked(
+      spark, afterExact, bands, maxBucket, idCol, textCol, capMetrics)
+    val (pairs, pairsRdds) = checkpointTracked(cand0)
+    // the pairs checkpoint just materialized — the band-bucket blocks
+    // behind it are dead now
+    bucketRdds.foreach(_.unpersist(blocking = false))
     // precision gate: score each candidate's TRUE shingle Jaccard and
     // keep only real near-dups before the (chain-merging) components
-    val confirmed =
+    val (confirmed, verifyRdds) =
       if (verifyThreshold > 0.0)
-        verifyCheckpointed(spark, pairs, afterExact, verifyThreshold, idCol, textCol)
-      else pairs
+        verifyCheckpointedTracked(spark, pairs, afterExact, verifyThreshold, idCol, textCol)
+      else (pairs, Seq.empty[org.apache.spark.rdd.RDD[_]])
     // the near-dup DROP set is bounded by the LSH candidate graph, which
     // on a heavily-duplicated corpus is a constant fraction of the
     // corpus — NOT broadcastable by fiat. Left unhinted: AQE broadcasts
@@ -593,10 +676,12 @@ object Dedup {
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as(idCol))
     // clusters() materialized its labels with truncated lineage, so the
-    // pairs checkpoint is unreachable from the returned plan — free it
-    // now instead of leaking it for the session's lifetime; same for
-    // the exact-window cache (its two eager consumers have run)
+    // pairs + verify-set checkpoints are unreachable from the returned
+    // plan — free them now instead of leaking them for the session's
+    // lifetime; same for the exact-window cache (its eager consumers
+    // have run)
     pairsRdds.foreach(_.unpersist(blocking = false))
+    verifyRdds.foreach(_.unpersist(blocking = false))
     afterExact.unpersist(blocking = false)
     afterExact.join(dropNearDup, Seq(idCol), "left_anti")
   }
@@ -680,15 +765,20 @@ object Dedup {
       .filter(col("rk") === 1)
       .drop("content_hash", "rk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (pairs, pairsRdds) = checkpointTracked(graft.ext.TextStats
-      .winnowCandidates(afterExact, k, w, maxDf, minShared, idCol, textCol)
-      .select(col("a_id"), col("b_id")))
-    val confirmed =
+    val (cand0, fpRdds) = graft.ext.TextStats.winnowCandidatesTracked(
+      afterExact, k, w, maxDf, minShared, idCol, textCol)
+    val (pairs, pairsRdds) = checkpointTracked(
+      cand0.select(col("a_id"), col("b_id")))
+    // the pairs checkpoint just materialized — the fingerprint blocks
+    // behind it are dead now
+    fpRdds.foreach(_.unpersist(blocking = false))
+    val (confirmed, verifyRdds) =
       if (verifyThreshold > 0.0)
-        verifyCheckpointed(spark, pairs, afterExact, verifyThreshold, idCol, textCol)
-      else pairs
+        verifyCheckpointedTracked(spark, pairs, afterExact, verifyThreshold, idCol, textCol)
+      else (pairs, Seq.empty[org.apache.spark.rdd.RDD[_]])
     (afterExact, pairs, confirmed, () => {
       pairsRdds.foreach(_.unpersist(blocking = false))
+      verifyRdds.foreach(_.unpersist(blocking = false))
       afterExact.unpersist(blocking = false)
     })
   }
@@ -794,7 +884,9 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.Shingles8.register(spark)
     // exact stage: content-hash anti-join (the seen hash set is
-    // corpus-sized — unhinted, AQE picks the strategy)
+    // corpus-sized — unhinted, AQE picks the strategy; the three
+    // consumers' replays share the seen-side exchange via
+    // ReusedExchange, so the corpus-sized build is shuffled once)
     val seenHashes = seenDocs.select(md5(col(textCol)).as("content_hash")).distinct()
     val notExact = newDocs
       .withColumn("content_hash", md5(col(textCol)))
@@ -1206,6 +1298,9 @@ object Dedup {
     val notExact = newHashed
       .join(broadcast(seenMatched), Seq("content_hash"), "left_anti")
       .drop("content_hash")
+    // (probed round 14: spreading this 1-task winnow pass measured
+    // SLOWER — fpN feeds a broadcast build, and a shuffle inside the
+    // build's stage chain costs more than the 0.8 s pass it splits)
     val fpN = notExact.filter(col(textCol).isNotNull)
       .select(col(idCol).as("new_id"), explode(expr(
         s"array_distinct(transform(winnow_keys($textCol), x -> x DIV 8192))"))
@@ -1415,7 +1510,9 @@ object Dedup {
       maxBucket: Int = 0, idCol: String = "doc_id",
       textCol: String = "text",
       capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val lanes = simhashLanes(docs, idCol, textCol)
+    // spread BEFORE the per-word md5 vote pass (Par.spread): the
+    // signature expression is the corpus-sized cost of this operator
+    val lanes = simhashLanes(Par.spreadIfBig(docs), idCol, textCol)
     // the four 16-bit lanes PACK into one long (disjoint bit ranges),
     // so Σ per-lane bit_count(xor) == ONE bit_count over the packed
     // xor, and every shuffled row / collected member carries 2 flat
@@ -1427,6 +1524,12 @@ object Dedup {
     val packed = lanes.select(col("doc_id"),
       expr("lanes[0] | shiftleft(lanes[1], 16) | shiftleft(lanes[2], 32)" +
         " | shiftleft(lanes[3], 48)").as("packed"))
+      // LAZY checkpoint: hammingNearDup64 references its input twice
+      // (bucket census + id-collecting join-back) under different
+      // projections — ReuseExchange never dedupes them, so without this
+      // the per-word signature pass runs twice per action. Two flat
+      // longs per row; materialized by the first action, no extra job.
+      .localCheckpoint(false)
     hammingNearDup64(spark, packed, maxDist, maxBucket, capMetrics)
   }
 
@@ -1588,11 +1691,14 @@ object Dedup {
     // eight 16-bit lanes pack into TWO longs (the hammingNearDup64
     // packing argument ×2): every shuffled row / collected member
     // carries 3 flat longs, and the Hamming check is two bit_counts
-    val packed = simhashLanes128(docs, idCol, textCol).select(col("doc_id"),
+    val packed = simhashLanes128(Par.spreadIfBig(docs), idCol, textCol).select(col("doc_id"),
       expr("lanes[0] | shiftleft(lanes[1], 16) | shiftleft(lanes[2], 32)" +
         " | shiftleft(lanes[3], 48)").as("lo"),
       expr("lanes[4] | shiftleft(lanes[5], 16) | shiftleft(lanes[6], 32)" +
         " | shiftleft(lanes[7], 48)").as("hi"))
+      // LAZY checkpoint — same double-reference rationale as
+      // simhashNearDup's packed frame; three flat longs per row
+      .localCheckpoint(false)
     hammingNearDup128(spark, packed, maxDist, maxBucket, capMetrics)
   }
 

@@ -645,10 +645,7 @@ object Similarity {
     * task). The round-robin repartition moves only the bytes-per-row
     * code payload — noise next to that loop; at production scale the
     * scan already arrives in many splits and this is a no-op. */
-  private def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+  private def spread(df: DataFrame): DataFrame = Par.spread(df)
 
   def pqSearchADC(spark: SparkSession, emb: DataFrame, codes: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]],
@@ -963,10 +960,20 @@ object Similarity {
     * probe scan is footer-bound no more. */
   private def writeIvfFrom(spark: SparkSession, base: DataFrame,
       cents: DataFrame, path: String): Unit = {
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    val model = graft.functions.CentroidModelRef.collect(
-      spark.read.parquet(s"$path/centroids")
-        .select(col("centroid_id"), col("cv"), col("cn")))
+    import spark.implicits._
+    // ONE evaluation of the centroid frame: collect it, register the
+    // model, and write the COLLECTED rows back out — parquet round-trips
+    // doubles exactly, so this is bit-identical to the old
+    // write → re-read → collect shape while saving a read job + a
+    // listing per build (the model collect sorts by id, so neither the
+    // collect order nor the file row order carries meaning).
+    val rows = cents.select(col("centroid_id"), col("cv"), col("cn"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
+    val model = graft.functions.CentroidModelRef(
+      rows.map { case (id, v, n) => (id, v: Seq[Double], n) })
+    rows.toDF("centroid_id", "cv", "cn").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
     graft.functions.CentroidTopK.register(spark, model)
     spread(base
       .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")))

@@ -1093,13 +1093,29 @@ object TextStats {
     * exactly like the MinHash path. */
   def winnowCandidates(docs: DataFrame, k: Int = 3, w: Int = 4,
       maxDf: Int = 10, minShared: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fps = winnow(docs, k, w, idCol, textCol)
-      .select(col(idCol), col("fp")).distinct()
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    winnowCandidatesTracked(docs, k, w, maxDf, minShared, idCol, textCol)._1
+
+  /** [[winnowCandidates]] handing back the RDDs behind its fingerprint
+    * checkpoint (the [[graft.ext.Dedup.lshCandidatesTracked]] contract):
+    * the distinct (doc, fp) table is SPREAD + lazily materialized ONCE —
+    * its two consumers (df census, posting join-back) sit under
+    * different projections, so ReuseExchange never dedupes them and the
+    * winnow fingerprint pass used to run twice per action. Eager
+    * pipelines release the blocks once candidates materialize. */
+  private[ext] def winnowCandidatesTracked(docs: DataFrame, k: Int = 3,
+      w: Int = 4, maxDf: Int = 10, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    // spread BEFORE the fingerprint pass (Par.spread): a one-split
+    // corpus scan would serialize the winnow explode on one task
+    val (fps, fpRdds) = graft.ext.Dedup.checkpointLazyTracked(
+      winnow(Par.spreadIfBig(docs), k, w, idCol, textCol)
+        .select(col(idCol), col("fp")).distinct())
     val small = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
       .select(col("fp"))
-    fps.join(small, Seq("fp")) // drops boilerplate fps pre-collect
+    (fps.join(small, Seq("fp")) // drops boilerplate fps pre-collect
       .groupBy(col("fp"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .select(explode(expr(
@@ -1109,6 +1125,6 @@ object TextStats {
       .select(col("pair.a_id"), col("pair.b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+      .filter(col("n_shared") >= minShared), fpRdds)
   }
 }

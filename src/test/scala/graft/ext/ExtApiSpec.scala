@@ -323,8 +323,13 @@ class ExtApiSpec extends SparkSpec {
     // verify plan itself scans the checkpoint, it contains no LSH at all
     assert(!p.contains("minhash48"), p)
     assert(!p.contains("stack("), p)
-    // shingle sets are computed only for candidate ids, not the corpus
-    assert(p.contains("LeftSemi"), p)
+    // the shingle-set side is a lazily-checkpointed candidate-bounded
+    // frame (computed ONCE for both join directions — round 14): the
+    // verify plan reads its blocks, never the corpus itself, and the
+    // semi-join to candidate ids lives inside that checkpoint's lineage
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("LocalTableScan"), s"corpus rescanned by verify:\n$p")
+    assert(!p.contains("shingles8"), s"shingle pass not shared:\n$p")
     // and the verify result is still correct (identical docs 1,4 at 1.0)
     val got = v.collect().map(r =>
       (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard"))).toSet

@@ -26,6 +26,10 @@ object RelationalQueries {
   private val q01 = Q(
     "q01_pricing_summary",
     (s, d) => {
+      // (probed round 14: repartitioning the one-row-group scan to
+      // parallelize the 600k-row partial aggregate measured SLOWER —
+      // 1.03 → 1.25 s — the numeric agg is too cheap per row to pay a
+      // shuffle for, unlike the string/hash expression passes)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(

@@ -887,7 +887,17 @@ object Dedup {
     // corpus-sized — unhinted, AQE picks the strategy; the three
     // consumers' replays share the seen-side exchange via
     // ReusedExchange, so the corpus-sized build is shuffled once)
-    val seenHashes = seenDocs.select(md5(col(textCol)).as("content_hash")).distinct()
+    // the SEEN side is corpus-sized (unlike bandBuckets' increment-sized
+    // hot path) and pays THREE per-row passes (md5, minhash, shingles) —
+    // spread once, shared by all three sites (identical exchange subtree
+    // → ReuseExchange). Size-gated: at sf0.1 the three serial passes are
+    // ~0.25 s each and the forced exchange measured NEGATIVE (0.7 s per
+    // pass at 33 tasks — shuffle machinery over text rows out-costs the
+    // work it parallelizes), so the gate keeps small fixtures on the
+    // no-shuffle path and fires from the sf1-class decade up, where the
+    // corpus-sized pass is seconds and the exchange still ~0.3 s.
+    val seen = Par.spreadIfBig(seenDocs)
+    val seenHashes = seen.select(md5(col(textCol)).as("content_hash")).distinct()
     val notExact = newDocs
       .withColumn("content_hash", md5(col(textCol)))
       .join(seenHashes, Seq("content_hash"), "left_anti")
@@ -896,7 +906,7 @@ object Dedup {
     // are capped exactly like lshCandidates' (no signal, unbounded cost)
     val bN = bandBuckets(spark, notExact, bands, idCol, textCol)
       .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
-    val bS = bandBuckets(spark, seenDocs, bands, idCol, textCol)
+    val bS = bandBuckets(spark, seen, bands, idCol, textCol)
       .select(col("doc_id").as("seen_id"), col("band"), col("bucket"))
     val smallS = bS.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bsize"))
@@ -908,7 +918,7 @@ object Dedup {
     val setsN = notExact.filter(col(textCol).isNotNull)
       .join(cand.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
       .select(col(idCol).as("new_id"), expr(s"shingles8($textCol)").as("sh_n"))
-    val setsS = seenDocs.filter(col(textCol).isNotNull)
+    val setsS = seen.filter(col(textCol).isNotNull)
       .join(cand.select(col("seen_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
       .select(col(idCol).as("seen_id"), expr(s"shingles8($textCol)").as("sh_s"))
     val inter = size(array_intersect(col("sh_n"), col("sh_s")))

@@ -294,10 +294,24 @@ object Sketches {
   def bloomDecontaminate(docs: DataFrame, evalPred: Column, n: Int = 3,
       bits: Int = 65536, hashes: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val evalBits = bloomEvalBits(docs, evalPred, n, bits, hashes,
-      idCol, textCol)
     val grams = gramsOf(docs, evalPred, n, idCol, textCol)
-    val bloomDocs = grams.filter(!col("is_eval"))
+    // the eval gram SET feeds both the bit-position build and the exact
+    // verdict below — one eval-bounded pass, materialized once (lazy:
+    // the first action pays it, every later consumer reads the blocks)
+    val evalGrams = grams.filter(col("is_eval"))
+      .select(col("gram")).distinct()
+      .localCheckpoint(false)
+    val evalBits = evalGrams
+      .select(explode(expr(positionsExpr(hashes, bits))).as("p"))
+      .distinct()
+    // the corpus gram stream runs ONCE: the (doc, gram) pairs whose
+    // positions are all set are candidate-bounded, so the EXACT verdict
+    // derives from them by one semi-join against the eval gram set —
+    // Bloom has no false negatives, so every exactly-shared gram is a
+    // candidate (guide §3.2: the filter that already exists pre-filters
+    // the exact join's corpus side; previously the exact stage re-ran
+    // the full corpus gram explode a second time)
+    val candidates = grams.filter(!col("is_eval"))
       .select(col(idCol), col("gram")).distinct()
       .select(col(idCol), col("gram"),
         explode(expr(positionsExpr(hashes, bits))).as("p"))
@@ -305,14 +319,21 @@ object Sketches {
       .groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("n_set"))
       .filter(col("n_set") === hashes)
+      .select(col(idCol), col("gram"))
+      .localCheckpoint(false)
+    val bloomDocs = candidates
       .select(col(idCol)).distinct()
       .withColumn("bloom_hit", lit(true))
-    TextStats.decontaminate(docs, evalPred, n, idCol = idCol,
-        textCol = textCol)
+    val exactDocs = candidates
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("exact_hit", lit(true))
+    docs.filter(!evalPred).select(col(idCol))
       .join(bloomDocs, Seq(idCol), "left")
+      .join(exactDocs, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"),
-        col("contaminated").as("exact_hit"))
+        coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
       .withColumn("false_pos", col("bloom_hit") && !col("exact_hit"))
       .orderBy(col(idCol))
   }

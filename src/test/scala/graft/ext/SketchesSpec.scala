@@ -121,6 +121,36 @@ class SketchesSpec extends SparkSpec {
     assert(got(7L)._2 == false)
   }
 
+  test("bloomDecontaminate: candidate-derived exact_hit ≡ decontaminate's verdict") {
+    // the exact verdict is computed FROM the bloom candidate set (no
+    // false negatives ⇒ every exactly-shared gram is a candidate) — pin
+    // it row-for-row against the independent full gram semi-join on a
+    // corpus with organic 3-gram overlap (97-word vocabulary, 60 docs)
+    val d = docs(Seq.tabulate(60) { i =>
+      // even ids: organic 3-gram overlap (97-word cyclic vocabulary);
+      // odd ids: doc-unique tokens — clean by construction
+      val words =
+        if (i % 2 == 0) Seq.tabulate(12)(j => s"w${(i * 7 + j * 3) % 97}")
+        else Seq.tabulate(12)(j => s"u${i}x$j")
+      (i.toLong, words.mkString(" "), s"s${i % 3}")
+    })
+    val evalPred = col("doc_id") % 5 === 0
+    val got = Sketches.bloomDecontaminate(d, evalPred)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("bloom_hit"), r.getAs[Boolean]("exact_hit"))).toMap
+    val expect = TextStats.decontaminate(d, evalPred)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("contaminated")).toMap
+    assert(got.keySet == expect.keySet, "one row per non-eval doc")
+    expect.foreach { case (id, exact) =>
+      assert(got(id)._2 == exact, s"doc $id: exact_hit ${got(id)._2} != $exact")
+      assert(!exact || got(id)._1, s"doc $id: exact hit must be a bloom hit")
+    }
+    // the synthetic vocabulary overlaps by construction — the pin must
+    // exercise both verdicts, not a trivially all-false corpus
+    assert(expect.values.exists(identity) && expect.values.exists(!_))
+  }
+
   test("bloom narrow (compiled) ≡ relational on edges: empty, short, null text") {
     import spark.implicits._
     val d = Seq(

@@ -155,9 +155,16 @@ object Bench {
     // poison every floor — and query names quoted inside the escaped
     // "tail" string), and only from rounds measured at THIS sf (a floor
     // from a smaller scale factor would flag every legitimately-slower
-    // row as 3x-over and trigger two full re-measures of the suite).
-    // The driver's BENCH_r{N}.json wraps Bench's own output under
-    // "parsed"; a bare Bench artifact is the object itself.
+    // row as 3x-over and trigger two full re-measures of the suite)
+    // AND at this CORE COUNT (same hazard on the other axis, measured:
+    // an 8-core suite run against 32-core floors re-measured 33 rows
+    // and persisted 12 misleading respread_over entries — rows that
+    // are honestly slower on fewer cores, not contaminated). The
+    // driver's BENCH_r{N}.json wraps Bench's own output under "parsed"
+    // and records the core count at the ROOT as "cpus"; a bare Bench
+    // artifact is the object itself (it now records "cpus" too, below).
+    // An artifact with no core count anywhere is assumed comparable —
+    // every committed wrapper to date carries one.
     val trailing: Map[String, Double] = {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val acc = collection.mutable.Map[String, Double]()
@@ -167,7 +174,11 @@ object Bench {
           try {
             val root = mapper.readTree(p.toFile)
             val node = if (root.has("parsed")) root.get("parsed") else root
+            val fileCpus = Seq(root.path("cpus").asText(""),
+              if (node != null && !node.isNull) node.path("cpus").asText("")
+              else "").filter(_.nonEmpty)
             if (node != null && !node.isNull &&
+                (fileCpus.isEmpty || fileCpus.contains(cpus)) &&
                 node.path("sf").asText("") == sfDir &&
                 node.path("queries").isObject) {
               val qn = node.get("queries")
@@ -214,8 +225,12 @@ object Bench {
     val respreadJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
     val overJson = stillOver.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // core count rides in the artifact so future trailing-floor reads
+    // can match on it (emitted as a number when the env var is one)
+    val cpusJson = scala.util.Try(cpus.trim.toInt.toString)
+      .getOrElse("\"" + cpus + "\"")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","calibration":$calibJson,"noise":${f"$noise%.3f"},"attempt_noise":$allNoise,"spreads":$spreads,"respread":$respreadJson,"respread_over":$overJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","cpus":$cpusJson,"calibration":$calibJson,"noise":${f"$noise%.3f"},"attempt_noise":$allNoise,"spreads":$spreads,"respread":$respreadJson,"respread_over":$overJson}"""
     // Full per-query map goes to a known FILE: sbt wraps stdout in [info]
     // prefixes (broke round 1) and at 80 queries the full line overflows
     // the driver's stdout tail-capture window (broke round 4:
@@ -230,7 +245,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"runs":$runs,"sf":"$sfDir","calibration":$calibJson,"noise":${f"$noise%.3f"},"attempt_noise":$allNoise,"full":"${outPath.toString}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"runs":$runs,"sf":"$sfDir","cpus":$cpusJson,"calibration":$calibJson,"noise":${f"$noise%.3f"},"attempt_noise":$allNoise,"full":"${outPath.toString}"}""")
     spark.stop()
   }
 }

@@ -946,7 +946,15 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     MinHash48.register(spark)
     graft.functions.Shingles8.register(spark)
-    docs.filter(col(textCol).isNotNull)
+    // spread BEFORE the three heavy per-row expressions: a one-row-group
+    // corpus arrives as ONE split, and the snapshot build (this chain's
+    // only corpus-sized pass) serialized on a single task — measured at
+    // the 50k-doc decade as a 4.7 s one-task job holding half of q152's
+    // wall while 31 cores idled. Gated on the size estimate so the
+    // sf0.1-and-under fixtures keep their exchange-free plan (the
+    // unconditional form regressed them — round-14 wave-1 negative);
+    // at production split counts both forms are no-ops.
+    Par.spreadIfBig(docs.filter(col(textCol).isNotNull))
       .select(col(idCol).as("doc_id"),
         md5(col(textCol)).as("content_hash"),
         expr(s"minhash48($textCol)").as("sig"),
@@ -998,6 +1006,14 @@ object Dedup {
     val cand = bN.join(bS.join(smallS, Seq("band", "bucket")), Seq("band", "bucket"))
       .select(col("new_id"), col("seen_id")).distinct()
       .localCheckpoint(true) // candidate-bounded; referenced 3× below
+    // NOT spread (round-14 measured negative, both decades): the fresh
+    // side's shingle pass does serialize on the one-split scan (4.3 s
+    // one-task job at the 50k decade), but a repartition here loses the
+    // size stats the downstream three-way join uses to broadcast, so
+    // the spread reshaped it into fat shingle-array shuffles that cost
+    // MORE at sf1 (8.4→9.9 s) and regressed sf0.1 (+0.4–0.7 s across
+    // q103/q152/q170). At production split counts the fresh increment
+    // arrives in many splits and the hazard vanishes.
     val setsN = notExact.filter(col(textCol).isNotNull)
       .join(cand.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
       .select(col(idCol).as("new_id"), expr(s"shingles8($textCol)").as("sh_n"))
@@ -1027,7 +1043,10 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.WinnowKeys.register(spark, k, w)
     graft.functions.Shingles8.register(spark)
-    docs.filter(col(textCol).isNotNull)
+    // scale-gated spread ahead of the heavy per-row pass — see
+    // incrementalSnapshot (same measured single-task hazard, same
+    // sf0.1 no-op guarantee)
+    Par.spreadIfBig(docs.filter(col(textCol).isNotNull))
       .select(col(idCol).as("doc_id"),
         md5(col(textCol)).as("content_hash"),
         expr(s"array_distinct(transform(winnow_keys($textCol), x -> x DIV 8192))")
@@ -1102,6 +1121,9 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
       .select(col("new_id"), col("seen_id"))
       .localCheckpoint(true) // candidate-bounded; referenced 3× below
+    // NOT spread — same measured negative as dedupIncrementalPersisted
+    // (see there): the repartition's stats loss reshaped the scoring
+    // join into fat shingle shuffles, worse at both decades
     val setsN = notExact.filter(col(textCol).isNotNull)
       .join(cand.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
       .select(col(idCol).as("new_id"), expr(s"shingles8($textCol)").as("sh_n"))

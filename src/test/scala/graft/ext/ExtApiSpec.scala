@@ -611,6 +611,39 @@ class ExtApiSpec extends SparkSpec {
     assert(recomputed.forall(_ >= 300L) && recomputed.size >= 8) // dups dropped
   }
 
+  test("snapshot builders: scale-gated spread fires above the gate and never changes the row set") {
+    import spark.implicits._
+    // >2 MB ONE-ROW-GROUP parquet arrival (the real hazard shape — a
+    // LocalRelation's stats use per-type default sizes and would never
+    // clear the gate): over Par.spreadIfBig's 2 MB gate, so the heavy
+    // per-row pass must leave the single split; the same corpus
+    // arriving already at full parallelism must take the no-op path;
+    // both must produce the identical snapshot row set. Distinct
+    // tokens keep parquet from dictionary-compressing under the gate.
+    val dir = java.nio.file.Files.createTempDirectory("snap-spread").toString
+    (0L until 3000L)
+      .map(i => (i, ("doc " + i + " ") +
+        (0 until 300).map(j => "w" + (i * 1000 + j)).mkString(" ")))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir)
+    assert(one.rdd.getNumPartitions == 1, "fixture must arrive one-split")
+    val par = spark.sparkContext.defaultParallelism
+    val preSpread = one.repartition(par)
+    for ((name, build) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        "incrementalSnapshot" -> (d => Dedup.incrementalSnapshot(spark, d)),
+        "winnowSnapshot" -> (d => Dedup.winnowSnapshot(spark, d)))) {
+      val spread = build(one)
+      assert(spread.rdd.getNumPartitions == par,
+        s"$name: gate did not fire on a >2MB one-split input")
+      val noop = build(preSpread)
+      assert(noop.rdd.getNumPartitions == par, name)
+      assert(spread.collect().map(_.toString).sorted.toSeq ==
+        noop.collect().map(_.toString).sorted.toSeq,
+        s"$name: spread changed the snapshot row set")
+    }
+  }
+
   test("dedupIncrementalPersisted never scans the seen corpus — only the pruned snapshot") {
     import spark.implicits._
     val seenDir = java.nio.file.Files.createTempDirectory("seen-corpus").toString

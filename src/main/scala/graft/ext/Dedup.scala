@@ -2383,8 +2383,13 @@ object Dedup {
     val (cnts, cntBlocks) = checkpointTracked {
       graft.functions.GramKeys.register(spark, Seq(spanWords),
         graft.functions.MinHash48.MaxShinglePos - 1)
-      docs
-        .filter(size(split(col(textCol), " ")) >= spanWords)
+      // scale-gated spread before the gram explode: the corpus-wide
+      // counting pass partial-aggregates ON the scan's splits, so a
+      // one-row-group arrival serialized it (2.6 s two-task job = half
+      // of q87's wall at the 50k decade); no-op at sf0.1 (under the
+      // gate) and at production split counts
+      Par.spreadIfBig(docs
+          .filter(size(split(col(textCol), " ")) >= spanWords))
         .select(col(idCol).as("doc_id"),
           posexplode(expr(s"gram_keys($textCol)")).as(Seq("i", "t")))
         .select(col("doc_id"), col("i"), col("t.h").as("spanh"))
@@ -2447,8 +2452,10 @@ object Dedup {
       textCol: String): DataFrame = {
     graft.functions.GramKeys.register(docs.sparkSession, Seq(spanWords),
       graft.functions.MinHash48.MaxShinglePos - 1)
-    docs
-      .filter(size(split(col(textCol), " ")) >= spanWords)
+    // scale-gated spread before the explode (see repeatedSpans — same
+    // one-split serialization hazard on the corpus-wide gram pass)
+    Par.spreadIfBig(docs
+        .filter(size(split(col(textCol), " ")) >= spanWords))
       .select(col(idCol).as("doc_id"),
         explode(expr(s"gram_keys($textCol)")).as("t"))
       .select(col("doc_id"), col("t.h").as("spanh"))
@@ -2476,13 +2483,26 @@ object Dedup {
   def dupSpanStats(docs: DataFrame, spanWords: Int = 8, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val maxPos = graft.functions.MinHash48.MaxShinglePos
-    val spans = spanKeyRows(docs, spanWords, idCol, textCol)
-    val dupSpans = spans.groupBy(col("spanh"))
-      .agg(countDistinct(col("doc_id")).as("span_docs"))
+    // the span stream feeds BOTH the dup-span census and the per-doc
+    // count, under different aggregations — unmaterialized, each
+    // reference re-ran the corpus gram explode (two 1.1–2.7 s
+    // under-split jobs = 60% of q88's wall at the 50k decade). One
+    // per-(spanh, doc) partial aggregate is computed ONCE behind a lazy
+    // checkpoint (materializes on the first action; ContextCleaner
+    // frees the blocks when the caller drops the frame — the
+    // containment pattern); both consumers derive from it exactly:
+    // span_docs = row count per spanh (the pairs are distinct by
+    // construction), per-doc dup count = Σ occurrences over dup spans.
+    val pairs = spanKeyRows(docs, spanWords, idCol, textCol)
+      .groupBy(col("spanh"), col("doc_id"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(false)
+    val dupSpans = pairs.groupBy(col("spanh"))
+      .agg(count(lit(1)).as("span_docs"))
       .filter(col("span_docs") >= minDocs)
       .select(col("spanh"))
-    val dupPerDoc = spans.join(dupSpans, Seq("spanh"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    val dupPerDoc = pairs.join(dupSpans, Seq("spanh"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("_c")).as("n_dup_spans"))
     docs
       .select(col(idCol).as("doc_id"),
         least(greatest(size(split(col(textCol), " ")) - (spanWords - 1), lit(0)),

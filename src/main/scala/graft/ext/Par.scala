@@ -16,6 +16,10 @@ import org.apache.spark.sql.DataFrame
   * keeps it scale-adaptive — never a constant tuned for local mode). */
 private[graft] object Par {
   def spread(df: DataFrame): DataFrame = {
+    // streaming frames have no driver-inspectable rdd (the probe below
+    // throws UnsupportedOperationChecker); their micro-batches arrive
+    // already split by the source — pass through untouched
+    if (df.isStreaming) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
@@ -35,6 +39,7 @@ private[graft] object Par {
     * per-row expressions are heavy enough that the exchange won at
     * sf0.1 already, and join stats under-estimate. */
   def spreadIfBig(df: DataFrame, minBytes: Long = 2L << 20): DataFrame = {
+    if (df.isStreaming) return df // see spread
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par &&
         df.queryExecution.optimizedPlan.stats.sizeInBytes > minBytes)

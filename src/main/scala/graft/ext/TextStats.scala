@@ -1024,6 +1024,13 @@ object TextStats {
     require(sizes.nonEmpty && sizes == sizes.sorted && sizes.distinct == sizes,
       s"sizes must be distinct ascending, got $sizes")
     graft.functions.GramKeys.register(docs.sparkSession, sizes)
+    // NOT spread (round-14 measured negative): the corpus-side gram
+    // explode does ride the scan's 1-2 splits, but its ~1 s job at the
+    // 50k decade is not CPU-serialization-bound (spread to 34 tasks it
+    // still read ~1 s — the stage's wall is the (n,g) shuffle write),
+    // and the repartition itself cost +0.4 s net (1.77 → 2.16 s) since
+    // BOTH gram references pay the exchange. Same-window stash A/B,
+    // QBench min-of-4.
     val grams = docs
       .select(col(idCol), evalPred.as("is_eval"),
         explode(expr(s"gram_keys($textCol)")).as("t"))
@@ -1073,7 +1080,14 @@ object TextStats {
     // distinct-set output; m < w (including null/short docs) yields an
     // empty array the explode drops.
     graft.functions.WinnowKeys.register(docs.sparkSession, k, w)
-    docs.filter(col(textCol).isNotNull)
+    // scale-gated spread before the compiled selection: a one-row-group
+    // corpus arrives in 1-2 splits and the per-row pass serializes
+    // there (q133 at the 50k decade: two ~1 s two-task jobs — the
+    // range-sort's sampling pass and the sort pass each run the
+    // selection); no-op under 2 MB (sf0.1 gate) and at production
+    // split counts, and a no-op for winnowCandidates, whose input is
+    // already spread
+    Par.spreadIfBig(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), explode(expr(s"winnow_keys($textCol)")).as("key"))
       .select(col(idCol), expr("key % 8192").as("pos"),
         expr("key DIV 8192").as("fp"))

@@ -165,41 +165,49 @@ object Clustering {
     require(k >= 1, s"k=$k must be >= 1")
     Dot64.register(spark)
     import spark.implicits._
-    // per-round checkpoints tracked via the backing LogicalRDD
-    // (Dedup.checkpointTracked) — robust to concurrent jobs persisting
-    // their own blocks during a round
-    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
-      Dedup.checkpointTracked(df)
     val base = emb.select(col(idCol).cast("long").as("vec_id"),
       expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("vv", expr("dot64(v, v)"))
     val seed = base.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("v"), col("vv")).collect()(0)
-    // same IEEE arithmetic as the literal form: (vv − 2·dot) + cc with
-    // the newest center riding as the literal array column cN
-    var (cur, blocks) = checkpointTracked(
+    // per-round checkpoints are LAZY and tracked via the backing
+    // LogicalRDD (Dedup.checkpointLazyTracked — robust to concurrent
+    // jobs persisting their own blocks): each round's argmax collect
+    // MATERIALIZES the pending fold in the same job, so a round costs
+    // ONE blocking driver round-trip instead of two (round 15, guide
+    // §2.4 / VERDICT r14 item 5). The superseded round's blocks are
+    // freed only AFTER the next round materializes — a lazy checkpoint
+    // truncates lineage, so early-freed blocks would be unrecoverable.
+    // Same IEEE arithmetic as the literal form: (vv − 2·dot) + cc with
+    // the newest center riding as the literal array column cN.
+    var (cur, blocks) = Dedup.checkpointLazyTracked(
       base.withColumn("cN", typedLit(seed.getSeq[Double](1)))
         .withColumn("md",
           col("vv") - lit(2.0) * expr("dot64(v, cN)") + lit(seed.getDouble(2)))
         .select(col("vec_id"), col("v"), col("vv"), col("md")))
+    var prevBlocks: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
     val sels = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](
       (1L, seed.getLong(0), 0.0))
     var r = 2
     while (r <= k) {
       val cand = cur.orderBy(col("md").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), col("v"), col("vv"), col("md")).collect()(0)
+      // cur is materialized now — the round before it can be freed
+      prevBlocks.foreach(_.unpersist(blocking = false))
       sels += ((r.toLong, cand.getLong(0), cand.getDouble(3)))
-      val (next, nextBlocks) = checkpointTracked(
+      val (next, nextBlocks) = Dedup.checkpointLazyTracked(
         cur.withColumn("cN", typedLit(cand.getSeq[Double](1)))
           .withColumn("md", least(col("md"),
             col("vv") - lit(2.0) * expr("dot64(v, cN)") + lit(cand.getDouble(2))))
           .select(col("vec_id"), col("v"), col("vv"), col("md")))
-      blocks.foreach(_.unpersist(blocking = false))
+      prevBlocks = blocks
       cur = next
       blocks = nextBlocks
       r += 1
     }
+    // the radius aggregate materializes the final round's fold
     val radius2 = cur.agg(max(col("md"))).collect()(0).getDouble(0)
+    prevBlocks.foreach(_.unpersist(blocking = false))
     blocks.foreach(_.unpersist(blocking = false))
     sels.toSeq.toDF("rank", "vec_id", "sel_d2")
       .withColumn("sel_d2", round(col("sel_d2"), 6) + lit(0.0))

@@ -151,7 +151,16 @@ object Dedup {
     * bench: two ~0.3 s signature jobs inside every LSH query; at scale
     * that is two full corpus scans + md5 passes where one suffices).
     * The checkpoint is LAZY (computed by the first action, no extra
-    * eager job) and carries 3 flat columns per (doc, band). */
+    * eager job) and carries 3 flat columns per (doc, band).
+    *
+    * The checkpoint is deliberately NOT scale-gated (round-15 probe,
+    * guide §1.2): gating it off below Par.isBig's bar — the VERDICT
+    * r14 hypothesis that the persist overhead caused q137's bench
+    * regression — measured WORSE across the board in a controlled
+    * same-session A/B at sf0.1 (q104 3.72→4.81, q137 3.80→5.15,
+    * q134 2.65→3.31, q65 1.93→2.48, q52 0.67→0.83 min-of-3): the
+    * doubled signature pass costs more than the persist even on the
+    * small fixtures, and at scale the checkpoint wins by construction. */
   private[ext] def lshCandidatesTracked(spark: SparkSession, docs: DataFrame,
       bands: Int = 4, maxBucket: Int = 10, idCol: String = "doc_id",
       textCol: String = "text",
@@ -1561,6 +1570,8 @@ object Dedup {
       // projections — ReuseExchange never dedupes them, so without this
       // the per-word signature pass runs twice per action. Two flat
       // longs per row; materialized by the first action, no extra job.
+      // NOT scale-gated — the round-15 gating probe measured worse at
+      // sf0.1 too (see lshCandidatesTracked).
       .localCheckpoint(false)
     hammingNearDup64(spark, packed, maxDist, maxBucket, capMetrics)
   }
@@ -1729,7 +1740,8 @@ object Dedup {
       expr("lanes[4] | shiftleft(lanes[5], 16) | shiftleft(lanes[6], 32)" +
         " | shiftleft(lanes[7], 48)").as("hi"))
       // LAZY checkpoint — same double-reference rationale as
-      // simhashNearDup's packed frame; three flat longs per row
+      // simhashNearDup's packed frame; three flat longs per row. NOT
+      // scale-gated (round-15 probe — see lshCandidatesTracked).
       .localCheckpoint(false)
     hammingNearDup128(spark, packed, maxDist, maxBucket, capMetrics)
   }

@@ -24,26 +24,35 @@ private[graft] object Par {
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
-  /** [[spread]] gated on the optimizer's size estimate: only worth a
-    * round-robin exchange when the under-split input actually holds
-    * enough work to amortize one (A/B at the sf0.1 bench: spreading a
-    * 0.6 MB one-split corpus scan ahead of the minhash/simhash pass
-    * cost MORE in shuffle machinery than the ~0.3 s single-task pass it
-    * parallelized — q52 +0.12 s, q171 +0.63 s — while the same spread
-    * is a pure win one decade up, where the pass is ~3 s and the
-    * exchange still ~0.3 s). 2 MB keeps sf0.1-class fixtures on the
-    * no-shuffle path and fires from the sf1-class decade upward; at
-    * production scale the scan arrives in many splits and neither form
-    * does anything. Callers whose input is a candidate-bounded
-    * semi-join (verify sets) use the unconditional [[spread]] — their
-    * per-row expressions are heavy enough that the exchange won at
-    * sf0.1 already, and join stats under-estimate. */
+  /** The scale gate shared by [[spreadIfBig]] and the lazy signature
+    * checkpoints: the optimizer's size estimate of `df` clears
+    * `minBytes`. Below the bar, a round-robin exchange (or a persist of
+    * the derived signature table) costs more than the single-task pass
+    * it would save — measured at the sf0.1 bench both ways (spread:
+    * q52 +0.12 s, q171 +0.63 s; checkpoint: q52 0.77→0.97 s,
+    * q85 0.56→0.79 s) — while one decade up the duplicated/serialized
+    * corpus pass is seconds and either remedy wins. Streaming frames
+    * report not-big: their micro-batches arrive already split and a
+    * driver-side rdd probe is illegal on them anyway. */
+  def isBig(df: DataFrame, minBytes: Long = 2L << 20): Boolean =
+    !df.isStreaming &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes > minBytes
+
+  /** [[spread]] gated on [[isBig]]: only worth a round-robin exchange
+    * when the under-split input actually holds enough work to amortize
+    * one. 2 MB keeps sf0.1-class fixtures on the no-shuffle path and
+    * fires from the sf1-class decade upward; at production scale the
+    * scan arrives in many splits and neither form does anything.
+    * Callers whose input is a candidate-bounded semi-join (verify sets)
+    * use the unconditional [[spread]] — their per-row expressions are
+    * heavy enough that the exchange won at sf0.1 already, and join
+    * stats under-estimate. The size gate runs FIRST: the partition
+    * probe (`df.rdd`) forces physical planning of the subtree, so on
+    * the common small-fixture path the cheaper stats check short-
+    * circuits it (the suite is driver-latency bound at sf0.1). */
   def spreadIfBig(df: DataFrame, minBytes: Long = 2L << 20): DataFrame = {
-    if (df.isStreaming) return df // see spread
+    if (!isBig(df, minBytes)) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes > minBytes)
-      df.repartition(par)
-    else df
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 }

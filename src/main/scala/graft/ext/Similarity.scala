@@ -218,7 +218,7 @@ object Similarity {
     // probes' and cand's centroid_id are both DERIVED from the same
     // base relation, the self-referencing-join shape where Spark 4.1's
     // InferFiltersFromConstraints manufactures an unresolvable
-    // f(v) <=> key condition (see capHotClusters — localCheckpoint
+    // f(v) <=> key condition (see assignCensused — localCheckpoint
     // alone does NOT strip origin constraints)
     val cp = spread(base
       .select(col("vec_id").as("n_id"), col("v").as("vn"), col("nrm").as("nn")))
@@ -282,7 +282,10 @@ object Similarity {
       .withColumn("cosine", round(expr("dot64(va, vb)") / (col("na") * col("nb")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"))
-    val drop = Dedup.clusters(spark, pairs)
+    // alternating stars, matching semanticDedupFixed: semantic dup
+    // families chain, so the pair graph's diameter is data-bounded and
+    // label propagation's round count with it (see there)
+    val drop = Dedup.clustersAltStar(spark, pairs)
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("vec_id"))
     emb.withColumnRenamed(idCol, "vec_id").join(drop, Seq("vec_id"), "left_anti")
@@ -337,7 +340,7 @@ object Similarity {
     * centroid, the rank window partitions by source vector; pass
     * `maxCluster` (+ `capMetrics`) to exclude boilerplate mega-clusters
     * from the quadratic pair work with an observable drop — see
-    * [[capHotClusters]]. Capped members emit no rows (like
+    * [[assignCensused]]. Capped members emit no rows (like
     * singletons); kept clusters are bit-identical to unguarded.
     * `pairSalts` defaults to 0 = census-derived ([[deriveSalts]] over
     * the already-materialized assignment — metadata-scale); salting
@@ -351,48 +354,19 @@ object Similarity {
     require(pairSalts >= 0,
       s"pairSalts=$pairSalts must be >= 1, or 0 to derive from the census")
     graft.functions.TopKCosRound.register(spark)
-    // the assignment is materialized and CONSTRAINT-FREE re-wrapped
-    // BEFORE the cap's size self-join: capHotClusters joins the
-    // assignment to its own aggregate on the argmin-DERIVED centroid
-    // column, which is exactly the shape that trips Spark 4.1's
-    // InferFiltersFromConstraints into pushing an f(v) <=> centroid
-    // condition into the aggregate branch where v no longer exists
-    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind — reproduced at 256
-    // centroids by SaltedKnnProbe). Materializing here also computes
-    // the assignment once for the size pass AND the pair sides.
-    val (cp0, cp0Blocks) = Dedup.checkpointTracked(
-      assignFixed(spark, emb, centroids, dims))
-    val assigned = capHotClusters(
-      spark.createDataFrame(cp0.rdd, cp0.schema), maxCluster, capMetrics)
-
     // SALTED pair generation: a dense corpus collapses into few cells
     // (the 10×-vector bench landed 2/3 of 20k vectors in two cells →
     // 46M pairs in ONE task each), so the A side carries a
     // deterministic md5 sub-salt and the B side replicates ×pairSalts
     // — identical pair set, largest task ÷pairSalts (B-side shuffle
     // ×pairSalts; vectors are the replicated payload). The assignment
-    // is localCheckpointed FIRST: it is computed once instead of once
-    // per join branch, and the fresh LogicalRDD attributes keep the
-    // salted self-join out of Spark 4.1's constraint-propagation bugs
-    // on deduplicated lineage (UnionBase.rewriteConstraints /
-    // BroadcastNestedLoopJoin condition binding both misbind v's
-    // original exprId when the shared subtree is re-aliased).
-    val assignedCp = {
-      val cp = assigned.localCheckpoint(true)
-      // re-wrap the checkpointed blocks as a constraint-free relation
-      // for the SALTED self-join below (same trap class as above:
-      // LogicalRDD preserves origin constraints). The cap stats fire
-      // exactly once, during this materialization. The pre-cap
-      // assignment blocks are released now — everything downstream
-      // reads this capped materialization.
-      cp0Blocks.foreach(_.unpersist(blocking = false))
-      spark.createDataFrame(cp.rdd, cp.schema)
-    }
-    // pairSalts = 0 → derive from the kept-cell census (self-join:
-    // the sample side IS the cell, pair work = c²); the census reads
-    // the checkpoint just materialized above — metadata-scale
-    val salts = if (pairSalts == 0) deriveSalts(assignedCp, "centroid", None)
-                else pairSalts
+    // materializes ONCE behind [[assignCensused]]'s single checkpoint
+    // + census job (cap, always-on stats and salt count from one
+    // collected |centroids|-bounded aggregate); the result is lazy, so
+    // the blocks stay with the returned frame (ContextCleaner frees
+    // them when the caller drops it — release intentionally unused).
+    val (assignedCp, salts, _) = assignCensused(spark, emb, centroids,
+      dims, maxCluster, capMetrics, None, pairSalts)
     val a = assignedCp.select(col("vec_id").as("a_id"), col("centroid"),
       col("v").as("va"), col("nrm").as("na"))
       .withColumn("_salt",
@@ -454,32 +428,66 @@ object Similarity {
       (maxPairs + TargetPairsPerSalt - 1) / TargetPairsPerSalt)).toInt
   }
 
-  /** Hot-centroid guard for the in-cluster self-joins: pair work is
-    * O(Σ cᵢ²) BY DESIGN, but one mega-cluster (boilerplate-heavy
-    * corpora collapse into few cells) makes a single task quadratic —
-    * c = 10M members is 10¹⁴ pairs, which no salting rescues (salt
-    * spreads the quadratic work, it doesn't shrink it). The guard
-    * EXCLUDES clusters above `maxCluster` from the pair join entirely
-    * (whole-cluster, deterministic — never a sample, so the kept
-    * clusters' results are bit-identical to the unguarded form).
+  /** The shared head of every fixed-grid salted pair entry point
+    * ([[knnGraph]], [[semanticDedupFixed]], [[nearDupPairsAnn]]):
+    * materialize the assignment ONCE, then answer the three questions
+    * every caller asks — the hot-centroid cap, its ALWAYS-ON stats, and
+    * the pair-salt count — from ONE collected |centroids|-bounded
+    * census aggregate.
     *
-    * ALWAYS ON: the cluster-size pass (one partial-aggregable groupBy
-    * to a |centroids|-row table + a broadcast semi-join — tiny next to
-    * the quadratic pair join it guards) runs on every call, and the
+    * Hot-centroid guard: pair work is O(Σ cᵢ²) BY DESIGN, but one
+    * mega-cluster (boilerplate-heavy corpora collapse into few cells)
+    * makes a single task quadratic — c = 10M members is 10¹⁴ pairs,
+    * which no salting rescues (salt spreads the quadratic work, it
+    * doesn't shrink it). The guard EXCLUDES clusters above `maxCluster`
+    * from the pair join entirely (whole-cluster, deterministic — never
+    * a sample, so the kept clusters' results are bit-identical to the
+    * unguarded form). ALWAYS ON: the census runs on every call and the
     * cap stats (q74's discipline: capped_clusters / capped_members /
     * max_cluster_size) are ALWAYS emitted — through the caller's
     * `capMetrics` Observation when provided, else as a named
-    * `cluster_cap_stats` observation any QueryExecutionListener reads.
-    * A first-time user on a boilerplate-heavy corpus therefore SEES
-    * the mega-cluster (max_cluster_size) before it costs hours, even
-    * with the default `maxCluster = Int.MaxValue` (which excludes
-    * nothing — q142/q153 oracles unchanged). Metrics fire exactly once
-    * per run: consumers checkpoint immediately downstream, so the
-    * observed subtree executes once there. */
-  private def capHotClusters(assigned: DataFrame, maxCluster: Int,
-      capMetrics: Option[org.apache.spark.sql.Observation]): DataFrame = {
-    val sized0 = assigned.groupBy(col("centroid"))
-      .agg(count(lit(1)).as("csize"))
+    * `cluster_cap_stats` observation any QueryExecutionListener reads —
+    * and fire exactly once, at the census collect. A first-time user on
+    * a boilerplate-heavy corpus therefore SEES the mega-cluster
+    * (max_cluster_size) before it costs hours, even with the default
+    * `maxCluster = Int.MaxValue` (which excludes nothing — q142/q153
+    * oracles unchanged).
+    *
+    * Plan shape (round 15, guide §2.4): the round-14 form paid TWO
+    * eager checkpoints (the raw assignment, then the cap semi-join's
+    * output) plus a separate [[deriveSalts]] aggregate — three blocking
+    * driver round-trips per call. The census collect replaces the last
+    * two: the kept-cell set becomes a literal `isInCollection` filter
+    * over the one materialized checkpoint (cheap per reference — the
+    * assignment is never recomputed), and the salt count is
+    * [[deriveSalts]]' exact formula evaluated driver-side over the kept
+    * census rows (samplePred counts the sample side; None = self-join,
+    * pair work c²). The checkpoint is CONSTRAINT-FREE re-wrapped before
+    * any self-join: the argmin-derived centroid key is exactly the
+    * shape that trips Spark 4.1's InferFiltersFromConstraints into
+    * pushing an f(v) <=> centroid condition into a branch where v no
+    * longer exists (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind —
+    * reproduced at 256 centroids by SaltedKnnProbe); the fresh
+    * LogicalRDD attributes also dodge the constraint-propagation bugs
+    * on deduplicated lineage (UnionBase.rewriteConstraints /
+    * BroadcastNestedLoopJoin condition binding).
+    *
+    * Returns (capped constraint-free assignment, salts, release).
+    * Release is the CALLER's: eager pipelines free the blocks once a
+    * downstream checkpoint makes them unreachable; lazy consumers drop
+    * the frame and the ContextCleaner follows. */
+  private def assignCensused(spark: SparkSession, emb: DataFrame,
+      centroids: Int, dims: Int, maxCluster: Int,
+      capMetrics: Option[org.apache.spark.sql.Observation],
+      samplePred: Option[org.apache.spark.sql.Column], pairSalts: Int)
+      : (DataFrame, Int, () => Unit) = {
+    val (cp0, cp0Blocks) = Dedup.checkpointTracked(
+      assignFixed(spark, emb, centroids, dims))
+    val free = spark.createDataFrame(cp0.rdd, cp0.schema)
+    val sized0 = free.groupBy(col("centroid")).agg(
+      count(lit(1)).as("csize"),
+      samplePred.fold(count(lit(1)))(p =>
+        sum(when(p, lit(1L)).otherwise(lit(0L)))).as("ssize"))
     val stats = Seq(
       sum(when(col("csize") > maxCluster, lit(1L)).otherwise(lit(0L)))
         .as("capped_clusters"),
@@ -490,9 +498,22 @@ object Similarity {
       case Some(o) => sized0.observe(o, stats.head, stats.tail: _*)
       case None => sized0.observe("cluster_cap_stats", stats.head, stats.tail: _*)
     }
-    assigned
-      .join(broadcast(sized.filter(col("csize") <= maxCluster)
-        .select(col("centroid"))), Seq("centroid"))
+    val census = sized.select(col("centroid"), col("csize"), col("ssize"))
+      .collect()
+    val kept = census.filter(_.getLong(1) <= maxCluster)
+    val salts = if (pairSalts > 0) pairSalts else {
+      val maxPairs = if (kept.isEmpty) 0L
+        else kept.map(r => r.getLong(2) * r.getLong(1)).max
+      math.min(MaxSalts.toLong, math.max(1L,
+        (maxPairs + TargetPairsPerSalt - 1) / TargetPairsPerSalt)).toInt
+    }
+    val assigned =
+      if (kept.length == census.length) free
+      else if (kept.isEmpty) free.filter(lit(false))
+      else free.filter(col("centroid")
+        .isInCollection(kept.map(_.getLong(0)).toSeq))
+    (assigned, salts,
+      () => cp0Blocks.foreach(_.unpersist(blocking = false)))
   }
 
   def semanticDedupFixed(spark: SparkSession, emb: DataFrame,
@@ -505,29 +526,14 @@ object Similarity {
     // capped clusters are excluded from PAIR GENERATION only: their
     // members still flow to the survivor set untouched (conservative
     // keep-all — a boilerplate mega-cluster is flagged, never silently
-    // deduped on a task that would run for hours). The assignment is
-    // materialized + constraint-free re-wrapped BEFORE the cap's size
-    // self-join — same Spark 4.1 InferFiltersFromConstraints trap as
-    // knnGraph, on the argmin-derived centroid key (see there).
-    val (cp0, cp0Blocks) = Dedup.checkpointTracked(
-      assignFixed(spark, emb, k, dims))
-    val assigned = capHotClusters(
-      spark.createDataFrame(cp0.rdd, cp0.schema), maxCluster, capMetrics)
-    // same salted self-join as knnGraph: dense corpora collapse into
+    // deduped on a task that would run for hours). One checkpoint +
+    // one census job answers cap/stats/salts — see assignCensused.
+    // Same salted self-join as knnGraph: dense corpora collapse into
     // few cells, so the quadratic in-cell pair work spreads over
     // pairSalts tasks per cell (identical pair set — A carries one
-    // deterministic salt, B replicates across all of them). Same
-    // checkpoint + constraint-free re-wrap as knnGraph: the assignment
-    // computes once for both sides, and the argmin-derived centroid
-    // constraint never reaches the self-join (see knnGraph).
-    val assignedCp = {
-      val cp = assigned.localCheckpoint(true)
-      cp0Blocks.foreach(_.unpersist(blocking = false))
-      spark.createDataFrame(cp.rdd, cp.schema)
-    }
-    // pairSalts = 0 → census-derived (see knnGraph)
-    val salts = if (pairSalts == 0) deriveSalts(assignedCp, "centroid", None)
-                else pairSalts
+    // deterministic salt, B replicates across all of them).
+    val (assignedCp, salts, releaseAssign) = assignCensused(spark, emb,
+      k, dims, maxCluster, capMetrics, None, pairSalts)
     val a = assignedCp.select(col("vec_id").as("a_id"), col("centroid"),
       col("v").as("va"), col("nrm").as("na"))
       .withColumn("_salt",
@@ -547,12 +553,26 @@ object Similarity {
       .withColumn("_rc", expr("dot64(va, vb)") / (col("na") * col("nb")))
       .filter(expr(s"round_ge(_rc, CAST($threshold AS DOUBLE), 4)"))
       .select(col("a_id"), col("b_id"))
-    val drop = Dedup.clusters(spark, pairs)
+    // components via ALTERNATING STARS, not label propagation (round
+    // 15, guide §1.2/§2.4): semantic near-dup families CHAIN — a
+    // boilerplate template connects A–B, B–C, … — so the verified pair
+    // graph's diameter grows with the family length, and label
+    // propagation pays diameter/2 materialized rounds (JobTime at
+    // sf0.1: NINE rounds ≈ 56 of q142's 78 jobs; at any scale the
+    // round count is data-, not plan-, bounded). The alternating-star
+    // form converges in O(log n) rounds on any diameter with identical
+    // labels (spec-pinned equivalence — see dedupCorpus.deepGraphs).
+    val drop = Dedup.clustersAltStar(spark, pairs)
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("vec_id"))
+    // clusters() is eager and its labels are checkpointed with
+    // truncated lineage — the assignment blocks are unreachable from
+    // `drop`, so free them now rather than leak them for the session
+    releaseAssign()
     // survivor set over ALL members (capped clusters included): a
-    // fresh lazy assignment plan, as before — the materialized cp0 is
-    // already released above and must not be referenced lazily
+    // fresh lazy assignment plan, as before — the materialized
+    // assignment is already released above and must not be referenced
+    // lazily
     assignFixed(spark, emb, k, dims).select(col("vec_id"), col("centroid"))
       .join(drop, Seq("vec_id"), "left_anti")
       .orderBy(col("vec_id"))
@@ -788,19 +808,12 @@ object Similarity {
       pairSalts: Int = 0): DataFrame = {
     require(pairSalts >= 0,
       s"pairSalts=$pairSalts must be >= 1, or 0 to derive from the census")
-    val (cp0, cp0Blocks) = Dedup.checkpointTracked(
-      assignFixed(spark, emb, centroids, dims))
-    val assigned = capHotClusters(
-      spark.createDataFrame(cp0.rdd, cp0.schema), maxCluster, capMetrics)
-    val assignedCp = {
-      val cp = assigned.localCheckpoint(true)
-      cp0Blocks.foreach(_.unpersist(blocking = false))
-      spark.createDataFrame(cp.rdd, cp.schema)
-    }
-    // pairSalts = 0 → census-derived over the kept cells (pair work
-    // per cell = |sample_i|·c_i; the census reads the checkpoint)
-    val salts = if (pairSalts == 0)
-      deriveSalts(assignedCp, "centroid", Some(samplePred)) else pairSalts
+    // one checkpoint + one census job for cap/stats/salts (pair work
+    // per cell = |sample_i|·c_i — samplePred counts the sample side);
+    // the result is lazy, so the blocks stay with the returned frame
+    // (ContextCleaner — see assignCensused)
+    val (assignedCp, salts, _) = assignCensused(spark, emb, centroids,
+      dims, maxCluster, capMetrics, Some(samplePred), pairSalts)
     val a = assignedCp.filter(samplePred)
       .select(col("vec_id").as("a_id"), col("centroid"),
         col("v").as("va"), col("nrm").as("na"))

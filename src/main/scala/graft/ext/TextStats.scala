@@ -512,12 +512,21 @@ object TextStats {
   def bpeTrainVocab(docs: DataFrame, nMerges: Int = 10,
       textCol: String = "text"): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    // checkpoints are LAZY (round 15, guide §2.4 / VERDICT r14 item 5):
+    // each round's pair-count collect MATERIALIZES the pending rewrite
+    // in the same job, so a merge costs ONE blocking driver round-trip
+    // instead of two (eager-rewrite job + collect job). The superseded
+    // table's blocks are freed only AFTER the next table materializes —
+    // a lazy checkpoint truncates lineage, so blocks freed early would
+    // be unrecoverable, not recomputed.
     var syms = docs.filter(col(textCol).isNotNull)
       .select(explode(expr(s"slice(split($textCol, ' '), 1, $MaxNgramPos)")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), expr("split(w, '')").as("syms"), col("cnt"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var prev: DataFrame = null // superseded table, freed post-materialization
+    var fresh = true // syms not yet materialized by any action
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 0
     var done = false
@@ -530,6 +539,8 @@ object TextStats {
         .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
+      fresh = false
+      if (prev != null) { prev.unpersist(false); prev = null }
       if (top.isEmpty) done = true
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -547,11 +558,21 @@ object TextStats {
              |      named_struct('acc', concat(st.acc, array(st.pend)), 'pend', s))),
              |  st -> IF(st.pend IS NULL, st.acc, concat(st.acc, array(st.pend))))""".stripMargin)
           .as("syms"), col("cnt"))
-          .localCheckpoint(true) // lineage: one rewrite deep, always
-        syms.unpersist(false)
+          .localCheckpoint(false) // lineage: one rewrite deep, always
+        prev = syms
         syms = next
+        fresh = true
       }
     }
+    if (fresh) {
+      // the final rewrite was never pulled through an action: pin it
+      // now so the superseded table can be freed and the returned
+      // vocab is a self-contained checkpoint (the caller-owns-
+      // unpersist contract) — one job per CALL, where the eager form
+      // paid one per merge
+      syms.count()
+    }
+    if (prev != null) prev.unpersist(false)
     (merges.toSeq, syms)
   }
 
@@ -1039,8 +1060,20 @@ object TextStats {
       .select(col("n"), col("g")).distinct()
     val sharedCols = sizes.map(n =>
       sum(when(col("n") === n, 1L).otherwise(0L)).as(s"shared$n"))
+    // the eval side is BENCHMARK-bounded (|eval docs| × rungs × the
+    // 4096-start cap), never corpus-proportional — broadcast it, so the
+    // corpus-side gram stream joins where it is generated instead of
+    // shuffling by (n, g). Round-14 measured that exchange as the
+    // query's wall (the explode's ~1 s job at the 50k decade was
+    // shuffle-WRITE bound — spreading the explode moved nothing); the
+    // planner can't see it because post-explode size estimates are
+    // inflated, hence the explicit hint (guide §3.1: estimates are
+    // often badly wrong after explode — hint when you know a side is
+    // bounded; same discipline as the eval-bounded builds in q118/q140).
+    // The doc-id aggregate then completes map-side-partial and ships
+    // |docs| rows, not the gram stream.
     val shared = grams.filter(!col("is_eval"))
-      .join(evalGrams, Seq("n", "g"), "left_semi")
+      .join(broadcast(evalGrams), Seq("n", "g"), "left_semi")
       .groupBy(col(idCol))
       .agg(sharedCols.head, sharedCols.tail: _*)
     val depth = sizes.reverse.foldRight(lit(0L)) { (n, acc) =>
@@ -1121,10 +1154,11 @@ object TextStats {
       w: Int = 4, maxDf: Int = 10, minShared: Int = 2,
       idCol: String = "doc_id", textCol: String = "text")
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    // spread BEFORE the fingerprint pass (Par.spread): a one-split
-    // corpus scan would serialize the winnow explode on one task
+    // the spread lives inside winnow() (gated there); the checkpoint is
+    // NOT scale-gated — the round-15 gating probe measured worse at
+    // sf0.1 too (see Dedup.lshCandidatesTracked)
     val (fps, fpRdds) = graft.ext.Dedup.checkpointLazyTracked(
-      winnow(Par.spreadIfBig(docs), k, w, idCol, textCol)
+      winnow(docs, k, w, idCol, textCol)
         .select(col(idCol), col("fp")).distinct())
     val small = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))

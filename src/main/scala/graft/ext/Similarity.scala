@@ -498,22 +498,49 @@ object Similarity {
       case Some(o) => sized0.observe(o, stats.head, stats.tail: _*)
       case None => sized0.observe("cluster_cap_stats", stats.head, stats.tail: _*)
     }
-    val census = sized.select(col("centroid"), col("csize"), col("ssize"))
-      .collect()
-    val kept = census.filter(_.getLong(1) <= maxCluster)
-    val salts = if (pairSalts > 0) pairSalts else {
-      val maxPairs = if (kept.isEmpty) 0L
-        else kept.map(r => r.getLong(2) * r.getLong(1)).max
-      math.min(MaxSalts.toLong, math.max(1L,
-        (maxPairs + TargetPairsPerSalt - 1) / TargetPairsPerSalt)).toInt
+    def salted(census: Array[org.apache.spark.sql.Row]): Int =
+      if (pairSalts > 0) pairSalts else {
+        val kept = census.filter(_.getLong(1) <= maxCluster)
+        val maxPairs = if (kept.isEmpty) 0L
+          else kept.map(r => r.getLong(2) * r.getLong(1)).max
+        math.min(MaxSalts.toLong, math.max(1L,
+          (maxPairs + TargetPairsPerSalt - 1) / TargetPairsPerSalt)).toInt
+      }
+    if (maxCluster == Int.MaxValue) {
+      // no cap can engage (the default): the one checkpoint IS the
+      // pair-join input, and ONE collected |centroids|-bounded census
+      // job fires the always-on stats and prices the salts — the
+      // round-14 shape paid a whole second eager checkpoint (the cap
+      // semi-join's materialization) plus a separate deriveSalts pass
+      val census = sized.select(col("centroid"), col("csize"), col("ssize"))
+        .collect()
+      (free, salted(census),
+        () => cp0Blocks.foreach(_.unpersist(blocking = false)))
+    } else {
+      // a finite cap may exclude cells: keep the round-14 shape — the
+      // census rides the kept-subset checkpoint's own materialization
+      // as a broadcast semi-join build (cap stats fire there), so the
+      // blocks are scanned once, not once for a census and again for
+      // the filter (probed round 15: a separate census + filter cost
+      // ~+15% on the 200k-vector capped corpus)
+      val capped = free.join(
+        broadcast(sized.filter(col("csize") <= maxCluster)
+          .select(col("centroid"))), Seq("centroid"))
+      val (cp2, cp2Blocks) = Dedup.checkpointTracked(capped)
+      cp0Blocks.foreach(_.unpersist(blocking = false))
+      val keptCp = spark.createDataFrame(cp2.rdd, cp2.schema)
+      val salts = if (pairSalts > 0) pairSalts else {
+        // the kept census over the compact checkpoint (metadata-scale)
+        val census = keptCp.groupBy(col("centroid")).agg(
+          count(lit(1)).as("csize"),
+          samplePred.fold(count(lit(1)))(p =>
+            sum(when(p, lit(1L)).otherwise(lit(0L)))).as("ssize"))
+          .select(col("centroid"), col("csize"), col("ssize")).collect()
+        salted(census)
+      }
+      (keptCp, salts,
+        () => cp2Blocks.foreach(_.unpersist(blocking = false)))
     }
-    val assigned =
-      if (kept.length == census.length) free
-      else if (kept.isEmpty) free.filter(lit(false))
-      else free.filter(col("centroid")
-        .isInCollection(kept.map(_.getLong(0)).toSeq))
-    (assigned, salts,
-      () => cp0Blocks.foreach(_.unpersist(blocking = false)))
   }
 
   def semanticDedupFixed(spark: SparkSession, emb: DataFrame,

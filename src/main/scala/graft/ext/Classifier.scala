@@ -257,14 +257,34 @@ object Classifier {
     }
     val labeled = docs
       .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
-    val words = labeled
+    // scale-gated spread before the corpus explodes (round 15): the
+    // sf1 probe read the model's corpus aggregates on TWO tasks — the
+    // one-row-group corpus arrives as 1-2 splits and the vocab/count
+    // passes serialize there. No-op under the 2 MB gate and at
+    // production split counts (guide §2.5, the bigramLmScore fix).
+    // Only the EXPLODE feed is spread: the priors' per-label row count
+    // over `labeled` is narrow and cheap on any split count, and
+    // routing it through the round-robin exchange would shuffle the
+    // full text payload for a count (probed: q175/q177 +0.5 s at sf1).
+    val words = Par.spreadIfBig(labeled)
       .select(col(labelCol).as("label"),
         explode(split(col(textCol), " ")).as("w"))
-    val vocab = tracked(words.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    // ONE corpus explode pass (round 15, guide §2.4): the full
+    // (label, word) histogram is computed first — word-type × label
+    // bounded, far smaller than the corpus — and BOTH model tables
+    // derive from it: the vocab truncation re-aggregates it by word
+    // (Σ per-label counts ≡ the word histogram, so the fully-tie-broken
+    // top-K is unchanged), and the dense counts are its vocab-filtered
+    // rows (count-then-filter ≡ the old filter-then-count on a key
+    // filter). The round-14 shape exploded the corpus TWICE — once for
+    // the vocab histogram, once for the per-label counts — and the sf1
+    // probe read each pass serialized on the scan's 2 splits.
+    val counts0 = tracked(words.groupBy(col("label"), col("w"))
+      .agg(count(lit(1)).as("c")))
+    val vocab = tracked(counts0.groupBy(col("w")).agg(sum(col("c")).as("cu"))
       .orderBy(col("cu").desc, col("w")).limit(vocabSize)
       .select(col("w")))
-    val counts = tracked(words.join(broadcast(vocab), Seq("w"))
-      .groupBy(col("label"), col("w")).agg(count(lit(1)).as("c")))
+    val counts = tracked(counts0.join(broadcast(vocab), Seq("w")))
     val priors = {
       // |labels| rows, checkpointed: it feeds both the per-label rows
       // and the total, and would otherwise re-scan the corpus twice
@@ -318,7 +338,11 @@ object Classifier {
       labelCol: String = "lang", textCol: String = "text",
       vocabSize: Int = 4096, idCol: String = "doc_id"): DataFrame = {
     val (dense, priors) = nbModelFrames(docs, labelCol, textCol, vocabSize)
-    val sums = docs.filter(col(textCol).isNotNull)
+    // scale-gated spread before the scoring explode (round 15): the
+    // sf1 probe read this pass at 3.2 s on TWO tasks — corpus-sized,
+    // not model-bounded (see nbModelFramesTracked). No-op under the
+    // 2 MB gate and at production split counts.
+    val sums = Par.spreadIfBig(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
       .join(broadcast(dense.select(col("token"), col("label"), col("ll"))),
         Seq("token"))

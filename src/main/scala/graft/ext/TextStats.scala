@@ -771,14 +771,26 @@ object TextStats {
   def bigramLmScore(docs: DataFrame, vocabSize: Int = 4096,
       topBigrams: Int = 4096, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val words = docs.filter(col(textCol).isNotNull)
+    // scale-gated spread before the corpus explodes (round 15): the
+    // sf1 JobTime probe read the scoring pass at 4.1 s on TWO tasks —
+    // the one-row-group corpus arrives as 1-2 splits and every
+    // explode + partial-aggregate (word histogram, bigram histogram,
+    // the scoring join) serializes there, growing linearly with the
+    // corpus. No-op under the 2 MB gate (sf0.1 plans byte-identical)
+    // and at production split counts — guide §2.5; the q133/q87
+    // precedent. This falsifies the round-14 'bounded at any corpus
+    // scale' claim for this operator: the BROADCAST BUILDS are
+    // model-bounded, but the corpus-side aggregates feeding them are
+    // not.
+    val d = Par.spreadIfBig(docs.filter(col(textCol).isNotNull))
+    val words = d
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
     val hist = words.groupBy(col("w")).agg(count(lit(1)).as("cu"))
       .localCheckpoint(true)
     val vocab = hist.orderBy(col("cu").desc, col("w")).limit(vocabSize)
       .withColumnRenamed("w", "w2")
     val total = hist.agg(sum(col("cu")).as("n_total"))
-    val pairs = docs.filter(col(textCol).isNotNull)
+    val pairs = d
       .select(col(idCol), split(col(textCol), " ").as("a"))
       .select(col(idCol), explode(expr(
         """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
@@ -812,14 +824,16 @@ object TextStats {
   def trainLmModel(docs: DataFrame, vocabSize: Int = 4096,
       topBigrams: Int = 4096,
       textCol: String = "text"): graft.functions.LmModel = {
-    val words = docs.filter(col(textCol).isNotNull)
-      .select(explode(split(col(textCol), " ")).as("w"))
+    // same scale-gated spread as bigramLmScore — the two corpus-sized
+    // histogram aggregates serialize on the scan's splits otherwise
+    val d = Par.spreadIfBig(docs.filter(col(textCol).isNotNull))
+    val words = d.select(explode(split(col(textCol), " ")).as("w"))
     val hist = words.groupBy(col("w")).agg(count(lit(1)).as("cu"))
       .localCheckpoint(true)
     val vocab = hist.orderBy(col("cu").desc, col("w")).limit(vocabSize)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val nTotal = hist.agg(sum(col("cu"))).head().getLong(0)
-    val bg = docs.filter(col(textCol).isNotNull)
+    val bg = d
       .select(split(col(textCol), " ").as("a"))
       .select(explode(expr(
         """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),

@@ -629,6 +629,10 @@ class ExtApiSpec extends SparkSpec {
     val one = spark.read.parquet(dir)
     assert(one.rdd.getNumPartitions == 1, "fixture must arrive one-split")
     val par = spark.sparkContext.defaultParallelism
+    // on a single-core runner the gate-fired assertion below is
+    // vacuously true (1 partition == par) — surface the degenerate
+    // runner instead of silently passing (ADVICE r14)
+    assert(par > 1, s"defaultParallelism=$par cannot exercise the spread path")
     val preSpread = one.repartition(par)
     for ((name, build) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
         "incrementalSnapshot" -> (d => Dedup.incrementalSnapshot(spark, d)),
@@ -642,6 +646,10 @@ class ExtApiSpec extends SparkSpec {
         noop.collect().map(_.toString).sorted.toSeq,
         s"$name: spread changed the snapshot row set")
     }
+    // temp fixture cleanup (ADVICE r14)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   test("dedupIncrementalPersisted never scans the seen corpus — only the pruned snapshot") {

@@ -242,20 +242,26 @@ object Dedup {
     // references it twice: for expensive upstreams (LSH) the double
     // reference would otherwise re-evaluate the whole subtree per side
     // (exchange reuse is plan-dependent, not a guarantee)
-    val (cp, cpRdds) = checkpointTracked(pairs.select(col("a_id"), col("b_id")))
+    val (cp, cpRdds) = Par.labeled(pairs, "components: edge input") {
+      checkpointTracked(pairs.select(col("a_id"), col("b_id")))
+    }
     // (probed round 14: a localCheckpoint does NOT carry its input's
     // hash partitioning under AQE — LogicalRDD reports
     // UnknownPartitioning — so pre-partitioning edges by the hop join
     // key here would buy nothing; the hop joins broadcast the label
     // side or re-exchange as AQE decides)
-    val (edges, edgeRdds) = checkpointTracked(
-      cp.unionAll(cp.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-        .distinct())
+    val (edges, edgeRdds) = Par.labeled(pairs, "components: symmetric edges") {
+      checkpointTracked(
+        cp.unionAll(cp.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .distinct())
+    }
     cpRdds.foreach(_.unpersist(blocking = false)) // dead once edges exist
-    var (labels, labelRdds) = checkpointTracked(
-      edges.select(col("a_id").as("node"))
-        .distinct()
-        .withColumn("cluster_id", col("node")))
+    var (labels, labelRdds) = Par.labeled(pairs, "components: label init") {
+      checkpointTracked(
+        edges.select(col("a_id").as("node"))
+          .distinct()
+          .withColumn("cluster_id", col("node")))
+    }
     // each hop can CARRY columns alongside the propagated minimum: self
     // rows keep them, neighbor rows contribute null (max ignores
     // nulls), so values survive the aggregate. The round carries the
@@ -281,11 +287,13 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIter) {
       val obs = org.apache.spark.sql.Observation()
-      val (next, nextRdds) = checkpointTracked(
-        hop(hop(labels, Nil).withColumn("mid", col("cluster_id")), Seq("mid"))
-          .observe(obs, sum(when(col("cluster_id") =!= col("mid"), lit(1L))
-            .otherwise(lit(0L))).as("inner_changed"))
-          .select(col("node"), col("cluster_id")))
+      val (next, nextRdds) = Par.labeled(pairs, s"components: hop round ${i + 1}") {
+        checkpointTracked(
+          hop(hop(labels, Nil).withColumn("mid", col("cluster_id")), Seq("mid"))
+            .observe(obs, sum(when(col("cluster_id") =!= col("mid"), lit(1L))
+              .otherwise(lit(0L))).as("inner_changed"))
+            .select(col("node"), col("cluster_id")))
+      }
       // sum over zero rows is NULL (empty edge graph) — treat as converged
       val innerChanged = Option(obs.get.getOrElse("inner_changed", null))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -380,7 +388,9 @@ object Dedup {
     }
     def release(df: DataFrame): Unit =
       Option(rddsByFrame.remove(df)).foreach(_.foreach(_.unpersist(blocking = false)))
-    var (edges, sum0) = checksum(pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+    var (edges, sum0) = Par.labeled(pairs, "altstar: edge input") {
+      checksum(pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+    }
     var prevSum = sum0
     var converged = false
     var i = 0
@@ -389,8 +399,21 @@ object Dedup {
       // single fused plan (large-star's output exchange is shared by
       // small-star's two references, so no intermediate checkpoint is
       // needed to avoid re-evaluation — round 14; previously each round
-      // paid two checkpoint jobs and ~7 exchanges, now one job and 3)
-      val (next, nextSum) = checksum(smallStar(largeStar(edges)))
+      // paid two checkpoint jobs and ~7 exchanges, now one job and 3).
+      // Probed round 15 and REVERTED: TWO rounds per materialization
+      // (clusters()' double-hop trick; the fixpoint test stays sound —
+      // a checksum-stable double round that is not a single-round
+      // fixpoint would be a 2-cycle of the deterministic round map,
+      // which the alternating-star convergence theorem rules out)
+      // measured ~2x WORSE at sf0.1 (q102 3.65→6.03 s, q142
+      // 3.05→6.45 s min-of-5, interleaved): each star references its
+      // input 2-3 times, so stacking four passes in one plan squares
+      // the subtree copies (~36 leaf references) — ReuseExchange does
+      // not dedupe them all under AQE, and the plan explodes where the
+      // per-round checkpoint keeps every reference a flat scan.
+      val (next, nextSum) = Par.labeled(pairs, s"altstar: round ${i + 1}") {
+        checksum(smallStar(largeStar(edges)))
+      }
       release(edges)
       edges = next
       converged = nextSum == prevSum
@@ -646,6 +669,16 @@ object Dedup {
     // RELEASED before returning — two corpus evaluations total instead
     // of three, and no cache outlives the call (the returned plan
     // recomputes the window once on the caller's action).
+    // probed round 15 and REVERTED (guide §1.2): a scale-gated spread
+    // before the window — the WindowGroupLimit rewrite does put a local
+    // sort of the corpus on the scan's 1-2 splits at the sf1 decade —
+    // measured WORSE in an interleaved sf1 A/B (q104 4.58→6.1-6.7 s,
+    // q137 5.74→6.8-7.0 s min-of-4): the round-robin exchange moves the
+    // full text payload a second time, which costs more than the
+    // serialized map-side sort it parallelizes (the content_hash
+    // exchange already redistributes the reduce side; unlike the
+    // q133/q87/q118 fixes there is no heavy per-row expression on the
+    // under-split stage).
     val afterExact = docs
       .withColumn("content_hash", md5(col(textCol)))
       .withColumn("rk", row_number().over(w))
@@ -661,7 +694,9 @@ object Dedup {
     // the moment components are materialized below.
     val (cand0, bucketRdds) = lshCandidatesTracked(
       spark, afterExact, bands, maxBucket, idCol, textCol, capMetrics)
-    val (pairs, pairsRdds) = checkpointTracked(cand0)
+    val (pairs, pairsRdds) = Par.labeled(docs, "dedupCorpus: exact window + LSH candidate pairs") {
+      checkpointTracked(cand0)
+    }
     // the pairs checkpoint just materialized — the band-bucket blocks
     // behind it are dead now
     bucketRdds.foreach(_.unpersist(blocking = false))
@@ -680,8 +715,10 @@ object Dedup {
     // O(log n) rounds regardless of diameter, for corpora whose near-dup
     // graph CHAINS (template families, chunk graphs). Verified LSH
     // graphs are shallow, so label propagation stays the default.
-    val dropNearDup = (if (deepGraphs) clustersAltStar(spark, confirmed)
+    val dropNearDup = Par.labeled(docs, "dedupCorpus: verify + components") {
+      (if (deepGraphs) clustersAltStar(spark, confirmed)
       else clusters(spark, confirmed))
+    }
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as(idCol))
     // clusters() materialized its labels with truncated lineage, so the
@@ -748,8 +785,10 @@ object Dedup {
       deepGraphs: Boolean = false): (DataFrame, () => Unit) = {
     val (afterExact, _, confirmed, release) = winnowCorpusStages(spark,
       docs, k, w, maxDf, minShared, idCol, textCol, verifyThreshold)
-    val dropNearDup = (if (deepGraphs) clustersAltStar(spark, confirmed)
+    val dropNearDup = Par.labeled(docs, "winnowCorpus: verify + components") {
+      (if (deepGraphs) clustersAltStar(spark, confirmed)
       else clusters(spark, confirmed))
+    }
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as(idCol))
     (afterExact.join(dropNearDup, Seq(idCol), "left_anti"), release)
@@ -768,6 +807,9 @@ object Dedup {
       : (DataFrame, DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    // NO spread before the window — probed round 15, measured worse
+    // (the exchange outweighs the serialized map-side sort; see
+    // dedupCorpus)
     val afterExact = docs
       .withColumn("content_hash", md5(col(textCol)))
       .withColumn("rk", row_number().over(win))
@@ -776,8 +818,9 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cand0, fpRdds) = graft.ext.TextStats.winnowCandidatesTracked(
       afterExact, k, w, maxDf, minShared, idCol, textCol)
-    val (pairs, pairsRdds) = checkpointTracked(
-      cand0.select(col("a_id"), col("b_id")))
+    val (pairs, pairsRdds) = Par.labeled(docs, "winnowCorpus: exact window + winnow candidate pairs") {
+      checkpointTracked(cand0.select(col("a_id"), col("b_id")))
+    }
     // the pairs checkpoint just materialized — the fingerprint blocks
     // behind it are dead now
     fpRdds.foreach(_.unpersist(blocking = false))

@@ -55,4 +55,17 @@ private[graft] object Par {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
+
+  /** Run `body` with a job description (guide §1.5) so the eager jobs a
+    * pipeline fires during CONSTRUCTION (checkpoints, component rounds,
+    * broadcast builds — which capture thread-locals) are attributable
+    * in the UI / JobTime instead of surfacing as anonymous futures.
+    * Restores the caller's description: labels nest correctly and a
+    * harness's own label survives the call. */
+  def labeled[T](df: DataFrame, desc: String)(body: => T): T = {
+    val sc = df.sparkSession.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
 }

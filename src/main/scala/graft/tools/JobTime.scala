@@ -35,7 +35,12 @@ object JobTime {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(js.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
-          .getOrElse("")
+          // stage names carry the call sites when job properties don't
+          // (observed empty on this Spark 4.1 local build): the result
+          // stage plus the distinct upstream sites tell which operator
+          // the job materializes
+          .getOrElse(js.stageInfos.map(_.name.takeWhile(_ != '\n'))
+            .distinct.mkString(" | "))
         starts.put(js.jobId, (System.nanoTime(), desc,
           js.stageInfos.map(_.numTasks).sum))
       }
